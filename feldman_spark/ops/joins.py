@@ -1,0 +1,132 @@
+"""Join operators (SURVEY §2.4 J1-J8).
+
+The reference realizes every join as a per-row loop over a small table with
+a full boolean-mask scan of the big table per iteration — nested-loop joins
+in disguise (``feldman.py:318-340,357-366``, ``coring/sectionSummary.py:88-100``).
+Here each becomes one real Spark join; the small splice-side tables (SIT,
+affine — hundreds of rows) are broadcast so the big measurement side never
+shuffles.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "broadcast_equi_join",
+    "semi_join",
+    "anti_join",
+    "containment_join",
+    "nearest_join",
+]
+
+
+def broadcast_equi_join(
+    big: DataFrame, small: DataFrame, on: Sequence[str], how: str = "inner",
+) -> DataFrame:
+    """J4/J6/J8: equi-join with an explicitly broadcast small side
+    (replaces the iterrows loops at ``feldman.py:357-366``,
+    ``coring/affine.py:56-61``)."""
+    return big.join(F.broadcast(small), on=list(on), how=how)
+
+
+def semi_join(df: DataFrame, keys: DataFrame, on: Sequence[str]) -> DataFrame:
+    """J5: membership — rows of ``df`` whose key appears in ``keys``
+    (``coring/spliceInterval.py:79-85`` ``containsCore``)."""
+    return df.join(F.broadcast(keys.select(*on).distinct()), on=list(on), how="left_semi")
+
+
+def anti_join(df: DataFrame, keys: DataFrame, on: Sequence[str]) -> DataFrame:
+    """J3/F6: complement of :func:`semi_join` — e.g. off-splice rows
+    (``feldman.py:346``)."""
+    return df.join(F.broadcast(keys.select(*on).distinct()), on=list(on), how="left_anti")
+
+
+def containment_join(
+    fact: DataFrame,
+    intervals: DataFrame,
+    equi_on: Sequence[str],
+    fact_point: str,
+    interval_lo: str,
+    interval_hi: str,
+    inclusive: bool = True,
+    broadcast_intervals: bool = True,
+) -> DataFrame:
+    """J1: interval-containment (range) join — fact rows whose ``fact_point``
+    falls inside a matching interval's [lo, hi], with equi keys pushed into
+    the hash join and the range residual filtered after
+    (replaces the per-interval scan loop ``feldman.py:318-340`` +
+    ``coring/measurement.py:46-47``).
+
+    With ``broadcast_intervals=True`` (the common case: splice-side tables
+    are tiny) this is a broadcast-hash join on the equi keys — a single pass
+    over the fact table, no shuffle, which is the 100 TB-scale centerpiece.
+    For large-large cases, set it False and Spark falls back to a shuffled
+    join on the equi keys.
+    """
+    right = F.broadcast(intervals) if broadcast_intervals else intervals
+    point = F.col(f"`{fact_point}`")
+    lo = F.col(f"`{interval_lo}`")
+    hi = F.col(f"`{interval_hi}`")
+    residual = point.between(lo, hi) if inclusive else (point > lo) & (point < hi)
+    return fact.join(right, on=list(equi_on), how="inner").filter(residual)
+
+
+def nearest_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_value: str,
+    right_value: str,
+    left_keys: Sequence[str],
+    partition_on: Sequence[str] = (),
+    tie_break: Optional[Sequence[str]] = None,
+    exclude_self_on: Optional[Sequence[str]] = None,
+    suffix: str = "_near",
+) -> DataFrame:
+    """J7: nearest-key (as-of-style) join — for each left row, the right row
+    minimizing ``abs(left_value - right_value)``
+    (``coring/sectionSummary.py:88-100`` ``getCoreWithClosestTop``).
+
+    Implemented as a (broadcast) join on ``partition_on`` (cross join when
+    empty) followed by a ``row_number`` window over (|Δ|, tie_break...).
+    The right side is assumed small enough to broadcast — true for every
+    reference use (on-splice core lists ≤ hundreds of rows).
+
+    ``exclude_self_on``: columns that must NOT all be equal between left and
+    right (the reference skips the search core itself,
+    ``coring/sectionSummary.py:93-94``).
+    """
+    rcols = right.columns
+    renamed = right
+    for c in rcols:
+        renamed = renamed.withColumnRenamed(c, c + suffix)
+
+    if partition_on:
+        cond = None
+        for k in partition_on:
+            clause = F.col(f"`{k}`") == F.col(f"`{k}{suffix}`")
+            cond = clause if cond is None else cond & clause
+        joined = left.join(F.broadcast(renamed), on=cond, how="inner")
+    else:
+        joined = left.crossJoin(F.broadcast(renamed))
+
+    if exclude_self_on:
+        same: Optional[Column] = None
+        for k in exclude_self_on:
+            clause = F.col(f"`{k}`") == F.col(f"`{k}{suffix}`")
+            same = clause if same is None else same & clause
+        joined = joined.filter(~same)
+
+    diff = F.abs(F.col(f"`{left_value}`") - F.col(f"`{right_value}{suffix}`"))
+    order: List[Column] = [diff]
+    for t in tie_break or []:
+        order.append(F.col(f"`{t}{suffix}`"))
+    w = Window.partitionBy(*[F.col(f"`{k}`") for k in left_keys]).orderBy(*order)
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -1,0 +1,94 @@
+"""Window / sequential operators (SURVEY §2.6 W2-W5, §2.5 A4/A6).
+
+The reference computes these with explicit Python loops over sorted rows
+(``feldman.py:500-529``); here they are Spark window functions — fully
+distributed, partitioned by the grouping key.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "lag_diff",
+    "expanding_slope",
+    "first_seen",
+    "section_range",
+    "explode_section_range",
+]
+
+
+def _cols(names: Sequence[str]) -> list:
+    return [F.col(f"`{n}`") for n in names]
+
+
+def lag_diff(
+    df: DataFrame,
+    value: str,
+    partition_by: Sequence[str],
+    order_by: Sequence[Column],
+    out: str = "diff",
+) -> DataFrame:
+    """W2: per-group differential — value minus previous row's value; the
+    group's first row keeps its full value (``feldman.py:509-514``:
+    ``diffOffset = cumOffset - prevOffset``, first row → ``cumOffset``)."""
+    w = Window.partitionBy(*_cols(partition_by)).orderBy(*order_by)
+    v = F.col(f"`{value}`")
+    return df.withColumn(out, v - F.coalesce(F.lag(v).over(w), F.lit(0.0)))
+
+
+def expanding_slope(
+    df: DataFrame,
+    x: str,
+    y: str,
+    partition_by: Sequence[str],
+    order_by: Sequence[Column],
+    out: str = "slope",
+    digits: int = 3,
+) -> DataFrame:
+    """W3/A6: expanding OLS slope of (x, y) over all rows so far within the
+    group, rounded; first row and degenerate fits → 0.0
+    (``feldman.py:516-527``, ``numpy.polyfit(...,1)[0]``).
+
+    ``regr_slope`` over an expanding frame computes the identical
+    least-squares slope JVM-side — no Python loop, no UDF.
+    """
+    w = (
+        Window.partitionBy(*_cols(partition_by))
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    slope = F.round(F.regr_slope(F.col(f"`{y}`"), F.col(f"`{x}`")).over(w), digits)
+    return df.withColumn(out, F.coalesce(slope, F.lit(0.0)))
+
+
+def first_seen(
+    df: DataFrame, partition_by: Sequence[str], order_by: Sequence[Column],
+) -> DataFrame:
+    """W4: keep the first-seen row per key (``feldman.py:236-248``:
+    one affine row per core, repeats ignored)."""
+    w = Window.partitionBy(*_cols(partition_by)).orderBy(*order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def section_range(top_col: str, bot_col: str) -> Column:
+    """W5: inclusive integer range topSection..botSection as an array of
+    *strings* (sections are string-typed identity values,
+    ``feldman.py:323-327``)."""
+    top = F.col(f"`{top_col}`").cast("int")
+    bot = F.col(f"`{bot_col}`").cast("int")
+    return F.transform(F.sequence(top, bot), lambda s: s.cast("string"))
+
+
+def explode_section_range(
+    df: DataFrame, top_col: str, bot_col: str, out: str = "Section",
+) -> DataFrame:
+    """W5 applied: one row per section in the interval's section range."""
+    return df.withColumn(out, F.explode(section_range(top_col, bot_col)))

@@ -1,0 +1,40 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+Local testing runs ``local[N]``; the same settings (AQE, Arrow, sensible
+shuffle partitioning) are what you want on a real cluster — only
+``master`` and the partition counts change.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+from pyspark.sql import SparkSession
+
+__all__ = ["get_spark"]
+
+
+def get_spark(
+    app_name: str = "feldman-spark",
+    master: Optional[str] = None,
+    shuffle_partitions: Optional[int] = None,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or int(cpus)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # AQE: runtime coalescing of shuffle partitions + skew-join handling
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Arrow for every pandas-UDF boundary (the W1 scan, pipeline UDFs)
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()

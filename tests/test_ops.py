@@ -1,0 +1,135 @@
+"""Operator-level goldens ported from the reference's embedded tests
+(``coring/sectionSummary.py:255-272``, ``coring/measurement.py:59-69``,
+``coring/affine.py:104-109``, ``coring/manualCorrelation.py:125-131``,
+``coring/sparseSplice.py:39-45``) — same fixtures, same expected values,
+Spark operators."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from feldman_spark.engine import (
+    load_affine,
+    load_measurement,
+    load_section_summary,
+    load_sparse_splice,
+)
+from feldman_spark.formats.registry import MANUAL_CORRELATION_FORMAT
+from feldman_spark.io.csv import read_tabular
+from feldman_spark.ops.filters import (
+    conjunctive_filter,
+    in_filter,
+    point_in_interval,
+    range_filter,
+    valid_section_column,
+)
+from feldman_spark.ops.gaps import gap_above, parse_gaps
+from feldman_spark.splice import section_lookup
+
+
+@pytest.fixture(scope="module")
+def secsumm(spark, ref_testdata):
+    return load_section_summary(
+        spark, os.path.join(ref_testdata, "GLAD9_SectionSummary.csv")).cache()
+
+
+@pytest.fixture(scope="module")
+def xrf(spark, ref_testdata):
+    return load_measurement(
+        spark, os.path.join(ref_testdata, "GLAD9_Site1_XRF.csv"),
+        depth_column="Sediment Depth, scaled (MBS / CSF-B)").cache()
+
+
+def test_section_summary_goldens(spark, secsumm):
+    # coring/sectionSummary.py:256-262
+    assert secsumm.select("Site").distinct().count() == 7
+    assert conjunctive_filter(secsumm, Site="1", Hole="A", Core="33").count() > 0
+    assert conjunctive_filter(secsumm, Site="1", Hole="A", Core="34").count() == 0
+    look = section_lookup(secsumm)
+    top = conjunctive_filter(look, Site="1", Hole="A", Core="33", Section="9") \
+        .select("SecTop").first()[0]
+    assert top == 92.73
+    # getSectionAtDepth('1','B','2',4.4) == '3' (point-in-interval, F4)
+    sec = point_in_interval(secsumm, 4.4, Site="1", Hole="B", Core="2") \
+        .select("Section").first()[0]
+    assert sec == "3"
+
+
+def test_gaps_goldens(spark, ref_testdata):
+    from feldman_spark.formats.registry import SECTION_SUMMARY_FORMAT
+
+    ss = read_tabular(spark, os.path.join(ref_testdata, "SectionSummaryWithGaps.csv"),
+                      SECTION_SUMMARY_FORMAT)
+    ss = ss.withColumn("GapsParsed", parse_gaps(F.col("Gaps")))
+
+    def gaps_of(core, section):
+        row = conjunctive_filter(ss, Site="1", Hole="A", Core=core, Section=section).first()
+        return [(g["top"], g["bot"]) for g in row["GapsParsed"]]
+
+    def gap_above_val(core, section, depth):
+        row = (
+            conjunctive_filter(ss, Site="1", Hole="A", Core=core, Section=section)
+            .select(gap_above(F.col("GapsParsed"), F.lit(depth)).alias("g"))
+            .first()
+        )
+        return row["g"]
+
+    # coring/sectionSummary.py:264-272
+    assert gaps_of("2", "1") == []
+    assert gaps_of("3", "2") == [(0.0, 2.5)]
+    assert gap_above_val("3", "2", 0.0) == 0.0
+    assert gap_above_val("3", "2", 1.0) == 2.5
+    assert gaps_of("18", "1") == [(0.0, 0.5), (94.5, 96.0), (151.0, 152.5)]
+    assert gap_above_val("18", "1", 95.0) == 2.0
+    assert gap_above_val("18", "1", 152.5) == 3.5
+
+
+def test_measurement_goldens(spark, xrf):
+    # coring/measurement.py:59-69
+    depth = "Sediment Depth, scaled (MBS / CSF-B)"
+    assert "Tool" in xrf.columns
+    assert range_filter(xrf, depth, 74.0, 75.0).count() == 185
+    assert conjunctive_filter(range_filter(xrf, depth, 74.0, 75.0), Core="25").count() == 84
+    full = conjunctive_filter(range_filter(xrf, depth, 74.0, 76.0),
+                              Site="1", Hole="A", Core="25")
+    assert in_filter(full, "Section", ["1"]).count() == 148
+    full2 = conjunctive_filter(range_filter(xrf, depth, 74.0, 78.0),
+                               Site="1", Hole="A", Core="25")
+    assert in_filter(full2, "Section", ["2", "3"]).count() == 141
+    assert in_filter(full2, "Section", ["1", "2", "3"]).count() == 289
+    whole = conjunctive_filter(xrf, Site="1", Hole="A", Core="25")
+    assert in_filter(whole, "Section", ["1", "2", "3"]).count() == 289
+    assert conjunctive_filter(xrf, Core="25").count() == 643
+
+
+def test_affine_goldens(spark, ref_testdata):
+    # coring/affine.py:104-109
+    aff = load_affine(spark, os.path.join(ref_testdata, "GLAD9_Site1_Affine.csv"))
+    assert aff.count() == 94
+    assert [r["Site"] for r in aff.select("Site").distinct().collect()] == ["1"]
+    off = conjunctive_filter(aff, Site="1", Hole="B", Core="2", Tool="H") \
+        .select("Offset").first()[0]
+    assert off == 0.298
+
+
+def test_manual_correlation_goldens(spark, ref_testdata):
+    # coring/manualCorrelation.py:125-131
+    mct = read_tabular(spark, os.path.join(ref_testdata, "ManualCorrelationTable.csv"),
+                       MANUAL_CORRELATION_FORMAT)
+    assert mct.count() == 90
+    row = conjunctive_filter(mct, Site1="1", Hole1="D", Core1="2").first()
+    assert row["SectionDepth1"] == 0.5
+    assert row["SectionDepth2"] == 30
+
+
+def test_sparse_splice_goldens(spark, ref_testdata):
+    # coring/sparseSplice.py:39-45
+    sp = load_sparse_splice(spark, os.path.join(ref_testdata, "GLAD9_Site1_SparseSplice.csv"))
+    assert sp.count() == 58
+    assert sp.select("Gap").first()[0] is None
+    assert sp.filter(F.col("Site") == "1").count() > 0
+    assert sp.select("Hole").distinct().count() == 3
+    # F7 validation
+    assert valid_section_column(sp, "TopSection")
+    assert valid_section_column(sp, "BottomSection")
