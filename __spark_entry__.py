@@ -1,38 +1,697 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query (the E2 containment-join shape) at
+sf0.001. ``queries()`` — one entry per implemented operator from SURVEY.md
+§2 (plus TPC-H-style pipeline classics and, as they land, the
+beyond-reference data-pipeline operators). ``oracle_sql()`` — the matching
+DuckDB SQL run by the driver's correctness gate.
+
+Conventions keeping Spark and DuckDB hash-identical:
+
+* every computed column is aliased the SAME on both sides;
+* float aggregates are rounded (2-4 dp) on BOTH sides so parallel
+  summation order can't leak into the hash;
+* timestamps are formatted to 'yyyy-MM-dd' strings on both sides;
+* integer-ish derived values are cast to bigint on both sides.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _r2(c):  # shared float rounding for hash-stable aggregates
+    return F.round(c, 2)
+
+
+# --------------------------------------------------------------------------
+# TPC-H-style pipeline classics (multi-join + agg; bench headliners)
+# --------------------------------------------------------------------------
+
+def q1_pricing_summary(spark, sf_dir):
+    """SURVEY §2.5 A1/A3 + §2.9 arithmetic: grouped aggregation over the
+    big fact table (lineitem), Catalyst-pushed filter."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "2000-12-01")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _r2(F.sum("l_quantity")).alias("sum_qty"),
+            _r2(F.sum("l_extendedprice")).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("sum_disc_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 6).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q3_shipping_priority(spark, sf_dir):
+    cu = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-01-01")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-01-01")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cu), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+                 "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+def q5_local_supplier_volume(spark, sf_dir):
+    cu = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01"))
+    li = _t(spark, sf_dir, "lineitem")
+    su = _t(spark, sf_dir, "supplier")
+    na = _t(spark, sf_dir, "nation")
+    re = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(su), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cu, (F.col("o_custkey") == F.col("c_custkey"))
+              & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .join(F.broadcast(na), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(re), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+    )
+
+
+def q6_revenue_forecast(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+            & F.col("l_discount").between(0.03, 0.07) & (F.col("l_quantity") < 24))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias("revenue"))
+    )
+
+
+def q10_returned_items(spark, sf_dir):
+    cu = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01"))
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    na = _t(spark, sf_dir, "nation")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cu, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(na), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.3 Filters
+# --------------------------------------------------------------------------
+
+def f1_conjunctive_eq(spark, sf_dir):
+    """F1: conjunctive equality point filter (coring/sectionSummary.py:158-170)."""
+    from feldman_spark.ops.filters import conjunctive_filter
+
+    li = _t(spark, sf_dir, "lineitem")
+    return conjunctive_filter(li, l_returnflag="A", l_linestatus="F", l_quantity=30.0) \
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_extendedprice")
+
+
+def f2_range_between(spark, sf_dir):
+    """F2: inclusive-both-ends range filter (coring/measurement.py:32-33)."""
+    from feldman_spark.ops.filters import range_filter
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = range_filter(li, "l_quantity", 10.0, 12.0)
+    return out.select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+def f3_in_list(spark, sf_dir):
+    """F3: IN-list membership (coring/measurement.py:43-50)."""
+    from feldman_spark.ops.filters import in_filter
+
+    o = _t(spark, sf_dir, "orders")
+    return (
+        in_filter(o, "o_orderpriority", ["1-URGENT", "2-HIGH"])
+        .groupBy("o_orderpriority", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), _r2(F.sum("o_totalprice")).alias("total"))
+    )
+
+
+def f7_domain_validation(spark, sf_dir):
+    """F7: column-domain validation via regex (feldman.py:78-89) —
+    count of values NOT matching '<digit>-<WORD>'."""
+    o = _t(spark, sf_dir, "orders")
+    bad = ~F.col("o_orderpriority").rlike(r"^[0-9]-[A-Z]")
+    return o.agg(
+        F.sum(F.when(bad, 1).otherwise(0)).cast("bigint").alias("invalid_rows"),
+        F.count(F.lit(1)).alias("total_rows"),
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.5 Aggregations
+# --------------------------------------------------------------------------
+
+def a1_group_minmax(spark, sf_dir):
+    """A1: min/max per group (coring/sectionSummary.py:78-85)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        _r2(F.min("l_extendedprice")).alias("min_price"),
+        _r2(F.max("l_extendedprice")).alias("max_price"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+    )
+
+
+def a2_distinct(spark, sf_dir):
+    """A2: distinct values (coring/sectionSummary.py:48-50)."""
+    cu = _t(spark, sf_dir, "customer")
+    return cu.select("c_mktsegment").distinct()
+
+
+def a4_argmin(spark, sf_dir):
+    """A4: argmin per group — customer with smallest balance per nation
+    (closest-top analogue, coring/sectionSummary.py:94-99)."""
+    cu = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").asc(),
+                                                  F.col("c_custkey").asc())
+    return (
+        cu.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("c_nationkey", "c_custkey", _r2(F.col("c_acctbal")).alias("min_acctbal"))
+    )
+
+
+def a5_conditional_sum_hof(spark, sf_dir):
+    """A5: conditional sum over a collected array via higher-order
+    functions — the gap-sum shape Σ(bot−top) where cond
+    (coring/sectionSummary.py:145-150), expressed with aggregate(filter(…))."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.collect_list(F.struct("l_discount", "l_extendedprice")).alias("items"))
+    discounted = F.aggregate(
+        F.filter(F.col("items"), lambda x: x["l_discount"] > 0.05),
+        F.lit(0.0),
+        lambda acc, x: acc + x["l_extendedprice"],
+    )
+    return per_order.select("l_orderkey", _r2(discounted).alias("discounted_total"))
+
+
+# --------------------------------------------------------------------------
+# §2.4 Joins
+# --------------------------------------------------------------------------
+
+def j1_containment_join(spark, sf_dir):
+    """J1: interval-containment join — shipments within 90 days of their
+    order date; equi key + range residual, the E2 splice-export shape
+    (feldman.py:318-340)."""
+    from feldman_spark.ops.joins import containment_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderdate", "o_orderpriority",
+        F.date_add(F.col("o_orderdate"), 90).alias("o_window_end"))
+    joined = containment_join(
+        li, o, equi_on=["l_orderkey"], fact_point="l_shipdate",
+        interval_lo="o_orderdate", interval_hi="o_window_end",
+        broadcast_intervals=False)  # both sides large: shuffled hash join
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_shipped_90d"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+    )
+
+
+def j3_anti_join(spark, sf_dir):
+    """J3: anti-join — customers with no orders (feldman.py:346)."""
+    from feldman_spark.ops.joins import anti_join
+
+    cu = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1995-07-01") \
+        .select(F.col("o_custkey").alias("c_custkey"))
+    return anti_join(cu, o, on=["c_custkey"]).select("c_custkey", "c_name")
+
+
+def j4_broadcast_equi(spark, sf_dir):
+    """J4: broadcast equi-join, small dim to big fact (feldman.py:357-366)."""
+    from feldman_spark.ops.joins import broadcast_equi_join
+
+    li = _t(spark, sf_dir, "lineitem").withColumnRenamed("l_partkey", "p_partkey")
+    pa = _t(spark, sf_dir, "part")
+    return (
+        broadcast_equi_join(li, pa, on=["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _r2(F.sum(F.col("l_extendedprice") - F.col("p_retailprice"))).alias("markup"),
+        )
+    )
+
+
+def j5_semi_join(spark, sf_dir):
+    """J5: semi-join membership (coring/spliceInterval.py:79-85)."""
+    from feldman_spark.ops.joins import semi_join
+
+    su = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem").select(F.col("l_suppkey").alias("s_suppkey"))
+    return semi_join(su, li, on=["s_suppkey"]).select("s_suppkey", "s_name")
+
+
+def j7_nearest_join(spark, sf_dir):
+    """J7: nearest-key join — for each customer, the part whose retail
+    price is closest to the customer's balance; first-key tie-break
+    (coring/sectionSummary.py:88-100)."""
+    from feldman_spark.ops.joins import nearest_join
+
+    cu = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    pa = _t(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    out = nearest_join(
+        cu, pa, left_value="c_acctbal", right_value="p_retailprice",
+        left_keys=["c_custkey"], tie_break=["p_partkey"])
+    return out.select(
+        "c_custkey",
+        F.col("p_partkey_near").alias("nearest_partkey"),
+        _r2(F.abs(F.col("c_acctbal") - F.col("p_retailprice_near"))).alias("price_diff"),
+    )
+
+
+def j8_lookup_join(spark, sf_dir):
+    """J8: lookup join against a tiny reference table
+    (coring/sectionSummary.py:179-181)."""
+    from feldman_spark.ops.joins import broadcast_equi_join
+
+    na = _t(spark, sf_dir, "nation").withColumnRenamed("n_regionkey", "r_regionkey")
+    re = _t(spark, sf_dir, "region")
+    return broadcast_equi_join(na, re, on=["r_regionkey"]).select("n_name", "r_name")
+
+
+# --------------------------------------------------------------------------
+# §2.6 Window / sequential
+# --------------------------------------------------------------------------
+
+def w2_lag_diff(spark, sf_dir):
+    """W2: per-group differential vs previous row; first row keeps its
+    value (feldman.py:500-514)."""
+    from feldman_spark.ops.windows import lag_diff
+
+    o = _t(spark, sf_dir, "orders")
+    out = lag_diff(
+        o, "o_totalprice", partition_by=["o_custkey"],
+        order_by=[F.col("o_orderdate").asc(), F.col("o_orderkey").asc()],
+        out="price_diff")
+    return out.select("o_orderkey", "o_custkey", _r2(F.col("price_diff")).alias("price_diff"))
+
+
+def w3_expanding_slope(spark, sf_dir):
+    """W3/A6: expanding OLS slope via regr_slope (feldman.py:516-527)."""
+    from feldman_spark.ops.windows import expanding_slope
+
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "day", F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).cast("double"))
+    out = expanding_slope(
+        o, x="day", y="o_totalprice", partition_by=["o_custkey"],
+        order_by=[F.col("o_orderdate").asc(), F.col("o_orderkey").asc()],
+        out="growth_rate", digits=3)
+    return out.select("o_orderkey", "o_custkey", "growth_rate")
+
+
+def w4_first_seen(spark, sf_dir):
+    """W4: first-seen row per key (feldman.py:236-248)."""
+    from feldman_spark.ops.windows import first_seen
+
+    o = _t(spark, sf_dir, "orders")
+    out = first_seen(o, partition_by=["o_custkey"],
+                     order_by=[F.col("o_orderdate").asc(), F.col("o_orderkey").asc()])
+    return out.select("o_custkey", F.col("o_orderkey").alias("first_orderkey"),
+                      F.date_format("o_orderdate", "yyyy-MM-dd").alias("first_orderdate"))
+
+
+def w5_explode_sequence(spark, sf_dir):
+    """W5: inclusive integer-range explosion (feldman.py:323-327)."""
+    pa = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
+    return (
+        pa.withColumn("step", F.explode(F.sequence(F.lit(1), F.col("p_size"))))
+        .groupBy("p_partkey")
+        .agg(F.sum("step").cast("bigint").alias("step_sum"),
+             F.count(F.lit(1)).alias("n_steps"))
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.7 Sort/limit, §2.8 set ops, §2.2/2.9 scalar & regex
+# --------------------------------------------------------------------------
+
+def o1_topk(spark, sf_dir):
+    """O1/O2: multi-key sort + limit (feldman.py:501)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select("o_orderkey", _r2(F.col("o_totalprice")).alias("o_totalprice"))
+    )
+
+
+def u1_union_all(spark, sf_dir):
+    """U1: union-all of branch results (feldman.py:342,378)."""
+    o = _t(spark, sf_dir, "orders")
+    hi = o.filter(F.col("o_totalprice") > 400000).withColumn("bucket", F.lit("high"))
+    lo = o.filter(F.col("o_totalprice") < 1000).withColumn("bucket", F.lit("low"))
+    return (
+        hi.unionByName(lo)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"), _r2(F.sum("o_totalprice")).alias("total"))
+    )
+
+
+def p6_regex_extract(spark, sf_dir):
+    """P6/C8: regex compound split (tabular/csvio.py:55-67) — extract the
+    numeric id out of 'Customer#000000042'."""
+    cu = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 100)
+    return cu.select(
+        "c_custkey",
+        F.regexp_extract(F.col("c_name"), r"Customer#(\d+)", 1).cast("bigint").alias("name_id"),
+    )
+
+
+def c10_concat_ids(spark, sf_dir):
+    """C10: compound id synthesis '1A-25H-1' style (coring/identity.py:57-66)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    return li.select(
+        F.concat(F.col("l_orderkey").cast("string"), F.lit("-"),
+                 F.col("l_partkey").cast("string"), F.lit("-"),
+                 F.col("l_linenumber").cast("string")).alias("item_id"),
+        "l_quantity",
+    )
+
+
+# --------------------------------------------------------------------------
+# W1: the recursive splice scan (not SQL-expressible → rows-only check)
+# --------------------------------------------------------------------------
+
+def w1_splice_scan(spark, sf_dir):
+    """W1: recursive stateful splice scan (feldman.py:155-281) on a small
+    deterministic splice over a synthetic two-hole section summary.
+    The affine recursion (each interval's shift depends on the previous
+    interval's shifted bottom) has no fixed-frame SQL equivalent; the
+    driver records a rows-only check."""
+    from feldman_spark.splice import IDX, section_lookup, sit_from_scan, splice_scan, with_offset_depths
+
+    secsumm = spark.createDataFrame(
+        [
+            ("1", h, str(c), "H", str(s),
+             float((c - 1) * 3 + (s - 1)) * 1.5,
+             float((c - 1) * 3 + s) * 1.5,
+             float((c - 1) * 3 + (s - 1)) * 1.5 * 1.01,
+             float((c - 1) * 3 + s) * 1.5 * 1.01,
+             1.5, "")
+            for h in ("A", "B") for c in (1, 2, 3) for s in (1, 2, 3)
+        ],
+        "Site string, Hole string, Core string, Tool string, Section string, "
+        "TopDepth double, BottomDepth double, TopDepthScaled double, "
+        "BottomDepthScaled double, CuratedLength double, Gaps string",
+    )
+    sparse = spark.createDataFrame(
+        [
+            ("1", "A", "1", "H", "1", 10.0, "2", 120.0, "TIE", None, "", "", 0),
+            ("1", "B", "1", "H", "1", 30.0, "2", 100.0, "TIE", None, "", "", 1),
+            ("1", "A", "2", "H", "1", 0.0, "3", 140.0, "APPEND", 0.5, "", "", 2),
+            ("1", "B", "2", "H", "2", 5.0, "3", 130.0, "APPEND", None, "", "", 3),
+            ("1", "A", "3", "H", "1", 0.0, "2", 110.0, "TIE", None, "", "", 4),
+        ],
+        "Site string, Hole string, Core string, Tool string, TopSection string, "
+        "TopOffset double, BottomSection string, BottomOffset double, "
+        "SpliceType string, Gap double, DataUsed string, Comment string, _idx long",
+    )
+    enriched = with_offset_depths(sparse, section_lookup(secsumm))
+    scanned = splice_scan(enriched)
+    sit = sit_from_scan(scanned, [c for c in sparse.columns])
+    return sit.select(
+        "Site", "Hole", "Core", "TopSection", "BottomSection", "SpliceType",
+        F.round("TopDepthCSF", 3).alias("TopDepthCSF"),
+        F.round("TopDepthCCSF", 3).alias("TopDepthCCSF"),
+        F.round("BottomDepthCSF", 3).alias("BottomDepthCSF"),
+        F.round("BottomDepthCCSF", 3).alias("BottomDepthCCSF"),
+    )
+
+
+# --------------------------------------------------------------------------
+# contract
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the E2 containment-join shape at sf0.001."""
+    return j1_containment_join(spark, SF_DEFAULT)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q5_local_supplier_volume": q5_local_supplier_volume,
+        "q6_revenue_forecast": q6_revenue_forecast,
+        "q10_returned_items": q10_returned_items,
+        "f1_conjunctive_eq": f1_conjunctive_eq,
+        "f2_range_between": f2_range_between,
+        "f3_in_list": f3_in_list,
+        "f7_domain_validation": f7_domain_validation,
+        "a1_group_minmax": a1_group_minmax,
+        "a2_distinct": a2_distinct,
+        "a4_argmin": a4_argmin,
+        "a5_conditional_sum_hof": a5_conditional_sum_hof,
+        "j1_containment_join": j1_containment_join,
+        "j3_anti_join": j3_anti_join,
+        "j4_broadcast_equi": j4_broadcast_equi,
+        "j5_semi_join": j5_semi_join,
+        "j7_nearest_join": j7_nearest_join,
+        "j8_lookup_join": j8_lookup_join,
+        "w2_lag_diff": w2_lag_diff,
+        "w3_expanding_slope": w3_expanding_slope,
+        "w4_first_seen": w4_first_seen,
+        "w5_explode_sequence": w5_explode_sequence,
+        "o1_topk": o1_topk,
+        "u1_union_all": u1_union_all,
+        "p6_regex_extract": p6_regex_extract,
+        "c10_concat_ids": c10_concat_ids,
+        "w1_splice_scan": w1_splice_scan,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   round(avg(l_extendedprice), 4) AS avg_price,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q3_shipping_priority": """
+            SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+                   o_orderpriority,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+              AND l_shipdate > TIMESTAMP '1998-01-01'
+            GROUP BY l_orderkey, orderdate, o_orderpriority
+            ORDER BY revenue DESC, l_orderkey ASC
+            LIMIT 10
+        """,
+        "q5_local_supplier_volume": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY n_name
+        """,
+        "q6_revenue_forecast": """
+            SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount BETWEEN 0.03 AND 0.07
+              AND l_quantity < 24
+        """,
+        "q10_returned_items": """
+            SELECT c_custkey, c_name, n_name, c_acctbal,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1996-04-01'
+            GROUP BY c_custkey, c_name, n_name, c_acctbal
+            ORDER BY revenue DESC, c_custkey ASC
+            LIMIT 20
+        """,
+        "f1_conjunctive_eq": """
+            SELECT l_orderkey, l_linenumber, l_partkey, l_extendedprice
+            FROM lineitem
+            WHERE l_returnflag = 'A' AND l_linestatus = 'F' AND l_quantity = 30.0
+        """,
+        "f2_range_between": """
+            SELECT l_orderkey, l_linenumber, l_quantity
+            FROM lineitem WHERE l_quantity BETWEEN 10.0 AND 12.0
+        """,
+        "f3_in_list": """
+            SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+                   round(sum(o_totalprice), 2) AS total
+            FROM orders
+            WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+            GROUP BY o_orderpriority, o_orderstatus
+        """,
+        "f7_domain_validation": """
+            SELECT CAST(sum(CASE WHEN NOT regexp_matches(o_orderpriority, '^[0-9]-[A-Z]')
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS invalid_rows,
+                   count(*) AS total_rows
+            FROM orders
+        """,
+        "a1_group_minmax": """
+            SELECT l_returnflag,
+                   round(min(l_extendedprice), 2) AS min_price,
+                   round(max(l_extendedprice), 2) AS max_price,
+                   min(l_quantity) AS min_qty,
+                   max(l_quantity) AS max_qty
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "a2_distinct": "SELECT DISTINCT c_mktsegment FROM customer",
+        "a4_argmin": """
+            SELECT c_nationkey, c_custkey, round(c_acctbal, 2) AS min_acctbal
+            FROM (SELECT *, row_number() OVER (PARTITION BY c_nationkey
+                                               ORDER BY c_acctbal ASC, c_custkey ASC) AS rn
+                  FROM customer)
+            WHERE rn = 1
+        """,
+        "a5_conditional_sum_hof": """
+            SELECT l_orderkey,
+                   round(sum(CASE WHEN l_discount > 0.05 THEN l_extendedprice ELSE 0 END), 2)
+                     AS discounted_total
+            FROM lineitem GROUP BY l_orderkey
+        """,
+        "j1_containment_join": """
+            SELECT o_orderpriority, count(*) AS n_shipped_90d,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= o_orderdate
+              AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
+            GROUP BY o_orderpriority
+        """,
+        "j3_anti_join": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                                    WHERE o_orderdate < TIMESTAMP '1995-07-01')
+        """,
+        "j4_broadcast_equi": """
+            SELECT p_brand, count(*) AS n,
+                   round(sum(l_extendedprice - p_retailprice), 2) AS markup
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand
+        """,
+        "j5_semi_join": """
+            SELECT s_suppkey, s_name FROM supplier
+            WHERE s_suppkey IN (SELECT l_suppkey FROM lineitem)
+        """,
+        "j7_nearest_join": """
+            SELECT c_custkey, p_partkey AS nearest_partkey,
+                   round(abs(c_acctbal - p_retailprice), 2) AS price_diff
+            FROM (SELECT c_custkey, p_partkey, c_acctbal, p_retailprice,
+                         row_number() OVER (PARTITION BY c_custkey
+                                            ORDER BY abs(c_acctbal - p_retailprice) ASC,
+                                                     p_partkey ASC) AS rn
+                  FROM customer CROSS JOIN part)
+            WHERE rn = 1
+        """,
+        "j8_lookup_join": """
+            SELECT n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey
+        """,
+        "w2_lag_diff": """
+            SELECT o_orderkey, o_custkey,
+                   round(o_totalprice - coalesce(
+                       lag(o_totalprice) OVER (PARTITION BY o_custkey
+                                               ORDER BY o_orderdate ASC, o_orderkey ASC),
+                       0.0), 2) AS price_diff
+            FROM orders
+        """,
+        "w3_expanding_slope": """
+            SELECT o_orderkey, o_custkey,
+                   coalesce(round(regr_slope(o_totalprice, day)
+                       OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 3), 0.0)
+                     AS growth_rate
+            FROM (SELECT *, CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS DOUBLE) AS day
+                  FROM orders)
+        """,
+        "w4_first_seen": """
+            SELECT o_custkey, o_orderkey AS first_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d') AS first_orderdate
+            FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+                                               ORDER BY o_orderdate ASC, o_orderkey ASC) AS rn
+                  FROM orders)
+            WHERE rn = 1
+        """,
+        "w5_explode_sequence": """
+            SELECT p_partkey, CAST(sum(step) AS BIGINT) AS step_sum, count(*) AS n_steps
+            FROM (SELECT p_partkey, unnest(generate_series(1, p_size)) AS step
+                  FROM part WHERE p_size <= 10)
+            GROUP BY p_partkey
+        """,
+        "o1_topk": """
+            SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+            FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+        """,
+        "u1_union_all": """
+            SELECT bucket, count(*) AS n, round(sum(o_totalprice), 2) AS total
+            FROM (SELECT o_totalprice, 'high' AS bucket FROM orders WHERE o_totalprice > 400000
+                  UNION ALL
+                  SELECT o_totalprice, 'low' AS bucket FROM orders WHERE o_totalprice < 1000)
+            GROUP BY bucket
+        """,
+        "p6_regex_extract": """
+            SELECT c_custkey,
+                   CAST(regexp_extract(c_name, 'Customer#(\\d+)', 1) AS BIGINT) AS name_id
+            FROM customer WHERE c_custkey < 100
+        """,
+        "c10_concat_ids": """
+            SELECT CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_partkey AS VARCHAR)
+                     || '-' || CAST(l_linenumber AS VARCHAR) AS item_id,
+                   l_quantity
+            FROM lineitem WHERE l_orderkey < 100
+        """,
+        # w1_splice_scan: intentionally omitted — the recursive affine
+        # accumulation is not expressible in (non-recursive) SQL; the driver
+        # records a rows-only check for it.
+    }

@@ -1,0 +1,128 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's t2 correctness gate: run every
+``__spark_entry__.queries()`` entry on Spark and its ``oracle_sql()`` twin
+on DuckDB at sf0.01, compare row count + column names + order-insensitive
+values. Exits non-zero on any mismatch.
+
+Usage: python tools/check_oracle.py [--sf-dir DIR] [--only name1,name2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return None
+        # collapse float noise below hash-relevant precision
+        return round(v, 9)
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, list):
+        return tuple(norm_cell(x) for x in v)
+    return v
+
+
+def canonical(rows, columns):
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
+    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
+    return out
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--only", default=None)
+    args = ap.parse_args()
+
+    import duckdb
+
+    import __spark_entry__ as entry
+    from feldman_spark.session import get_spark
+
+    spark = get_spark(app_name="oracle-check", master="local[8]", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(args.sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    only = set(args.only.split(",")) if args.only else None
+
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, args.sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL  {name}: spark error: {str(e)[:300]}")
+            continue
+        if name not in oracles:
+            print(f"ok?   {name}: rows-only (no oracle), {len(srows)} rows "
+                  f"[{time.time()-t0:.1f}s]")
+            if len(srows) == 0:
+                failures.append(name)
+                print(f"FAIL  {name}: rows-only query returned 0 rows")
+            continue
+        try:
+            rel = con.sql(oracles[name])
+            dcols = rel.columns
+            drows = rel.fetchall()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL  {name}: duckdb error: {str(e)[:300]}")
+            continue
+
+        problems = []
+        if sorted(scols) != sorted(dcols):
+            problems.append(f"columns spark={sorted(scols)} duck={sorted(dcols)}")
+        elif len(srows) != len(drows):
+            problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
+        else:
+            a = canonical(srows, scols)
+            b = canonical(drows, dcols)
+            if a != b:
+                bad = next(i for i in range(len(a)) if a[i] != b[i])
+                problems.append(f"values differ at sorted-row {bad}:\n"
+                                f"        spark={a[bad]}\n        duck ={b[bad]}")
+        if problems:
+            failures.append(name)
+            print(f"FAIL  {name}: " + "; ".join(problems))
+        else:
+            print(f"ok    {name}: {len(srows)} rows match [{time.time()-t0:.1f}s]")
+
+    print()
+    if failures:
+        print(f"{len(failures)} FAILURES: {failures}")
+        return 1
+    print(f"all {len([n for n in qs if not only or n in only])} queries match")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
