@@ -274,19 +274,20 @@ def j5_semi_join(spark, sf_dir):
 
 def j7_nearest_join(spark, sf_dir):
     """J7: nearest-key join — for each customer, the part whose retail
-    price is closest to the customer's balance; first-key tie-break
-    (coring/sectionSummary.py:88-100)."""
-    from feldman_spark.ops.joins import nearest_join
+    price is closest to the customer's balance; smallest-key tie-break
+    (coring/sectionSummary.py:88-100). Uses the O(N log M) broadcast
+    binary-search path, not the quadratic cross join."""
+    from feldman_spark.ops.joins import nearest_value_join
 
     cu = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
     pa = _t(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
-    out = nearest_join(
+    out = nearest_value_join(
         cu, pa, left_value="c_acctbal", right_value="p_retailprice",
-        left_keys=["c_custkey"], tie_break=["p_partkey"])
+        right_id="p_partkey", out_id="nearest_partkey", out_value="nearest_price")
     return out.select(
         "c_custkey",
-        F.col("p_partkey_near").alias("nearest_partkey"),
-        _r2(F.abs(F.col("c_acctbal") - F.col("p_retailprice_near"))).alias("price_diff"),
+        "nearest_partkey",
+        _r2(F.abs(F.col("c_acctbal") - F.col("nearest_price"))).alias("price_diff"),
     )
 
 
@@ -449,6 +450,377 @@ def w1_splice_scan(spark, sf_dir):
     )
 
 
+
+
+# --------------------------------------------------------------------------
+# Beyond-reference: dedup / similarity / text / streaming pipeline operators
+# --------------------------------------------------------------------------
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events table with its TIMESTAMP(NANOS) column surfaced as a proper
+    timestamp (nanos are read as long via nanosAsLong, then truncated to
+    microseconds — matching DuckDB's ns→µs handling)."""
+    e = _t(spark, sf_dir, "events")
+    if dict(e.dtypes)["ts"] == "bigint":
+        e = e.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return e
+
+
+def _docs_with_dups(spark, sf_dir):
+    """documents plus injected exact duplicates (doc_id+100000 for the first
+    50 docs) so dedup pipelines verifiably fire on synthetic word-salad."""
+    d = _t(spark, sf_dir, "documents")
+    dups = d.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text", "lang", "source", "n_chars")
+    return d.unionByName(dups)
+
+
+_DOCS_DUP_SQL = """(SELECT doc_id, text, lang, source, n_chars FROM documents
+                    UNION ALL
+                    SELECT doc_id + 100000, text, lang, source, n_chars
+                    FROM documents WHERE doc_id < 50)"""
+
+
+def dedup_exact(spark, sf_dir):
+    """Exact dedup via content digest: smallest doc_id survives per digest;
+    output survivor + copy count."""
+    d = _docs_with_dups(spark, sf_dir)
+    return (
+        d.groupBy(F.md5("text").alias("digest"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("copies"))
+        .select("keep_id", "copies")
+    )
+
+
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash + LSH banding + exact-Jaccard verification over documents
+    with injected duplicates (shingle -> minhash -> band bucket-join)."""
+    from feldman_spark.pipeline.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs_with_dups(spark, sf_dir), threshold=0.2)
+
+
+def dedup_simhash(spark, sf_dir):
+    """Per-document 32-bit SimHash fingerprint (majority vote over word
+    hash bits)."""
+    from feldman_spark.pipeline.dedup import simhash_fingerprint
+
+    return simhash_fingerprint(_t(spark, sf_dir, "documents"))
+
+
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Character-3-gram Jaccard over same-language document pairs
+    (blocked all-pairs; the LSH variant is the scale path)."""
+    from feldman_spark.pipeline.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("lang") == "de")
+    return ngram_jaccard_pairs(docs, group_col="lang", threshold=0.5)
+
+
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs over embeddings with injected
+    exact copies (vec_id+100000 for the first 20)."""
+    from feldman_spark.pipeline.dedup import embedding_cosine_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    dups = e.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label")
+    return embedding_cosine_pairs(e.unionByName(dups), threshold=0.99)
+
+
+def text_quality(spark, sf_dir):
+    """Quality features + score per document (pure column expressions)."""
+    from feldman_spark.pipeline.text import quality_features, quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    feats = quality_features(F.col("text"))
+    return d.select(
+        "doc_id",
+        feats["n_chars"].alias("n_chars"),
+        feats["n_tokens"].alias("n_tokens"),
+        feats["avg_token_len"].alias("avg_token_len"),
+        feats["alpha_ratio"].alias("alpha_ratio"),
+        feats["stopword_ratio"].alias("stopword_ratio"),
+        quality_score(F.col("text")).alias("quality_score"),
+    )
+
+
+def text_lang_id(spark, sf_dir):
+    """Stopword-hit language identification (argmax over per-language
+    scores, default 'en' on zero/tie)."""
+    from feldman_spark.pipeline.text import lang_id
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", lang_id(F.col("text")).alias("predicted"))
+
+
+def text_fingerprint(spark, sf_dir):
+    """Normalized content fingerprint (formatting-insensitive md5)."""
+    from feldman_spark.pipeline.text import fingerprint, token_count
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint(F.col("text")).alias("fp"),
+                    token_count(F.col("text")).alias("n_tokens"))
+
+
+def knn_brute_force(spark, sf_dir):
+    """Brute-force cosine top-10 against the vec_id=0 embedding — the ANN
+    correctness baseline."""
+    from feldman_spark.pipeline.similarity import cosine_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    return cosine_topk(e.filter(F.col("vec_id") != 0), q, k=10)
+
+
+def knn_lsh(spark, sf_dir):
+    """Hyperplane-LSH bucketed ANN top-10 (approximate; the brute-force
+    twin above is the oracle-checked baseline -> rows-only here)."""
+    from feldman_spark.pipeline.similarity import lsh_partitioned_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    return lsh_partitioned_topk(e.filter(F.col("vec_id") != 0), q, k=10)
+
+
+def events_tumbling(spark, sf_dir):
+    """Tumbling 1h event-time windows: count + value sum per (window, type).
+    Same plan runs under readStream with a watermark (see
+    feldman_spark.streaming.events)."""
+    from feldman_spark.streaming.events import tumbling_agg
+
+    return tumbling_agg(_events(spark, sf_dir))
+
+
+def events_sliding(spark, sf_dir):
+    """Sliding 1h/30m event-time windows."""
+    from feldman_spark.streaming.events import sliding_agg
+
+    return sliding_agg(_events(spark, sf_dir))
+
+
+def events_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30 min): lag + running-sum session ids."""
+    from feldman_spark.streaming.events import sessionize
+
+    return sessionize(_events(spark, sf_dir))
+
+
+def media_features(spark, sf_dir):
+    """Multimodal plumbing: synthetic binary media rows -> Arrow-batched
+    feature extraction (decode itself is stubbed; deterministic fake).
+    Rows-only: binary literals are impractical to replicate in SQL."""
+    from feldman_spark.pipeline.multimodal import extract_features, media_table
+
+    rows = [
+        (i, "image" if i % 3 else "video", "application/octet-stream",
+         64, 64, 5000 if i % 3 == 0 else None,
+         bytes([(i * 7 + j) % 256 for j in range(64)]))
+        for i in range(20)
+    ]
+    return extract_features(media_table(spark, rows))
+
+
+def _simhash_oracle_sql() -> str:
+    bits = []
+    for j in range(1, 33):
+        bits.append(
+            "CASE WHEN 2 * len(list_filter(w, t -> strpos('89abcdef', "
+            f"substr(md5(t), {j}, 1)) > 0)) > len(w) THEN '1' ELSE '0' END")
+    concat = " || ".join(bits)
+    return (
+        "SELECT doc_id, (" + concat + ") AS simhash "
+        "FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)")
+
+
+def _lang_id_oracle_sql() -> str:
+    from feldman_spark.pipeline.text import STOPWORDS
+
+    def score(lang):
+        ws = ", ".join("'" + w + "'" for w in STOPWORDS[lang])
+        return f"len(list_filter(toks, t -> t IN ({ws})))"
+
+    langs = list(STOPWORDS)
+    best, best_score = f"'{langs[0]}'", score(langs[0])
+    for lang in langs[1:]:
+        s = score(lang)
+        best = f"CASE WHEN {s} > {best_score} THEN '{lang}' ELSE {best} END"
+        best_score = f"CASE WHEN {s} > {best_score} THEN {s} ELSE {best_score} END"
+    return (
+        f"SELECT doc_id, lang, CASE WHEN {best_score} > 0 THEN {best} ELSE 'en' END AS predicted "
+        "FROM (SELECT doc_id, lang, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks "
+        "FROM documents)")
+
+_PIPELINE_ORACLES = {
+    "dedup_exact": f"""
+        SELECT min(doc_id) AS keep_id, count(*) AS copies
+        FROM {_DOCS_DUP_SQL} GROUP BY md5(text)
+    """,
+    "dedup_minhash_lsh": f"""
+        WITH base AS (SELECT * FROM {_DOCS_DUP_SQL}),
+        sh AS (
+          SELECT doc_id,
+                 list_transform(range(1, len(w) - 1),
+                                i -> array_to_string(w[i:i+2], ' ')) AS shingles
+          FROM (SELECT doc_id, string_split(text, ' ') AS w FROM base)
+          WHERE len(w) >= 3
+        ),
+        sig AS (
+          SELECT doc_id, shingles,
+                 {', '.join(
+                     "list_min(list_transform(shingles, s -> md5(s || '#%d'))) AS h%d" % (j, j)
+                     for j in range(9))}
+          FROM sh
+        ),
+        bands AS (
+          SELECT doc_id, 0 AS band, md5(h0 || '|' || h1 || '|' || h2) AS bh FROM sig
+          UNION ALL
+          SELECT doc_id, 1, md5(h3 || '|' || h4 || '|' || h5) FROM sig
+          UNION ALL
+          SELECT doc_id, 2, md5(h6 || '|' || h7 || '|' || h8) FROM sig
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+          FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+                                   AND a.doc_id < b.doc_id
+        )
+        SELECT doc1, doc2,
+               round(CAST(len(list_intersect(list_distinct(s1.shingles),
+                                             list_distinct(s2.shingles))) AS DOUBLE)
+                     / len(list_distinct(list_concat(s1.shingles, s2.shingles))), 4)
+                 AS jaccard
+        FROM cand
+        JOIN sh s1 ON s1.doc_id = doc1
+        JOIN sh s2 ON s2.doc_id = doc2
+        WHERE CAST(len(list_intersect(list_distinct(s1.shingles),
+                                      list_distinct(s2.shingles))) AS DOUBLE)
+              / len(list_distinct(list_concat(s1.shingles, s2.shingles))) >= 0.2
+    """,
+    "dedup_simhash": None,  # filled below from _simhash_oracle_sql()
+    "dedup_ngram_jaccard": """
+        WITH g AS (
+          SELECT doc_id, lang,
+                 list_distinct(list_transform(range(1, len(text) - 1),
+                                              i -> substr(text, i, 3))) AS grams
+          FROM documents WHERE lang = 'de' AND len(text) >= 3
+        )
+        SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+               round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                     / (len(a.grams) + len(b.grams)
+                        - len(list_intersect(a.grams, b.grams))), 4) AS jaccard
+        FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+              / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.5
+    """,
+    "dedup_embedding_cosine": """
+        WITH base AS (
+          SELECT vec_id, embedding FROM embeddings
+          UNION ALL
+          SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id < 20
+        ),
+        v AS (
+          SELECT vec_id, embedding::DOUBLE[] AS e,
+                 sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+          FROM base
+        )
+        SELECT a.vec_id AS id1, b.vec_id AS id2,
+               round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) AS cosine
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
+        WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.99
+    """,
+    "text_quality": """
+        WITH f AS (
+          SELECT doc_id,
+                 CAST(len(text) AS BIGINT) AS n_chars,
+                 CAST(CASE WHEN trim(text) = '' THEN 0
+                      ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT)
+                   AS n_tokens,
+                 len(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+                 len(regexp_replace(text, '[^ ]', '', 'g')) AS spaces,
+                 len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                     t -> lower(t) IN ('the','a','of','and','to','in','is'))) AS stop_hits
+          FROM documents
+        ),
+        q AS (
+          SELECT doc_id, n_chars, n_tokens,
+                 round(CAST(n_chars - spaces AS DOUBLE)
+                       / CAST(greatest(n_tokens, 1) AS DOUBLE), 4) AS avg_token_len,
+                 round(CAST(alpha AS DOUBLE) / CAST(greatest(n_chars, 1) AS DOUBLE), 4)
+                   AS alpha_ratio,
+                 round(CAST(stop_hits AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE), 4)
+                   AS stopword_ratio
+          FROM f
+        )
+        SELECT doc_id, n_chars, n_tokens, avg_token_len, alpha_ratio, stopword_ratio,
+               round(0.3 * (CASE WHEN n_tokens >= 5 AND n_tokens <= 100000 THEN 1.0 ELSE 0.0 END)
+                   + 0.3 * (CASE WHEN avg_token_len >= 2.0 AND avg_token_len <= 12.0
+                            THEN 1.0 ELSE 0.0 END)
+                   + 0.2 * alpha_ratio
+                   + 0.2 * least(stopword_ratio * 5, 1.0), 4) AS quality_score
+        FROM q
+    """,
+    "text_lang_id": None,  # filled below from _lang_id_oracle_sql()
+    "text_fingerprint": """
+        SELECT doc_id,
+               md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                       '\\s+', ' ', 'g'))) AS fp,
+               CAST(CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT)
+                 AS n_tokens
+        FROM documents
+    """,
+    "knn_brute_force": """
+        WITH q AS (SELECT embedding::DOUBLE[] AS qe,
+                          sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS qn
+                   FROM embeddings WHERE vec_id = 0),
+        scored AS (
+          SELECT vec_id,
+                 round(list_dot_product(embedding::DOUBLE[], q.qe)
+                       / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) * q.qn),
+                       6) AS cosine
+          FROM embeddings, q WHERE vec_id != 0
+        )
+        SELECT vec_id, cosine,
+               CAST(row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rank
+        FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT 10
+    """,
+    "events_tumbling": """
+        SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M') AS window_start,
+               event_type, count(*) AS n, round(sum(value), 2) AS value_sum
+        FROM events GROUP BY 1, 2
+    """,
+    "events_sliding": """
+        SELECT strftime(ws, '%Y-%m-%d %H:%M') AS window_start, count(*) AS n
+        FROM (
+          SELECT time_bucket(INTERVAL '30 minutes', ts) AS ws FROM events
+          UNION ALL
+          SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL 30 MINUTE FROM events
+        ) GROUP BY ws
+    """,
+    "events_sessionize": """
+        WITH flagged AS (
+          SELECT user_id, ts, value,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)
+        ),
+        ids AS (
+          SELECT user_id, ts, value,
+                 CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS session_id
+          FROM flagged
+        )
+        SELECT user_id, session_id, count(*) AS n_events,
+               strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+               round(sum(value), 2) AS value_sum
+        FROM ids GROUP BY user_id, session_id
+    """,
+}
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -488,6 +860,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p6_regex_extract": p6_regex_extract,
         "c10_concat_ids": c10_concat_ids,
         "w1_splice_scan": w1_splice_scan,
+        "dedup_exact": dedup_exact,
+        "dedup_minhash_lsh": dedup_minhash_lsh,
+        "dedup_simhash": dedup_simhash,
+        "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "dedup_embedding_cosine": dedup_embedding_cosine,
+        "text_quality": text_quality,
+        "text_lang_id": text_lang_id,
+        "text_fingerprint": text_fingerprint,
+        "knn_brute_force": knn_brute_force,
+        "knn_lsh": knn_lsh,
+        "events_tumbling": events_tumbling,
+        "events_sliding": events_sliding,
+        "events_sessionize": events_sessionize,
+        "media_features": media_features,
     }
 
 
@@ -694,4 +1080,8 @@ def oracle_sql() -> dict[str, str]:
         # w1_splice_scan: intentionally omitted — the recursive affine
         # accumulation is not expressible in (non-recursive) SQL; the driver
         # records a rows-only check for it.
+        # knn_lsh, media_features: approximate / binary-literal ops — rows-only.
+        **{k: v for k, v in _PIPELINE_ORACLES.items() if v is not None},
+        "dedup_simhash": _simhash_oracle_sql(),
+        "text_lang_id": _lang_id_oracle_sql(),
     }

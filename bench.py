@@ -1,0 +1,85 @@
+#!/usr/bin/env python3
+"""Benchmark harness: runs the headline queries from __spark_entry__ at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``value`` is the summed wall-clock of all headline queries (execution time
+to a fully-materialized result, JVM/session startup excluded).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    # the reference-parity operator surface, heaviest shapes first
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_revenue_forecast",
+    "q10_returned_items",
+    "j1_containment_join",
+    "j4_broadcast_equi",
+    "j7_nearest_join",
+    "a5_conditional_sum_hof",
+    "w2_lag_diff",
+    "w3_expanding_slope",
+    "w1_splice_scan",
+    # beyond-reference pipeline operators (present from the round they land)
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "text_quality",
+    "knn_brute_force",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    import __spark_entry__ as entry
+    from feldman_spark.session import get_spark
+
+    spark = get_spark(app_name="feldman-spark-bench", master=f"local[{cpus}]",
+                      shuffle_partitions=int(cpus))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entry.queries()
+    timings = {}
+    for name in HEADLINE:
+        fn = qs.get(name)
+        if fn is None:
+            continue
+        # one warm-up pass at tiny scale amortizes lazy class-loading for the
+        # first query only; per-query numbers below are single cold runs
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        if n == 0:
+            print(f"warning: {name} returned 0 rows", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(json.dumps({
+        "metric": "headline_queries_total_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -21,6 +21,7 @@ __all__ = [
     "anti_join",
     "containment_join",
     "nearest_join",
+    "nearest_value_join",
 ]
 
 
@@ -98,6 +99,12 @@ def nearest_join(
     ``exclude_self_on``: columns that must NOT all be equal between left and
     right (the reference skips the search core itself,
     ``coring/sectionSummary.py:93-94``).
+
+    NOTE: this general form materializes left × right within each
+    partition key — fine for the reference's tiny splice-side tables, but
+    quadratic. For plain nearest-*value* matching against a broadcastable
+    right side, use :func:`nearest_value_join` (vectorized binary search,
+    O(N log M), no cross join) — the 100 TB-scale path.
     """
     rcols = right.columns
     renamed = right
@@ -130,3 +137,65 @@ def nearest_join(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def nearest_value_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_value: str,
+    right_value: str,
+    right_id: str,
+    out_id: str = "nearest_id",
+    out_value: str = "nearest_value",
+) -> DataFrame:
+    """J7 at scale: for each left row, the right row whose ``right_value``
+    is closest to ``left_value``; ties (equal |Δ|, or several right rows
+    sharing a value) resolve to the smallest ``right_id``.
+
+    The right side is collected sorted to the driver (it must be a
+    *dimension* — thousands-to-millions of rows, not the fact table),
+    broadcast once, and each executor batch answers with one vectorized
+    ``np.searchsorted`` over Arrow batches. The left side streams through
+    ``mapInPandas`` — unbounded size, no shuffle, no cross join.
+    """
+    import numpy as np
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    # pre-group right: one row per value carrying the smallest id
+    rv, rid = right_value, right_id
+    rows = (
+        right.groupBy(rv).agg(F.min(rid).alias(rid))
+        .orderBy(rv)
+        .collect()
+    )
+    values = np.array([r[rv] for r in rows], dtype=np.float64)
+    ids = np.array([r[rid] for r in rows])
+    sc = left.sparkSession.sparkContext
+    b_values = sc.broadcast(values)
+    b_ids = sc.broadcast(ids)
+
+    id_field = right.schema[rid]
+    schema = StructType(
+        list(left.schema.fields)
+        + [StructField(out_id, id_field.dataType), StructField(out_value, DoubleType())]
+    )
+
+    def search(batches):
+        vals = b_values.value
+        idarr = b_ids.value
+        for pdf in batches:
+            x = pdf[left_value].to_numpy(dtype=np.float64)
+            pos = np.searchsorted(vals, x)
+            lo = np.clip(pos - 1, 0, len(vals) - 1)
+            hi = np.clip(pos, 0, len(vals) - 1)
+            d_lo = np.abs(x - vals[lo])
+            d_hi = np.abs(vals[hi] - x)
+            # nearest wins; on an exact distance tie the smaller id wins
+            use_hi = (d_hi < d_lo) | ((d_hi == d_lo) & (idarr[hi] < idarr[lo]))
+            best = np.where(use_hi, hi, lo)
+            out = pdf.copy()
+            out[out_id] = idarr[best]
+            out[out_value] = vals[best]
+            yield out
+
+    return left.mapInPandas(search, schema=schema)

@@ -1,0 +1,254 @@
+"""Deduplication operators for large-scale document pipelines.
+
+Beyond-reference capability (no counterpart in laccore/feldman, which
+handles ≤ thousands of rows): exact, MinHash+LSH, SimHash, n-gram-Jaccard
+and embedding-cosine near-duplicate detection, each designed so the heavy
+work is a distributed hash/join and nothing funnels through the driver.
+
+Scale notes (100 TB corpus):
+
+* exact dedup is one hash-aggregate — shuffles once on the digest;
+* MinHash signatures are computed row-local with higher-order functions
+  (no UDF, no shuffle); LSH banding turns all-pairs O(n²) into a
+  same-bucket self-join whose shuffle key is the band hash;
+* hash functions are md5-based so results are engine-portable (the DuckDB
+  oracle reproduces them bit-for-bit) and deterministic across runs —
+  a requirement for resumable dedup over a growing corpus.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "exact_dedup",
+    "word_shingles",
+    "minhash_signature",
+    "lsh_bands",
+    "minhash_lsh_pairs",
+    "simhash_bits",
+    "simhash_fingerprint",
+    "char_ngrams",
+    "ngram_jaccard_pairs",
+    "embedding_cosine_pairs",
+]
+
+HEX_HIGH = "89abcdef"  # hex digits whose high bit is set
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: keep the smallest id per content digest. One
+    hash-aggregate; the digest shuffle key is uniform so no skew."""
+    digest = F.md5(F.col(text_col))
+    w = Window.partitionBy(digest).orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """k-word shingles as an array of strings — computed row-local with
+    higher-order functions (sequence/slice/concat_ws), no UDF."""
+    words = F.split(text, " ")
+    n = F.size(words)
+    return F.when(n < k, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)),
+        )
+    )
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 9) -> List[Column]:
+    """MinHash: for seed j, the lexicographic minimum of md5(shingle + '#j')
+    over the shingle set. String-min over uniform hex digests is a valid
+    min-hash family and is bit-portable across engines."""
+    # NB: HOF lambdas must be unary — PySpark treats a second (even
+    # defaulted) parameter as the element index. Bind the seed via a
+    # closure factory instead.
+    def hash_with_seed(j: int):
+        seed = F.lit(f"#{j}")
+        return lambda s: F.md5(F.concat(s, seed))
+
+    return [
+        F.array_min(F.transform(shingles, hash_with_seed(j))).alias(f"h{j}")
+        for j in range(num_hashes)
+    ]
+
+
+def lsh_bands(sig_cols: Sequence[str], rows_per_band: int = 3) -> List[Column]:
+    """Band hashes: md5 of each band's concatenated signature rows.
+    Documents sharing any band hash become candidate pairs."""
+    bands = []
+    for b in range(0, len(sig_cols), rows_per_band):
+        cols = [F.col(c) for c in sig_cols[b : b + rows_per_band]]
+        bands.append(F.md5(F.concat_ws("|", *cols)).alias(f"band{b // rows_per_band}"))
+    return bands
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 9,
+    rows_per_band: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash + LSH banding + exact Jaccard
+    verification.
+
+    shingle → minhash → band → same-band self-join (candidates) →
+    verify with exact Jaccard over distinct shingles. Only candidate
+    pairs — a vanishing fraction of all pairs — pay the verification
+    cost; the self-join shuffles on (band index, band hash).
+    """
+    sh = df.select(
+        F.col(id_col), word_shingles(F.col(text_col), k).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+
+    sig = sh.select(id_col, "shingles", *minhash_signature(F.col("shingles"), num_hashes))
+    sig_cols = [f"h{j}" for j in range(num_hashes)]
+    n_bands = num_hashes // rows_per_band
+
+    banded = sig.select(id_col, *lsh_bands(sig_cols, rows_per_band))
+    stacked = banded.select(
+        id_col,
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("bh"))
+                for b in range(n_bands)
+            ])
+        ).alias("e"),
+    ).select(id_col, "e.band", "e.bh")
+
+    left = stacked.select(F.col(id_col).alias("doc1"), "band", "bh")
+    right = stacked.select(F.col(id_col).alias("doc2"), "band", "bh")
+    cand = (
+        left.join(right, ["band", "bh"])
+        .filter(F.col("doc1") < F.col("doc2"))
+        .select("doc1", "doc2")
+        .distinct()
+    )
+
+    s1 = sh.select(F.col(id_col).alias("doc1"), F.array_distinct("shingles").alias("sh1"))
+    s2 = sh.select(F.col(id_col).alias("doc2"), F.array_distinct("shingles").alias("sh2"))
+    verified = (
+        cand.join(s1, "doc1").join(s2, "doc2")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh1", "sh2")).cast("double")
+                / F.size(F.array_union("sh1", "sh2")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc1", "doc2", "jaccard")
+    )
+    return verified
+
+
+def simhash_bits(text: Column, num_bits: int = 32) -> List[Column]:
+    """SimHash bit columns: bit j is set when more than half the words
+    have the high bit of hex digit j of md5(word) set (a ±1 majority vote
+    per bit, computed with array HOFs — engine-portable)."""
+    words = F.split(text, " ")
+    n = F.size(words)
+
+    def bit_test(j: int):  # unary-lambda factory (see minhash note)
+        return lambda w: F.instr(F.lit(HEX_HIGH), F.substring(F.md5(w), j, 1)) > 0
+
+    bits = []
+    for j in range(1, num_bits + 1):
+        hits = F.size(F.filter(words, bit_test(j)))
+        bits.append(F.when(hits * 2 > n, F.lit("1")).otherwise(F.lit("0")).alias(f"b{j}"))
+    return bits
+
+
+def simhash_fingerprint(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", num_bits: int = 32,
+) -> DataFrame:
+    """Per-document SimHash fingerprint as a bitstring column. Near-dup
+    pair search then buckets on bit-bands of the fingerprint (same LSH
+    self-join shape as MinHash)."""
+    return df.select(
+        F.col(id_col),
+        F.concat(*simhash_bits(F.col(text_col), num_bits)).alias("simhash"),
+    )
+
+
+def char_ngrams(text: Column, n: int = 3) -> Column:
+    """Character n-grams via substr over a position sequence (row-local)."""
+    ln = F.length(text)
+    return F.when(ln < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), ln - (n - 1)),
+            lambda i: F.substr(text, i, F.lit(n)),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: Optional[str] = "lang",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All-pairs character-n-gram Jaccard within a blocking group (e.g.
+    language). Blocking keeps the self-join quadratic only within groups —
+    at corpus scale pair this with LSH instead of raw blocking."""
+    grams = df.select(
+        F.col(id_col),
+        *([F.col(group_col)] if group_col else []),
+        F.array_distinct(char_ngrams(F.col(text_col), n)).alias("grams"),
+    ).filter(F.size("grams") > 0)
+
+    join_keys = [group_col] if group_col else []
+    a = grams.select(*join_keys, F.col(id_col).alias("doc1"), F.col("grams").alias("g1"))
+    b = grams.select(*join_keys, F.col(id_col).alias("doc2"), F.col("grams").alias("g2"))
+    pairs = a.join(b, join_keys) if join_keys else a.crossJoin(b)
+    return (
+        pairs.filter(F.col("doc1") < F.col("doc2"))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("g1", "g2")).cast("double")
+                / F.size(F.array_union("g1", "g2")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc1", "doc2", "jaccard")
+    )
+
+
+def embedding_cosine_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (brute force all-pairs —
+    the correctness baseline; the scale path buckets with LSH first,
+    see :mod:`feldman_spark.pipeline.similarity`)."""
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(vec, F.lit(0.0), lambda a, x: a + x * x))
+    base = df.select(F.col(id_col), vec.alias("v"), norm.alias("nrm"))
+    a = base.select(F.col(id_col).alias("id1"), F.col("v").alias("v1"), F.col("nrm").alias("n1"))
+    b = base.select(F.col(id_col).alias("id2"), F.col("v").alias("v2"), F.col("nrm").alias("n2"))
+    dot = F.aggregate(F.zip_with("v1", "v2", lambda x, y: x * y), F.lit(0.0), lambda a_, x: a_ + x)
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id1") < F.col("id2"))
+        .withColumn("cosine", F.round(dot / (F.col("n1") * F.col("n2")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id1", "id2", "cosine")
+    )

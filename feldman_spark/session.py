@@ -34,6 +34,9 @@ def get_spark(
         # Arrow for every pandas-UDF boundary (the W1 scan, pipeline UDFs)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # testdata events.parquet stores TIMESTAMP(NANOS); read as long
+        # (convert with ns_to_timestamp where needed)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )

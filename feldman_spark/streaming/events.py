@@ -1,0 +1,133 @@
+"""Event-stream operators: windowed aggregation and sessionization.
+
+Beyond-reference capability (the reference is strictly batch,
+SURVEY §2.10). Transformations are written once against a DataFrame and
+work identically on a batch frame and a ``readStream`` frame — the
+Structured Streaming contract. Batch mode is what the DuckDB oracle
+checks; :func:`stream_events` + :func:`run_stream_to_memory` drive the
+same plan through a real micro-batch streaming query.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "tumbling_agg",
+    "sliding_agg",
+    "sessionize",
+    "stream_events",
+    "run_stream_to_memory",
+]
+
+
+def tumbling_agg(
+    events: DataFrame,
+    window_len: str = "1 hour",
+    ts_col: str = "ts",
+    watermark: Optional[str] = None,
+) -> DataFrame:
+    """Tumbling event-time windows: count + value sum per (window, type).
+    With ``watermark`` set (streaming), late events beyond the bound are
+    dropped and state is evicted — required for unbounded sources."""
+    df = events
+    if watermark:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.window(F.col(ts_col), window_len).alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("value"), 2).alias("value_sum"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm").alias("window_start"),
+            "event_type", "n", "value_sum",
+        )
+    )
+
+
+def sliding_agg(
+    events: DataFrame,
+    window_len: str = "1 hour",
+    slide: str = "30 minutes",
+    ts_col: str = "ts",
+    watermark: Optional[str] = None,
+) -> DataFrame:
+    """Sliding event-time windows (each event lands in len/slide windows)."""
+    df = events
+    if watermark:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.window(F.col(ts_col), window_len, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm").alias("window_start"),
+            "n",
+        )
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Gap-based sessionization (batch form): a new session starts when a
+    user's inter-event gap exceeds ``gap_minutes``; session id = running
+    count of session starts. One shuffle on the user key, then two window
+    passes — the classic lag+cumsum formulation.
+
+    The streaming twin of this operator is a
+    ``session_window``/``applyInPandasWithState`` aggregation; the batch
+    form is the oracle-checkable ground truth.
+    """
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc())
+    gap_s = gap_minutes * 60
+    prev_ts = F.lag(F.col(ts_col)).over(w)
+    new_session = F.when(
+        prev_ts.isNull()
+        | ((F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(prev_ts)) > gap_s),
+        1,
+    ).otherwise(0)
+    with_id = events.withColumn("_new", new_session).withColumn(
+        "session_id", F.sum("_new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("bigint"))
+    return (
+        with_id.groupBy(user_col, "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.date_format(F.min(ts_col), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+        )
+    )
+
+
+def stream_events(spark: SparkSession, parquet_dir: str, schema=None) -> DataFrame:
+    """A real ``readStream`` over a parquet directory (file micro-batch
+    source). Schema must be supplied or inferable from existing files."""
+    if schema is None:
+        schema = spark.read.parquet(parquet_dir).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(parquet_dir)
+    )
+
+
+def run_stream_to_memory(
+    transformed: DataFrame, name: str, timeout_s: int = 60, output_mode: str = "complete",
+) -> None:
+    """Run a streaming plan into an in-memory sink until the source is
+    drained (processAllAvailable), then stop. Test/demo harness."""
+    q = (
+        transformed.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()

@@ -1,0 +1,144 @@
+"""Beyond-reference pipeline operators: dedup, similarity, text,
+multimodal plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from feldman_spark.pipeline.dedup import (
+    embedding_cosine_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_fingerprint,
+    word_shingles,
+)
+from feldman_spark.pipeline.multimodal import (
+    decode_image,
+    extract_features,
+    frame_sample,
+    media_table,
+)
+from feldman_spark.pipeline.similarity import cosine_topk, lsh_partitioned_topk
+from feldman_spark.pipeline.text import fingerprint, lang_id, quality_score, token_count
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+def test_exact_dedup_removes_injected_dups(spark, docs):
+    dups = docs.filter(F.col("doc_id") < 10).withColumn("doc_id", F.col("doc_id") + 10_000)
+    combined = docs.unionByName(dups)
+    kept = exact_dedup(combined)
+    assert kept.count() == docs.count()
+    # survivors are the smallest ids
+    assert kept.filter(F.col("doc_id") >= 10_000).count() == 0
+
+
+def test_minhash_lsh_finds_exact_dups(spark, docs):
+    dups = docs.filter(F.col("doc_id") < 10).withColumn("doc_id", F.col("doc_id") + 10_000)
+    pairs = minhash_lsh_pairs(docs.unionByName(dups), threshold=0.5)
+    found = {(r["doc1"], r["doc2"]) for r in pairs.collect()}
+    expect = {(i, i + 10_000) for i in range(10)}
+    assert expect <= found
+    # injected exact duplicates have jaccard 1.0 (natural near-dups may
+    # also pair with an injected copy at lower jaccard — exclude those)
+    ones = pairs.filter(F.col("doc2") - F.col("doc1") == 10_000).select("jaccard").collect()
+    assert len(ones) >= 10 and all(r["jaccard"] == 1.0 for r in ones)
+
+
+def test_word_shingles_short_text(spark):
+    df = spark.createDataFrame([("a b",), ("a b c d",)], "text string")
+    rows = df.select(word_shingles(F.col("text"), 3).alias("s")).collect()
+    assert rows[0]["s"] == []
+    assert rows[1]["s"] == ["a b c", "b c d"]
+
+
+def test_simhash_similar_docs_close(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy cat"),
+         (3, "completely different words entirely unrelated content here")],
+        "doc_id long, text string")
+    fp = {r["doc_id"]: r["simhash"] for r in simhash_fingerprint(df).collect()}
+    ham = lambda a, b: sum(x != y for x, y in zip(a, b))
+    assert ham(fp[1], fp[2]) < ham(fp[1], fp[3])
+
+
+def test_ngram_jaccard_identical_is_one(spark):
+    df = spark.createDataFrame(
+        [(1, "x", "abcdefgh"), (2, "x", "abcdefgh"), (3, "x", "zzzzyyyy")],
+        "doc_id long, lang string, text string")
+    pairs = {(r["doc1"], r["doc2"]): r["jaccard"]
+             for r in ngram_jaccard_pairs(df, threshold=0.0).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert pairs[(1, 3)] < 0.2
+
+
+def test_embedding_cosine_pairs_self_dup(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").filter(F.col("vec_id") < 20)
+    dup = emb.withColumn("vec_id", F.col("vec_id") + 10_000)
+    pairs = embedding_cosine_pairs(emb.unionByName(dup), threshold=0.999)
+    found = {(r["id1"], r["id2"]) for r in pairs.collect()}
+    assert all((i, i + 10_000) in found for i in range(20))
+
+
+def test_cosine_topk_and_lsh_recall(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    exact = cosine_topk(emb, q, k=5).collect()
+    # vec 0 itself is the top hit with cosine 1.0
+    assert exact[0]["vec_id"] == 0 and abs(exact[0]["cosine"] - 1.0) < 1e-6
+    approx = lsh_partitioned_topk(emb, q, k=5)
+    ids = {r["vec_id"] for r in approx.collect()}
+    assert 0 in ids  # the query vector's own bucket is always probed
+
+
+def test_text_ops(spark):
+    df = spark.createDataFrame(
+        [(1, "The cat and the dog sat in a field of green grass"),
+         (2, "x"),
+         (3, "")],
+        "doc_id long, text string")
+    out = df.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n"),
+        quality_score(F.col("text")).alias("q"),
+        lang_id(F.col("text")).alias("lang"),
+        fingerprint(F.col("text")).alias("fp"),
+    ).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[1]["n"] == 12 and by_id[2]["n"] == 1 and by_id[3]["n"] == 0
+    assert by_id[1]["q"] > by_id[2]["q"]
+    assert by_id[1]["lang"] == "en"
+    # fingerprint insensitive to case/punct/whitespace
+    df2 = spark.createDataFrame(
+        [(1, "  the CAT, and the dog sat in a field of green grass!")],
+        "doc_id long, text string")
+    fp2 = df2.select(fingerprint(F.col("text")).alias("fp")).first()["fp"]
+    assert fp2 == by_id[1]["fp"]
+
+
+def test_multimodal_plumbing(spark):
+    rows = [
+        (1, "image", "image/png", 4, 4, None, b"\x01\x02\x03\x04"),
+        (2, "video", "video/mp4", 64, 64, 3500, b"\xff\xee\xdd"),
+        (3, "audio", "audio/wav", None, None, 2000, b"\x00" * 16),
+    ]
+    media = media_table(spark, rows)
+    # decode stub raises without fake=True
+    with pytest.raises(Exception, match="NotImplementedError|image library"):
+        decode_image(media).collect()
+    decoded = decode_image(media, fake=True).collect()
+    px = {r["media_id"]: r["pixels"] for r in decoded}
+    assert px[1] == b"\x01\x02\x03\x04" and px[2] is None
+    feats = extract_features(media).collect()
+    f = {r["media_id"]: r for r in feats}
+    assert f[1]["n_bytes"] == 4 and len(f[1]["features"]) == 8
+    assert all(0.0 <= x <= 1.0 for x in f[1]["features"])
+    frames = frame_sample(media, every_ms=1000, fake=True).collect()
+    assert [r["frame_ms"] for r in frames] == [0, 1000, 2000, 3000]
+    assert len({bytes(r["frame"]) for r in frames}) == 4  # distinct per ts
