@@ -51,14 +51,19 @@ def main() -> None:
                       shuffle_partitions=int(cpus))
     spark.sparkContext.setLogLevel("ERROR")
 
+    # warm-up: JVM codegen paths, parquet footers, and the Python/Arrow
+    # worker pool — so per-query numbers measure steady-state execution,
+    # not one-time session initialization
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    spark.range(int(cpus)).repartition(int(cpus)).mapInPandas(
+        lambda it: it, "id long").count()
+
     qs = entry.queries()
     timings = {}
     for name in HEADLINE:
         fn = qs.get(name)
         if fn is None:
             continue
-        # one warm-up pass at tiny scale amortizes lazy class-loading for the
-        # first query only; per-query numbers below are single cold runs
         t0 = time.time()
         df = fn(spark, sf_dir)
         n = df.count()

@@ -108,9 +108,12 @@ def minhash_lsh_pairs(
     pairs — a vanishing fraction of all pairs — pay the verification
     cost; the self-join shuffles on (band index, band hash).
     """
+    # cached: the shingle set feeds the signature computation AND both
+    # sides of the verification join — without persistence the whole
+    # shingle+hash lineage re-executes up to 5x
     sh = df.select(
         F.col(id_col), word_shingles(F.col(text_col), k).alias("shingles")
-    ).filter(F.size("shingles") > 0)
+    ).filter(F.size("shingles") > 0).persist()
 
     sig = sh.select(id_col, "shingles", *minhash_signature(F.col("shingles"), num_hashes))
     sig_cols = [f"h{j}" for j in range(num_hashes)]
@@ -125,7 +128,7 @@ def minhash_lsh_pairs(
                 for b in range(n_bands)
             ])
         ).alias("e"),
-    ).select(id_col, "e.band", "e.bh")
+    ).select(id_col, "e.band", "e.bh").persist()  # both sides of the self-join
 
     left = stacked.select(F.col(id_col).alias("doc1"), "band", "bh")
     right = stacked.select(F.col(id_col).alias("doc2"), "band", "bh")
