@@ -821,6 +821,35 @@ _PIPELINE_ORACLES = {
 }
 
 
+
+
+def p7_parse_section_id(spark, sf_dir):
+    """P7/C8/C10: synthesize LacCore-style section IDs from supplier keys,
+    then parse them back into identity columns (coring/identity.py:74-103)
+    — round-trips the compound-id machinery."""
+    from feldman_spark.ops.identity import parse_section_id
+
+    su = _t(spark, sf_dir, "supplier")
+    sid = F.concat(
+        F.lit("GLAD9-PET06-"),
+        (F.col("s_nationkey") + 1).cast("string"),
+        F.expr("char(65 + s_suppkey % 3)"),
+        F.lit("-"),
+        (F.col("s_suppkey") + 1).cast("string"),
+        F.lit("H-"),
+        (F.col("s_suppkey") % 5 + 1).cast("string"),
+    )
+    parsed = parse_section_id(sid)
+    return su.select(
+        "s_suppkey",
+        parsed["site"].alias("site"),
+        parsed["hole"].alias("hole"),
+        parsed["core"].alias("core"),
+        parsed["tool"].alias("tool"),
+        parsed["section"].alias("section"),
+    )
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -874,6 +903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sliding": events_sliding,
         "events_sessionize": events_sessionize,
         "media_features": media_features,
+        "p7_parse_section_id": p7_parse_section_id,
     }
 
 
@@ -1081,6 +1111,23 @@ def oracle_sql() -> dict[str, str]:
         # accumulation is not expressible in (non-recursive) SQL; the driver
         # records a rows-only check for it.
         # knn_lsh, media_features: approximate / binary-literal ops — rows-only.
+        "p7_parse_section_id": """
+            WITH s AS (
+              SELECT s_suppkey,
+                     'GLAD9-PET06-' || CAST(s_nationkey + 1 AS VARCHAR)
+                       || chr(65 + CAST(s_suppkey % 3 AS INT)) || '-'
+                       || CAST(s_suppkey + 1 AS VARCHAR) || 'H-'
+                       || CAST(s_suppkey % 5 + 1 AS VARCHAR) AS sid
+              FROM supplier
+            )
+            SELECT s_suppkey,
+                   regexp_extract(string_split(sid, '-')[3], '([0-9]+)([A-Z]+)', 1) AS site,
+                   regexp_extract(string_split(sid, '-')[3], '([0-9]+)([A-Z]+)', 2) AS hole,
+                   regexp_extract(string_split(sid, '-')[4], '([0-9]+)([A-Z]+)', 1) AS core,
+                   regexp_extract(string_split(sid, '-')[4], '([0-9]+)([A-Z]+)', 2) AS tool,
+                   string_split(sid, '-')[5] AS section
+            FROM s
+        """,
         **{k: v for k, v in _PIPELINE_ORACLES.items() if v is not None},
         "dedup_simhash": _simhash_oracle_sql(),
         "text_lang_id": _lang_id_oracle_sql(),

@@ -187,3 +187,16 @@ def map_columns(fmtcols: Sequence[ColumnIdentity], inputcols: Sequence[str]) -> 
             if fc.match(ic):
                 colmap[fc.name] = ic
     return colmap
+
+
+def first_column_starting_with(startstr: str, names: Sequence[str]) -> Optional[int]:
+    """P5: index of the first column whose las-name starts with the prefix
+    (``tabular/pandasutils.py:60-67``)."""
+    matches = find_all_starts_with(startstr, names)
+    return min(names.index(m) for m in matches) if matches else None
+
+
+def last_column_starting_with(startstr: str, names: Sequence[str]) -> Optional[int]:
+    """P5: index of the last such column (``tabular/pandasutils.py:69-76``)."""
+    matches = find_all_starts_with(startstr, names)
+    return max(names.index(m) for m in matches) if matches else None

@@ -247,3 +247,11 @@ def read_correlator_funky(spark: SparkSession, path: str) -> DataFrame:
     return lines.select([
         F.trim(parts.getItem(i)).alias(h) for i, h in enumerate(headers)
     ])
+
+
+def numeric_columns(df: DataFrame) -> List[str]:
+    """S3: names of numeric-typed columns — the reference's depth-column
+    picker (``qtmain.py:27-30``)."""
+    from pyspark.sql.types import NumericType
+
+    return [f.name for f in df.schema.fields if isinstance(f.dataType, NumericType)]
