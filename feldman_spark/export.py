@@ -4,16 +4,23 @@ The reference loops over SIT intervals, full-scanning the measurement table
 per interval, then loops over affine rows full-scanning again for off-splice
 rows (``feldman.py:298-382`` — O(intervals × md_rows) + O(cores × md_rows)).
 
-Here the whole export is two broadcast joins over ONE distributed pass of
-the measurement table:
+Here the whole export is ONE broadcast left join over ONE distributed pass
+of the measurement table:
 
-* on-splice: measurement ⋈ section-exploded SIT on (Site, Hole, Core,
-  Section) equi keys + depth-range residual (J1/J2), SIT side broadcast;
-* off-splice: the anti-joined remainder ⋈ broadcast affine (J4);
-* rows matching no affine core go to the "unwritten" side output (S7).
+* measurement ⟕ section-exploded SIT on (Site, Hole, Core, Section) equi
+  keys + the depth-range residual (J1/J2), SIT side broadcast;
+* matched rows → on-splice (a row matching k overlapping intervals is
+  exported k times — reference semantics, ``feldman.py:337-342``);
+* unmatched rows → broadcast-joined to the affine table (J4): matched →
+  off-splice with the core's cumulative offset, unmatched → the
+  "unwritten" side output (S7, ``feldman.py:370-376``).
 
-At 100 TB the measurement side never shuffles and never hits the driver;
-partition the parquet by (Site, Hole) for partition pruning.
+No anti-join, no row-id bookkeeping, no shuffle of the measurement side —
+an earlier formulation anti-joined on a row id, which degenerates to a
+sort-merge shuffle of the full fact table once the on-splice id set
+outgrows the broadcast threshold (caught by ``tools/scale_smoke.py`` at
+10M rows). At 100 TB the fact table must only ever stream through
+broadcast hash joins.
 """
 
 from __future__ import annotations
@@ -21,15 +28,15 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import List, Optional
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .formats.columns import find_all_starts_with
 from .ops.windows import section_range
-from .splice import IDX
 
 __all__ = ["SpliceExport", "ROW_ID", "export_columns", "splice_export"]
 
+# retained for loader compatibility; the export itself no longer needs it
 ROW_ID = "_row_id"
 
 
@@ -46,7 +53,7 @@ def export_columns(md_columns: List[str]) -> List[str]:
     ``Splice Depth``, ``Offset``, ``On-Splice`` inserted after the last
     column whose name starts with "Sediment Depth" (las-normalized), or at
     the front if none (``feldman.py:385-393``, P4)."""
-    cols = [c for c in md_columns if c not in (ROW_ID,)]
+    cols = [c for c in md_columns if c != ROW_ID]
     matches = find_all_starts_with("Sediment Depth", cols)
     idx = max(cols.index(m) for m in matches) + 1 if matches else 0
     return cols[:idx] + ["Splice Depth", "Offset", "On-Splice"] + cols[idx:]
@@ -60,9 +67,12 @@ def _expand_sit_sections(sit: DataFrame) -> DataFrame:
     sections = F.when(single, F.array(F.col("TopSection"))).otherwise(
         section_range("TopSection", "BottomSection"))
     return sit.select(
-        "Site", "Hole", "Core",
-        F.explode(sections).alias("Section"),
-        "TopDepthCSF", "TopDepthCCSF", "BottomDepthCSF",
+        F.col("Site").alias("__site"),
+        F.col("Hole").alias("__hole"),
+        F.col("Core").alias("__core"),
+        F.explode(sections).alias("__section"),
+        F.col("TopDepthCSF").alias("__top_csf"),
+        F.col("BottomDepthCSF").alias("__bot_csf"),
         (F.col("TopDepthCCSF") - F.col("TopDepthCSF")).alias("__offset"),
     )
 
@@ -76,40 +86,59 @@ def splice_export(
     whole_splice_section: bool = False,
 ) -> SpliceExport:
     """Export measurement rows with composite depth and on-/off-splice flag.
-
-    ``md`` must carry a unique ``_row_id`` column (added by the loaders) —
-    it replaces the reference's positional-index anti-join
-    (``feldman.py:346,370``) since Spark rows have no stable index.
+    One broadcast left join per stage; the measurement side never shuffles.
     """
     depth = F.col(f"`{depth_column}`")
     out_cols = export_columns(md.columns)
     sit_exp = _expand_sit_sections(sit)
 
-    on_join = md.join(F.broadcast(sit_exp), ["Site", "Hole", "Core", "Section"], "inner")
+    cond = (
+        (F.col("Site") == F.col("__site"))
+        & (F.col("Hole") == F.col("__hole"))
+        & (F.col("Core") == F.col("__core"))
+        & (F.col("Section") == F.col("__section"))
+    )
     if not whole_splice_section:
-        on_join = on_join.filter(depth.between(F.col("TopDepthCSF"), F.col("BottomDepthCSF")))
+        cond = cond & depth.between(F.col("__top_csf"), F.col("__bot_csf"))
 
-    def finalize(df: DataFrame, offset_col, flag: str) -> DataFrame:
+    def finalize(df: DataFrame, offset_col: Column, flag: Column) -> DataFrame:
         return df.withColumns({
             "Splice Depth": depth + offset_col,
             "Offset": offset_col,
-            "On-Splice": F.lit(flag),
+            "On-Splice": flag,
         }).select([F.col(f"`{c}`") for c in out_cols])
 
-    on_rows = finalize(on_join, F.col("__offset"), "splice")
-
     if not include_off_splice:
-        return SpliceExport(spliced=on_rows, unwritten=None)
+        joined = md.join(F.broadcast(sit_exp), cond, "inner")
+        return SpliceExport(
+            spliced=finalize(joined, F.col("__offset"), F.lit("splice")),
+            unwritten=None)
 
-    matched_ids = on_join.select(ROW_ID).distinct()
-    off_md = md.join(matched_ids, ROW_ID, "left_anti")
-    aff_offsets = affine.select("Site", "Hole", "Core", F.col("Offset").alias("__offset"))
-    off_join = off_md.join(F.broadcast(aff_offsets), ["Site", "Hole", "Core"], "inner")
-    off_rows = finalize(off_join, F.col("__offset"), "off-splice")
+    joined = md.join(F.broadcast(sit_exp), cond, "left")
 
-    unwritten = off_md.join(
-        F.broadcast(aff_offsets.select("Site", "Hole", "Core").distinct()),
-        ["Site", "Hole", "Core"], "left_anti",
-    ).drop(ROW_ID)
+    # The left join emits one row per interval match, and exactly one
+    # null-extended row per measurement row matching no interval. The
+    # affine lookup applies only to those unmatched rows — the
+    # `__offset IS NULL` term in the join condition keeps matched rows at
+    # multiplicity 1 — so the whole classification is one streamed pass.
+    aff = affine.select(
+        F.col("Site").alias("__asite"), F.col("Hole").alias("__ahole"),
+        F.col("Core").alias("__acore"), F.col("Offset").alias("__aoffset"))
+    acond = (
+        F.col("__offset").isNull()
+        & (F.col("Site") == F.col("__asite"))
+        & (F.col("Hole") == F.col("__ahole"))
+        & (F.col("Core") == F.col("__acore"))
+    )
+    joined = joined.join(F.broadcast(aff), acond, "left")
 
-    return SpliceExport(spliced=on_rows.unionByName(off_rows), unwritten=unwritten)
+    is_on = F.col("__offset").isNotNull()
+    is_off = F.col("__offset").isNull() & F.col("__aoffset").isNotNull()
+    spliced = finalize(
+        joined.filter(is_on | is_off),
+        F.coalesce(F.col("__offset"), F.col("__aoffset")),
+        F.when(is_on, F.lit("splice")).otherwise(F.lit("off-splice")),
+    )
+    unwritten = joined.filter(F.col("__offset").isNull() & F.col("__aoffset").isNull()) \
+        .select([F.col(f"`{c}`") for c in md.columns if c != ROW_ID])
+    return SpliceExport(spliced=spliced, unwritten=unwritten)

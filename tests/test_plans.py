@@ -63,7 +63,7 @@ def test_e2_export_plan_all_broadcast(spark, ref_testdata, tmp_out):
     res = export_measurement_frames(md, affine, sit, depth)
     plan = _plan(res.spliced)
     assert "SortMergeJoin" not in plan
-    assert plan.count("BroadcastHashJoin") >= 3  # on-splice, off-splice anti, affine equi
+    assert plan.count("BroadcastHashJoin") >= 2  # SIT containment + affine lookup
     # column pruning flows through the export: a narrow projection reads a
     # narrow schema from the 60+-column measurement file
     narrow = _plan(res.spliced.select("Site", "Splice Depth"))
