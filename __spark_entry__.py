@@ -850,6 +850,93 @@ def p7_parse_section_id(spark, sf_dir):
     )
 
 
+
+
+def q12_shipmode(spark, sf_dir):
+    """Q12 shape: conditional aggregation over a join (CASE inside SUM)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01"))
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+def q14_promo_effect(spark, sf_dir):
+    """Q14 shape: ratio of conditional to total aggregate (prefix
+    predicate over p_type; the synthetic data has S-prefixed types)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-03-01") & (F.col("l_shipdate") < "1996-04-01"))
+    pa = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").startswith("S"), rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(pa), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(F.round(F.sum(promo) * 100.0 / F.sum(rev), 6).alias("promo_revenue_pct"))
+    )
+
+
+def q18_large_volume(spark, sf_dir):
+    """Q18 shape: HAVING over a grouped subquery feeding a join."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    cu = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        big.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cu), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey", "c_name", "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            _r2(F.col("o_totalprice")).alias("o_totalprice"),
+            _r2(F.col("total_qty")).alias("total_qty"),
+        )
+    )
+
+
+def q19_disjunctive(spark, sf_dir):
+    """Q19 shape: disjunction of conjunctive predicates across a join —
+    exercises Catalyst's predicate normalization/pushdown."""
+    li = _t(spark, sf_dir, "lineitem")
+    pa = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(pa), F.col("l_partkey") == F.col("p_partkey"))
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("l_quantity").between(1, 11)
+         & (F.col("p_size") <= 5))
+        | ((F.col("p_brand") == "Brand#2") & F.col("l_quantity").between(10, 20)
+           & (F.col("p_size") <= 10))
+        | ((F.col("p_brand") == "Brand#3") & F.col("l_quantity").between(20, 30)
+           & (F.col("p_size") <= 15))
+    )
+    return j.filter(cond).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+    )
+
+
+def q17_avg_subquery(spark, sf_dir):
+    """Q17 shape: correlated-style comparison against a per-group average
+    (decorrelated as a join against the aggregated subquery)."""
+    li = _t(spark, sf_dir, "lineitem")
+    avg_qty = li.groupBy(F.col("l_partkey").alias("p_key")).agg(
+        (F.avg("l_quantity") * 0.5).alias("half_avg"))
+    return (
+        li.join(F.broadcast(avg_qty), F.col("l_partkey") == F.col("p_key"))
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
+    )
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -904,6 +991,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": events_sessionize,
         "media_features": media_features,
         "p7_parse_section_id": p7_parse_section_id,
+        "q12_shipmode": q12_shipmode,
+        "q14_promo_effect": q14_promo_effect,
+        "q17_avg_subquery": q17_avg_subquery,
+        "q18_large_volume": q18_large_volume,
+        "q19_disjunctive": q19_disjunctive,
     }
 
 
@@ -1127,6 +1219,52 @@ def oracle_sql() -> dict[str, str]:
                    regexp_extract(string_split(sid, '-')[4], '([0-9]+)([A-Z]+)', 2) AS tool,
                    string_split(sid, '-')[5] AS section
             FROM s
+        """,
+        "q12_shipmode": """
+            SELECT l_linestatus,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+            GROUP BY l_linestatus
+        """,
+        "q14_promo_effect": """
+            SELECT round(sum(CASE WHEN p_type LIKE 'S%'
+                             THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+                         * 100.0 / sum(l_extendedprice * (1 - l_discount)), 6)
+                     AS promo_revenue_pct
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+              AND l_shipdate < TIMESTAMP '1996-04-01'
+        """,
+        "q17_avg_subquery": """
+            SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+            FROM lineitem l
+            JOIN (SELECT l_partkey AS p_key, avg(l_quantity) * 0.5 AS half_avg
+                  FROM lineitem GROUP BY l_partkey) a
+              ON l.l_partkey = a.p_key
+            WHERE l.l_quantity < a.half_avg
+        """,
+        "q18_large_volume": """
+            SELECT c_custkey, c_name, o_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+                   round(o_totalprice, 2) AS o_totalprice,
+                   round(total_qty, 2) AS total_qty
+            FROM (SELECT l_orderkey, sum(l_quantity) AS total_qty
+                  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150) b
+            JOIN orders ON b.l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+        """,
+        "q19_disjunctive": """
+            SELECT count(*) AS n,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11 AND p_size <= 5)
+               OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20 AND p_size <= 10)
+               OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30 AND p_size <= 15)
         """,
         **{k: v for k, v in _PIPELINE_ORACLES.items() if v is not None},
         "dedup_simhash": _simhash_oracle_sql(),

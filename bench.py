@@ -32,11 +32,16 @@ HEADLINE = [
     "w2_lag_diff",
     "w3_expanding_slope",
     "w1_splice_scan",
+    "q17_avg_subquery",
+    "q18_large_volume",
+    "q19_disjunctive",
     # beyond-reference pipeline operators (present from the round they land)
     "dedup_exact",
     "dedup_minhash_lsh",
     "text_quality",
     "knn_brute_force",
+    "events_sessionize",
+    "dedup_embedding_cosine",
 ]
 
 

@@ -133,3 +133,27 @@ def test_sparse_splice_goldens(spark, ref_testdata):
     # F7 validation
     assert valid_section_column(sp, "TopSection")
     assert valid_section_column(sp, "BottomSection")
+
+
+def test_salted_join_equivalence(spark):
+    """salted_join must be row-identical to a plain join on skewed data."""
+    from feldman_spark.ops.skew import salted_join
+
+    # heavy-tailed key: 90% of left rows share key 0
+    left = spark.range(0, 20000).selectExpr(
+        "CASE WHEN id % 10 < 9 THEN 0 ELSE id % 50 END AS k", "id AS v")
+    right = spark.range(0, 50).selectExpr("id AS k", "id * 100 AS payload")
+
+    plain = left.join(right, ["k"], "inner").groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"))
+    salted = salted_join(left, right, ["k"], buckets=8).groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"))
+    a = {(r["k"]): (r["n"], r["sv"]) for r in plain.collect()}
+    b = {(r["k"]): (r["n"], r["sv"]) for r in salted.collect()}
+    assert a == b
+
+    # left join keeps unmatched rows exactly once
+    right_partial = right.filter(F.col("k") < 10)
+    pl = left.join(right_partial, ["k"], "left").count()
+    sl = salted_join(left, right_partial, ["k"], buckets=8, how="left").count()
+    assert pl == sl

@@ -62,3 +62,58 @@ def test_streaming_matches_batch(spark, events, tmp_out):
     want = {(r["window_start"], r["event_type"]): (r["n"], r["value_sum"])
             for r in tumbling_agg(events).collect()}
     assert got == want
+
+
+def test_stateful_streaming_dedup(spark, events, tmp_out):
+    """applyInPandasWithState dedup: the same events fed twice across
+    micro-batches emit exactly once; batch distinct is the oracle."""
+    from feldman_spark.streaming.stateful import streaming_dedup
+    from feldman_spark.streaming.events import stream_events, run_stream_to_memory
+
+    src = f"{tmp_out}/stateful_src"
+    sample = events.filter(F.col("event_id") < 200).select(
+        "event_id", "event_type", "user_id")
+    # the same rows written twice -> duplicates arrive in later micro-batches
+    sample.repartition(2).write.mode("overwrite").parquet(src)
+    sample.repartition(3).write.mode("append").parquet(src)
+
+    stream = stream_events(spark, src)
+    out = streaming_dedup(stream, key_col="event_id")
+    run_stream_to_memory(out, "dedup_stream", output_mode="append")
+
+    got = spark.sql("select * from dedup_stream")
+    assert got.count() == sample.count()  # each event_id exactly once
+    assert got.select("event_id").distinct().count() == sample.count()
+
+    # duplicates arriving in the SAME micro-batch are counted at emission
+    # (cross-batch dupes update state after the append-mode emission)
+    src2 = f"{tmp_out}/stateful_src_onebatch"
+    sample.unionByName(sample).repartition(1).write.mode("overwrite").parquet(src2)
+    out2 = streaming_dedup(stream_events(spark, src2), key_col="event_id")
+    run_stream_to_memory(out2, "dedup_stream2", output_mode="append")
+    got2 = spark.sql("select * from dedup_stream2")
+    assert got2.count() == sample.count()
+    assert got2.agg(F.sum("n_dupes")).first()[0] == sample.count()
+
+
+def test_stateful_running_totals(spark, events, tmp_out):
+    from feldman_spark.streaming.stateful import streaming_running_totals
+    from feldman_spark.streaming.events import stream_events, run_stream_to_memory
+
+    src = f"{tmp_out}/totals_src"
+    sample = events.filter(F.col("event_id") < 500).select("user_id", "value")
+    sample.repartition(4).write.mode("overwrite").parquet(src)
+
+    stream = stream_events(spark, src)
+    out = streaming_running_totals(stream)
+    run_stream_to_memory(out, "totals_stream", output_mode="update")
+
+    # last update per key must equal the batch aggregate
+    import pandas as pd
+    updates = spark.sql("select * from totals_stream").toPandas()
+    final = updates.groupby("user_id").last()
+    batch = sample.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("s")).collect()
+    for r in batch:
+        assert final.loc[r["user_id"], "n_events"] == r["n"]
+        assert abs(float(final.loc[r["user_id"], "value_sum"]) - r["s"]) < 1e-6
