@@ -238,20 +238,52 @@ def embedding_cosine_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.9,
+    digits: int = 6,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (brute force all-pairs —
-    the correctness baseline; the scale path buckets with LSH first,
-    see :mod:`feldman_spark.pipeline.similarity`)."""
-    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    norm = F.sqrt(F.aggregate(vec, F.lit(0.0), lambda a, x: a + x * x))
-    base = df.select(F.col(id_col), vec.alias("v"), norm.alias("nrm"))
-    a = base.select(F.col(id_col).alias("id1"), F.col("v").alias("v1"), F.col("nrm").alias("n1"))
-    b = base.select(F.col(id_col).alias("id2"), F.col("v").alias("v2"), F.col("nrm").alias("n2"))
-    dot = F.aggregate(F.zip_with("v1", "v2", lambda x, y: x * y), F.lit(0.0), lambda a_, x: a_ + x)
-    return (
-        a.crossJoin(b)
-        .filter(F.col("id1") < F.col("id2"))
-        .withColumn("cosine", F.round(dot / (F.col("n1") * F.col("n2")), 6))
-        .filter(F.col("cosine") >= threshold)
-        .select("id1", "id2", "cosine")
-    )
+    """Embedding-cosine near-duplicate pairs — exact all-pairs baseline.
+
+    The comparison matrix (every vector, L2-normalized) is collected and
+    broadcast once; the corpus then streams through ``mapInPandas`` where
+    each Arrow batch answers with one blocked ``numpy`` matmul
+    (batch × corpusᵀ) instead of 25M interpreted per-pair dot products
+    (14.1 s → sub-second at sf0.1).
+
+    The broadcast side must fit in executor memory (d×N doubles —
+    millions of vectors). Beyond that, bucket with hyperplane LSH first
+    (:mod:`feldman_spark.pipeline.similarity`) and run this within
+    buckets; the all-pairs form stays the correctness oracle.
+    """
+    import numpy as np
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    rows = df.select(id_col, vec_col).collect()
+    ids = np.array([r[id_col] for r in rows])
+    mat = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    sc = df.sparkSession.sparkContext
+    b_ids = sc.broadcast(ids)
+    b_mat = sc.broadcast(mat)
+    b_norms = sc.broadcast(norms)
+
+    id_type = df.schema[id_col].dataType
+    schema = StructType([
+        StructField("id1", id_type), StructField("id2", id_type),
+        StructField("cosine", DoubleType()),
+    ])
+
+    def block(batches):
+        all_ids, all_mat, all_norms = b_ids.value, b_mat.value, b_norms.value
+        for pdf in batches:
+            x = np.array(list(pdf[vec_col]), dtype=np.float64)
+            xid = pdf[id_col].to_numpy()
+            xnorm = np.sqrt((x * x).sum(axis=1))
+            sims = (x @ all_mat.T) / (xnorm[:, None] * all_norms[None, :])
+            sims = np.round(sims, digits)
+            r, c = np.where(sims >= threshold)
+            keep = xid[r] < all_ids[c]  # id1 < id2, no self/dup pairs
+            r, c = r[keep], c[keep]
+            import pandas as _pd
+            yield _pd.DataFrame({
+                "id1": xid[r], "id2": all_ids[c], "cosine": sims[r, c]})
+
+    return df.select(id_col, vec_col).mapInPandas(block, schema=schema)
