@@ -39,5 +39,7 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.sql.warehouse.dir",
+                os.environ.get("SPARK_WAREHOUSE_DIR", "/tmp/feldman-spark-warehouse"))
     )
     return builder.getOrCreate()

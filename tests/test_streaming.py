@@ -117,3 +117,53 @@ def test_stateful_running_totals(spark, events, tmp_out):
     for r in batch:
         assert final.loc[r["user_id"], "n_events"] == r["n"]
         assert abs(float(final.loc[r["user_id"], "value_sum"]) - r["s"]) < 1e-6
+
+
+def test_streaming_splice_export(spark, tmp_out, ref_testdata):
+    """E2 under readStream: the splice export is stateless broadcast joins,
+    so the same plan splices a live measurement stream micro-batch by
+    micro-batch; batch output is the oracle."""
+    import os
+    from feldman_spark.engine import (
+        export_measurement_frames, load_affine, load_measurement, load_sit)
+    from feldman_spark.export import ROW_ID
+    from feldman_spark.streaming.events import run_stream_to_memory
+
+    golden = "/root/repo/.tmp/golden"
+    if not os.path.exists(f"{golden}/our_affine.csv"):
+        import pytest
+        pytest.skip("golden outputs not generated yet")
+
+    depth = "Sediment Depth, unscaled (MBS / CSF-A)"
+    md = load_measurement(spark, f"{ref_testdata}/GLAD9_Site1_XRF.csv", depth).drop(ROW_ID)
+    src = f"{tmp_out}/md_stream_src"
+    md.repartition(4).write.mode("overwrite").parquet(src)
+
+    from feldman_spark.formats.registry import SIT_FORMAT
+    from feldman_spark.io.csv import read_tabular
+
+    affine = load_affine(spark, f"{golden}/our_affine.csv")
+    # load the SIT without the _idx order column: its
+    # monotonically_increasing_id expression is rejected by streaming plans
+    # even when dropped (the check runs before column pruning), and the
+    # export never uses it
+    sit = read_tabular(spark, f"{golden}/our_sit.csv", SIT_FORMAT)
+
+    batch_out = export_measurement_frames(
+        spark.read.parquet(src), affine, sit, depth).spliced
+    want = batch_out.groupBy("On-Splice").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("Splice Depth"), 2).alias("sd"))
+    want_rows = {r["On-Splice"]: (r["n"], r["sd"]) for r in want.collect()}
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    stream_out = export_measurement_frames(stream, affine, sit, depth).spliced
+    agg = stream_out.groupBy("On-Splice").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("Splice Depth"), 2).alias("sd"))
+    run_stream_to_memory(agg, "splice_stream", output_mode="complete")
+    got_rows = {r["On-Splice"]: (r["n"], r["sd"])
+                for r in spark.sql("select * from splice_stream").collect()}
+    assert got_rows == want_rows
+    assert got_rows["splice"][0] > 0 and got_rows["off-splice"][0] > 0
