@@ -160,3 +160,40 @@ def test_e2_option_parity(spark, ref_testdata, name):
     ref_df = pd.read_csv(ref_out, low_memory=False)
     our_df = pd.read_csv(our_out, low_memory=False)
     _compare(ref_df, our_df, ["SectionID", DEPTH, "On-Splice"], atol=1e-7)
+
+
+def test_parallel_multi_splice_scan(spark, ref_testdata):
+    """splice_scan(group_cols=['Site']) scans many independent splices in
+    parallel, one applyInPandas group per site; results must equal running
+    each site's splice through the single-group scan."""
+    from pyspark.sql import functions as F
+
+    from feldman_spark.engine import load_section_summary, load_sparse_splice
+    from feldman_spark.splice import (
+        section_lookup, sit_from_scan, splice_scan, with_offset_depths)
+
+    ss = load_section_summary(spark, f"{ref_testdata}/GLAD9_SectionSummary.csv")
+    sp1 = load_sparse_splice(spark, f"{ref_testdata}/GLAD9_Site1_SparseSplice.csv")
+    # clone the site-1 splice into a synthetic site 'X' (same geometry): two
+    # independent splices in one table
+    ss2 = ss.withColumn("Site", F.when(F.col("Site") == "1", "X").otherwise(F.col("Site")))
+    ss_all = ss.unionByName(ss2.filter(F.col("Site") == "X"))
+    sp2 = sp1.withColumn("Site", F.lit("X"))
+    sp_all = sp1.unionByName(sp2)
+
+    lookup = section_lookup(ss_all)
+    enriched = with_offset_depths(sp_all, lookup)
+    grouped = splice_scan(enriched, group_cols=["Site"])
+
+    # single-group scans per site are the oracle
+    single1 = splice_scan(with_offset_depths(sp1, section_lookup(ss)))
+    cols = ["Site", "Hole", "Core", "TopSection",
+            "TopDepthCSF", "TopDepthCCSF", "BottomDepthCSF", "BottomDepthCCSF"]
+
+    got1 = sorted([tuple(r) for r in grouped.filter(F.col("Site") == "1").select(cols).collect()])
+    want1 = sorted([tuple(r) for r in single1.select(cols).collect()])
+    assert got1 == want1
+
+    # site X is a pure clone: identical depths under its own scan
+    got2 = sorted([tuple(r)[1:] for r in grouped.filter(F.col("Site") == "X").select(cols).collect()])
+    assert got2 == [t[1:] for t in want1]
