@@ -32,3 +32,10 @@ def tmp_out():
     out = "/root/repo/.tmp/testout"
     os.makedirs(out, exist_ok=True)
     return out
+
+
+@pytest.fixture(scope="session")
+def spark_fuzz(spark):
+    # alias so hypothesis-driven tests share the session fixture without
+    # hypothesis complaining about function-scoped fixtures
+    return spark

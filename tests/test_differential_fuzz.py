@@ -1,0 +1,145 @@
+"""Differential fuzzing: hypothesis generates random (valid) section
+summaries and sparse splices; the reference implementation and our engine
+both run E1 on the same CSVs and must agree value-for-value.
+
+This covers input geometries the GLAD9 fixtures never produce: equal core
+tops across holes (nearest-top tie-breaks), random gap strings in the gap
+arithmetic, mixed TIE/APPEND chains with user gaps, multi-hole alternation.
+"""
+
+import hashlib
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from feldman_spark.engine import convert_sparse_splice
+
+REF = "/root/reference"
+OUT = "/root/repo/.tmp/fuzz"
+
+_REF_SCRIPT = """
+import sys, logging
+sys.path.insert(0, {ref!r})
+logging.basicConfig(level=logging.CRITICAL)
+import feldman
+feldman.convertSparseSplice({ss!r}, {sp!r}, {aff!r}, {sit!r})
+"""
+
+SECTION_LEN = 1.5
+SECTIONS = 3
+
+
+def _write_inputs(case_dir, holes, cores_per_hole, gap_flags, splice_plan):
+    os.makedirs(case_dir, exist_ok=True)
+    ss_path = os.path.join(case_dir, "secsumm.csv")
+    sp_path = os.path.join(case_dir, "sparse.csv")
+
+    rows = []
+    gi = 0
+    for h in holes[:]:
+        for c in range(1, cores_per_hole + 1):
+            core_top = (c - 1) * SECTIONS * SECTION_LEN
+            for s in range(1, SECTIONS + 1):
+                top = core_top + (s - 1) * SECTION_LEN
+                bot = top + SECTION_LEN
+                gap = ""
+                if gap_flags[gi % len(gap_flags)]:
+                    gap = "10.0-20.0 50.0-55.0"
+                gi += 1
+                rows.append(("1", h, str(c), "H", str(s), top, bot,
+                             round(top * 1.01, 6), round(bot * 1.01, 6),
+                             SECTION_LEN, gap))
+    with open(ss_path, "w") as f:
+        f.write("Site,Hole,Core,Tool,Section,TopDepth,BottomDepth,"
+                "TopDepthScaled,BottomDepthScaled,CuratedLength,Gaps\n")
+        for r in rows:
+            f.write(",".join(str(x) for x in r) + "\n")
+
+    with open(sp_path, "w") as f:
+        f.write("Site,Hole,Core,Tool,TopSection,TopOffset,BottomSection,"
+                "BottomOffset,SpliceType,Gap,DataUsed,Comment\n")
+        for (h, c, ts, toff, bs, boff, sptype, gap) in splice_plan:
+            f.write(f"1,{h},{c},H,{ts},{toff},{bs},{boff},{sptype},{gap},,\n")
+    return ss_path, sp_path
+
+
+splice_steps = st.lists(
+    st.tuples(
+        st.integers(0, 1),              # hole index
+        st.sampled_from(["TIE", "APPEND"]),
+        st.floats(5.0, 120.0),          # top offset cm
+        st.floats(5.0, 120.0),          # bottom offset cm
+        st.booleans(),                  # user gap on APPEND?
+    ),
+    min_size=2, max_size=6)
+
+
+@settings(max_examples=6, deadline=None)
+@given(steps=splice_steps, gap_pattern=st.lists(st.booleans(), min_size=3, max_size=8))
+def test_e1_differential(spark_fuzz, steps, gap_pattern):
+    spark = spark_fuzz
+    holes = ["A", "B"]
+    cores_per_hole = len(steps)  # one interval per core index, alternating holes
+
+    splice_plan = []
+    for i, (hidx, sptype, toff, boff, usegap) in enumerate(steps):
+        h = holes[hidx]
+        c = str(i + 1)
+        # strictly descending interval: top in section 1, bottom in section 3
+        ts, bs = "1", "3"
+        gap = round(0.25, 3) if (usegap and sptype == "APPEND" and i > 0) else ""
+        splice_plan.append((h, c, ts, round(toff, 3), bs, round(boff, 3),
+                            sptype, gap))
+
+    key = hashlib.md5(repr((steps, gap_pattern)).encode()).hexdigest()[:12]
+    case_dir = os.path.join(OUT, key)
+    ss_path, sp_path = _write_inputs(case_dir, holes, cores_per_hole,
+                                     gap_pattern, splice_plan)
+
+    ref_aff = os.path.join(case_dir, "ref_aff.csv")
+    ref_sit = os.path.join(case_dir, "ref_sit.csv")
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         _REF_SCRIPT.format(ref=REF, ss=ss_path, sp=sp_path, aff=ref_aff, sit=ref_sit)],
+        cwd=case_dir, capture_output=True, text=True)
+    if proc.returncode != 0 or not os.path.exists(ref_aff):
+        # the reference bailed (e.g. interval inversion after gap math);
+        # our engine must also refuse
+        with pytest.raises(Exception):
+            a, s = convert_sparse_splice(
+                spark, ss_path, sp_path,
+                os.path.join(case_dir, "our_aff.csv"),
+                os.path.join(case_dir, "our_sit.csv"))
+        return
+
+    our_aff = os.path.join(case_dir, "our_aff.csv")
+    our_sit = os.path.join(case_dir, "our_sit.csv")
+    convert_sparse_splice(spark, ss_path, sp_path, our_aff, our_sit)
+
+    for ref_path, our_path, sort_cols in (
+        (ref_sit, our_sit, ["Site", "Hole", "Core", "Top Section", "Top Offset"]),
+        (ref_aff, our_aff, ["Site", "Hole", "Core"]),
+    ):
+        r = pd.read_csv(ref_path).sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
+        o = pd.read_csv(our_path)
+        assert sorted(r.columns) == sorted(o.columns)
+        o = o[r.columns.tolist()].sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
+        assert len(r) == len(o), f"{ref_path}: {len(r)} vs {len(o)} rows"
+        for col in r.columns:
+            if pd.api.types.is_numeric_dtype(r[col]) and pd.api.types.is_numeric_dtype(o[col]):
+                ok = np.isclose(r[col].astype(float), o[col].astype(float),
+                                atol=1e-9, rtol=0, equal_nan=True)
+            else:
+                ok = (r[col].fillna("").astype(str).str.strip()
+                      == o[col].fillna("").astype(str).str.strip())
+            bad = np.where(~ok)[0]
+            assert len(bad) == 0, (
+                f"{os.path.basename(ref_path)} col {col!r}: ref="
+                f"{r[col].iloc[bad[0]]!r} our={o[col].iloc[bad[0]]!r} "
+                f"(case {key}, row {bad[0]})")
