@@ -937,6 +937,102 @@ def q17_avg_subquery(spark, sf_dir):
     )
 
 
+
+
+# shared literal splice-side tables for the oracle-checked E2 query --------
+_E2_SIT = [
+    # (Site, Hole, Core, top_csf_off, bot_csf_off, offset) — interval spans
+    # sections 1-3 of the core; depths relative to the core top (4.5 m cores)
+    (s, "A", c, 0.5, 3.5, round(s * 0.1 + c * 0.01, 2))
+    for s in (1, 2, 3) for c in (1, 2, 3, 4, 5, 6)
+]
+_E2_AFFINE = [
+    (s, h, c, round(s * 0.05 + c * 0.02, 2))
+    for s in (1, 2, 3) for h, cores in (("B", range(1, 9)), ("A", range(7, 10)))
+    for c in cores
+]
+
+
+def feldman_e2_export(spark, sf_dir):
+    """The E2 splice-export centerpiece, oracle-checked end to end: a
+    synthetic measurement table (size-matched to lineitem, generated with
+    integer arithmetic DuckDB reproduces exactly) classified against
+    literal SIT/affine tables via feldman_spark.export.splice_export —
+    on-splice containment, off-splice affine fallback, unwritten exclusion
+    — aggregated per (On-Splice, Site)."""
+    from feldman_spark.export import splice_export
+
+    n = _t(spark, sf_dir, "lineitem").count()
+    md = (
+        spark.range(n)
+        .withColumn("Site", (F.col("id") % 3 + 1).cast("string"))
+        .withColumn("Hole", F.expr("char(65 + (id div 3) % 2)"))
+        .withColumn("CoreN", (F.col("id") * 7 % 12 + 1))
+        .withColumn("Core", F.col("CoreN").cast("string"))
+        .withColumn("Section", (F.col("id") % 3 + 1).cast("string"))
+        .withColumn("depth", ((F.col("CoreN") - 1) * 4.5
+                              + (F.col("id") * 37 % 450) / 100.0))
+        .withColumn("Tool", F.lit("H"))
+        .drop("CoreN")
+    )
+    sit = spark.createDataFrame(
+        [(str(s), h, str(c), "1", "3",
+          (c - 1) * 4.5 + t, (c - 1) * 4.5 + t + off,
+          (c - 1) * 4.5 + b, (c - 1) * 4.5 + b + off)
+         for (s, h, c, t, b, off) in _E2_SIT],
+        "Site string, Hole string, Core string, TopSection string, "
+        "BottomSection string, TopDepthCSF double, TopDepthCCSF double, "
+        "BottomDepthCSF double, BottomDepthCCSF double")
+    affine = spark.createDataFrame(
+        [(str(s), h, str(c), off) for (s, h, c, off) in _E2_AFFINE],
+        "Site string, Hole string, Core string, Offset double")
+    res = splice_export(md, affine, sit, "depth")
+    return (
+        res.spliced.groupBy(F.col("On-Splice").alias("flag"), "Site")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("Splice Depth"), 2).alias("sd"))
+    )
+
+
+def _e2_oracle_sql() -> str:
+    sit_vals = ", ".join(
+        "('{}','{}','{}',{},{},{})".format(
+            s, h, c, (c - 1) * 4.5 + t, (c - 1) * 4.5 + b, off)
+        for (s, h, c, t, b, off) in _E2_SIT)
+    aff_vals = ", ".join(
+        "('{}','{}','{}',{})".format(s, h, c, off) for (s, h, c, off) in _E2_AFFINE)
+    return f"""
+        WITH md AS (
+          SELECT CAST(range % 3 + 1 AS VARCHAR) AS site,
+                 chr(65 + CAST((range // 3) % 2 AS INT)) AS hole,
+                 CAST(range * 7 % 12 + 1 AS VARCHAR) AS core,
+                 (range * 7 % 12) * 4.5 + (range * 37 % 450) / 100.0 AS depth
+          FROM (SELECT unnest(generate_series(0, (SELECT count(*) FROM lineitem) - 1)) AS range)
+        ),
+        sit(site, hole, core, topcsf, botcsf, off) AS (VALUES {sit_vals}),
+        aff(site, hole, core, aoff) AS (VALUES {aff_vals}),
+        on_rows AS (
+          SELECT md.site, md.depth + sit.off AS sd
+          FROM md JOIN sit ON md.site = sit.site AND md.hole = sit.hole
+                          AND md.core = sit.core
+                          AND md.depth BETWEEN sit.topcsf AND sit.botcsf
+        ),
+        off_rows AS (
+          SELECT md.site, md.depth + aff.aoff AS sd
+          FROM md JOIN aff ON md.site = aff.site AND md.hole = aff.hole
+                          AND md.core = aff.core
+          WHERE NOT EXISTS (
+            SELECT 1 FROM sit WHERE md.site = sit.site AND md.hole = sit.hole
+                                AND md.core = sit.core
+                                AND md.depth BETWEEN sit.topcsf AND sit.botcsf)
+        )
+        SELECT flag, site AS Site, count(*) AS n, round(sum(sd), 2) AS sd
+        FROM (SELECT 'splice' AS flag, * FROM on_rows
+              UNION ALL SELECT 'off-splice', * FROM off_rows)
+        GROUP BY flag, site
+    """
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -996,6 +1092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_avg_subquery": q17_avg_subquery,
         "q18_large_volume": q18_large_volume,
         "q19_disjunctive": q19_disjunctive,
+        "feldman_e2_export": feldman_e2_export,
     }
 
 
@@ -1266,6 +1363,7 @@ def oracle_sql() -> dict[str, str]:
                OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20 AND p_size <= 10)
                OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30 AND p_size <= 15)
         """,
+        "feldman_e2_export": _e2_oracle_sql(),
         **{k: v for k, v in _PIPELINE_ORACLES.items() if v is not None},
         "dedup_simhash": _simhash_oracle_sql(),
         "text_lang_id": _lang_id_oracle_sql(),

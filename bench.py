@@ -32,6 +32,7 @@ HEADLINE = [
     "w2_lag_diff",
     "w3_expanding_slope",
     "w1_splice_scan",
+    "feldman_e2_export",
     "q17_avg_subquery",
     "q18_large_volume",
     "q19_disjunctive",
