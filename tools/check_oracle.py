@@ -27,8 +27,9 @@ def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return None
-        # collapse float noise below hash-relevant precision
-        return round(v, 9)
+        # exact comparison: the driver's value hash may be bit-strict, so
+        # every query must round its floats to hash-identical values itself
+        return v
     if hasattr(v, "isoformat"):
         return v.isoformat()
     if isinstance(v, bytes):
