@@ -73,14 +73,16 @@ splice_steps = st.lists(
     st.tuples(
         st.integers(0, 1),              # hole index
         st.sampled_from(["TIE", "APPEND"]),
-        st.floats(5.0, 120.0),          # top offset cm
-        st.floats(5.0, 120.0),          # bottom offset cm
+        st.integers(1, 3),              # top section
+        st.integers(1, 3),              # bottom section
+        st.floats(5.0, 140.0),          # top offset cm
+        st.floats(5.0, 140.0),          # bottom offset cm
         st.booleans(),                  # user gap on APPEND?
     ),
     min_size=2, max_size=6)
 
 
-@settings(max_examples=6, deadline=None)
+@settings(max_examples=10, deadline=None)
 @given(steps=splice_steps, gap_pattern=st.lists(st.booleans(), min_size=3, max_size=8))
 def test_e1_differential(spark_fuzz, steps, gap_pattern):
     spark = spark_fuzz
@@ -88,13 +90,14 @@ def test_e1_differential(spark_fuzz, steps, gap_pattern):
     cores_per_hole = len(steps)  # one interval per core index, alternating holes
 
     splice_plan = []
-    for i, (hidx, sptype, toff, boff, usegap) in enumerate(steps):
+    for i, (hidx, sptype, ts, bs, toff, boff, usegap) in enumerate(steps):
         h = holes[hidx]
         c = str(i + 1)
-        # strictly descending interval: top in section 1, bottom in section 3
-        ts, bs = "1", "3"
+        # sections/offsets are unconstrained: inverted intervals make the
+        # reference bail, and then our engine must refuse too (dual-outcome
+        # contract below)
         gap = round(0.25, 3) if (usegap and sptype == "APPEND" and i > 0) else ""
-        splice_plan.append((h, c, ts, round(toff, 3), bs, round(boff, 3),
+        splice_plan.append((h, c, str(ts), round(toff, 3), str(bs), round(boff, 3),
                             sptype, gap))
 
     key = hashlib.md5(repr((steps, gap_pattern)).encode()).hexdigest()[:12]
