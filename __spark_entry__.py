@@ -1038,8 +1038,9 @@ def _e2_oracle_sql() -> str:
 # --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: the E2 containment-join shape at sf0.001."""
-    return j1_containment_join(spark, SF_DEFAULT)
+    """Flagship: the genuine E2 splice export (containment classification +
+    affine fallback through feldman_spark.export.splice_export) at sf0.001."""
+    return feldman_e2_export(spark, SF_DEFAULT)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -43,3 +43,42 @@ def get_spark(
                 os.environ.get("SPARK_WAREHOUSE_DIR", "/tmp/feldman-spark-warehouse"))
     )
     return builder.getOrCreate()
+
+
+def cluster_conf(
+    executors: int = 1000,
+    cores_per_executor: int = 4,
+    target_partition_mb: int = 256,
+) -> dict:
+    """Recommended settings for a real cluster run against ~100 TB —
+    returned as a dict to feed ``SparkSession.builder.config(map=...)``.
+
+    Sizing logic:
+
+    * ``files.maxPartitionBytes`` at 256 MB keeps scan tasks coarse enough
+      to amortize parquet footer/dictionary overhead while fitting
+      comfortably in executor memory after decompression;
+    * shuffle partitions ≈ 2-3× total cores so AQE has room to coalesce
+      down rather than split up (only the beyond-reference large-large
+      joins shuffle; the Feldman path is broadcast-only);
+    * broadcast threshold raised to 256 MB: every splice-side table
+      (affine, SIT, section summary) is tiny relative to executors, and
+      the E2 plan depends on them broadcasting;
+    * RocksDB state store for streaming state (dedup/session keys at
+      corpus scale exceed executor heap).
+    """
+    total_cores = executors * cores_per_executor
+    return {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.shuffle.partitions": str(total_cores * 2),
+        "spark.sql.files.maxPartitionBytes": str(target_partition_mb * 1024 * 1024),
+        "spark.sql.autoBroadcastJoinThreshold": str(256 * 1024 * 1024),
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.parquet.filterPushdown": "true",
+        "spark.sql.streaming.stateStore.providerClass":
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+    }
