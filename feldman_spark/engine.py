@@ -237,3 +237,29 @@ def export_measurement_data(
             unwritten_path = os.path.splitext(export_path)[0] + "-unwritten.csv"
         write_csv(result.unwritten, unwritten_path, fmt=MEASUREMENT_FORMAT)
     return result
+
+
+def append_date(text: str) -> str:
+    """Suffix a name with today's ISO date (``feldman.py:546-547``) —
+    the reference's output-file naming convention."""
+    from datetime import date
+
+    return "{}_{}".format(text, date.today().isoformat())
+
+
+def convert_gap_columns_csv(
+    spark: SparkSession, ss_path: str, out_path: str, max_gap_cols: int,
+) -> DataFrame:
+    """P11 path-level: LacCore-DB wide gap columns (``Gap 1 T``/``Gap 1 B``
+    …) merged into a single ``Gaps`` string column, appended at the end
+    (``coring/sectionSummary.py:190-203`` ``convertSSGapColumnsToSingle``)."""
+    from .io.csv import read_csv, write_csv
+    from .ops.gaps import merge_gap_columns
+
+    df = read_csv(spark, ss_path)
+    gap_cols = {f"Gap {i} {tb}" for i in range(1, max_gap_cols + 1) for tb in "TB"}
+    casted = df.withColumns({
+        c: F.col(f"`{c}`").cast("double") for c in df.columns if c in gap_cols})
+    out = merge_gap_columns(casted, max_gap_cols)
+    write_csv(out, out_path)
+    return out

@@ -81,3 +81,28 @@ def test_correlator_funky_reader(spark, tmp_out):
     assert df.count() == 2
     assert df.columns[:6] == ["Exp", "Site", "Hole", "Core", "CoreType", "Section"]
     assert df.filter(F.col("Hole") == "B").first()["Depth"] == "13.1"
+
+
+def test_append_date():
+    from datetime import date
+
+    from feldman_spark.engine import append_date
+
+    assert append_date("out") == f"out_{date.today().isoformat()}"
+
+
+def test_convert_gap_columns_csv(spark, tmp_out):
+    from feldman_spark.engine import convert_gap_columns_csv
+
+    src = f"{tmp_out}/wide_gaps.csv"
+    with open(src, "w") as f:
+        f.write("Site,Hole,Gap 1 T,Gap 1 B,Gap 2 T,Gap 2 B\n")
+        f.write("1,A,0.0,0.5,94.5,96.0\n")
+        f.write("1,B,,,,\n")
+    out = convert_gap_columns_csv(spark, src, f"{tmp_out}/merged_gaps.csv", 2)
+    rows = {r["Hole"]: r["Gaps"] for r in out.collect()}
+    assert rows["A"] == "0.0-0.5 94.5-96.0"
+    assert rows["B"] == ""
+    import pandas as pd
+    written = pd.read_csv(f"{tmp_out}/merged_gaps.csv")
+    assert "Gaps" in written.columns
