@@ -327,8 +327,11 @@ def w3_expanding_slope(spark, sf_dir):
     out = expanding_slope(
         o, x="day", y="o_totalprice", partition_by=["o_custkey"],
         order_by=[F.col("o_orderdate").asc(), F.col("o_orderkey").asc()],
-        out="growth_rate", digits=3)
-    return out.select("o_orderkey", "o_custkey", "growth_rate")
+        out="growth_rate", digits=None)
+    # the oracle rounds with DuckDB round() (half away from zero) — apply
+    # the matching HALF_UP rounding here, not the engine's HALF_EVEN bround
+    return out.select("o_orderkey", "o_custkey",
+                      F.round("growth_rate", 3).alias("growth_rate"))
 
 
 def w4_first_seen(spark, sf_dir):

@@ -141,7 +141,7 @@ def convert_sparse_splice_frames(
         .withColumn(IDX, F.monotonically_increasing_id())
 
     sit_rounded = sit.withColumns({
-        c: F.round(F.col(c), 3)
+        c: F.bround(F.col(c), 3)
         for c in ("TopDepthCSF", "TopDepthCCSF", "BottomDepthCSF", "BottomDepthCCSF")
     })
 

@@ -220,7 +220,8 @@ def write_csv(
     if fmt is not None:
         if round_digits is not None:
             num_cols = [c.name for c in fmt.cols if c.is_numeric() and c.name in df.columns]
-            df = df.withColumns({c: F.round(F.col(f"`{c}`"), round_digits) for c in num_cols})
+            # pandas .round() is HALF_EVEN (feldman.py:538-544) -> bround
+            df = df.withColumns({c: F.bround(F.col(f"`{c}`"), round_digits) for c in num_cols})
         df = df.withColumnsRenamed(pretty_rename_map(fmt, df.columns, org))
     if not single_file:
         df.write.option("header", True).mode("overwrite").csv(path)

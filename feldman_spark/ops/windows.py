@@ -7,7 +7,7 @@ distributed, partitioned by the grouping key.
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Optional, Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -47,7 +47,7 @@ def expanding_slope(
     partition_by: Sequence[str],
     order_by: Sequence[Column],
     out: str = "slope",
-    digits: int = 3,
+    digits: Optional[int] = 3,
 ) -> DataFrame:
     """W3/A6: expanding OLS slope of (x, y) over all rows so far within the
     group, rounded; first row and degenerate fits → 0.0
@@ -61,7 +61,10 @@ def expanding_slope(
         .orderBy(*order_by)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    slope = F.round(F.regr_slope(F.col(f"`{y}`"), F.col(f"`{x}`")).over(w), digits)
+    slope = F.regr_slope(F.col(f"`{y}`"), F.col(f"`{x}`")).over(w)
+    if digits is not None:
+        # python round() semantics (HALF_EVEN), matching feldman.py:520
+        slope = F.bround(slope, digits)
     return df.withColumn(out, F.coalesce(slope, F.lit(0.0)))
 
 

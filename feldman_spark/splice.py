@@ -72,11 +72,11 @@ def section_lookup(secsumm: DataFrame) -> DataFrame:
     (``coring/sectionSummary.py:105-123``) — and gaps pre-parsed."""
     return secsumm.select(
         "Site", "Hole", "Core", "Section",
-        F.round("TopDepth", 3).alias("SecTop"),
-        F.round("BottomDepth", 3).alias("SecBot"),
-        F.round("TopDepthScaled", 3).alias("SecTopScaled"),
-        F.round("BottomDepthScaled", 3).alias("SecBotScaled"),
-        F.round("CuratedLength", 3).alias("Curated"),
+        F.bround("TopDepth", 3).alias("SecTop"),
+        F.bround("BottomDepth", 3).alias("SecBot"),
+        F.bround("TopDepthScaled", 3).alias("SecTopScaled"),
+        F.bround("BottomDepthScaled", 3).alias("SecBotScaled"),
+        F.bround("CuratedLength", 3).alias("Curated"),
         parse_gaps(F.col("Gaps")).alias("GapsParsed")
         if "Gaps" in secsumm.columns
         else F.array().cast("array<struct<top:double,bot:double>>").alias("GapsParsed"),
@@ -325,7 +325,7 @@ def core_top_lookup(secsumm: DataFrame) -> DataFrame:
     (``coring/sectionSummary.py:102-107``)."""
     return (
         secsumm.filter(F.col("Section") == "1")
-        .select("Site", "Hole", "Core", F.round("TopDepth", 3).alias("CoreTop"))
+        .select("Site", "Hole", "Core", F.bround("TopDepth", 3).alias("CoreTop"))
     )
 
 
@@ -375,7 +375,7 @@ def off_splice_affines(
         offsets, on=["Site", "Hole", "Core"], how="left")
     # search key: the off-splice core's *rounded* section-'1' top
     # (getSectionTop rounds, candidate TopDepth is raw — feldman parity)
-    off_search = off_cores.withColumn("SearchTop", F.round("TopDepth", 3))
+    off_search = off_cores.withColumn("SearchTop", F.bround("TopDepth", 3))
     nearest = nearest_join(
         off_search,
         on_with_offsets.select("Site", "Hole", "Core", "TopDepth", "SitOffset", IDX),
@@ -466,7 +466,7 @@ def off_splice_affines(
             "ShiftedTieCSF": F.when(has_tie, F.col("TieShiftedCSF")).otherwise(F.col("ShiftedTieCSF")),
         }).drop("TieOffset", "TieFixedCore", "TieFixedCSF", "TieShiftedCSF")
 
-    core_top = F.round("TopDepth", 3)
+    core_top = F.bround("TopDepth", 3)
     return result.select(
         "Site", "Hole", "Core", "Tool",
         core_top.alias("DepthCSF"),

@@ -197,3 +197,54 @@ def test_parallel_multi_splice_scan(spark, ref_testdata):
     # site X is a pure clone: identical depths under its own scan
     got2 = sorted([tuple(r)[1:] for r in grouped.filter(F.col("Site") == "X").select(cols).collect()])
     assert got2 == [t[1:] for t in want1]
+
+
+def test_scaled_compression_branch_parity(spark):
+    """The curated-vs-drilled compression path (coring/sectionSummary.py:67-73)
+    only fires in scaled mode when CuratedLength (m) exceeds the drilled
+    length *in cm* — the reference's mixed-unit comparison, preserved
+    bug-for-bug. No shipped fixture triggers it; craft one and compare both
+    implementations."""
+    case = f"{OUT}/compression"
+    os.makedirs(case, exist_ok=True)
+    ss_path, sp_path = f"{case}/ss.csv", f"{case}/sp.csv"
+    with open(ss_path, "w") as f:
+        f.write("Site,Hole,Core,Tool,Section,TopDepth,BottomDepth,"
+                "TopDepthScaled,BottomDepthScaled,CuratedLength,Gaps\n")
+        # CuratedLength=200.0 > drilled 150cm -> compression fires in scaled mode
+        for c in (1, 2):
+            for s in (1, 2, 3):
+                top = (c - 1) * 4.5 + (s - 1) * 1.5
+                f.write(f"1,A,{c},H,{s},{top},{top+1.5},{top*1.02},{(top+1.5)*1.02},200.0,\n")
+    with open(sp_path, "w") as f:
+        f.write("Site,Hole,Core,Tool,TopSection,TopOffset,BottomSection,"
+                "BottomOffset,SpliceType,Gap,DataUsed,Comment\n")
+        f.write("1,A,1,H,1,10.0,3,120.0,TIE,,,\n")
+        f.write("1,A,2,H,1,20.0,3,110.0,TIE,,,\n")
+
+    ref_aff, ref_sit = f"{case}/ref_aff.csv", f"{case}/ref_sit.csv"
+    subprocess.run(
+        [sys.executable, "-c", f"""
+import sys, logging
+sys.path.insert(0, {REF!r})
+logging.basicConfig(level=logging.CRITICAL)
+import feldman
+feldman.convertSparseSplice({ss_path!r}, {sp_path!r}, {ref_aff!r}, {ref_sit!r},
+                            useScaledDepths=True)
+"""], check=True, cwd=case, capture_output=True)
+
+    our_aff, our_sit = f"{case}/our_aff.csv", f"{case}/our_sit.csv"
+    convert_sparse_splice(spark, ss_path, sp_path, our_aff, our_sit,
+                          use_scaled_depths=True)
+    _compare(pd.read_csv(ref_sit), pd.read_csv(our_sit),
+             ["Site", "Hole", "Core", "Top Section"])
+    _compare(pd.read_csv(ref_aff), pd.read_csv(our_aff), ["Site", "Hole", "Core"])
+    # prove compression actually fired: compressed depth differs from the
+    # plain scaled depth formula
+    sit = pd.read_csv(our_sit)
+    top = sit["Top Depth CSF-A"].iloc[0]
+    plain = round(0.0 * 1.02 + 10.0 / 100.0, 3)     # no compression
+    # scaled drilled length = (1.53 - 0.0) m = 153 cm
+    compressed = 0.0 + (10.0 / 100.0) * (153.0 / 200.0)
+    # CSV values are rounded to 3 places; allow the rounding gap
+    assert abs(top - compressed) <= 5.1e-4 and abs(top - plain) > 1e-2
