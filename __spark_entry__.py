@@ -1036,6 +1036,20 @@ def _e2_oracle_sql() -> str:
     """
 
 
+
+
+def a7_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles per group (beyond-reference
+    aggregate; Spark percentile() and DuckDB quantile_cont share the
+    linear-interpolation definition)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("median_price"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_price"),
+        F.round(F.expr("percentile(l_quantity, 0.25)"), 4).alias("q1_qty"),
+    )
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -1097,6 +1111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_large_volume": q18_large_volume,
         "q19_disjunctive": q19_disjunctive,
         "feldman_e2_export": feldman_e2_export,
+        "a7_percentiles": a7_percentiles,
     }
 
 
@@ -1366,6 +1381,13 @@ def oracle_sql() -> dict[str, str]:
             WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11 AND p_size <= 5)
                OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20 AND p_size <= 10)
                OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30 AND p_size <= 15)
+        """,
+        "a7_percentiles": """
+            SELECT l_returnflag,
+                   round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+                   round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+                   round(quantile_cont(l_quantity, 0.25), 4) AS q1_qty
+            FROM lineitem GROUP BY l_returnflag
         """,
         "feldman_e2_export": _e2_oracle_sql(),
         **{k: v for k, v in _PIPELINE_ORACLES.items() if v is not None},
