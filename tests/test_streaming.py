@@ -167,3 +167,50 @@ def test_streaming_splice_export(spark, tmp_out, ref_testdata):
                 for r in spark.sql("select * from splice_stream").collect()}
     assert got_rows == want_rows
     assert got_rows["splice"][0] > 0 and got_rows["off-splice"][0] > 0
+
+
+def test_stateful_dedup_survives_restart(spark, events, tmp_out):
+    """Checkpointed state survives a query restart: keys emitted before the
+    stop are still suppressed when the query resumes on new data."""
+    import shutil
+    from feldman_spark.streaming.stateful import streaming_dedup
+    from feldman_spark.streaming.events import stream_events
+
+    src = f"{tmp_out}/restart_src"
+    ckpt = f"{tmp_out}/restart_ckpt"
+    sink = f"{tmp_out}/restart_sink"
+    for d in (src, ckpt, sink):
+        shutil.rmtree(d, ignore_errors=True)
+
+    first = events.filter(F.col("event_id") < 100).select(
+        "event_id", "event_type", "user_id")
+    first.repartition(1).write.parquet(src)
+
+    def run_until_drained():
+        # memory sinks cannot recover from checkpoints; use the
+        # fault-tolerant file sink, as production would
+        stream = stream_events(spark, src)
+        q = (streaming_dedup(stream, key_col="event_id")
+             .writeStream.format("parquet")
+             .option("path", sink)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").start())
+        q.processAllAvailable()
+        q.stop()
+
+    run_until_drained()
+    assert spark.read.parquet(sink).count() == 100
+
+    # new data: 100 duplicates of already-seen keys + 50 new keys
+    fresh = events.filter(F.col("event_id").between(100, 149)).select(
+        "event_id", "event_type", "user_id")
+    first.unionByName(fresh).repartition(1).write.mode("append").parquet(src)
+
+    run_until_drained()
+    # the resumed query (same checkpoint) emitted ONLY the 50 fresh keys
+    out = spark.read.parquet(sink)
+    assert out.count() == 150
+    assert out.select("event_id").distinct().count() == 150
+    new_ids = sorted(r["event_id"] for r in
+                     out.filter(F.col("event_id") >= 100).collect())
+    assert new_ids == list(range(100, 150))
