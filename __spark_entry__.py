@@ -1050,6 +1050,23 @@ def a7_percentiles(spark, sf_dir):
     )
 
 
+
+
+def events_json_props(spark, sf_dir):
+    """Semi-structured handling: parse the events JSON props column
+    (from_json with an explicit schema — no inference pass at scale) and
+    aggregate on an extracted field."""
+    e = _t(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k BIGINT")["k"]
+    return (
+        e.withColumn("k", k)
+        .groupBy("event_type", (F.col("k") % 10).alias("k_bucket"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum("k").alias("k_sum"),
+             _r2(F.sum("value")).alias("value_sum"))
+    )
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -1112,6 +1129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_disjunctive": q19_disjunctive,
         "feldman_e2_export": feldman_e2_export,
         "a7_percentiles": a7_percentiles,
+        "events_json_props": events_json_props,
     }
 
 
@@ -1381,6 +1399,14 @@ def oracle_sql() -> dict[str, str]:
             WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11 AND p_size <= 5)
                OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20 AND p_size <= 10)
                OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30 AND p_size <= 15)
+        """,
+        "events_json_props": """
+            SELECT event_type,
+                   CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+                   count(*) AS n,
+                   CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+                   round(sum(value), 2) AS value_sum
+            FROM events GROUP BY 1, 2
         """,
         "a7_percentiles": """
             SELECT l_returnflag,

@@ -267,7 +267,12 @@ def splice_scan(
     """W1: run the recursive scan. With ``group_cols`` empty the whole
     splice is one ordered group (the reference's semantics — a splice is a
     single ordered document); pass e.g. ``["Site"]`` to scan many
-    independent splices in parallel, one group per key."""
+    independent splices in parallel, one group per key.
+
+    Execution note: ``groupBy + applyInPandas`` beats a tempting
+    ``coalesce(1).mapInPandas`` formulation 4-5× here — coalesce collapses
+    the *upstream* enrichment joins into one task, while the tiny grouped
+    shuffle keeps them parallel."""
     schema = _scan_schema(enriched)
 
     def apply_fn(pdf: pd.DataFrame) -> pd.DataFrame:
