@@ -84,10 +84,17 @@ def splice_export(
     depth_column: str,
     include_off_splice: bool = True,
     whole_splice_section: bool = False,
+    broadcast_splice_tables: bool = True,
 ) -> SpliceExport:
     """Export measurement rows with composite depth and on-/off-splice flag.
     One broadcast left join per stage; the measurement side never shuffles.
+
+    ``broadcast_splice_tables=False`` drops the broadcast hints for the
+    pathological case of a SIT/affine too large to broadcast (millions of
+    intervals) — Spark then shuffles both sides on the equi keys instead.
+    Real splice tables are hundreds of rows; keep the default.
     """
+    _maybe_broadcast = F.broadcast if broadcast_splice_tables else (lambda df: df)
     depth = F.col(f"`{depth_column}`")
     out_cols = export_columns(md.columns)
     sit_exp = _expand_sit_sections(sit)
@@ -109,12 +116,12 @@ def splice_export(
         }).select([F.col(f"`{c}`") for c in out_cols])
 
     if not include_off_splice:
-        joined = md.join(F.broadcast(sit_exp), cond, "inner")
+        joined = md.join(_maybe_broadcast(sit_exp), cond, "inner")
         return SpliceExport(
             spliced=finalize(joined, F.col("__offset"), F.lit("splice")),
             unwritten=None)
 
-    joined = md.join(F.broadcast(sit_exp), cond, "left")
+    joined = md.join(_maybe_broadcast(sit_exp), cond, "left")
 
     # The left join emits one row per interval match, and exactly one
     # null-extended row per measurement row matching no interval. The
@@ -130,7 +137,7 @@ def splice_export(
         & (F.col("Hole") == F.col("__ahole"))
         & (F.col("Core") == F.col("__acore"))
     )
-    joined = joined.join(F.broadcast(aff), acond, "left")
+    joined = joined.join(_maybe_broadcast(aff), acond, "left")
 
     is_on = F.col("__offset").isNotNull()
     is_off = F.col("__offset").isNull() & F.col("__aoffset").isNotNull()
