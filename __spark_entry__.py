@@ -940,6 +940,289 @@ def q17_avg_subquery(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------------
+# Remaining TPC-H classics, adapted to the synthetic schema (no partsupp
+# table, no commit/receipt dates, no phone/comment columns — each query
+# keeps the classic's *plan shape* and notes the substitution).
+# --------------------------------------------------------------------------
+
+def q2_min_cost_supplier(spark, sf_dir):
+    """Q2 shape: correlated min subquery (min-cost supplier per part),
+    decorrelated as a window-min over the part partition. partsupp is
+    absent, so supply cost is derived as min unit price observed in
+    lineitem per (part, supplier)."""
+    li = _t(spark, sf_dir, "lineitem")
+    pa = _t(spark, sf_dir, "part").filter(F.col("p_size") < 10)
+    su = _t(spark, sf_dir, "supplier")
+    na = _t(spark, sf_dir, "nation")
+    re = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    cost = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(F.round(F.min(F.col("l_extendedprice") / F.col("l_quantity")), 4).alias("cost"))
+    )
+    eur = (
+        su.join(F.broadcast(na), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(re), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    pc = (
+        cost.join(F.broadcast(eur), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(pa), F.col("l_partkey") == F.col("p_partkey"))
+        .select(F.col("p_partkey"), "s_name", "n_name", "cost")
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        pc.withColumn("min_cost", F.min("cost").over(w))
+        .filter(F.col("cost") == F.col("min_cost"))
+        .select("s_name", "n_name", "p_partkey", "cost")
+    )
+
+
+def q4_order_priority(spark, sf_dir):
+    """Q4 shape: EXISTS semi-join from orders into lineitem with a
+    non-equi residual (no commitdate column — 'late' is shipdate more
+    than 60 days after the order date)."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-07-01") & (F.col("o_orderdate") < "1996-10-01"))
+    li = _t(spark, sf_dir, "lineitem")
+    late = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+    return (
+        o.join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def q7_volume_shipping(spark, sf_dir):
+    """Q7 shape: nation-pair volume between two nations in either
+    direction, grouped by (supp_nation, cust_nation, year)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01"))
+    o = _t(spark, sf_dir, "orders")
+    cu = _t(spark, sf_dir, "customer")
+    su = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(su), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cu, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation",
+                 F.year("l_shipdate").cast("bigint").alias("l_year"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+    )
+
+
+def q8_market_share(spark, sf_dir):
+    """Q8 shape: market share of one supplier nation within a consumer
+    region per year — ratio of conditional to total aggregate over a
+    six-table join."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01"))
+    cu = _t(spark, sf_dir, "customer")
+    su = _t(spark, sf_dir, "supplier")
+    pa = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    na = _t(spark, sf_dir, "nation")
+    re = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    tgt = F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(pa), F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cu, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(na), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(re), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(F.broadcast(su), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(F.round(F.sum(tgt) / F.sum(vol), 6).alias("mkt_share"))
+    )
+
+
+def q9_product_profit(spark, sf_dir):
+    """Q9 shape: profit per (supplier nation, year) over a five-table
+    join. partsupp is absent, so unit cost is proxied by a fixed fraction
+    of p_retailprice."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    su = _t(spark, sf_dir, "supplier")
+    pa = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("widget"))
+    na = _t(spark, sf_dir, "nation")
+    profit = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+              - F.col("p_retailprice") * 0.1 * F.col("l_quantity"))
+    return (
+        li.join(F.broadcast(pa), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(su), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(na), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"),
+                 F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(F.round(F.sum(profit), 4).alias("sum_profit"))
+    )
+
+
+def q11_important_stock(spark, sf_dir):
+    """Q11 shape: per-part value with a HAVING threshold computed as a
+    scalar subquery over the same data (fraction of total). Value is
+    derived from lineitem (sum price*qty) for suppliers of one nation;
+    the scalar total is cross-joined as a broadcast literal row."""
+    li = _t(spark, sf_dir, "lineitem")
+    su = _t(spark, sf_dir, "supplier")
+    na = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+    base = (
+        li.join(F.broadcast(
+            su.join(F.broadcast(na), F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("l_partkey", (F.col("l_extendedprice") * F.col("l_quantity")).alias("v"))
+    )
+    per_part = base.groupBy("l_partkey").agg(F.sum("v").alias("value"))
+    total = base.agg((F.sum("v") * 0.001).alias("threshold"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value") > F.col("threshold"))
+        .select("l_partkey", F.round("value", 4).alias("value"))
+    )
+
+
+def q13_customer_distribution(spark, sf_dir):
+    """Q13 shape: left outer join + two-level aggregation (orders per
+    customer, then customers per order count). The comment-pattern filter
+    becomes a priority filter."""
+    cu = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "5-LOW")
+    return (
+        cu.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+def q15_top_supplier(spark, sf_dir):
+    """Q15 shape: aggregate view + scalar-max equality (the top supplier
+    by quarterly revenue, ties kept)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01"))
+    su = _t(spark, sf_dir, "supplier")
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+             .alias("total_revenue"))
+    )
+    mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(su), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+def q16_supplier_cnt(spark, sf_dir):
+    """Q16 shape: distinct-supplier count per part attribute group with a
+    NOT-IN supplier exclusion. partsupp is absent — part-supplier pairs
+    come from lineitem; the exclusion list is negative-balance suppliers."""
+    li = _t(spark, sf_dir, "lineitem")
+    pa = _t(spark, sf_dir, "part").filter(F.col("p_brand") != "Brand#1")
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(pa), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q20_potential_promotion(spark, sf_dir):
+    """Q20 shape: semi-join chain — suppliers of one nation whose 1996
+    shipped quantity of small-type parts exceeds a threshold (availqty
+    comparison adapted: no partsupp table)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01"))
+    pa = _t(spark, sf_dir, "part").filter(F.col("p_type") == "SMALL")
+    su = _t(spark, sf_dir, "supplier")
+    na = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    qualified = (
+        li.join(F.broadcast(pa), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 100)
+    )
+    return (
+        su.join(F.broadcast(na), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
+        .join(qualified, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+def q21_waiting_supplier(spark, sf_dir):
+    """Q21 shape: EXISTS + NOT-EXISTS against the same fact table —
+    suppliers whose lineitem was the only late one in a multi-supplier
+    finished order. 'Late' is shipdate > orderdate + 30 days (no
+    commit/receipt dates in the synthetic schema)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    su = _t(spark, sf_dir, "supplier")
+    na = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_4")
+    late_all = (
+        li.join(o.select("o_orderkey", "o_orderdate"),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    li2 = li.select(F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2"))
+    l3 = late_all.select(F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3"))
+    return (
+        late_all
+        .join(li2, (F.col("l_orderkey") == F.col("k2"))
+              & (F.col("l_suppkey") != F.col("s2")), "left_semi")
+        .join(l3, (F.col("l_orderkey") == F.col("k3"))
+              & (F.col("l_suppkey") != F.col("s3")), "left_anti")
+        .join(F.broadcast(
+            su.join(F.broadcast(na), F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+def q22_global_sales(spark, sf_dir):
+    """Q22 shape: anti-join against orders plus a scalar-subquery average
+    threshold. The phone country code becomes c_custkey % 7, and 'has no
+    orders' becomes 'has no urgent orders' (every synthetic customer has
+    orders, which would make the classic predicate trivially empty)."""
+    cu = _t(spark, sf_dir, "customer").withColumn(
+        "cntrycode", (F.col("c_custkey") % 7).cast("bigint"))
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    codes = [0, 1, 2, 3]
+    pool = cu.filter(F.col("cntrycode").isin(codes))
+    avg_bal = pool.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("avg_bal"))
+    return (
+        pool.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("cntrycode")
+        .agg(F.count(F.lit(1)).alias("numcust"),
+             _r2(F.sum("c_acctbal")).alias("totacctbal"))
+    )
+
+
 
 
 # shared literal splice-side tables for the oracle-checked E2 query --------
@@ -1130,6 +1413,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feldman_e2_export": feldman_e2_export,
         "a7_percentiles": a7_percentiles,
         "events_json_props": events_json_props,
+        "q2_min_cost_supplier": q2_min_cost_supplier,
+        "q4_order_priority": q4_order_priority,
+        "q7_volume_shipping": q7_volume_shipping,
+        "q8_market_share": q8_market_share,
+        "q9_product_profit": q9_product_profit,
+        "q11_important_stock": q11_important_stock,
+        "q13_customer_distribution": q13_customer_distribution,
+        "q15_top_supplier": q15_top_supplier,
+        "q16_supplier_cnt": q16_supplier_cnt,
+        "q20_potential_promotion": q20_potential_promotion,
+        "q21_waiting_supplier": q21_waiting_supplier,
+        "q22_global_sales": q22_global_sales,
     }
 
 
@@ -1419,4 +1714,187 @@ def oracle_sql() -> dict[str, str]:
         **{k: v for k, v in _PIPELINE_ORACLES.items() if v is not None},
         "dedup_simhash": _simhash_oracle_sql(),
         "text_lang_id": _lang_id_oracle_sql(),
+        "q2_min_cost_supplier": """
+            WITH cost AS (
+              SELECT l_partkey, l_suppkey,
+                     round(min(l_extendedprice / l_quantity), 4) AS cost
+              FROM lineitem GROUP BY 1, 2
+            ),
+            eur AS (
+              SELECT s_suppkey, s_name, n_name
+              FROM supplier
+              JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              WHERE r_name = 'EUROPE'
+            ),
+            pc AS (
+              SELECT p_partkey, s_name, n_name, cost,
+                     min(cost) OVER (PARTITION BY p_partkey) AS min_cost
+              FROM cost
+              JOIN eur ON l_suppkey = s_suppkey
+              JOIN part ON l_partkey = p_partkey
+              WHERE p_size < 10
+            )
+            SELECT s_name, n_name, p_partkey, cost FROM pc WHERE cost = min_cost
+        """,
+        "q4_order_priority": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+              AND o_orderdate < TIMESTAMP '1996-10-01'
+              AND EXISTS (
+                SELECT 1 FROM lineitem
+                WHERE l_orderkey = o_orderkey
+                  AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+            GROUP BY o_orderpriority
+        """,
+        "q7_volume_shipping": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+              AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+            GROUP BY 1, 2, 3
+        """,
+        "q8_market_share": """
+            SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   round(sum(CASE WHEN n1.n_name = 'NATION_3'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0.0 END)
+                         / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            JOIN region ON n2.n_regionkey = r_regionkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+            GROUP BY 1
+        """,
+        "q9_product_profit": """
+            SELECT n_name AS nation,
+                   CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   round(sum(l_extendedprice * (1 - l_discount)
+                             - p_retailprice * 0.1 * l_quantity), 4) AS sum_profit
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE p_name LIKE '%widget%'
+            GROUP BY 1, 2
+        """,
+        "q11_important_stock": """
+            WITH base AS (
+              SELECT l_partkey, l_extendedprice * l_quantity AS v
+              FROM lineitem
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+              WHERE n_name = 'NATION_5'
+            )
+            SELECT l_partkey, round(sum(v), 4) AS value
+            FROM base
+            GROUP BY l_partkey
+            HAVING sum(v) > (SELECT sum(v) * 0.001 FROM base)
+        """,
+        "q13_customer_distribution": """
+            SELECT c_count, count(*) AS custdist
+            FROM (
+              SELECT c_custkey, count(o_orderkey) AS c_count
+              FROM customer
+              LEFT JOIN (SELECT * FROM orders WHERE o_orderpriority <> '5-LOW') o
+                ON c_custkey = o_custkey
+              GROUP BY c_custkey
+            )
+            GROUP BY c_count
+        """,
+        "q15_top_supplier": """
+            WITH revenue AS (
+              SELECT l_suppkey AS supplier_no,
+                     round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1996-04-01'
+              GROUP BY l_suppkey
+            )
+            SELECT s_suppkey, s_name, total_revenue
+            FROM revenue JOIN supplier ON supplier_no = s_suppkey
+            WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+        """,
+        "q16_supplier_cnt": """
+            SELECT p_brand, p_type, p_size,
+                   count(DISTINCT l_suppkey) AS supplier_cnt
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#1'
+              AND l_suppkey NOT IN (
+                SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+            GROUP BY 1, 2, 3
+        """,
+        "q20_potential_promotion": """
+            SELECT s_suppkey, s_name
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_name = 'NATION_7'
+              AND s_suppkey IN (
+                SELECT l_suppkey
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE p_type = 'SMALL'
+                  AND l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1997-01-01'
+                GROUP BY l_suppkey
+                HAVING sum(l_quantity) > 100)
+        """,
+        "q21_waiting_supplier": """
+            WITH late AS (
+              SELECT l_orderkey, l_suppkey
+              FROM lineitem
+              JOIN orders ON l_orderkey = o_orderkey
+              WHERE o_orderstatus = 'F'
+                AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+            )
+            SELECT s_name, count(*) AS numwait
+            FROM late l1
+            JOIN supplier ON l1.l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_name = 'NATION_4'
+              AND EXISTS (
+                SELECT 1 FROM lineitem l2
+                WHERE l2.l_orderkey = l1.l_orderkey
+                  AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (
+                SELECT 1 FROM late l3
+                WHERE l3.l_orderkey = l1.l_orderkey
+                  AND l3.l_suppkey <> l1.l_suppkey)
+            GROUP BY s_name
+        """,
+        "q22_global_sales": """
+            WITH pool AS (
+              SELECT c_custkey, c_acctbal,
+                     CAST(c_custkey % 7 AS BIGINT) AS cntrycode
+              FROM customer
+              WHERE c_custkey % 7 IN (0, 1, 2, 3)
+            )
+            SELECT cntrycode, count(*) AS numcust,
+                   round(sum(c_acctbal), 2) AS totacctbal
+            FROM pool
+            WHERE c_acctbal > (
+                SELECT avg(c_acctbal) FROM pool WHERE c_acctbal > 0.0)
+              AND NOT EXISTS (
+                SELECT 1 FROM orders
+                WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+            GROUP BY cntrycode
+        """,
     }
