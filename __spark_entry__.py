@@ -587,6 +587,32 @@ def knn_lsh(spark, sf_dir):
     return lsh_partitioned_topk(e.filter(F.col("vec_id") != 0), q, k=10)
 
 
+def knn_ivf(spark, sf_dir):
+    """IVF-flat ANN top-10 (spherical k-means buckets, nprobe=2 of 8;
+    approximate by contract -> rows-only; exactness at nprobe=C and the
+    recall floor are pytest-asserted against the brute-force twin)."""
+    from feldman_spark.pipeline.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    return ivf_topk(e.filter(F.col("vec_id") != 0), q, k=10,
+                    num_centroids=8, nprobe=2, iters=2)
+
+
+def text_tokens(spark, sf_dir):
+    """Token counting per document: whitespace tokens and BPE-ish
+    pre-tokenizer pieces (regexp_extract_all — pure column expressions,
+    engine-portable pattern)."""
+    from feldman_spark.pipeline.text import bpe_token_count, token_count
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("ws_tokens"),
+        bpe_token_count(F.col("text")).alias("bpe_tokens"),
+    )
+
+
 def events_tumbling(spark, sf_dir):
     """Tumbling 1h event-time windows: count + value sum per (window, type).
     Same plan runs under readStream with a watermark (see
@@ -1400,6 +1426,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": text_fingerprint,
         "knn_brute_force": knn_brute_force,
         "knn_lsh": knn_lsh,
+        "knn_ivf": knn_ivf,
+        "text_tokens": text_tokens,
         "events_tumbling": events_tumbling,
         "events_sliding": events_sliding,
         "events_sessionize": events_sessionize,
@@ -1714,6 +1742,13 @@ def oracle_sql() -> dict[str, str]:
         **{k: v for k, v in _PIPELINE_ORACLES.items() if v is not None},
         "dedup_simhash": _simhash_oracle_sql(),
         "text_lang_id": _lang_id_oracle_sql(),
+        "text_tokens": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS ws_tokens,
+                   CAST(len(regexp_extract_all(text,
+                        ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+')) AS BIGINT) AS bpe_tokens
+            FROM documents
+        """,
         "q2_min_cost_supplier": """
             WITH cost AS (
               SELECT l_partkey, l_suppkey,

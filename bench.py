@@ -41,6 +41,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "text_quality",
     "knn_brute_force",
+    "knn_ivf",
     "events_sessionize",
     "dedup_embedding_cosine",
 ]

@@ -19,7 +19,13 @@ from typing import List, Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["cosine_topk", "lsh_partitioned_topk", "hyperplane_signature"]
+__all__ = [
+    "cosine_topk",
+    "lsh_partitioned_topk",
+    "hyperplane_signature",
+    "ivf_build",
+    "ivf_topk",
+]
 
 
 def _as_double(vec: Column) -> Column:
@@ -114,6 +120,130 @@ def lsh_partitioned_topk(
     w = Window.orderBy(F.col("cosine").desc(), F.col(id_col).asc())
     return (
         signed.filter(F.col("_sig").isin(list(probes)))
+        .select(F.col(id_col), cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ivf_build(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_centroids: int = 16,
+    iters: int = 2,
+):
+    """IVF index build: spherical k-means with deterministic seeding.
+
+    Initial centroids are the vectors whose ``xxhash64(id)`` is smallest —
+    a reproducible pseudo-random sample, no RNG state. Each iteration is
+    one distributed pass: assignment by max cosine against the broadcast
+    centroid matrix (vectorized ``numpy`` matmul per Arrow batch), then
+    new centroids as the mean of assigned L2-normalized vectors. The
+    centroid matrix is C×d doubles — driver/broadcast-sized for any
+    realistic C.
+
+    Returns ``(assigned, centroids)``: the input with a ``cid`` bucket
+    column, and the centroid matrix as a list of lists. At corpus scale,
+    persist ``assigned`` partitioned/bucketed by ``cid`` so that probing
+    reads only the matching files.
+    """
+    import numpy as np
+
+    seeds = (
+        df.select(id_col, vec_col)
+        .withColumn("_h", F.xxhash64(F.col(id_col)))
+        .orderBy("_h")
+        .limit(num_centroids)
+        .collect()
+    )
+    cents = np.array([r[vec_col] for r in seeds], dtype=np.float64)
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+
+    spark = df.sparkSession
+
+    def assigned_with(cmat: "np.ndarray") -> DataFrame:
+        b = spark.sparkContext.broadcast(cmat)
+        out_schema = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+        ) + ", cid int"
+
+        def assign(batches):
+            import pandas as pd
+
+            c = b.value
+            for pdf in batches:
+                x = np.array(list(pdf[vec_col]), dtype=np.float64)
+                xn = np.linalg.norm(x, axis=1, keepdims=True)
+                xn[xn == 0] = 1.0
+                sims = (x / xn) @ c.T
+                pdf = pdf.copy()
+                pdf["cid"] = sims.argmax(axis=1).astype("int32")
+                yield pdf
+
+        return df.mapInPandas(assign, schema=out_schema)
+
+    for _ in range(iters):
+        assigned = assigned_with(cents)
+        # mean of normalized members per bucket; empty buckets keep their
+        # previous centroid (argmax assignment can abandon a seed)
+        sums = (
+            assigned.select("cid", _as_double(F.col(vec_col)).alias("_v"))
+            .withColumn("_n", _norm(F.col("_v")))
+            .withColumn("_u", F.transform("_v", lambda x: x / F.col("_n")))
+            .select("cid", F.posexplode("_u").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("ms"))
+            .select("cid", F.col("ms.m").alias("mean"))
+            .collect()
+        )
+        new = cents.copy()
+        for r in sums:
+            m = np.array(r["mean"], dtype=np.float64)
+            n = np.linalg.norm(m)
+            if n > 0:
+                new[r["cid"]] = m / n
+        cents = new
+
+    return assigned_with(cents), [list(map(float, c)) for c in cents]
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_centroids: int = 16,
+    nprobe: int = 2,
+    iters: int = 2,
+    digits: int = 6,
+    index=None,
+) -> DataFrame:
+    """IVF-flat ANN: scan only the ``nprobe`` buckets whose centroid is
+    most cosine-similar to the query, then exact cosine top-k within.
+    ``nprobe == num_centroids`` degenerates to brute force (exact);
+    smaller nprobe trades recall for a ~nprobe/C scan fraction. Pass a
+    prebuilt ``index=(assigned, centroids)`` to amortize the build across
+    queries — the production shape, where the index is written bucketed
+    by cid and probing is partition pruning."""
+    import numpy as np
+
+    assigned, cents = index if index is not None else ivf_build(
+        df, vec_col, id_col, num_centroids, iters)
+    q = np.array([float(x) for x in query_vec], dtype=np.float64)
+    qn = np.linalg.norm(q) or 1.0
+    sims = (np.array(cents, dtype=np.float64) @ (q / qn))
+    probes = [int(i) for i in np.argsort(-sims)[:nprobe]]
+
+    v = _as_double(F.col(vec_col))
+    qcol = F.array(*[F.lit(float(x)) for x in q])
+    cos = F.round(_dot(v, qcol) / (_norm(v) * F.lit(float(qn))), digits)
+    w = Window.orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    return (
+        assigned.filter(F.col("cid").isin(probes))
         .select(F.col(id_col), cos.alias("cosine"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "token_count",
+    "bpe_token_count",
     "quality_features",
     "quality_score",
     "lang_scores",
@@ -39,6 +40,21 @@ def token_count(text: Column) -> Column:
     return F.when(trimmed == "", F.lit(0)).otherwise(
         F.size(F.split(trimmed, r"\s+"))
     ).cast("bigint")
+
+
+# GPT-2-style pre-tokenization classes: a run of letters, a run of digits,
+# or a run of other non-space symbols — each optionally preceded by one
+# space. Kept to constructs whose semantics are identical in Java regex
+# (Spark) and RE2/PCRE (DuckDB/Python) so the count is engine-portable.
+BPE_SPLIT_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """BPE-ish token count: number of ``BPE_SPLIT_PATTERN`` matches —
+    the pre-merge piece count a byte-pair tokenizer would start from
+    (an upper bound on, and in practice a close proxy for, the merged
+    token count). Pure column expression, one pass, no UDF."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_SPLIT_PATTERN), F.lit(0))).cast("bigint")
 
 
 def quality_features(text: Column) -> Dict[str, Column]:

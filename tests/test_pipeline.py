@@ -18,8 +18,18 @@ from feldman_spark.pipeline.multimodal import (
     frame_sample,
     media_table,
 )
-from feldman_spark.pipeline.similarity import cosine_topk, lsh_partitioned_topk
-from feldman_spark.pipeline.text import fingerprint, lang_id, quality_score, token_count
+from feldman_spark.pipeline.similarity import (
+    cosine_topk,
+    ivf_topk,
+    lsh_partitioned_topk,
+)
+from feldman_spark.pipeline.text import (
+    bpe_token_count,
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+)
 
 SF = "/root/testdata/sf0.001"
 
@@ -97,6 +107,42 @@ def test_cosine_topk_and_lsh_recall(spark):
     assert 0 in ids  # the query vector's own bucket is always probed
 
 
+def test_ivf_topk(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    corpus = emb.filter(F.col("vec_id") != 0)
+    bf = [r["vec_id"] for r in cosine_topk(corpus, q, k=10).collect()]
+    # nprobe == num_centroids scans every bucket -> exactly brute force,
+    # independent of how k-means assigned the vectors
+    full = [r["vec_id"] for r in
+            ivf_topk(corpus, q, k=10, num_centroids=8, nprobe=8).collect()]
+    assert full == bf
+    # pruned probing is deterministic across runs and recall grows
+    # monotonically with nprobe (probed buckets are a prefix of the
+    # centroid ranking, so the candidate set only grows). The synthetic
+    # embeddings are near-uniform in 64-d, so absolute recall at small
+    # nprobe is data-limited — assert the structural guarantees plus a
+    # modest floor at half probing.
+    a1 = [r["vec_id"] for r in
+          ivf_topk(corpus, q, k=10, num_centroids=8, nprobe=2).collect()]
+    a2 = [r["vec_id"] for r in
+          ivf_topk(corpus, q, k=10, num_centroids=8, nprobe=2).collect()]
+    assert a1 == a2
+    from feldman_spark.pipeline.similarity import ivf_build
+
+    idx = ivf_build(corpus, num_centroids=8, iters=2)
+    recalls = [
+        len({r["vec_id"] for r in
+             ivf_topk(corpus, q, k=10, num_centroids=8, nprobe=p,
+                      index=idx).collect()}
+            & set(bf))
+        for p in (1, 2, 4, 8)
+    ]
+    assert recalls == sorted(recalls)
+    assert recalls[2] >= 3  # recall@10 >= 0.3 scanning half the buckets
+    assert recalls[3] == 10
+
+
 def test_text_ops(spark):
     df = spark.createDataFrame(
         [(1, "The cat and the dog sat in a field of green grass"),
@@ -112,6 +158,16 @@ def test_text_ops(spark):
     ).collect()
     by_id = {r["doc_id"]: r for r in out}
     assert by_id[1]["n"] == 12 and by_id[2]["n"] == 1 and by_id[3]["n"] == 0
+    # BPE-ish pre-tokenizer: letter runs, digit runs, symbol runs each
+    # (with optional leading space) count as one piece
+    bpe = spark.createDataFrame(
+        [(1, "don't stop"), (2, "abc123 x-y!"), (3, ""), (4, "  ")],
+        "doc_id long, text string",
+    ).select("doc_id", bpe_token_count(F.col("text")).alias("n")).collect()
+    bpe_by_id = {r["doc_id"]: r["n"] for r in bpe}
+    # "don't stop" -> don / ' / t / _stop ; "abc123 x-y!" -> abc/123/_x/-/y/!
+    assert bpe_by_id[1] == 4 and bpe_by_id[2] == 6
+    assert bpe_by_id[3] == 0 and bpe_by_id[4] == 0
     assert by_id[1]["q"] > by_id[2]["q"]
     assert by_id[1]["lang"] == "en"
     # fingerprint insensitive to case/punct/whitespace
