@@ -27,6 +27,7 @@ __all__ = [
     "exact_dedup",
     "word_shingles",
     "minhash_signature",
+    "minhash_signature_array",
     "lsh_bands",
     "minhash_lsh_pairs",
     "simhash_bits",
@@ -81,6 +82,27 @@ def minhash_signature(shingles: Column, num_hashes: int = 9) -> List[Column]:
     ]
 
 
+def minhash_signature_array(shingles: Column, num_hashes: int = 9) -> Column:
+    """All ``num_hashes`` minhash values as ONE array column — a single
+    aggregate pass whose plan is three lambdas total, versus
+    ``num_hashes`` parallel transform+array_min expressions for the
+    per-column form. Same hash family, bit-identical values
+    (element j == ``minhash_signature``'s ``h{j}``): the generated-code
+    volume, not the md5 work, dominates one-shot runs of the LSH
+    pipeline, so the smaller plan is measurably cheaper end-to-end."""
+    js = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    return F.aggregate(
+        shingles,
+        # "g" sorts after every hex digest -> identity for string-min
+        F.array_repeat(F.lit("g"), num_hashes),
+        lambda acc, s: F.zip_with(
+            acc,
+            F.transform(js, lambda j: F.md5(F.concat(s, F.lit("#"), j.cast("string")))),
+            lambda a, b: F.least(a, b),
+        ),
+    )
+
+
 def lsh_bands(sig_cols: Sequence[str], rows_per_band: int = 3) -> List[Column]:
     """Band hashes: md5 of each band's concatenated signature rows.
     Documents sharing any band hash become candidate pairs."""
@@ -108,6 +130,13 @@ def minhash_lsh_pairs(
     pairs — a vanishing fraction of all pairs — pay the verification
     cost; the self-join shuffles on (band index, band hash).
     """
+    # A single small input file would otherwise serialize the whole
+    # shingle+hash computation into one task; at corpus scale the scan
+    # already has >= cores partitions and this is a no-op
+    cores = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < cores:
+        df = df.repartition(cores)
+
     # cached: the shingle set feeds the signature computation AND both
     # sides of the verification join — without persistence the whole
     # shingle+hash lineage re-executes up to 5x
@@ -115,20 +144,19 @@ def minhash_lsh_pairs(
         F.col(id_col), word_shingles(F.col(text_col), k).alias("shingles")
     ).filter(F.size("shingles") > 0).persist()
 
-    sig = sh.select(id_col, "shingles", *minhash_signature(F.col("shingles"), num_hashes))
-    sig_cols = [f"h{j}" for j in range(num_hashes)]
     n_bands = num_hashes // rows_per_band
 
-    banded = sig.select(id_col, *lsh_bands(sig_cols, rows_per_band))
-    stacked = banded.select(
-        id_col,
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("bh"))
-                for b in range(n_bands)
-            ])
-        ).alias("e"),
-    ).select(id_col, "e.band", "e.bh").persist()  # both sides of the self-join
+    # signature -> band hashes -> (band, hash) rows in one projection:
+    # band b = md5 of rows b*r..b*r+r-1 joined with '|', exactly the
+    # per-column lsh_bands values, but derived from the array signature
+    sig = minhash_signature_array(F.col("shingles"), num_hashes)
+    band_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        lambda b: F.md5(F.array_join(F.slice(sig, b * rows_per_band + 1, rows_per_band), "|")),
+    )
+    stacked = sh.select(
+        F.col(id_col), F.posexplode(band_arr).alias("band", "bh")
+    ).persist()  # both sides of the self-join
 
     left = stacked.select(F.col(id_col).alias("doc1"), "band", "bh")
     right = stacked.select(F.col(id_col).alias("doc2"), "band", "bh")
