@@ -1361,6 +1361,37 @@ def a7_percentiles(spark, sf_dir):
 
 
 
+def a8_rollup(spark, sf_dir):
+    """Beyond-reference aggregate: hierarchical ROLLUP with grouping-id
+    flags (Spark-native grouping sets; the reference has no multi-level
+    aggregation at all)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"),
+             _r2(F.sum("l_quantity")).alias("sum_qty"),
+             F.grouping_id().cast("bigint").alias("gid"))
+    )
+
+
+def pipeline_dedup_stats(spark, sf_dir):
+    """Composite training-data pipeline: fingerprint-dedup the corpus
+    (formatting-insensitive md5, keep lowest doc_id), then per-language
+    document and token statistics — the fingerprint/dedup/token operators
+    composed end-to-end in one plan."""
+    from feldman_spark.pipeline.text import bpe_token_count, fingerprint, token_count
+
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy(fingerprint(F.col("text"))).orderBy(F.col("doc_id").asc())
+    kept = d.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    return (
+        kept.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum(token_count(F.col("text"))).alias("ws_tokens"),
+             F.sum(bpe_token_count(F.col("text"))).alias("bpe_tokens"))
+    )
+
+
 def events_json_props(spark, sf_dir):
     """Semi-structured handling: parse the events JSON props column
     (from_json with an explicit schema — no inference pass at scale) and
@@ -1440,6 +1471,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_disjunctive": q19_disjunctive,
         "feldman_e2_export": feldman_e2_export,
         "a7_percentiles": a7_percentiles,
+        "a8_rollup": a8_rollup,
+        "pipeline_dedup_stats": pipeline_dedup_stats,
         "events_json_props": events_json_props,
         "q2_min_cost_supplier": q2_min_cost_supplier,
         "q4_order_priority": q4_order_priority,
@@ -1742,6 +1775,30 @@ def oracle_sql() -> dict[str, str]:
         **{k: v for k, v in _PIPELINE_ORACLES.items() if v is not None},
         "dedup_simhash": _simhash_oracle_sql(),
         "text_lang_id": _lang_id_oracle_sql(),
+        "a8_rollup": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "pipeline_dedup_stats": """
+            WITH fp AS (
+              SELECT doc_id, lang, text,
+                     md5(trim(regexp_replace(regexp_replace(lower(text),
+                         '[^a-z0-9 ]', '', 'g'), '\\s+', ' ', 'g'))) AS f
+              FROM documents
+            ),
+            kept AS (
+              SELECT * FROM fp
+              QUALIFY row_number() OVER (PARTITION BY f ORDER BY doc_id ASC) = 1
+            )
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS ws_tokens,
+                   CAST(sum(len(regexp_extract_all(text,
+                        ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+'))) AS BIGINT) AS bpe_tokens
+            FROM kept GROUP BY lang
+        """,
         "text_tokens": """
             SELECT doc_id,
                    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS ws_tokens,
