@@ -36,6 +36,7 @@ __all__ = [
     "MEDIA_SCHEMA",
     "media_table",
     "decode_image",
+    "resize_image",
     "extract_features",
     "frame_sample",
 ]
@@ -84,6 +85,39 @@ def decode_image(df: DataFrame, fake: bool = False) -> DataFrame:
             yield out
 
     return df.mapInPandas(run, schema=schema)
+
+
+def resize_image(df: DataFrame, width: int, height: int, fake: bool = False) -> DataFrame:
+    """Resize image payloads to ``width``×``height``: output mirrors the
+    input schema with the payload replaced and the size metadata updated.
+    The pixel resample is stubbed (``fake=True`` digests payload+dims so
+    distinct targets yield distinct deterministic bytes); non-image rows
+    pass through untouched. Same Arrow-batch contract as decode."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            data, ws, hs = [], [], []
+            for k, d, w, h in zip(pdf["kind"], pdf["data"], pdf["width"], pdf["height"]):
+                if k != "image" or d is None:
+                    data.append(d)
+                    ws.append(w)
+                    hs.append(h)
+                    continue
+                if not fake:
+                    raise NotImplementedError(
+                        "image resampling requires an image library not present "
+                        "in this environment; pass fake=True")
+                data.append(hashlib.md5(
+                    bytes(d) + f"{width}x{height}".encode()).digest())
+                ws.append(width)
+                hs.append(height)
+            out["data"] = data
+            out["width"] = pd.array(ws, dtype="Int64")
+            out["height"] = pd.array(hs, dtype="Int64")
+            yield out
+
+    return df.mapInPandas(run, schema=df.schema)
 
 
 def extract_features(df: DataFrame, dim: int = 8) -> DataFrame:

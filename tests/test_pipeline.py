@@ -198,3 +198,15 @@ def test_multimodal_plumbing(spark):
     frames = frame_sample(media, every_ms=1000, fake=True).collect()
     assert [r["frame_ms"] for r in frames] == [0, 1000, 2000, 3000]
     assert len({bytes(r["frame"]) for r in frames}) == 4  # distinct per ts
+    from feldman_spark.pipeline.multimodal import resize_image
+
+    with pytest.raises(Exception, match="NotImplementedError|image library"):
+        resize_image(media, 2, 2).collect()
+    resized = {r["media_id"]: r for r in resize_image(media, 2, 2, fake=True).collect()}
+    assert resized[1]["width"] == 2 and resized[1]["height"] == 2
+    assert bytes(resized[1]["data"]) != b"\x01\x02\x03\x04"  # payload replaced
+    assert resized[2]["width"] == 64  # non-image untouched
+    assert bytes(resized[2]["data"]) == b"\xff\xee\xdd"
+    # distinct targets -> distinct deterministic payloads
+    r44 = {r["media_id"]: r for r in resize_image(media, 4, 4, fake=True).collect()}
+    assert bytes(r44[1]["data"]) != bytes(resized[1]["data"])
