@@ -151,7 +151,11 @@ def convert_sparse_splice_frames(
         manual_correlation=manual_correlation,
         manual_offsets=manual_offsets,
     )
-    affine = fill_affine(on_aff.drop(IDX).unionByName(off_aff.drop(IDX)))
+    # affine is tiny by contract (one row per core) but its lineage — the
+    # off-splice crossJoin/window chain — is ~30 stages; cache it so every
+    # downstream action (counts, broadcast into E2, CSV write) runs the
+    # chain once instead of per-action
+    affine = fill_affine(on_aff.drop(IDX).unionByName(off_aff.drop(IDX))).cache()
     return affine, sit.drop(IDX)
 
 
