@@ -235,11 +235,19 @@ def export_measurement_data(
         whole_splice_section=whole_splice_section,
     )
     write_csv(result.spliced, export_path, fmt=MEASUREMENT_FORMAT)
-    if result.unwritten is not None and result.unwritten.limit(1).count() > 0:
+    if result.unwritten is not None:
         unwritten_path = os.path.splitext(md_path)[0] + "-unwritten.csv"
         if not os.access(os.path.dirname(unwritten_path) or ".", os.W_OK):
             unwritten_path = os.path.splitext(export_path)[0] + "-unwritten.csv"
+        # write unconditionally, drop a header-only file afterwards: an
+        # emptiness probe (limit(1).count()) would itself run the whole
+        # measurement pipeline, tripling the passes over the big table
         write_csv(result.unwritten, unwritten_path, fmt=MEASUREMENT_FORMAT)
+        with open(unwritten_path, "rb") as fh:
+            fh.readline()
+            empty = fh.readline() == b""
+        if empty:
+            os.remove(unwritten_path)
     return result
 
 
