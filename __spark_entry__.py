@@ -1392,6 +1392,29 @@ def pipeline_dedup_stats(spark, sf_dir):
     )
 
 
+def sample_split(spark, sf_dir):
+    """Deterministic train/val/test split by key hash (md5-prefix
+    variate — stable under corpus growth, engine-portable), summarized
+    per split."""
+    from feldman_spark.pipeline.sampling import hash_split
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        hash_split(d, "doc_id").groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_chars").alias("sum_chars"))
+    )
+
+
+def sample_fraction(spark, sf_dir):
+    """Deterministic 10% sample by key hash — reproducible across runs,
+    engines, and repartitioning (unlike DataFrame.sample)."""
+    from feldman_spark.pipeline.sampling import hash_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return hash_sample(d, "doc_id", 0.1).select("doc_id", "lang")
+
+
 def events_json_props(spark, sf_dir):
     """Semi-structured handling: parse the events JSON props column
     (from_json with an explicit schema — no inference pass at scale) and
@@ -1473,6 +1496,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a7_percentiles": a7_percentiles,
         "a8_rollup": a8_rollup,
         "pipeline_dedup_stats": pipeline_dedup_stats,
+        "sample_split": sample_split,
+        "sample_fraction": sample_fraction,
         "events_json_props": events_json_props,
         "q2_min_cost_supplier": q2_min_cost_supplier,
         "q4_order_priority": q4_order_priority,
@@ -1775,6 +1800,22 @@ def oracle_sql() -> dict[str, str]:
         **{k: v for k, v in _PIPELINE_ORACLES.items() if v is not None},
         "dedup_simhash": _simhash_oracle_sql(),
         "text_lang_id": _lang_id_oracle_sql(),
+        "sample_split": """
+            SELECT CASE
+                     WHEN substr(md5(doc_id::VARCHAR || '#split'), 1, 8) < 'e6666666'
+                       THEN 'train'
+                     WHEN substr(md5(doc_id::VARCHAR || '#split'), 1, 8) < 'f3333333'
+                       THEN 'val'
+                     ELSE 'test'
+                   END AS split,
+                   count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM documents GROUP BY split
+        """,
+        "sample_fraction": """
+            SELECT doc_id, lang FROM documents
+            WHERE substr(md5(doc_id::VARCHAR || '#sample'), 1, 8) < '19999999'
+        """,
         "a8_rollup": """
             SELECT l_returnflag, l_linestatus, count(*) AS n,
                    round(sum(l_quantity), 2) AS sum_qty,

@@ -1,0 +1,95 @@
+"""Deterministic sampling and dataset splitting for training pipelines.
+
+Beyond-reference capability. Everything is driven by an md5 of the row
+key plus a seed string, so results are:
+
+* deterministic across runs and engines (the DuckDB oracle reproduces
+  them bit-for-bit — no RNG state, no partition-order dependence);
+* stable under corpus growth: a document keeps its split/sample fate
+  when new rows arrive, the property that keeps eval sets uncontaminated
+  across re-crawls;
+* one column expression — no shuffle, no UDF, fully pushdown-friendly.
+
+The uniform variate is the md5 hex prefix compared lexicographically:
+md5 is uniform over [0, 16^32), so ``substr(md5(key||'#'||seed), 1, 8)``
+is uniform over 8-hex-digit strings and ``prefix < threshold`` selects a
+fraction with 1/16^8 granularity.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Sequence, Tuple
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["hash_variate", "hash_sample", "hash_split", "weighted_mix"]
+
+_PREFIX_LEN = 8  # 16^8 ~ 4.3e9 granularity
+
+
+def _threshold(fraction: float) -> str:
+    """The PREFIX_LEN-hex-digit threshold selecting ``fraction`` of a
+    uniform hex-prefix variate."""
+    f = min(max(fraction, 0.0), 1.0)
+    return format(int(f * (16 ** _PREFIX_LEN)), f"0{_PREFIX_LEN}x")[:_PREFIX_LEN]
+
+
+def hash_variate(key: Column, seed: str = "sample") -> Column:
+    """Uniform deterministic variate for a row key: the first 8 hex
+    digits of md5(key || '#' || seed). Different seeds give independent
+    variates for the same key."""
+    return F.substring(F.md5(F.concat(key.cast("string"), F.lit(f"#{seed}"))), 1, _PREFIX_LEN)
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, fraction: float, seed: str = "sample"
+) -> DataFrame:
+    """Keep a deterministic ``fraction`` of rows by key hash. Unlike
+    ``DataFrame.sample`` this is reproducible across runs, engines and
+    repartitioning, and a row's fate never changes as the corpus grows."""
+    return df.filter(hash_variate(F.col(key_col), seed) < F.lit(_threshold(fraction)))
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    weights: Sequence[Tuple[str, float]] = (("train", 0.9), ("val", 0.05), ("test", 0.05)),
+    seed: str = "split",
+    split_col: str = "split",
+) -> DataFrame:
+    """Partition the corpus into named splits by key hash — the
+    train/val/test primitive. Weights are normalized; every row lands in
+    exactly one split; membership is stable under corpus growth."""
+    total = sum(w for _, w in weights)
+    v = hash_variate(F.col(key_col), seed)
+    expr = F.lit(weights[-1][0])  # remainder catches rounding tail
+    acc = 0.0
+    cases = []
+    for name, w in weights[:-1]:
+        acc += w / total
+        cases.append((name, _threshold(acc)))
+    for name, thr in reversed(cases):
+        expr = F.when(v < F.lit(thr), F.lit(name)).otherwise(expr)
+    return df.withColumn(split_col, expr)
+
+
+def weighted_mix(
+    sources: Dict[str, Tuple[DataFrame, float]],
+    key_col: str,
+    seed: str = "mix",
+    source_col: str = "source",
+) -> DataFrame:
+    """Mix datasets at per-source sampling rates: each source is
+    deterministically downsampled to its fraction and tagged. The union
+    is a plan-level concat — no shuffle; downstream ops see one corpus."""
+    parts = []
+    for name, (df, fraction) in sources.items():
+        parts.append(
+            hash_sample(df, key_col, fraction, seed=f"{seed}:{name}")
+            .withColumn(source_col, F.lit(name))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -178,6 +178,40 @@ def test_text_ops(spark):
     assert fp2 == by_id[1]["fp"]
 
 
+def test_hash_sampling(spark):
+    from feldman_spark.pipeline.sampling import hash_sample, hash_split, weighted_mix
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    n = docs.count()
+    split = hash_split(docs, "doc_id")
+    counts = {r["split"]: r["n"] for r in
+              split.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # exhaustive + disjoint (every row in exactly one split)
+    assert sum(counts.values()) == n
+    # fractions close to the 90/5/5 weights
+    assert abs(counts["train"] / n - 0.9) < 0.05
+    assert abs(counts.get("val", 0) / n - 0.05) < 0.04
+    assert abs(counts.get("test", 0) / n - 0.05) < 0.04
+    # stability: same assignment on re-evaluation and after repartitioning
+    again = {r["doc_id"]: r["split"]
+             for r in hash_split(docs.repartition(7), "doc_id")
+             .select("doc_id", "split").collect()}
+    first = {r["doc_id"]: r["split"] for r in split.select("doc_id", "split").collect()}
+    assert first == again
+    # sample: subset property — a 5% sample is contained in the 20% sample
+    s5 = {r["doc_id"] for r in hash_sample(docs, "doc_id", 0.05).collect()}
+    s20 = {r["doc_id"] for r in hash_sample(docs, "doc_id", 0.20).collect()}
+    assert s5 <= s20
+    assert abs(len(s20) / n - 0.20) < 0.06
+    # mix: tagged union at per-source rates
+    mix = weighted_mix(
+        {"a": (docs, 0.10), "b": (docs, 0.50)}, "doc_id")
+    by_src = {r["source"]: r["n"] for r in
+              mix.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert abs(by_src["a"] / n - 0.10) < 0.05
+    assert abs(by_src["b"] / n - 0.50) < 0.07
+
+
 def test_multimodal_plumbing(spark):
     rows = [
         (1, "image", "image/png", 4, 4, None, b"\x01\x02\x03\x04"),
