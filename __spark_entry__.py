@@ -1415,6 +1415,36 @@ def sample_fraction(spark, sf_dir):
     return hash_sample(d, "doc_id", 0.1).select("doc_id", "lang")
 
 
+def pivot_returnflag(spark, sf_dir):
+    """Beyond-reference reshape: groupBy().pivot() — wide conditional
+    aggregation with explicit pivot values (no extra pass to discover
+    them, the scale-safe form)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(_r2(F.sum("l_quantity")))
+    )
+
+
+def doc_embedding_join(spark, sf_dir):
+    """Cross-table pipeline join: documents to their embeddings
+    (doc_id = vec_id), per-label corpus stats including the embedding L2
+    norm computed JVM-side with higher-order functions."""
+    d = _t(spark, sf_dir, "documents")
+    e = _t(spark, sf_dir, "embeddings")
+    norm = F.sqrt(F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x * x))
+    return (
+        e.join(d, e["vec_id"] == d["doc_id"])
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.avg(norm), 4).alias("avg_norm"),
+             F.sum("n_chars").alias("sum_chars"))
+    )
+
+
 def events_json_props(spark, sf_dir):
     """Semi-structured handling: parse the events JSON props column
     (from_json with an explicit schema — no inference pass at scale) and
@@ -1498,6 +1528,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_dedup_stats": pipeline_dedup_stats,
         "sample_split": sample_split,
         "sample_fraction": sample_fraction,
+        "pivot_returnflag": pivot_returnflag,
+        "doc_embedding_join": doc_embedding_join,
         "events_json_props": events_json_props,
         "q2_min_cost_supplier": q2_min_cost_supplier,
         "q4_order_priority": q4_order_priority,
@@ -1800,6 +1832,21 @@ def oracle_sql() -> dict[str, str]:
         **{k: v for k, v in _PIPELINE_ORACLES.items() if v is not None},
         "dedup_simhash": _simhash_oracle_sql(),
         "text_lang_id": _lang_id_oracle_sql(),
+        "pivot_returnflag": """
+            SELECT l_linestatus,
+                   round(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 2) AS "A",
+                   round(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 2) AS "N",
+                   round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 2) AS "R"
+            FROM lineitem GROUP BY l_linestatus
+        """,
+        "doc_embedding_join": """
+            SELECT label, count(*) AS n,
+                   round(avg(sqrt(list_dot_product(embedding::DOUBLE[],
+                                                   embedding::DOUBLE[]))), 4) AS avg_norm,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM embeddings JOIN documents ON vec_id = doc_id
+            GROUP BY label
+        """,
         "sample_split": """
             SELECT CASE
                      WHEN substr(md5(doc_id::VARCHAR || '#split'), 1, 8) < 'e6666666'
