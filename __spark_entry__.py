@@ -1415,6 +1415,18 @@ def sample_fraction(spark, sf_dir):
     return hash_sample(d, "doc_id", 0.1).select("doc_id", "lang")
 
 
+def decontaminate_corpus(spark, sf_dir):
+    """Benchmark decontamination: training docs sharing any 5-word
+    shingle with the (deterministic) eval slice are dropped; the eval
+    shingle set broadcasts, the corpus side is one scan."""
+    from feldman_spark.pipeline.dedup import decontaminate
+
+    d = _t(spark, sf_dir, "documents")
+    ev = d.filter(F.col("doc_id") % 50 == 0)
+    corpus = d.filter(F.col("doc_id") % 50 != 0)
+    return decontaminate(corpus, ev, n=5).select("doc_id").orderBy("doc_id")
+
+
 def pivot_returnflag(spark, sf_dir):
     """Beyond-reference reshape: groupBy().pivot() — wide conditional
     aggregation with explicit pivot values (no extra pass to discover
@@ -1530,6 +1542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_fraction": sample_fraction,
         "pivot_returnflag": pivot_returnflag,
         "doc_embedding_join": doc_embedding_join,
+        "decontaminate_corpus": decontaminate_corpus,
         "events_json_props": events_json_props,
         "q2_min_cost_supplier": q2_min_cost_supplier,
         "q4_order_priority": q4_order_priority,
@@ -1832,6 +1845,23 @@ def oracle_sql() -> dict[str, str]:
         **{k: v for k, v in _PIPELINE_ORACLES.items() if v is not None},
         "dedup_simhash": _simhash_oracle_sql(),
         "text_lang_id": _lang_id_oracle_sql(),
+        "decontaminate_corpus": """
+            WITH grams AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(w) - 3),
+                            i -> array_to_string(w[i:i+4], ' '))) AS g
+              FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+              WHERE len(w) >= 5
+            ),
+            ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0),
+            bad AS (
+              SELECT DISTINCT doc_id FROM grams
+              WHERE doc_id % 50 <> 0 AND g IN (SELECT g FROM ev)
+            )
+            SELECT doc_id FROM documents
+            WHERE doc_id % 50 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
+            ORDER BY doc_id
+        """,
         "pivot_returnflag": """
             SELECT l_linestatus,
                    round(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 2) AS "A",

@@ -35,6 +35,7 @@ __all__ = [
     "char_ngrams",
     "ngram_jaccard_pairs",
     "embedding_cosine_pairs",
+    "decontaminate",
 ]
 
 HEX_HIGH = "89abcdef"  # hex digits whose high bit is set
@@ -259,6 +260,34 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc1", "doc2", "jaccard")
     )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: drop every corpus document sharing at
+    least one n-word shingle with the evaluation set.
+
+    The eval side (benchmarks — thousands of docs) collapses to a
+    distinct-shingle set and broadcasts; the corpus side explodes to
+    (id, shingle) and semi-joins map-side, so the 100 TB side is one
+    scan with no shuffle of the text. Set ``broadcast_eval=False`` if
+    the eval set is itself huge (falls back to a shuffled semi-join)."""
+    ev = (
+        eval_df.select(F.explode(word_shingles(F.col(text_col), n)).alias("g"))
+        .distinct()
+    )
+    if broadcast_eval:
+        ev = F.broadcast(ev)
+    grams = corpus.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("g"))
+    contaminated = grams.join(ev, "g", "left_semi").select(id_col).distinct()
+    return corpus.join(contaminated, id_col, "left_anti")
 
 
 def embedding_cosine_pairs(

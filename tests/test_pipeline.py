@@ -178,6 +178,23 @@ def test_text_ops(spark):
     assert fp2 == by_id[1]["fp"]
 
 
+def test_decontaminate(spark):
+    from feldman_spark.pipeline.dedup import decontaminate
+
+    eval_df = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog tonight")],
+        "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [(1, "clean text with no overlap whatsoever in any window here"),
+         # contains the eval 5-gram "quick brown fox jumps over"
+         (2, "he saw a quick brown fox jumps over stuff yesterday evening"),
+         (3, "too short"),
+         (4, "the quick brown dog sleeps under a warm blanket today ok")],
+        "doc_id long, text string")
+    kept = sorted(r["doc_id"] for r in decontaminate(corpus, eval_df, n=5).collect())
+    assert kept == [1, 3, 4]  # only the 5-gram-sharing doc is dropped
+
+
 def test_hash_sampling(spark):
     from feldman_spark.pipeline.sampling import hash_sample, hash_split, weighted_mix
 
