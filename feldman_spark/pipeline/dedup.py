@@ -287,6 +287,11 @@ def decontaminate(
     grams = corpus.select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("g"))
     contaminated = grams.join(ev, "g", "left_semi").select(id_col).distinct()
+    if broadcast_eval:
+        # a broadcast-sized eval set implies a small contaminated-id set;
+        # without the hint Catalyst's static estimate (explode cardinality)
+        # picks a sort-merge join that would shuffle the whole corpus
+        contaminated = F.broadcast(contaminated)
     return corpus.join(contaminated, id_col, "left_anti")
 
 

@@ -1,0 +1,120 @@
+#!/usr/bin/env python3
+"""Pipeline scale smoke: run the training-data operators (exact dedup,
+MinHash LSH, hash split, decontamination, token stats) over a synthetic
+corpus far beyond the test fixtures (default 1M documents, ~60 words
+each), and assert the plans keep their scale posture:
+
+* decontamination never shuffles the corpus text (broadcast semi/anti);
+* exact dedup shuffles digests, not documents;
+* the LSH self-join shuffles band hashes only.
+
+Documents are generated distributively (spark.range + column
+expressions), with a controlled duplicate rate so dedup has real work.
+
+Usage: python tools/pipeline_smoke.py [--docs 1000000] [--cpus 32]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+WORDS = 60
+DUP_EVERY = 50  # every 50th doc duplicates the previous one
+
+
+def build_corpus(spark, n_docs: int):
+    """Synthetic corpus: 60 pseudo-random words per doc derived from the
+    doc id (deterministic); every DUP_EVERY-th doc repeats its
+    predecessor's text so exact dedup has hits."""
+    seed = F.when(F.col("id") % DUP_EVERY == 1, F.col("id") - 1).otherwise(F.col("id"))
+    # modulus > n_docs keeps seed -> text injective (duplicates only where
+    # seeds coincide); per-word offset varies the words within a doc
+    words = F.transform(
+        F.sequence(F.lit(0), F.lit(WORDS - 1)),
+        lambda i: F.concat(F.lit("w"), ((seed * 104729 + i * 7919) % 100000007).cast("string")),
+    )
+    return (
+        spark.range(n_docs)
+        .select(F.col("id").alias("doc_id"),
+                F.array_join(words, " ").alias("text"))
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=1_000_000)
+    ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    args = ap.parse_args()
+
+    from feldman_spark.session import get_spark
+    from feldman_spark.pipeline.dedup import decontaminate, exact_dedup, minhash_lsh_pairs
+    from feldman_spark.pipeline.sampling import hash_split
+    from feldman_spark.pipeline.text import bpe_token_count, token_count
+
+    spark = get_spark(app_name="pipeline-smoke", master=f"local[{args.cpus}]",
+                      shuffle_partitions=int(args.cpus))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    corpus = build_corpus(spark, args.docs).repartition(int(args.cpus)).persist()
+    n = corpus.count()
+
+    timings = {}
+
+    t0 = time.time()
+    kept = exact_dedup(corpus)
+    n_unique = kept.count()
+    timings["exact_dedup"] = round(time.time() - t0, 1)
+    expected_dups = args.docs // DUP_EVERY
+    assert n - n_unique == expected_dups, (n, n_unique, expected_dups)
+
+    t0 = time.time()
+    pairs = minhash_lsh_pairs(corpus, threshold=0.9)
+    n_pairs = pairs.count()
+    timings["minhash_lsh"] = round(time.time() - t0, 1)
+    assert n_pairs >= expected_dups  # at least the injected exact dups
+
+    t0 = time.time()
+    split_counts = {r["split"]: r["n"] for r in
+                    hash_split(corpus, "doc_id").groupBy("split")
+                    .agg(F.count(F.lit(1)).alias("n")).collect()}
+    timings["hash_split"] = round(time.time() - t0, 1)
+    assert sum(split_counts.values()) == n
+    assert abs(split_counts["train"] / n - 0.9) < 0.01
+
+    t0 = time.time()
+    ev = corpus.filter(F.col("doc_id") % 10_000 == 0)
+    clean = decontaminate(corpus.filter(F.col("doc_id") % 10_000 != 0), ev, n=8)
+    n_clean = clean.count()
+    timings["decontaminate"] = round(time.time() - t0, 1)
+    plan = clean._jdf.queryExecution().executedPlan().toString()  # AQE-final
+    assert "SortMergeJoin" not in plan, "corpus text must not shuffle"
+    # every eval doc's duplicate partner must be caught
+    assert n_clean < n - n // 10_000
+
+    t0 = time.time()
+    toks = corpus.agg(
+        F.sum(token_count(F.col("text"))).alias("ws"),
+        F.sum(bpe_token_count(F.col("text"))).alias("bpe")).collect()[0]
+    timings["token_stats"] = round(time.time() - t0, 1)
+    assert toks["ws"] == n * WORDS
+
+    total = round(sum(timings.values()), 1)
+    print(json.dumps({
+        "docs": n, "unique": n_unique, "near_dup_pairs": n_pairs,
+        "splits": split_counts, "clean_docs": n_clean,
+        "ws_tokens": toks["ws"], "bpe_tokens": toks["bpe"],
+        "timings_sec": timings, "total_sec": total,
+        "docs_per_sec_total": round(n * len(timings) / total),
+    }))
+
+
+if __name__ == "__main__":
+    main()
