@@ -83,15 +83,39 @@ def minhash_signature(shingles: Column, num_hashes: int = 9) -> List[Column]:
     ]
 
 
-def minhash_signature_array(shingles: Column, num_hashes: int = 9) -> Column:
+def minhash_signature_array(
+    shingles: Column, num_hashes: int = 9, hash_fn: str = "md5"
+) -> Column:
     """All ``num_hashes`` minhash values as ONE array column — a single
     aggregate pass whose plan is three lambdas total, versus
     ``num_hashes`` parallel transform+array_min expressions for the
-    per-column form. Same hash family, bit-identical values
-    (element j == ``minhash_signature``'s ``h{j}``): the generated-code
-    volume, not the md5 work, dominates one-shot runs of the LSH
-    pipeline, so the smaller plan is measurably cheaper end-to-end."""
+    per-column form.
+
+    ``hash_fn='md5'`` (default): bit-portable across engines (the DuckDB
+    oracle reproduces it; element j == ``minhash_signature``'s ``h{j}``).
+    ``hash_fn='xxhash64'``: the production family for corpus scale —
+    seeded 64-bit hashes, ~an order of magnitude cheaper per shingle than
+    md5's digest+hex on the JVM, same minhash guarantees, still
+    deterministic across runs (just not reproducible in SQL engines
+    lacking xxhash64)."""
     js = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    if hash_fn == "xxhash64":
+        # pre-hash each shingle string to a long ONCE, then derive the
+        # num_hashes family by seed-rehashing the long — 1 string hash +
+        # num_hashes long hashes per shingle instead of num_hashes string
+        # hashes (the string is the expensive input)
+        pre = F.transform(shingles, lambda s: F.xxhash64(s))
+        return F.aggregate(
+            pre,
+            F.array_repeat(F.lit(2**63 - 1).cast("long"), num_hashes),
+            lambda acc, h: F.zip_with(
+                acc,
+                F.transform(js, lambda j: F.xxhash64(h, j)),
+                lambda a, b: F.least(a, b),
+            ),
+        )
+    if hash_fn != "md5":
+        raise ValueError(f"unknown hash_fn {hash_fn!r} (md5 | xxhash64)")
     return F.aggregate(
         shingles,
         # "g" sorts after every hex digest -> identity for string-min
@@ -122,6 +146,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 9,
     rows_per_band: int = 3,
     threshold: float = 0.2,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + LSH banding + exact Jaccard
     verification.
@@ -130,6 +155,10 @@ def minhash_lsh_pairs(
     verify with exact Jaccard over distinct shingles. Only candidate
     pairs — a vanishing fraction of all pairs — pay the verification
     cost; the self-join shuffles on (band index, band hash).
+    ``hash_fn='xxhash64'`` switches to the cheap production hash family
+    (see :func:`minhash_signature_array`); the verification step is hash-
+    independent, so only candidate recall — not pair correctness — can
+    differ between families.
     """
     # A single small input file would otherwise serialize the whole
     # shingle+hash computation into one task; at corpus scale the scan
@@ -140,9 +169,18 @@ def minhash_lsh_pairs(
 
     # cached: the shingle set feeds the signature computation AND both
     # sides of the verification join — without persistence the whole
-    # shingle+hash lineage re-executes up to 5x
+    # shingle+hash lineage re-executes up to 5x. On the xxhash64 path the
+    # shingle STRINGS are never materialized past the projection that
+    # hashes them: the cache holds 8-byte longs instead of ~20+-byte
+    # strings, and verification jaccard runs over the hashes (64-bit
+    # collisions are negligible against real shingle-set sizes)
+    if hash_fn == "xxhash64":
+        shingle_expr = F.transform(
+            word_shingles(F.col(text_col), k), lambda s: F.xxhash64(s))
+    else:
+        shingle_expr = word_shingles(F.col(text_col), k)
     sh = df.select(
-        F.col(id_col), word_shingles(F.col(text_col), k).alias("shingles")
+        F.col(id_col), shingle_expr.alias("shingles")
     ).filter(F.size("shingles") > 0).persist()
 
     n_bands = num_hashes // rows_per_band
@@ -150,11 +188,17 @@ def minhash_lsh_pairs(
     # signature -> band hashes -> (band, hash) rows in one projection:
     # band b = md5 of rows b*r..b*r+r-1 joined with '|', exactly the
     # per-column lsh_bands values, but derived from the array signature
-    sig = minhash_signature_array(F.col("shingles"), num_hashes)
-    band_arr = F.transform(
-        F.sequence(F.lit(0), F.lit(n_bands - 1)),
-        lambda b: F.md5(F.array_join(F.slice(sig, b * rows_per_band + 1, rows_per_band), "|")),
-    )
+    sig = minhash_signature_array(F.col("shingles"), num_hashes, hash_fn=hash_fn)
+    if hash_fn == "xxhash64":
+        band_arr = F.transform(
+            F.sequence(F.lit(0), F.lit(n_bands - 1)),
+            lambda b: F.xxhash64(F.slice(sig, b * rows_per_band + 1, rows_per_band)),
+        )
+    else:
+        band_arr = F.transform(
+            F.sequence(F.lit(0), F.lit(n_bands - 1)),
+            lambda b: F.md5(F.array_join(F.slice(sig, b * rows_per_band + 1, rows_per_band), "|")),
+        )
     stacked = sh.select(
         F.col(id_col), F.posexplode(band_arr).alias("band", "bh")
     ).persist()  # both sides of the self-join

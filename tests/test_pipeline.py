@@ -58,6 +58,12 @@ def test_minhash_lsh_finds_exact_dups(spark, docs):
     # also pair with an injected copy at lower jaccard — exclude those)
     ones = pairs.filter(F.col("doc2") - F.col("doc1") == 10_000).select("jaccard").collect()
     assert len(ones) >= 10 and all(r["jaccard"] == 1.0 for r in ones)
+    # the xxhash64 production family finds the same injected duplicates
+    # (verification is hash-independent; only candidate recall can vary)
+    fast = {(r["doc1"], r["doc2"]) for r in
+            minhash_lsh_pairs(docs.unionByName(dups), threshold=0.5,
+                              hash_fn="xxhash64").collect()}
+    assert expect <= fast
 
 
 def test_word_shingles_short_text(spark):

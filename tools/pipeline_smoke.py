@@ -76,7 +76,7 @@ def main() -> None:
     assert n - n_unique == expected_dups, (n, n_unique, expected_dups)
 
     t0 = time.time()
-    pairs = minhash_lsh_pairs(corpus, threshold=0.9)
+    pairs = minhash_lsh_pairs(corpus, threshold=0.9, hash_fn="xxhash64")
     n_pairs = pairs.count()
     timings["minhash_lsh"] = round(time.time() - t0, 1)
     assert n_pairs >= expected_dups  # at least the injected exact dups
