@@ -44,6 +44,10 @@ HEADLINE = [
     "knn_ivf",
     "events_sessionize",
     "dedup_embedding_cosine",
+    "q21_waiting_supplier",
+    "sample_split",
+    "decontaminate_corpus",
+    "pipeline_dedup_stats",
 ]
 
 
