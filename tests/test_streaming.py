@@ -214,3 +214,37 @@ def test_stateful_dedup_survives_restart(spark, events, tmp_out):
     new_ids = sorted(r["event_id"] for r in
                      out.filter(F.col("event_id") >= 100).collect())
     assert new_ids == list(range(100, 150))
+
+
+def test_incremental_ingest_exactly_once(spark, tmp_out):
+    """Two ingest runs over a growing directory: the second processes
+    only the new files (checkpointed file list), the transform applies
+    per batch, and nothing is double-counted."""
+    import shutil
+
+    from feldman_spark.streaming.ingest import incremental_ingest
+
+    base = f"{tmp_out}/ingest"
+    shutil.rmtree(base, ignore_errors=True)
+    src, out, ckpt = f"{base}/src", f"{base}/out", f"{base}/ckpt"
+
+    docs1 = spark.createDataFrame(
+        [(i, f"doc number {i} body " + "x " * (i % 5)) for i in range(100)],
+        "doc_id long, text string")
+    docs1.write.parquet(src)  # initial corpus
+
+    keep_even = lambda df: df.filter(F.col("doc_id") % 2 == 0)
+    incremental_ingest(spark, src, out, ckpt, transform=keep_even)
+    first = spark.read.parquet(out)
+    assert first.count() == 50
+    assert first.agg(F.max("doc_id")).first()[0] == 98
+
+    docs2 = spark.createDataFrame(
+        [(i, f"doc number {i}") for i in range(100, 140)],
+        "doc_id long, text string")
+    docs2.write.mode("append").parquet(src)  # corpus grows
+
+    incremental_ingest(spark, src, out, ckpt, transform=keep_even)
+    second = spark.read.parquet(out)
+    assert second.count() == 50 + 20  # only the 40 new docs processed
+    assert second.filter(F.col("doc_id") < 100).count() == 50  # no re-ingest
