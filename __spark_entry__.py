@@ -463,7 +463,14 @@ def w1_splice_scan(spark, sf_dir):
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events table with its TIMESTAMP(NANOS) column surfaced as a proper
     timestamp (nanos are read as long via nanosAsLong, then truncated to
-    microseconds — matching DuckDB's ns→µs handling)."""
+    microseconds — matching DuckDB's ns→µs handling). The legacy conf is
+    set defensively: without it a stock session cannot read
+    TIMESTAMP(NANOS) parquet at all (PARQUET_TYPE_ILLEGAL), and the
+    harness running these queries owns its own session."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # conf locked down -> fall through; read may still succeed
     e = _t(spark, sf_dir, "events")
     if dict(e.dtypes)["ts"] == "bigint":
         e = e.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
