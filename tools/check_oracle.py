@@ -50,14 +50,27 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--only", default=None)
+    ap.add_argument("--stock-session", action="store_true",
+                    help="use an unconfigured SparkSession (mirrors the "
+                         "driver harness, which owns its own session and "
+                         "does not apply feldman_spark.get_spark defaults)")
     args = ap.parse_args()
 
     import duckdb
 
     import __spark_entry__ as entry
-    from feldman_spark.session import get_spark
 
-    spark = get_spark(app_name="oracle-check", master="local[8]", shuffle_partitions=8)
+    if args.stock_session:
+        from pyspark.sql import SparkSession
+
+        spark = (SparkSession.builder.appName("oracle-check-stock")
+                 .master("local[8]").config("spark.ui.enabled", "false")
+                 .getOrCreate())
+    else:
+        from feldman_spark.session import get_spark
+
+        spark = get_spark(app_name="oracle-check", master="local[8]",
+                          shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
 
     con = duckdb.connect()
