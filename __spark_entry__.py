@@ -1422,6 +1422,17 @@ def sample_fraction(spark, sf_dir):
     return hash_sample(d, "doc_id", 0.1).select("doc_id", "lang")
 
 
+def profile_documents(spark, sf_dir):
+    """One-pass table profile (nulls, exact cardinality, min/max per
+    column) over documents — the data-quality analyze step; exact mode
+    so DuckDB reproduces it."""
+    from feldman_spark.pipeline.profile import profile_table
+
+    d = _t(spark, sf_dir, "documents")
+    return profile_table(d, columns=["doc_id", "lang", "source", "n_chars"],
+                         exact=True)
+
+
 def decontaminate_corpus(spark, sf_dir):
     """Benchmark decontamination: training docs sharing any 5-word
     shingle with the (deterministic) eval slice are dropped; the eval
@@ -1550,6 +1561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_returnflag": pivot_returnflag,
         "doc_embedding_join": doc_embedding_join,
         "decontaminate_corpus": decontaminate_corpus,
+        "profile_documents": profile_documents,
         "events_json_props": events_json_props,
         "q2_min_cost_supplier": q2_min_cost_supplier,
         "q4_order_priority": q4_order_priority,
@@ -1852,6 +1864,29 @@ def oracle_sql() -> dict[str, str]:
         **{k: v for k, v in _PIPELINE_ORACLES.items() if v is not None},
         "dedup_simhash": _simhash_oracle_sql(),
         "text_lang_id": _lang_id_oracle_sql(),
+        "profile_documents": """
+            SELECT 'doc_id' AS column, count(*) AS n_rows,
+                   count(*) FILTER (doc_id IS NULL) AS n_nulls,
+                   count(DISTINCT doc_id) AS n_distinct,
+                   CAST(min(doc_id) AS VARCHAR) AS min_value,
+                   CAST(max(doc_id) AS VARCHAR) AS max_value
+            FROM documents
+            UNION ALL
+            SELECT 'lang', count(*), count(*) FILTER (lang IS NULL),
+                   count(DISTINCT lang),
+                   CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR)
+            FROM documents
+            UNION ALL
+            SELECT 'source', count(*), count(*) FILTER (source IS NULL),
+                   count(DISTINCT source),
+                   CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR)
+            FROM documents
+            UNION ALL
+            SELECT 'n_chars', count(*), count(*) FILTER (n_chars IS NULL),
+                   count(DISTINCT n_chars),
+                   CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+            FROM documents
+        """,
         "decontaminate_corpus": """
             WITH grams AS (
               SELECT doc_id,

@@ -184,6 +184,23 @@ def test_text_ops(spark):
     assert fp2 == by_id[1]["fp"]
 
 
+def test_profile_table(spark):
+    from feldman_spark.pipeline.profile import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.5), (2, "b", None), (3, None, 2.0), (4, "a", 7.25)],
+        "id long, s string, v double")
+    prof = {r["column"]: r for r in profile_table(df, exact=True).collect()}
+    assert prof["id"]["n_rows"] == 4 and prof["id"]["n_nulls"] == 0
+    assert prof["id"]["n_distinct"] == 4
+    assert prof["s"]["n_nulls"] == 1 and prof["s"]["n_distinct"] == 2
+    assert prof["v"]["min_value"] == "2.0" and prof["v"]["max_value"] == "10.5"
+    # approx mode: same shape, HLL cardinality within its error bound
+    approx = {r["column"]: r for r in profile_table(df).collect()}
+    assert set(approx) == {"id", "s", "v"}
+    assert abs(approx["id"]["n_distinct"] - 4) <= 1
+
+
 def test_decontaminate(spark):
     from feldman_spark.pipeline.dedup import decontaminate
 
