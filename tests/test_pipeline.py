@@ -184,6 +184,32 @@ def test_text_ops(spark):
     assert fp2 == by_id[1]["fp"]
 
 
+def test_ivf_smaller_than_centroids(spark):
+    # corpus smaller than num_centroids: seeds truncate, probing all
+    # (actual) buckets still returns the exact brute-force answer
+    from feldman_spark.pipeline.similarity import ivf_topk
+
+    tiny = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.0]) for i in range(5)],
+        "vec_id long, embedding array<double>")
+    out = ivf_topk(tiny, [1.0, 1.0, 0.0], k=3, num_centroids=8, nprobe=8,
+                   iters=1).collect()
+    assert [r["vec_id"] for r in out] == [1, 2, 3]
+    assert abs(out[0]["cosine"] - 1.0) < 1e-6
+
+
+def test_hash_split_custom_weights(spark):
+    from feldman_spark.pipeline.sampling import hash_split
+
+    docs = spark.range(2000).withColumnRenamed("id", "k")
+    counts = {r["split"]: r["n"] for r in
+              hash_split(docs, "k", weights=(("a", 1.0), ("b", 3.0)),
+                         seed="w").groupBy("split")
+              .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts["a"] + counts["b"] == 2000  # normalized, exhaustive
+    assert abs(counts["a"] / 2000 - 0.25) < 0.05
+
+
 def test_profile_table(spark):
     from feldman_spark.pipeline.profile import profile_table
 
