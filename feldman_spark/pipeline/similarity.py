@@ -25,6 +25,8 @@ __all__ = [
     "hyperplane_signature",
     "ivf_build",
     "ivf_topk",
+    "quantize_embeddings",
+    "dequantize_embeddings",
 ]
 
 
@@ -247,4 +249,31 @@ def ivf_topk(
         .select(F.col(id_col), cos.alias("cosine"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
+    )
+
+
+def quantize_embeddings(
+    df: DataFrame, vec_col: str = "embedding", out_col: str = "q", scale_col: str = "q_scale"
+) -> DataFrame:
+    """Symmetric int8 quantization per vector: q_i = round(x_i / s) with
+    s = max|x| / 127 — a 4x (vs float32) storage cut for a 100 TB
+    embedding store, with cosine preserved to ~1e-2. Pure column
+    expressions (HOFs), one pass; the scale rides alongside as a double
+    so dequantization is exact-per-vector."""
+    v = _as_double(F.col(vec_col))
+    mx = F.aggregate(v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x)))
+    s = F.when(mx > 0, mx / 127.0).otherwise(F.lit(1.0))
+    return df.withColumn(scale_col, s).withColumn(
+        out_col,
+        F.transform(v, lambda x: F.round(x / F.col(scale_col)).cast("tinyint")),
+    )
+
+
+def dequantize_embeddings(
+    df: DataFrame, q_col: str = "q", scale_col: str = "q_scale", out_col: str = "embedding"
+) -> DataFrame:
+    """Inverse of :func:`quantize_embeddings`: x_i ≈ q_i * s."""
+    return df.withColumn(
+        out_col,
+        F.transform(F.col(q_col), lambda q: q.cast("double") * F.col(scale_col)),
     )

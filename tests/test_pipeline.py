@@ -184,6 +184,37 @@ def test_text_ops(spark):
     assert fp2 == by_id[1]["fp"]
 
 
+def test_embedding_quantization(spark):
+    from feldman_spark.pipeline.similarity import (
+        dequantize_embeddings, quantize_embeddings)
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    deq = dequantize_embeddings(quantize_embeddings(emb).drop("embedding"))
+    # int8 storage preserves the cosine top-10 on this corpus
+    exact = [r["vec_id"] for r in cosine_topk(emb, q, k=10).collect()]
+    approx = [r["vec_id"] for r in cosine_topk(deq, q, k=10).collect()]
+    assert set(exact) == set(approx)
+    # per-element round-trip error bounded by scale/2 = max|x|/254
+    row = deq.join(
+        emb.select("vec_id", F.col("embedding").alias("orig")), "vec_id"
+    ).select(
+        F.max(F.aggregate(
+            F.zip_with("embedding",
+                       F.transform("orig", lambda x: x.cast("double")),
+                       lambda a, b: F.abs(a - b)),
+            F.lit(0.0), lambda acc, x: F.greatest(acc, x))).alias("err"),
+        F.max(F.aggregate(
+            F.transform("orig", lambda x: F.abs(x.cast("double"))),
+            F.lit(0.0), lambda acc, x: F.greatest(acc, x))).alias("mx"),
+    ).first()
+    assert row["err"] <= row["mx"] / 254 + 1e-9
+    # zero vector: scale falls back to 1.0, quantizes to zeros
+    z = spark.createDataFrame([(1, [0.0, 0.0])], "vec_id long, embedding array<double>")
+    zq = quantize_embeddings(z).first()
+    assert list(zq["q"]) == [0, 0] and zq["q_scale"] == 1.0
+
+
 def test_ivf_smaller_than_centroids(spark):
     # corpus smaller than num_centroids: seeds truncate, probing all
     # (actual) buckets still returns the exact brute-force answer
