@@ -1422,6 +1422,24 @@ def sample_fraction(spark, sf_dir):
     return hash_sample(d, "doc_id", 0.1).select("doc_id", "lang")
 
 
+def sample_mix(spark, sf_dir):
+    """Weighted dataset mixing: two sources (here: slices of documents by
+    source column) deterministically downsampled to different rates and
+    tagged — plan-level union, no shuffle."""
+    from feldman_spark.pipeline.sampling import weighted_mix
+
+    d = _t(spark, sf_dir, "documents")
+    mixed = weighted_mix(
+        {"even": (d.filter(F.col("doc_id") % 2 == 0), 0.5),
+         "odd": (d.filter(F.col("doc_id") % 2 == 1), 0.9)},
+        "doc_id", source_col="mix_src")
+    return (
+        mixed.groupBy("mix_src")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("doc_id").alias("id_sum"))
+    )
+
+
 def profile_documents(spark, sf_dir):
     """One-pass table profile (nulls, exact cardinality, min/max per
     column) over documents — the data-quality analyze step; exact mode
@@ -1562,6 +1580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_embedding_join": doc_embedding_join,
         "decontaminate_corpus": decontaminate_corpus,
         "profile_documents": profile_documents,
+        "sample_mix": sample_mix,
         "events_json_props": events_json_props,
         "q2_min_cost_supplier": q2_min_cost_supplier,
         "q4_order_priority": q4_order_priority,
@@ -1864,6 +1883,18 @@ def oracle_sql() -> dict[str, str]:
         **{k: v for k, v in _PIPELINE_ORACLES.items() if v is not None},
         "dedup_simhash": _simhash_oracle_sql(),
         "text_lang_id": _lang_id_oracle_sql(),
+        "sample_mix": """
+            SELECT 'even' AS mix_src, count(*) AS n_docs,
+                   CAST(sum(doc_id) AS BIGINT) AS id_sum
+            FROM documents
+            WHERE doc_id % 2 = 0
+              AND substr(md5(doc_id::VARCHAR || '#mix:even'), 1, 8) < '80000000'
+            UNION ALL
+            SELECT 'odd', count(*), CAST(sum(doc_id) AS BIGINT)
+            FROM documents
+            WHERE doc_id % 2 = 1
+              AND substr(md5(doc_id::VARCHAR || '#mix:odd'), 1, 8) < 'e6666666'
+        """,
         "profile_documents": """
             SELECT 'doc_id' AS column, count(*) AS n_rows,
                    count(*) FILTER (doc_id IS NULL) AS n_nulls,
