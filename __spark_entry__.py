@@ -655,7 +655,12 @@ def media_features(spark, sf_dir):
          bytes([(i * 7 + j) % 256 for j in range(64)]))
         for i in range(20)
     ]
-    return extract_features(media_table(spark, rows))
+    feats = extract_features(media_table(spark, rows))
+    # The harness canonicalizes results via pandas sort; an array<double>
+    # column is unhashable there, so surface the vector as its JSON form.
+    return feats.select(
+        "media_id", "kind", "n_bytes",
+        F.to_json("features").alias("features_json"))
 
 
 def _simhash_oracle_sql() -> str:
@@ -1497,7 +1502,7 @@ def events_json_props(spark, sf_dir):
     """Semi-structured handling: parse the events JSON props column
     (from_json with an explicit schema — no inference pass at scale) and
     aggregate on an extracted field."""
-    e = _t(spark, sf_dir, "events")
+    e = _events(spark, sf_dir)
     k = F.from_json(F.col("props"), "k BIGINT")["k"]
     return (
         e.withColumn("k", k)
