@@ -313,6 +313,7 @@ def decontaminate(
     id_col: str = "doc_id",
     n: int = 8,
     broadcast_eval: bool = True,
+    broadcast_ids: bool | None = None,
 ) -> DataFrame:
     """Benchmark decontamination: drop every corpus document sharing at
     least one n-word shingle with the evaluation set.
@@ -321,7 +322,17 @@ def decontaminate(
     distinct-shingle set and broadcasts; the corpus side explodes to
     (id, shingle) and semi-joins map-side, so the 100 TB side is one
     scan with no shuffle of the text. Set ``broadcast_eval=False`` if
-    the eval set is itself huge (falls back to a shuffled semi-join)."""
+    the eval set is itself huge (falls back to a shuffled semi-join).
+
+    ``broadcast_ids`` gates the *second* broadcast (the contaminated-id
+    set) independently: that set derives from the corpus, and if the
+    eval docs share boilerplate n-grams with much of the corpus it can
+    be a large fraction of corpus rows — broadcasting it then blows the
+    driver/broadcast limit even though the eval side was tiny. Default
+    ``None`` follows ``broadcast_eval``; pass ``False`` when shingle
+    overlap with the corpus is expected to be wide."""
+    if broadcast_ids is None:
+        broadcast_ids = broadcast_eval
     ev = (
         eval_df.select(F.explode(word_shingles(F.col(text_col), n)).alias("g"))
         .distinct()
@@ -331,10 +342,11 @@ def decontaminate(
     grams = corpus.select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("g"))
     contaminated = grams.join(ev, "g", "left_semi").select(id_col).distinct()
-    if broadcast_eval:
-        # a broadcast-sized eval set implies a small contaminated-id set;
-        # without the hint Catalyst's static estimate (explode cardinality)
-        # picks a sort-merge join that would shuffle the whole corpus
+    if broadcast_ids:
+        # a broadcast-sized eval set usually implies a small contaminated-id
+        # set; without the hint Catalyst's static estimate (explode
+        # cardinality) picks a sort-merge join that would shuffle the whole
+        # corpus. See the docstring for when to disable this.
         contaminated = F.broadcast(contaminated)
     return corpus.join(contaminated, id_col, "left_anti")
 

@@ -30,9 +30,15 @@ _PREFIX_LEN = 8  # 16^8 ~ 4.3e9 granularity
 
 def _threshold(fraction: float) -> str:
     """The PREFIX_LEN-hex-digit threshold selecting ``fraction`` of a
-    uniform hex-prefix variate."""
+    uniform hex-prefix variate. A fraction of 1.0 would need 16^8 — one
+    past the largest 8-hex string — so it returns a sentinel that sorts
+    after every hex digest ('g' > 'f'), keeping ``variate < threshold``
+    true for all rows instead of silently truncating to '10000000'."""
     f = min(max(fraction, 0.0), 1.0)
-    return format(int(f * (16 ** _PREFIX_LEN)), f"0{_PREFIX_LEN}x")[:_PREFIX_LEN]
+    n = int(f * (16 ** _PREFIX_LEN))
+    if n >= 16 ** _PREFIX_LEN:
+        return "g" * _PREFIX_LEN
+    return format(n, f"0{_PREFIX_LEN}x")
 
 
 def hash_variate(key: Column, seed: str = "sample") -> Column:

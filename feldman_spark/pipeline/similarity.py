@@ -42,6 +42,13 @@ def _norm(v: Column) -> Column:
     return F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
+def _safe_norm(v: Column) -> Column:
+    """Norm clamped away from zero: an all-zero vector gets norm 1 so its
+    cosine is 0.0 instead of an ANSI DIVIDE_BY_ZERO (dot is already 0)."""
+    n = _norm(v)
+    return F.when(n == 0, F.lit(1.0)).otherwise(n)
+
+
 def cosine_topk(
     df: DataFrame,
     query_vec: Sequence[float],
@@ -57,7 +64,7 @@ def cosine_topk(
     qn = sum(x * x for x in q) ** 0.5
     v = _as_double(F.col(vec_col))
     qcol = F.array(*[F.lit(x) for x in q])
-    cos = F.round(_dot(v, qcol) / (_norm(v) * F.lit(qn)), digits)
+    cos = F.round(_dot(v, qcol) / (_safe_norm(v) * F.lit(qn or 1.0)), digits)
     w = Window.orderBy(F.col("cosine").desc(), F.col(id_col).asc())
     return (
         df.select(F.col(id_col), cos.alias("cosine"))
@@ -118,7 +125,7 @@ def lsh_partitioned_topk(
 
     qn = sum(x * x for x in q) ** 0.5
     qcol = F.array(*[F.lit(x) for x in q])
-    cos = F.round(_dot(v, qcol) / (_norm(v) * F.lit(qn)), digits)
+    cos = F.round(_dot(v, qcol) / (_safe_norm(v) * F.lit(qn or 1.0)), digits)
     w = Window.orderBy(F.col("cosine").desc(), F.col(id_col).asc())
     return (
         signed.filter(F.col("_sig").isin(list(probes)))
@@ -160,7 +167,9 @@ def ivf_build(
         .collect()
     )
     cents = np.array([r[vec_col] for r in seeds], dtype=np.float64)
-    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    seed_norms = np.linalg.norm(cents, axis=1, keepdims=True)
+    seed_norms[seed_norms == 0] = 1.0  # an all-zero seed must not NaN-poison assignment
+    cents /= seed_norms
 
     spark = df.sparkSession
 
@@ -191,7 +200,7 @@ def ivf_build(
         # previous centroid (argmax assignment can abandon a seed)
         sums = (
             assigned.select("cid", _as_double(F.col(vec_col)).alias("_v"))
-            .withColumn("_n", _norm(F.col("_v")))
+            .withColumn("_n", _safe_norm(F.col("_v")))
             .withColumn("_u", F.transform("_v", lambda x: x / F.col("_n")))
             .select("cid", F.posexplode("_u").alias("pos", "x"))
             .groupBy("cid", "pos")
@@ -242,7 +251,7 @@ def ivf_topk(
 
     v = _as_double(F.col(vec_col))
     qcol = F.array(*[F.lit(float(x)) for x in q])
-    cos = F.round(_dot(v, qcol) / (_norm(v) * F.lit(float(qn))), digits)
+    cos = F.round(_dot(v, qcol) / (_safe_norm(v) * F.lit(float(qn))), digits)
     w = Window.orderBy(F.col("cosine").desc(), F.col(id_col).asc())
     return (
         assigned.filter(F.col("cid").isin(probes))

@@ -31,17 +31,23 @@ def incremental_ingest(
     timeout_sec: int = 300,
 ) -> None:
     """Drain all not-yet-processed parquet files under ``input_dir``
-    through ``transform`` and append the result to ``output_dir``, then
-    stop. Exactly-once per input file across runs and crashes (the file
-    list is committed in ``checkpoint_dir``; output visibility is
-    per-epoch). Re-invoking after new files arrive processes only those
-    files — the incremental contract."""
+    through ``transform`` and write the result under ``output_dir``, then
+    stop. Exactly-once per input file across runs and crashes: the file
+    list is committed in ``checkpoint_dir``, and each epoch writes to its
+    own ``epoch_id=N`` partition directory with overwrite semantics, so a
+    crash between the parquet write and the checkpoint commit replays the
+    epoch *over itself* instead of appending duplicates. Readers see an
+    extra ``epoch_id`` partition column via ``spark.read.parquet(output_dir)``.
+    Re-invoking after new files arrive processes only those files — the
+    incremental contract."""
     schema = spark.read.parquet(input_dir).schema  # metadata-only probe
     stream = spark.readStream.schema(schema).parquet(input_dir)
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
         out = transform(batch_df) if transform is not None else batch_df
-        out.write.mode("append").parquet(output_dir)
+        # idempotent per-epoch sink: a replayed epoch overwrites its own
+        # partition, never double-appends
+        out.write.mode("overwrite").parquet(f"{output_dir}/epoch_id={epoch_id}")
 
     q = (
         stream.writeStream.foreachBatch(write_batch)
@@ -49,7 +55,8 @@ def incremental_ingest(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec * 1000)
+    # awaitTermination takes SECONDS (PySpark converts to ms internally)
+    q.awaitTermination(timeout_sec)
     if q.isActive:  # pragma: no cover - only on pathological hangs
         q.stop()
         raise TimeoutError(f"incremental ingest did not drain in {timeout_sec}s")

@@ -229,6 +229,20 @@ def test_ivf_smaller_than_centroids(spark):
     assert abs(out[0]["cosine"] - 1.0) < 1e-6
 
 
+def test_ivf_zero_vector_seed(spark):
+    # an all-zero vector that becomes a seed must not NaN-poison the
+    # centroid matrix (zero-norm guard in ivf_build's seed normalization)
+    from feldman_spark.pipeline.similarity import ivf_topk
+
+    tiny = spark.createDataFrame(
+        [(0, [0.0, 0.0, 0.0])] + [(i, [float(i), 1.0, 0.0]) for i in range(1, 5)],
+        "vec_id long, embedding array<double>")
+    out = ivf_topk(tiny, [1.0, 1.0, 0.0], k=3, num_centroids=8, nprobe=8,
+                   iters=1).collect()
+    assert [r["vec_id"] for r in out] == [1, 2, 3]
+    assert all(r["cosine"] == r["cosine"] for r in out)  # no NaNs
+
+
 def test_hash_split_custom_weights(spark):
     from feldman_spark.pipeline.sampling import hash_split
 
@@ -307,6 +321,25 @@ def test_hash_sampling(spark):
               mix.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert abs(by_src["a"] / n - 0.10) < 0.05
     assert abs(by_src["b"] / n - 0.50) < 0.07
+
+
+def test_hash_sample_boundary_fractions(spark):
+    """fraction=1.0 keeps every row (the threshold sentinel sorts after
+    every hex digest — regression for the 16^8 truncation bug), 0.0
+    keeps none, and a 1.0-weighted mix passes its source through whole."""
+    from feldman_spark.pipeline.sampling import hash_sample, hash_split, weighted_mix
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    n = docs.count()
+    assert hash_sample(docs, "doc_id", 1.0).count() == n
+    assert hash_sample(docs, "doc_id", 0.0).count() == 0
+    mix = weighted_mix({"all": (docs, 1.0)}, "doc_id")
+    assert mix.count() == n
+    # a non-final cumulative weight reaching 1.0: everything lands in "a"
+    split = hash_split(docs, "doc_id", weights=(("a", 1.0), ("b", 0.0)))
+    counts = {r["split"]: r["n"] for r in
+              split.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {"a": n}
 
 
 def test_multimodal_plumbing(spark):
