@@ -530,13 +530,16 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 def dedup_embedding_cosine(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs over embeddings with injected
-    exact copies (vec_id+100000 for the first 20)."""
-    from feldman_spark.pipeline.dedup import embedding_cosine_pairs
+    exact copies (vec_id+100000 for the first 20). Registered path is the
+    LSH-bucketed one (no driver collect of the corpus — scale-safe); the
+    all-pairs broadcast form is the pytest oracle
+    (tests/test_pipeline.py::test_embedding_lsh_matches_all_pairs)."""
+    from feldman_spark.pipeline.dedup import embedding_cosine_pairs_lsh
 
     e = _t(spark, sf_dir, "embeddings")
     dups = e.filter(F.col("vec_id") < 20).select(
         (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label")
-    return embedding_cosine_pairs(e.unionByName(dups), threshold=0.99)
+    return embedding_cosine_pairs_lsh(e.unionByName(dups), threshold=0.99)
 
 
 def text_quality(spark, sf_dir):

@@ -35,6 +35,7 @@ __all__ = [
     "char_ngrams",
     "ngram_jaccard_pairs",
     "embedding_cosine_pairs",
+    "embedding_cosine_pairs_lsh",
     "decontaminate",
 ]
 
@@ -277,30 +278,92 @@ def ngram_jaccard_pairs(
     group_col: Optional[str] = "lang",
     n: int = 3,
     threshold: float = 0.5,
+    all_pairs: bool = False,
 ) -> DataFrame:
-    """All-pairs character-n-gram Jaccard within a blocking group (e.g.
-    language). Blocking keeps the self-join quadratic only within groups —
-    at corpus scale pair this with LSH instead of raw blocking."""
+    """Character-n-gram Jaccard pairs at or above ``threshold``.
+
+    Default path is **prefix filtering** (Chaudhuri et al. SSJoin /
+    Bayardo et al. AllPairs): order each document's distinct grams by
+    ascending document frequency (rare first — a global total order),
+    and explode only the first ``|g| - ceil(t·|g|) + 1`` grams. Any pair
+    with Jaccard ≥ t provably shares a prefix gram (pigeonhole on the
+    smallest common gram in the order), so candidate generation is a
+    self-join on *rare* grams — recall is exactly 1.0, unlike MinHash
+    banding — and only candidates pay the exact-Jaccard verification.
+    A size filter (t·max ≤ min) prunes length-incompatible pairs before
+    verification. No all-pairs join appears anywhere in the plan: the
+    shuffles are keyed on gram / id, all linear in the corpus.
+
+    ``all_pairs=True`` keeps the quadratic within-group self-join — the
+    correctness oracle for tests and tiny corpora only.
+    """
+    grp = [group_col] if group_col else []
     grams = df.select(
         F.col(id_col),
-        *([F.col(group_col)] if group_col else []),
+        *[F.col(c) for c in grp],
         F.array_distinct(char_ngrams(F.col(text_col), n)).alias("grams"),
     ).filter(F.size("grams") > 0)
 
-    join_keys = [group_col] if group_col else []
-    a = grams.select(*join_keys, F.col(id_col).alias("doc1"), F.col("grams").alias("g1"))
-    b = grams.select(*join_keys, F.col(id_col).alias("doc2"), F.col("grams").alias("g2"))
-    pairs = a.join(b, join_keys) if join_keys else a.crossJoin(b)
-    return (
-        pairs.filter(F.col("doc1") < F.col("doc2"))
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.size(F.array_intersect("g1", "g2")).cast("double")
-                / F.size(F.array_union("g1", "g2")),
-                4,
-            ),
+    jaccard = F.round(
+        F.size(F.array_intersect("g1", "g2")).cast("double")
+        / F.size(F.array_union("g1", "g2")),
+        4,
+    )
+
+    # threshold <= 0 admits gram-disjoint pairs, which no share-a-gram
+    # candidate scheme can produce — that contract is inherently all-pairs
+    if all_pairs or threshold <= 0:
+        a = grams.select(*grp, F.col(id_col).alias("doc1"), F.col("grams").alias("g1"))
+        b = grams.select(*grp, F.col(id_col).alias("doc2"), F.col("grams").alias("g2"))
+        pairs = a.join(b, grp) if grp else a.crossJoin(b)
+        return (
+            pairs.filter(F.col("doc1") < F.col("doc2"))
+            .withColumn("jaccard", jaccard)
+            .filter(F.col("jaccard") >= threshold)
+            .select("doc1", "doc2", "jaccard")
         )
+
+    # document frequency per (group, gram): the ordering pass
+    ex = grams.select(F.col(id_col), *grp, F.explode("grams").alias("g"))
+    dfreq = ex.groupBy(*grp, "g").agg(F.count(F.lit(1)).alias("_df"))
+
+    # re-assemble each doc's grams sorted by (df, gram) — rare first —
+    # and slice the prefix whose length guarantees recall 1.0 at t
+    ranked = (
+        ex.join(dfreq, grp + ["g"])
+        .groupBy(F.col(id_col), *grp)
+        .agg(F.array_sort(F.collect_list(F.struct("_df", "g"))).alias("_ord"))
+        .withColumn("sz", F.size("_ord"))
+        .withColumn(
+            "_plen",
+            (F.col("sz") - F.ceil(F.lit(float(threshold)) * F.col("sz")) + 1).cast("int"),
+        )
+        .withColumn("_pref", F.slice(F.col("_ord"), F.lit(1), F.col("_plen")))
+    )
+    pref = ranked.select(
+        F.col(id_col), *grp, F.col("sz"),
+        F.explode(F.transform("_pref", lambda s: s["g"])).alias("g"),
+    )
+
+    left = pref.select(F.col(id_col).alias("doc1"), *grp,
+                       F.col("sz").alias("sz1"), "g")
+    right = pref.select(F.col(id_col).alias("doc2"), *grp,
+                        F.col("sz").alias("sz2"), "g")
+    cand = (
+        left.join(right, grp + ["g"])
+        .filter(F.col("doc1") < F.col("doc2"))
+        # J >= t  =>  max(|A|,|B|) * t <= min(|A|,|B|)
+        .filter(F.greatest("sz1", "sz2") * F.lit(float(threshold))
+                <= F.least("sz1", "sz2"))
+        .select("doc1", "doc2")
+        .distinct()
+    )
+
+    s1 = grams.select(F.col(id_col).alias("doc1"), F.col("grams").alias("g1"))
+    s2 = grams.select(F.col(id_col).alias("doc2"), F.col("grams").alias("g2"))
+    return (
+        cand.join(s1, "doc1").join(s2, "doc2")
+        .withColumn("jaccard", jaccard)
         .filter(F.col("jaccard") >= threshold)
         .select("doc1", "doc2", "jaccard")
     )
@@ -405,3 +468,71 @@ def embedding_cosine_pairs(
                 "id1": xid[r], "id2": all_ids[c], "cosine": sims[r, c]})
 
     return df.select(id_col, vec_col).mapInPandas(block, schema=schema)
+
+
+def embedding_cosine_pairs_lsh(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+    digits: int = 6,
+    num_tables: int = 8,
+    planes_per_table: int = 4,
+    seed: str = "cosdup",
+    dim: Optional[int] = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the 100 TB path.
+
+    Multi-table random-hyperplane LSH blocks the corpus, then exact
+    cosine verifies only same-bucket candidates. Nothing is collected to
+    the driver: signatures are row-local JVM column expressions
+    (:func:`feldman_spark.pipeline.similarity.hyperplane_signature`), the
+    candidate self-join shuffles on (table, signature), and verification
+    joins vectors back by id — a vanishing fraction of all pairs at any
+    realistic threshold.
+
+    Recall: a pair at cosine c disagrees per plane with probability
+    arccos(c)/π; with T tables of P planes a true pair is missed with
+    probability (1 - (1-arccos(c)/π)^P)^T — at the defaults ~6e-7 for
+    c = 0.99 and ~2e-2 for c = 0.9 (raise ``num_tables`` to push it
+    down; exact duplicates are never missed). The all-pairs
+    :func:`embedding_cosine_pairs` stays the correctness oracle.
+    """
+    from feldman_spark.pipeline.similarity import (
+        _as_double, _dot, _safe_norm, hyperplane_signature)
+
+    if dim is None:
+        first = df.select(vec_col).first()
+        if first is None:
+            return df.sparkSession.createDataFrame(
+                [], f"id1 long, id2 long, cosine double")
+        dim = len(first[0])
+
+    v = _as_double(F.col(vec_col))
+    sigs = F.array(*[
+        hyperplane_signature(v, dim, planes_per_table, seed=f"{seed}:{t}")
+        for t in range(num_tables)
+    ])
+    base = df.select(F.col(id_col), F.col(vec_col))
+    stacked = base.select(
+        F.col(id_col), F.posexplode(sigs).alias("tbl", "sig"))
+
+    left = stacked.select(F.col(id_col).alias("id1"), "tbl", "sig")
+    right = stacked.select(F.col(id_col).alias("id2"), "tbl", "sig")
+    cand = (
+        left.join(right, ["tbl", "sig"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .distinct()
+    )
+
+    v1 = base.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("_v1"))
+    v2 = base.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("_v2"))
+    a, b = _as_double(F.col("_v1")), _as_double(F.col("_v2"))
+    cos = _dot(a, b) / (_safe_norm(a) * _safe_norm(b))
+    return (
+        cand.join(v1, "id1").join(v2, "id2")
+        .withColumn("cosine", F.round(cos, digits))
+        .filter(F.col("cosine") >= threshold)
+        .select("id1", "id2", "cosine")
+    )

@@ -94,12 +94,51 @@ def test_ngram_jaccard_identical_is_one(spark):
     assert pairs[(1, 3)] < 0.2
 
 
+def test_ngram_prefix_filter_matches_all_pairs(spark):
+    """The default prefix-filter path returns exactly the all-pairs
+    result (prefix filtering has recall 1.0 by construction), and its
+    candidate join is keyed on the gram — no within-group all-pairs
+    join appears in the plan."""
+    docs = (spark.read.parquet(f"{SF}/documents.parquet")
+            .filter(F.col("lang") == "de"))
+    ap = {(r["doc1"], r["doc2"], r["jaccard"])
+          for r in ngram_jaccard_pairs(docs, threshold=0.5, all_pairs=True).collect()}
+    pf_df = ngram_jaccard_pairs(docs, threshold=0.5)
+    pf = {(r["doc1"], r["doc2"], r["jaccard"]) for r in pf_df.collect()}
+    assert ap == pf and len(ap) > 0
+    # the only equi-join whose key set is just the blocking group would be
+    # the quadratic one; every join here includes the gram or an id
+    plan = pf_df._jdf.queryExecution().optimizedPlan().toString()
+    import re
+    for cond in re.findall(r"Join Inner, \((.*?)\)\n", plan):
+        assert "g#" in cond or "doc" in cond, f"group-only join: {cond}"
+
+
 def test_embedding_cosine_pairs_self_dup(spark):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet").filter(F.col("vec_id") < 20)
     dup = emb.withColumn("vec_id", F.col("vec_id") + 10_000)
     pairs = embedding_cosine_pairs(emb.unionByName(dup), threshold=0.999)
     found = {(r["id1"], r["id2"]) for r in pairs.collect()}
     assert all((i, i + 10_000) in found for i in range(20))
+
+
+def test_embedding_lsh_matches_all_pairs(spark):
+    """The registered LSH-bucketed path reproduces the all-pairs oracle
+    exactly on the test corpus at threshold 0.9 (exact duplicates are
+    never missed; miss probability for borderline pairs is ~2e-2 at the
+    defaults and the corpus has none)."""
+    from feldman_spark.pipeline.dedup import embedding_cosine_pairs_lsh
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    dup = emb.filter(F.col("vec_id") < 20).withColumn(
+        "vec_id", F.col("vec_id") + 10_000)
+    u = emb.unionByName(dup)
+    ap = {(r["id1"], r["id2"], r["cosine"])
+          for r in embedding_cosine_pairs(u, threshold=0.9).collect()}
+    ls = {(r["id1"], r["id2"], r["cosine"])
+          for r in embedding_cosine_pairs_lsh(u, threshold=0.9).collect()}
+    assert ap == ls
+    assert len(ap) >= 20  # the injected duplicates are all found
 
 
 def test_cosine_topk_and_lsh_recall(spark):
