@@ -294,6 +294,14 @@ def ngram_jaccard_pairs(
     verification. No all-pairs join appears anywhere in the plan: the
     shuffles are keyed on gram / id, all linear in the corpus.
 
+    Pruning power requires gram *diversity*: with a tiny vocabulary
+    (e.g. ``n=3`` over digit-heavy text) every gram is common, the
+    similarity graph itself is dense, and any exact method — including
+    this one — degenerates toward its own quadratic output. At corpus
+    scale use a larger ``n`` (5+, as production dedup pipelines do) or
+    MinHash banding (:func:`minhash_lsh_pairs`) when approximate recall
+    is acceptable.
+
     ``all_pairs=True`` keeps the quadratic within-group self-join — the
     correctness oracle for tests and tiny corpora only.
     """
@@ -470,6 +478,22 @@ def embedding_cosine_pairs(
     return df.select(id_col, vec_col).mapInPandas(block, schema=schema)
 
 
+def _hyperplane_matrix(dim: int, num_planes: int, seed: str):
+    """±1 hyperplane matrix (num_planes × dim) from md5 high bits — the
+    numpy twin of :func:`feldman_spark.pipeline.similarity
+    .hyperplane_signature`'s sign function, deterministic across runs."""
+    import hashlib
+
+    import numpy as np
+
+    m = np.empty((num_planes, dim), dtype=np.float64)
+    for p in range(num_planes):
+        for d in range(dim):
+            h = hashlib.md5(f"{seed}:{p}:{d}".encode()).hexdigest()
+            m[p, d] = 1.0 if int(h[0], 16) >= 8 else -1.0
+    return m
+
+
 def embedding_cosine_pairs_lsh(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -485,37 +509,64 @@ def embedding_cosine_pairs_lsh(
 
     Multi-table random-hyperplane LSH blocks the corpus, then exact
     cosine verifies only same-bucket candidates. Nothing is collected to
-    the driver: signatures are row-local JVM column expressions
-    (:func:`feldman_spark.pipeline.similarity.hyperplane_signature`), the
-    candidate self-join shuffles on (table, signature), and verification
-    joins vectors back by id — a vanishing fraction of all pairs at any
-    realistic threshold.
+    the driver: each Arrow batch computes every table's bucket id with
+    ONE numpy matmul against the broadcast (T·P × d) ±1 plane matrix
+    (md5-deterministic — signatures of a growing corpus never change),
+    the candidate self-join shuffles (table, bucket, id) triples only —
+    never the vectors — and verification joins vectors back by id for a
+    vanishing fraction of all pairs at any realistic threshold.
 
     Recall: a pair at cosine c disagrees per plane with probability
     arccos(c)/π; with T tables of P planes a true pair is missed with
     probability (1 - (1-arccos(c)/π)^P)^T — at the defaults ~6e-7 for
     c = 0.99 and ~2e-2 for c = 0.9 (raise ``num_tables`` to push it
-    down; exact duplicates are never missed). The all-pairs
+    down; exact duplicates are never missed). Size ``planes_per_table``
+    ≈ log2(N / wanted_bucket_rows): bucket count is 2^P per table, and
+    candidate verification is quadratic in bucket size. The all-pairs
     :func:`embedding_cosine_pairs` stays the correctness oracle.
     """
-    from feldman_spark.pipeline.similarity import (
-        _as_double, _dot, _safe_norm, hyperplane_signature)
+    import numpy as np
+
+    from feldman_spark.pipeline.similarity import _as_double, _dot, _safe_norm
 
     if dim is None:
         first = df.select(vec_col).first()
         if first is None:
             return df.sparkSession.createDataFrame(
-                [], f"id1 long, id2 long, cosine double")
+                [], "id1 long, id2 long, cosine double")
         dim = len(first[0])
 
-    v = _as_double(F.col(vec_col))
-    sigs = F.array(*[
-        hyperplane_signature(v, dim, planes_per_table, seed=f"{seed}:{t}")
+    planes = np.vstack([
+        _hyperplane_matrix(dim, planes_per_table, f"{seed}:{t}")
         for t in range(num_tables)
     ])
+    b_planes = df.sparkSession.sparkContext.broadcast(planes)
+    bit_weights = (2 ** np.arange(planes_per_table)).astype(np.int64)
+
     base = df.select(F.col(id_col), F.col(vec_col))
-    stacked = base.select(
-        F.col(id_col), F.posexplode(sigs).alias("tbl", "sig"))
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def bucketize(batches):
+        import pandas as pd
+
+        m = b_planes.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.array(list(pdf[vec_col]), dtype=np.float64)
+            bits = (x @ m.T) >= 0  # B × (T·P)
+            frames = []
+            for t in range(num_tables):
+                sig = bits[:, t * planes_per_table:(t + 1) * planes_per_table]
+                frames.append(pd.DataFrame({
+                    id_col: pdf[id_col].to_numpy(),
+                    "tbl": np.full(len(pdf), t, dtype=np.int32),
+                    "sig": sig.astype(np.int64) @ bit_weights,
+                }))
+            yield pd.concat(frames, ignore_index=True)
+
+    stacked = base.mapInPandas(
+        bucketize, schema=f"`{id_col}` {id_type}, tbl int, sig long")
 
     left = stacked.select(F.col(id_col).alias("id1"), "tbl", "sig")
     right = stacked.select(F.col(id_col).alias("id2"), "tbl", "sig")

@@ -6,7 +6,10 @@ each), and assert the plans keep their scale posture:
 
 * decontamination never shuffles the corpus text (broadcast semi/anti);
 * exact dedup shuffles digests, not documents;
-* the LSH self-join shuffles band hashes only.
+* the LSH self-join shuffles band hashes only;
+* embedding near-dup shuffles (table, bucket, id) triples — never the
+  vectors — and no cartesian/nested-loop join appears;
+* n-gram Jaccard uses prefix filtering: no within-group all-pairs join.
 
 Documents are generated distributively (spark.range + column
 expressions), with a controlled duplicate rate so dedup has real work.
@@ -46,6 +49,19 @@ def build_corpus(spark, n_docs: int):
         .select(F.col("id").alias("doc_id"),
                 F.array_join(words, " ").alias("text"))
     )
+
+
+def build_vectors(spark, n_vecs: int, dim: int = 16):
+    """Synthetic embeddings: xxhash64-mixed components (injective in the
+    seed — a naive modular pattern collapses to ~1k distinct vectors and
+    turns the corpus into a near-dup degenerate case); every DUP_EVERY-th
+    vector duplicates its predecessor."""
+    seed = F.when(F.col("id") % DUP_EVERY == 1, F.col("id") - 1).otherwise(F.col("id"))
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: (F.xxhash64(seed, i) % 10000).cast("double") / 5000.0,
+    )
+    return spark.range(n_vecs).select(F.col("id").alias("vec_id"), vec.alias("embedding"))
 
 
 def main() -> None:
@@ -100,6 +116,32 @@ def main() -> None:
     assert n_clean < n - n // 10_000
 
     t0 = time.time()
+    n_vecs = min(args.docs, 200_000)
+    vecs = build_vectors(spark, n_vecs).repartition(int(args.cpus)).persist()
+    vecs.count()
+    from feldman_spark.pipeline.dedup import embedding_cosine_pairs_lsh, ngram_jaccard_pairs
+    emb_pairs_df = embedding_cosine_pairs_lsh(
+        vecs, threshold=0.999, planes_per_table=20, dim=16)
+    n_emb_pairs = emb_pairs_df.count()
+    timings["embedding_lsh"] = round(time.time() - t0, 1)
+    assert n_emb_pairs >= n_vecs // DUP_EVERY, (n_emb_pairs, n_vecs // DUP_EVERY)
+    emb_plan = emb_pairs_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in emb_plan and "BroadcastNestedLoop" not in emb_plan
+
+    t0 = time.time()
+    # n=8 grams: prefix filtering needs gram diversity to prune (with a
+    # tiny gram vocabulary the similarity graph itself is dense and ANY
+    # exact method degenerates — see the ngram_jaccard_pairs docstring)
+    n_ngram_docs = min(args.docs, 50_000)
+    ngram_docs = corpus.filter(F.col("doc_id") < n_ngram_docs)
+    ngram_df = ngram_jaccard_pairs(ngram_docs, group_col=None, n=8, threshold=0.9)
+    n_ngram_pairs = ngram_df.count()
+    timings["ngram_prefix_jaccard"] = round(time.time() - t0, 1)
+    assert n_ngram_pairs >= n_ngram_docs // DUP_EVERY - 1
+    ng_plan = ngram_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in ng_plan and "BroadcastNestedLoop" not in ng_plan
+
+    t0 = time.time()
     toks = corpus.agg(
         F.sum(token_count(F.col("text"))).alias("ws"),
         F.sum(bpe_token_count(F.col("text"))).alias("bpe")).collect()[0]
@@ -109,6 +151,7 @@ def main() -> None:
     total = round(sum(timings.values()), 1)
     print(json.dumps({
         "docs": n, "unique": n_unique, "near_dup_pairs": n_pairs,
+        "embedding_pairs": n_emb_pairs, "ngram_pairs": n_ngram_pairs,
         "splits": split_counts, "clean_docs": n_clean,
         "ws_tokens": toks["ws"], "bpe_tokens": toks["bpe"],
         "timings_sec": timings, "total_sec": total,
