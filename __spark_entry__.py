@@ -1516,6 +1516,48 @@ def events_json_props(spark, sf_dir):
     )
 
 
+def events_running_totals(spark, sf_dir):
+    """Custom stateful streaming (applyInPandasWithState keyed state):
+    the events parquet is driven through a REAL readStream micro-batch
+    run of streaming_running_totals into a memory sink; the returned
+    batch DataFrame is the final per-user emission, which must equal the
+    batch groupBy oracle. Ref: feldman_spark/streaming/stateful.py."""
+    from feldman_spark.streaming.events import run_stream_to_memory
+    from feldman_spark.streaming.stateful import streaming_running_totals
+
+    # the file stream source needs a DIRECTORY of files; stage the two
+    # needed columns as 2 parquet files so the run is genuinely
+    # multi-micro-batch (maxFilesPerTrigger=1 → 2 state updates per key)
+    e = _events(spark, sf_dir)
+    staging = "/root/repo/.tmp/events_running_totals_src"
+    e.select("user_id", "value").repartition(2).write.mode("overwrite").parquet(staging)
+    schema = spark.read.parquet(staging).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+    )
+    # scope the state-shuffle width to the key cardinality (~150 users):
+    # a stock session's 200 partitions would pay ~2s of task overhead per
+    # micro-batch for no parallelism gain
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        run_stream_to_memory(streaming_running_totals(stream),
+                             "events_running_totals_sink", output_mode="update")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    upd = spark.table("events_running_totals_sink")
+    # running totals are monotone in n_events: the final emission per key
+    # is the row with the largest n_events (robust to multi-batch runs)
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        upd.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "n_events",
+                F.col("value_sum").cast("double").alias("value_sum"))
+    )
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -1590,6 +1632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_documents": profile_documents,
         "sample_mix": sample_mix,
         "events_json_props": events_json_props,
+        "events_running_totals": events_running_totals,
         "q2_min_cost_supplier": q2_min_cost_supplier,
         "q4_order_priority": q4_order_priority,
         "q7_volume_shipping": q7_volume_shipping,
@@ -1879,6 +1922,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
                    round(sum(value), 2) AS value_sum
             FROM events GROUP BY 1, 2
+        """,
+        "events_running_totals": """
+            SELECT user_id, count(*) AS n_events,
+                   round(sum(value), 2) AS value_sum
+            FROM events GROUP BY user_id
         """,
         "a7_percentiles": """
             SELECT l_returnflag,
