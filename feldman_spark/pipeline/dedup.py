@@ -305,12 +305,21 @@ def ngram_jaccard_pairs(
     ``all_pairs=True`` keeps the quadratic within-group self-join — the
     correctness oracle for tests and tiny corpora only.
     """
+    # single-file inputs would serialize gram extraction into one task
+    # (same guard as minhash_lsh_pairs); a no-op at corpus scale
+    cores = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < cores:
+        df = df.repartition(cores)
+
     grp = [group_col] if group_col else []
     grams = df.select(
         F.col(id_col),
         *[F.col(c) for c in grp],
         F.array_distinct(char_ngrams(F.col(text_col), n)).alias("grams"),
-    ).filter(F.size("grams") > 0)
+    ).filter(F.size("grams") > 0).persist()
+    # persisted: the gram arrays feed candidate generation AND both sides
+    # of the verification join — without it the n-gram extraction lineage
+    # re-executes up to 3x (same pattern as minhash_lsh_pairs)
 
     jaccard = F.round(
         F.size(F.array_intersect("g1", "g2")).cast("double")
@@ -365,6 +374,10 @@ def ngram_jaccard_pairs(
                 <= F.least("sz1", "sz2"))
         .select("doc1", "doc2")
         .distinct()
+        # AQE coalesces this shuffle to ~1 partition (candidate id pairs
+        # are tiny in BYTES) but each row costs an array-intersect over
+        # full gram sets downstream — spread the verification explicitly
+        .repartition(cores)
     )
 
     s1 = grams.select(F.col(id_col).alias("doc1"), F.col("grams").alias("g1"))
@@ -575,6 +588,9 @@ def embedding_cosine_pairs_lsh(
         .filter(F.col("id1") < F.col("id2"))
         .select("id1", "id2")
         .distinct()
+        # byte-tiny candidate pairs cost a full cosine each downstream;
+        # don't let AQE serialize the verification onto one partition
+        .repartition(df.sparkSession.sparkContext.defaultParallelism)
     )
 
     v1 = base.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("_v1"))

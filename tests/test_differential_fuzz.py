@@ -28,8 +28,14 @@ import sys, logging
 sys.path.insert(0, {ref!r})
 logging.basicConfig(level=logging.CRITICAL)
 import feldman
-feldman.convertSparseSplice({ss!r}, {sp!r}, {aff!r}, {sit!r})
+feldman.convertSparseSplice({ss!r}, {sp!r}, {aff!r}, {sit!r}, **{kw!r})
 """
+
+_REF_KW = {
+    "use_scaled_depths": "useScaledDepths",
+    "lazy_append": "lazyAppend",
+    "sparse_splice_depth": "sparseSpliceDepth",
+}
 
 SECTION_LEN = 1.5
 SECTIONS = 3
@@ -82,14 +88,9 @@ splice_steps = st.lists(
     min_size=2, max_size=6)
 
 
-@settings(max_examples=10, deadline=None)
-@given(steps=splice_steps, gap_pattern=st.lists(st.booleans(), min_size=3, max_size=8))
-def test_e1_differential(spark_fuzz, steps, gap_pattern):
-    spark = spark_fuzz
+def _splice_plan(steps):
     holes = ["A", "B"]
-    cores_per_hole = len(steps)  # one interval per core index, alternating holes
-
-    splice_plan = []
+    plan = []
     for i, (hidx, sptype, ts, bs, toff, boff, usegap) in enumerate(steps):
         h = holes[hidx]
         c = str(i + 1)
@@ -97,33 +98,44 @@ def test_e1_differential(spark_fuzz, steps, gap_pattern):
         # reference bail, and then our engine must refuse too (dual-outcome
         # contract below)
         gap = round(0.25, 3) if (usegap and sptype == "APPEND" and i > 0) else ""
-        splice_plan.append((h, c, str(ts), round(toff, 3), str(bs), round(boff, 3),
-                            sptype, gap))
+        plan.append((h, c, str(ts), round(toff, 3), str(bs), round(boff, 3),
+                     sptype, gap))
+    return holes, plan
 
-    key = hashlib.md5(repr((steps, gap_pattern)).encode()).hexdigest()[:12]
+
+def _run_differential_case(spark, steps, gap_pattern, kw):
+    """Run the reference and our engine on one generated geometry with the
+    given E1 option dict; dual-outcome contract (both refuse or both agree
+    value-for-value)."""
+    holes, splice_plan = _splice_plan(steps)
+    ref_kw = {_REF_KW[k]: v for k, v in kw.items()}
+
+    key = hashlib.md5(repr((steps, gap_pattern, sorted(kw.items()))).encode()
+                      ).hexdigest()[:12]
     case_dir = os.path.join(OUT, key)
-    ss_path, sp_path = _write_inputs(case_dir, holes, cores_per_hole,
+    ss_path, sp_path = _write_inputs(case_dir, holes, len(steps),
                                      gap_pattern, splice_plan)
 
     ref_aff = os.path.join(case_dir, "ref_aff.csv")
     ref_sit = os.path.join(case_dir, "ref_sit.csv")
     proc = subprocess.run(
         [sys.executable, "-c",
-         _REF_SCRIPT.format(ref=REF, ss=ss_path, sp=sp_path, aff=ref_aff, sit=ref_sit)],
+         _REF_SCRIPT.format(ref=REF, ss=ss_path, sp=sp_path, aff=ref_aff,
+                            sit=ref_sit, kw=ref_kw)],
         cwd=case_dir, capture_output=True, text=True)
     if proc.returncode != 0 or not os.path.exists(ref_aff):
         # the reference bailed (e.g. interval inversion after gap math);
         # our engine must also refuse
         with pytest.raises(Exception):
-            a, s = convert_sparse_splice(
+            convert_sparse_splice(
                 spark, ss_path, sp_path,
                 os.path.join(case_dir, "our_aff.csv"),
-                os.path.join(case_dir, "our_sit.csv"))
+                os.path.join(case_dir, "our_sit.csv"), **kw)
         return
 
     our_aff = os.path.join(case_dir, "our_aff.csv")
     our_sit = os.path.join(case_dir, "our_sit.csv")
-    convert_sparse_splice(spark, ss_path, sp_path, our_aff, our_sit)
+    convert_sparse_splice(spark, ss_path, sp_path, our_aff, our_sit, **kw)
 
     for ref_path, our_path, sort_cols in (
         (ref_sit, our_sit, ["Site", "Hole", "Core", "Top Section", "Top Offset"]),
@@ -145,4 +157,32 @@ def test_e1_differential(spark_fuzz, steps, gap_pattern):
             assert len(bad) == 0, (
                 f"{os.path.basename(ref_path)} col {col!r}: ref="
                 f"{r[col].iloc[bad[0]]!r} our={o[col].iloc[bad[0]]!r} "
-                f"(case {key}, row {bad[0]})")
+                f"(case {key}, kw {kw}, row {bad[0]})")
+
+
+@settings(max_examples=20, deadline=None)
+@given(steps=splice_steps, gap_pattern=st.lists(st.booleans(), min_size=3, max_size=8))
+def test_e1_differential(spark_fuzz, steps, gap_pattern):
+    _run_differential_case(spark_fuzz, steps, gap_pattern, kw={})
+
+
+@settings(max_examples=16, deadline=None)
+@given(steps=splice_steps,
+       gap_pattern=st.lists(st.booleans(), min_size=3, max_size=8),
+       use_scaled=st.booleans(),
+       lazy=st.booleans(),
+       startdepth=st.sampled_from([None, 0.0, 2.5, 7.5]))
+def test_e1_differential_option_matrix(spark_fuzz, steps, gap_pattern,
+                                       use_scaled, lazy, startdepth):
+    """The full scalar-option surface (use_scaled_depths × lazy_append ×
+    sparse_splice_depth) under the same generated geometries — fixture
+    combos are in test_option_parity; this covers them against arbitrary
+    interval chains."""
+    kw = {}
+    if use_scaled:
+        kw["use_scaled_depths"] = True
+    if lazy:
+        kw["lazy_append"] = True
+    if startdepth is not None:
+        kw["sparse_splice_depth"] = startdepth
+    _run_differential_case(spark_fuzz, steps, gap_pattern, kw)

@@ -10,4 +10,4 @@ echo "== pytest =="           && python -m pytest tests/ -q
 echo "== oracle gate =="      && python tools/check_oracle.py --stock-session
 echo "== scale smoke =="      && python tools/scale_smoke.py --rows 10000000
 echo "== pipeline smoke =="   && python tools/pipeline_smoke.py --docs 1000000
-echo "== bench =="            && python bench.py
+echo "== bench =="            && BENCH_ENFORCE=1 python bench.py
