@@ -544,6 +544,29 @@ def dedup_embedding_cosine(spark, sf_dir):
     return embedding_cosine_pairs_lsh(e.unionByName(dups), threshold=0.99)
 
 
+def dedup_clusters(spark, sf_dir):
+    """Near-duplicate CLUSTERS: transitive closure of the MinHash-LSH
+    pair graph via iterative min-label propagation (Pregel-style joins,
+    feldman_spark/pipeline/graph.py) — the step that turns pair lists
+    into droppable duplicate groups. Oracle: recursive CTE over the same
+    pair SQL."""
+    from feldman_spark.pipeline.dedup import minhash_lsh_pairs
+    from feldman_spark.pipeline.graph import connected_components
+
+    # pair generation + the label-propagation loop run ACTIONS here; scope
+    # the shuffle width to the tiny graph for the duration (a stock
+    # session's 200 partitions cost ~20s of pure task overhead)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        pairs = minhash_lsh_pairs(_docs_with_dups(spark, sf_dir), threshold=0.2)
+        comp = connected_components(pairs)
+        comp.count()  # materialize the persisted labels under the scoped conf
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return comp
+
+
 def text_quality(spark, sf_dir):
     """Quality features + score per document (pure column expressions)."""
     from feldman_spark.pipeline.text import quality_features, quality_score
@@ -683,6 +706,28 @@ def media_features(spark, sf_dir):
     return feats.select(
         "media_id", "kind", "n_bytes",
         F.to_json("features").alias("features_json"))
+
+
+def _components_oracle_sql() -> str:
+    """Connected components of the minhash pair graph as a recursive CTE:
+    ``walk`` enumerates every (node, reachable-node) pair over the
+    symmetric edge set (UNION gives set semantics, so it terminates);
+    the component label is the minimum reachable id."""
+    pairs_sql = _PIPELINE_ORACLES["dedup_minhash_lsh"]
+    return f"""
+        WITH RECURSIVE pairs AS ({pairs_sql}),
+        edges AS (
+          SELECT doc1 AS a, doc2 AS b FROM pairs
+          UNION
+          SELECT doc2, doc1 FROM pairs
+        ),
+        walk(id, lab) AS (
+          SELECT DISTINCT a, a FROM edges
+          UNION
+          SELECT e.a, w.lab FROM edges e JOIN walk w ON w.id = e.b
+        )
+        SELECT id AS doc_id, min(lab) AS cluster_id FROM walk GROUP BY id
+    """
 
 
 def _simhash_oracle_sql() -> str:
@@ -1520,6 +1565,24 @@ def doc_embedding_join(spark, sf_dir):
     )
 
 
+def text_gopher_quality(spark, sf_dir):
+    """Gopher-style repetition + quality gating (Rae et al. 2021 A1.1):
+    duplicate-line / duplicate-3-gram / modal-token fractions and the
+    keep/drop verdict, per document. Pure column expressions
+    (feldman_spark/pipeline/text.py::repetition_features, gopher_rules)."""
+    from feldman_spark.pipeline.text import gopher_rules, repetition_features
+
+    d = _t(spark, sf_dir, "documents")
+    r = repetition_features(F.col("text"))
+    return d.select(
+        "doc_id",
+        r["dup_line_frac"].alias("dup_line_frac"),
+        r["dup_ngram_frac"].alias("dup_ngram_frac"),
+        r["top_token_frac"].alias("top_token_frac"),
+        gopher_rules(F.col("text")).cast("int").alias("keep"),
+    )
+
+
 def events_json_props(spark, sf_dir):
     """Semi-structured handling: parse the events JSON props column
     (from_json with an explicit schema — no inference pass at scale) and
@@ -1619,6 +1682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w1_splice_scan": w1_splice_scan,
         "dedup_exact": dedup_exact,
         "dedup_minhash_lsh": dedup_minhash_lsh,
+        "dedup_clusters": dedup_clusters,
         "dedup_simhash": dedup_simhash,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_embedding_cosine": dedup_embedding_cosine,
@@ -1652,6 +1716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_mix": sample_mix,
         "events_json_props": events_json_props,
         "events_running_totals": events_running_totals,
+        "text_gopher_quality": text_gopher_quality,
         "q2_min_cost_supplier": q2_min_cost_supplier,
         "q4_order_priority": q4_order_priority,
         "q7_volume_shipping": q7_volume_shipping,
@@ -1942,6 +2007,47 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 2) AS value_sum
             FROM events GROUP BY 1, 2
         """,
+        "text_gopher_quality": """
+            WITH t AS (
+              SELECT doc_id, text,
+                     string_split(text, chr(10)) AS lines,
+                     regexp_split_to_array(trim(text), '\\s+') AS toks,
+                     CAST(CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+                          AS BIGINT) AS n_tokens,
+                     len(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+                     len(regexp_replace(text, '[^ ]', '', 'g')) AS spaces,
+                     CAST(len(text) AS BIGINT) AS n_chars
+              FROM documents
+            ),
+            g AS (
+              SELECT doc_id, n_tokens,
+                     round(1.0 - CAST(len(list_distinct(lines)) AS DOUBLE)
+                           / len(lines), 4) AS dup_line_frac,
+                     CASE WHEN len(toks) < 3 THEN 0.0 ELSE
+                       round(1.0 - CAST(len(list_distinct(
+                               list_transform(range(1, len(toks) - 1),
+                                              i -> array_to_string(toks[i:i+2], ' '))))
+                             AS DOUBLE) / (len(toks) - 2), 4) END AS dup_ngram_frac,
+                     CASE WHEN n_tokens <= 0 THEN 0.0 ELSE
+                       round(CAST(list_max(list_transform(list_distinct(toks),
+                               x -> len(list_filter(toks, u -> u = x))))
+                             AS DOUBLE) / n_tokens, 4) END AS top_token_frac,
+                     round(CAST(n_chars - spaces AS DOUBLE)
+                           / CAST(greatest(n_tokens, 1) AS DOUBLE), 4) AS avg_token_len,
+                     round(CAST(alpha AS DOUBLE)
+                           / CAST(greatest(n_chars, 1) AS DOUBLE), 4) AS alpha_ratio
+              FROM t
+            )
+            SELECT doc_id, dup_line_frac, dup_ngram_frac, top_token_frac,
+                   CAST(n_tokens >= 50 AND n_tokens <= 100000
+                        AND dup_line_frac <= 0.30
+                        AND dup_ngram_frac <= 0.50
+                        AND top_token_frac <= 0.20
+                        AND avg_token_len >= 3.0 AND avg_token_len <= 10.0
+                        AND alpha_ratio >= 0.60 AS INT) AS keep
+            FROM g
+        """,
         "events_running_totals": """
             SELECT user_id, count(*) AS n_events,
                    round(sum(value), 2) AS value_sum
@@ -1957,6 +2063,7 @@ def oracle_sql() -> dict[str, str]:
         "feldman_e2_export": _e2_oracle_sql(),
         **{k: v for k, v in _PIPELINE_ORACLES.items() if v is not None},
         "dedup_simhash": _simhash_oracle_sql(),
+        "dedup_clusters": _components_oracle_sql(),
         "text_lang_id": _lang_id_oracle_sql(),
         "sample_mix": """
             SELECT 'even' AS mix_src, count(*) AS n_docs,

@@ -1,0 +1,114 @@
+"""Connected components over near-duplicate pair graphs.
+
+Beyond-reference capability (no counterpart in laccore/feldman): the
+dedup operators (:mod:`feldman_spark.pipeline.dedup`) emit *pairs*; a
+training pipeline needs *clusters* — the transitive closure of the
+pair graph — and then one survivor per cluster. This module closes that
+gap with a Pregel-style iterative min-label propagation expressed as
+DataFrame joins:
+
+* every node starts labeled with itself;
+* each round, a node's label becomes the min of its own and its
+  neighbors' labels (one join + one aggregate — both shuffle on the
+  node id, both linear in the edge count);
+* convergence when no label changes — bounded by the graph diameter,
+  which for near-dup clusters (stars / short chains around a template)
+  is small. ``max_iter`` caps pathological chains.
+
+Scale notes (100 TB corpus): the edge list is the candidate-pair output
+of LSH/banding — a vanishing fraction of the corpus — so each round
+shuffles ids only, never documents. The driver-side loop holds no data,
+only iteration control (checking the convergence count), which is the
+standard shape for iterative algorithms on Spark; for graphs with long
+chains, swap in the alternating large-star/small-star rounds of
+Kiveris et al., "Connected Components in MapReduce and Beyond" — same
+join primitives, fewer rounds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["connected_components", "dedup_survivors"]
+
+
+def connected_components(
+    pairs: DataFrame,
+    src_col: str = "doc1",
+    dst_col: str = "doc2",
+    out_id: str = "doc_id",
+    out_label: str = "cluster_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Label every node of the pair graph with the minimum node id of its
+    connected component. Returns one row per distinct node:
+    ``(out_id, out_label)``.
+
+    Deterministic: labels are min ids, independent of partitioning or
+    iteration order. Raises ``RuntimeError`` if ``max_iter`` rounds do
+    not converge (diameter > max_iter — not a near-dup-shaped graph).
+    """
+    edges = (
+        pairs.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .unionByName(
+            pairs.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("a").alias("id")).distinct()
+        .withColumn("label", F.col("id"))
+        .persist()
+    )
+    labels.count()  # materialize before the loop
+
+    for _ in range(max_iter):
+        # min neighbor label per node, folded with the node's own label
+        neighbor_min = (
+            edges.join(labels.withColumnRenamed("id", "b"), "b")
+            .groupBy(F.col("a").alias("id"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "id", "left")
+            .select("id",
+                    F.least(F.col("label"), F.coalesce("nmin", "label"))
+                    .alias("label"))
+            .persist()
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("label", "old"), "id")
+            .filter(F.col("label") != F.col("old"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds")
+
+    edges.unpersist()
+    return labels.select(F.col("id").alias(out_id), F.col("label").alias(out_label))
+
+
+def dedup_survivors(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src_col: str = "doc1",
+    dst_col: str = "doc2",
+) -> DataFrame:
+    """Drop every near-duplicate except one per cluster: the surviving
+    document is the minimum id of its connected component (== the
+    cluster label), so survivors are deterministic under any
+    partitioning. Documents in no pair survive untouched.
+
+    The anti-join side is (id) pairs only — the corpus rows never
+    shuffle; with a broadcast-sized victim set the join is map-side.
+    """
+    comp = connected_components(pairs, src_col, dst_col,
+                                out_id=id_col, out_label="_cluster")
+    victims = comp.filter(F.col(id_col) != F.col("_cluster")).select(id_col)
+    return df.join(victims, id_col, "left_anti")

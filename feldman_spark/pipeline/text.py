@@ -18,6 +18,8 @@ __all__ = [
     "bpe_token_count",
     "quality_features",
     "quality_score",
+    "repetition_features",
+    "gopher_rules",
     "lang_scores",
     "lang_id",
     "fingerprint",
@@ -88,6 +90,97 @@ def quality_score(text: Column) -> Column:
         0.3 * len_ok + 0.3 * tok_ok + 0.2 * f_["alpha_ratio"]
         + 0.2 * F.least(f_["stopword_ratio"] * 5, F.lit(1.0)),
         4,
+    )
+
+
+def repetition_features(text: Column, ngram: int = 3) -> Dict[str, Column]:
+    """Intra-document repetition signals in the style of the Gopher data
+    rules (Rae et al. 2021 §A1.1): duplicate-line fraction, duplicate
+    word-n-gram fraction, and the fraction of tokens covered by the most
+    frequent token. All row-local array expressions — one pass, no UDF,
+    no shuffle.
+
+    * ``dup_line_frac`` — 1 - distinct(lines)/lines; boilerplate pages
+      and chat logs repeat whole lines.
+    * ``dup_ngram_frac`` — 1 - distinct(n-grams)/n-grams over word
+      ``ngram``-grams; machine-generated spam repeats phrases.
+    * ``top_token_frac`` — occurrences of the modal token / tokens; a
+      degenerate doc ("buy buy buy …") concentrates on one token.
+    """
+    lines = F.split(text, "\n")
+    n_lines = F.size(lines)
+    dup_line_frac = F.round(
+        F.when(n_lines <= 0, 0.0).otherwise(
+            1.0 - F.size(F.array_distinct(lines)).cast("double") / n_lines),
+        4)
+
+    tokens = F.split(F.trim(text), r"\s+")
+    n_tokens = token_count(text)
+    grams = F.when(F.size(tokens) < ngram, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(tokens) - ngram),
+            lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, ngram)),
+        )
+    )
+    n_grams = F.size(grams)
+    dup_ngram_frac = F.round(
+        F.when(n_grams <= 0, 0.0).otherwise(
+            1.0 - F.size(F.array_distinct(grams)).cast("double") / n_grams),
+        4)
+
+    # modal-token count: sort, then one aggregate pass tracking the
+    # longest equal-run — O(n log n) row-local (a transform-over-distinct
+    # count would be O(distinct · n), quadratic on long documents)
+    run_state = F.aggregate(
+        F.array_sort(tokens),
+        F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
+                 F.lit(0).alias("best")),
+        lambda acc, t: F.struct(
+            t.alias("prev"),
+            F.when(t == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(t == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+    )
+    top_count = run_state["best"]
+    top_token_frac = F.round(
+        F.when(n_tokens <= 0, 0.0).otherwise(
+            top_count.cast("double") / n_tokens),
+        4)
+    return {
+        "dup_line_frac": dup_line_frac,
+        "dup_ngram_frac": dup_ngram_frac,
+        "top_token_frac": top_token_frac,
+    }
+
+
+def gopher_rules(
+    text: Column,
+    min_tokens: int = 50,
+    max_tokens: int = 100_000,
+    max_dup_line_frac: float = 0.30,
+    max_dup_ngram_frac: float = 0.50,
+    max_top_token_frac: float = 0.20,
+    min_avg_token_len: float = 3.0,
+    max_avg_token_len: float = 10.0,
+    min_alpha_ratio: float = 0.60,
+) -> Column:
+    """Boolean keep/drop in the style of the Gopher quality rules: length
+    window, repetition caps (:func:`repetition_features`), mean-word-
+    length window and alphabetic-ratio floor. Thresholds are the
+    published defaults adapted to whitespace tokens; tune per corpus."""
+    q = quality_features(text)
+    r = repetition_features(text)
+    return (
+        (q["n_tokens"] >= min_tokens) & (q["n_tokens"] <= max_tokens)
+        & (r["dup_line_frac"] <= max_dup_line_frac)
+        & (r["dup_ngram_frac"] <= max_dup_ngram_frac)
+        & (r["top_token_frac"] <= max_top_token_frac)
+        & (q["avg_token_len"] >= min_avg_token_len)
+        & (q["avg_token_len"] <= max_avg_token_len)
+        & (q["alpha_ratio"] >= min_alpha_ratio)
     )
 
 

@@ -413,3 +413,70 @@ def test_multimodal_plumbing(spark):
     # distinct targets -> distinct deterministic payloads
     r44 = {r["media_id"]: r for r in resize_image(media, 4, 4, fake=True).collect()}
     assert bytes(r44[1]["data"]) != bytes(resized[1]["data"])
+
+
+def test_connected_components_shapes(spark):
+    """Chain, star, two components, and determinism under repartitioning."""
+    from feldman_spark.pipeline.graph import connected_components
+
+    pairs = spark.createDataFrame(
+        # chain 1-2-3-4; star 10-{11,12,13}; isolated pair 20-21
+        [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (10, 13), (20, 21)],
+        "doc1 long, doc2 long")
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1,
+                   10: 10, 11: 10, 12: 10, 13: 10, 20: 20, 21: 20}
+    again = {r["doc_id"]: r["cluster_id"]
+             for r in connected_components(pairs.repartition(7)).collect()}
+    assert got == again
+
+
+def test_dedup_survivors(spark):
+    """One survivor (min id) per cluster; untouched docs pass through;
+    composed end-to-end with the exact-dup pair generator."""
+    from feldman_spark.pipeline.dedup import minhash_lsh_pairs
+    from feldman_spark.pipeline.graph import dedup_survivors
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today"),
+         (2, "the quick brown fox jumps over the lazy dog today"),   # dup of 1
+         (7, "the quick brown fox jumps over the lazy dog today"),   # dup of 1
+         (3, "an entirely different document about spark pipelines here"),
+         (4, "yet another unique text with nothing shared at all ok")],
+        "doc_id long, text string")
+    pairs = minhash_lsh_pairs(docs, threshold=0.5)
+    kept = sorted(r["doc_id"] for r in dedup_survivors(docs, pairs).collect())
+    assert kept == [1, 3, 4]
+
+
+def test_connected_components_max_iter(spark):
+    from feldman_spark.pipeline.graph import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], "doc1 long, doc2 long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=1)
+
+
+def test_repetition_features_and_gopher_rules(spark):
+    from feldman_spark.pipeline.text import gopher_rules, repetition_features
+
+    good = " ".join(f"alpha{i} beta{i} gamma{i}" for i in range(40))  # 120 unique tokens
+    spammy = "buy now " * 60                                   # one repeated 2-gram
+    linespam = "the same line here\n" * 10 + "unique closer line"
+    df = spark.createDataFrame(
+        [(1, good), (2, spammy.strip()), (3, linespam), (4, "tiny doc")],
+        "doc_id long, text string")
+    r = repetition_features(F.col("text"))
+    rows = {row["doc_id"]: row for row in df.select(
+        "doc_id", r["dup_line_frac"].alias("l"), r["dup_ngram_frac"].alias("g"),
+        r["top_token_frac"].alias("t"),
+        gopher_rules(F.col("text")).alias("keep")).collect()}
+    assert rows[1]["keep"] is True
+    assert rows[1]["g"] < 0.1 and rows[1]["t"] < 0.1
+    # "buy now buy now ...": every 3-gram repeats, modal token = half
+    assert rows[2]["g"] > 0.9 and rows[2]["t"] >= 0.5 and rows[2]["keep"] is False
+    # 11 lines, 2 distinct -> dup_line_frac = 1 - 2/11
+    assert abs(rows[3]["l"] - (1 - 2 / 11)) < 1e-3 and rows[3]["keep"] is False
+    assert rows[4]["keep"] is False  # below the token floor
