@@ -172,6 +172,9 @@ def convert_sparse_splice(
 ) -> Tuple[DataFrame, DataFrame]:
     """Path-level E1, mirroring ``feldman.convertSparseSplice``
     (``feldman.py:96-142``). Writes rounded, vocabulary-renamed CSVs."""
+    from .progress import report_progress
+
+    report_progress(0, "Loading section summary and sparse splice...")
     secsumm = load_section_summary(spark, secsumm_path)
     sparse = load_sparse_splice(spark, sparse_path)
 
@@ -183,6 +186,7 @@ def convert_sparse_splice(
                 "The manual correlation file {} could not be loaded.".format(
                     manual_correlation_path))
 
+    report_progress(25, "Processing sparse splice intervals...")
     affine, sit = convert_sparse_splice_frames(
         secsumm, sparse,
         use_scaled_depths=use_scaled_depths,
@@ -191,6 +195,8 @@ def convert_sparse_splice(
         manual_correlation=mancorr,
         manual_offsets=manoff,
     )
+    # same terminal milestone as the reference (feldman.py:134)
+    report_progress(100, "Writing affine and SIT to file...")
     write_csv(sit, sit_out_path, fmt=SIT_FORMAT)
     write_csv(affine, affine_out_path, fmt=AFFINE_FORMAT)
     return affine, sit
@@ -225,6 +231,10 @@ def export_measurement_data(
     """Path-level E2, mirroring ``feldman.exportMeasurementData``
     (``feldman.py:298-382``), including the ``<input>-unwritten.csv`` side
     output (S7, ``feldman.py:370-376``)."""
+    from .progress import report_progress
+
+    # same opening milestone as the reference (feldman.py:307)
+    report_progress(0, "Splicing {}...".format(os.path.basename(md_path)))
     affine = load_affine(spark, affine_path)
     sit = load_sit(spark, sit_path)
     md = load_measurement(spark, md_path, depth_column)
@@ -234,7 +244,9 @@ def export_measurement_data(
         include_off_splice=include_off_splice,
         whole_splice_section=whole_splice_section,
     )
+    report_progress(50, "Gathering on- and off-splice rows...")
     write_csv(result.spliced, export_path, fmt=MEASUREMENT_FORMAT)
+    report_progress(100, "Export written to {}".format(os.path.basename(export_path)))
     if result.unwritten is not None:
         unwritten_path = os.path.splitext(md_path)[0] + "-unwritten.csv"
         if not os.access(os.path.dirname(unwritten_path) or ".", os.W_OK):

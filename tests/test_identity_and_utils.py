@@ -106,3 +106,35 @@ def test_convert_gap_columns_csv(spark, tmp_out):
     import pandas as pd
     written = pd.read_csv(f"{tmp_out}/merged_gaps.csv")
     assert "Gaps" in written.columns
+
+
+def test_progress_listener_surface(spark, tmp_path, ref_testdata):
+    """The listener protocol matches the reference's (clear +
+    setValueAndText); E1 reports 0/25/100 milestones in order."""
+    from feldman_spark.engine import convert_sparse_splice
+    from feldman_spark.progress import report_progress, set_progress_listener
+
+    events = []
+
+    class Listener:
+        def clear(self):
+            events.append(("clear",))
+
+        def setValueAndText(self, value, text):
+            events.append((value, text))
+
+    set_progress_listener(Listener())
+    try:
+        convert_sparse_splice(
+            spark,
+            f"{ref_testdata}/GLAD9_SectionSummary.csv",
+            f"{ref_testdata}/GLAD9_Site1_SparseSplice.csv",
+            str(tmp_path / "aff.csv"), str(tmp_path / "sit.csv"))
+    finally:
+        set_progress_listener(None)
+    values = [e[0] for e in events]
+    assert values[0] == "clear"
+    assert [v for v in values[1:]] == [0, 25, 100]
+    # uninstalled listener: report is a no-op
+    report_progress(50, "ignored")
+    assert len(events) == 4
