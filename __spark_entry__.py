@@ -1583,6 +1583,28 @@ def text_gopher_quality(spark, sf_dir):
     )
 
 
+def pack_examples(spark, sf_dir):
+    """Concat-and-chunk sequence packing: each document's [token, example]
+    span in a 2048-token-per-example training layout (one window cumsum —
+    feldman_spark/pipeline/training.py, shard_col parallelizes at scale)."""
+    from feldman_spark.pipeline.text import token_count
+    from feldman_spark.pipeline.training import pack_sequences
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("nt"))
+    return pack_sequences(d, "nt", capacity=2048).select(
+        "doc_id", "tok_start", "tok_end",
+        "first_example", "last_example", "n_examples")
+
+
+def text_tfidf_terms(spark, sf_dir):
+    """Top-3 TF-IDF terms per document (tf · ln(N/df), two hash
+    aggregations + window rank; ties broken lexicographically)."""
+    from feldman_spark.pipeline.training import tfidf_top_terms
+
+    return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
+
+
 def events_json_props(spark, sf_dir):
     """Semi-structured handling: parse the events JSON props column
     (from_json with an explicit schema — no inference pass at scale) and
@@ -1717,6 +1739,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_props": events_json_props,
         "events_running_totals": events_running_totals,
         "text_gopher_quality": text_gopher_quality,
+        "pack_examples": pack_examples,
+        "text_tfidf_terms": text_tfidf_terms,
         "q2_min_cost_supplier": q2_min_cost_supplier,
         "q4_order_priority": q4_order_priority,
         "q7_volume_shipping": q7_volume_shipping,
@@ -2006,6 +2030,57 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
                    round(sum(value), 2) AS value_sum
             FROM events GROUP BY 1, 2
+        """,
+        "pack_examples": """
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+                          AS BIGINT) AS nt
+              FROM documents
+            ),
+            c AS (
+              SELECT doc_id, nt,
+                     sum(nt) OVER (ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS tok_end
+              FROM t
+            )
+            SELECT doc_id,
+                   CAST(tok_end - nt AS BIGINT) AS tok_start,
+                   CAST(tok_end AS BIGINT) AS tok_end,
+                   CAST((tok_end - nt) // 2048 AS BIGINT) AS first_example,
+                   CAST(CASE WHEN nt <= 0 THEN (tok_end - nt) // 2048
+                        ELSE (tok_end - 1) // 2048 END AS BIGINT) AS last_example,
+                   CAST(CASE WHEN nt <= 0 THEN 0
+                        ELSE (tok_end - 1) // 2048 - (tok_end - nt) // 2048 + 1
+                        END AS BIGINT) AS n_examples
+            FROM c
+        """,
+        "text_tfidf_terms": """
+            WITH terms AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+              FROM documents
+            ),
+            tf AS (
+              SELECT doc_id, term, count(*) AS tf
+              FROM terms WHERE term <> '' GROUP BY 1, 2
+            ),
+            dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            s AS (
+              SELECT doc_id, term,
+                     round(tf * ln((SELECT count(*) FROM documents)
+                                   / CAST(df AS DOUBLE)), 4) AS score
+              FROM tf JOIN dfq USING (term)
+            ),
+            r AS (
+              SELECT doc_id, term, score,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY score DESC, term) AS rank
+              FROM s
+            )
+            SELECT doc_id, CAST(rank AS INT) AS rank, term, score
+            FROM r WHERE rank <= 3
         """,
         "text_gopher_quality": """
             WITH t AS (

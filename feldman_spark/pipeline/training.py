@@ -1,0 +1,107 @@
+"""Training-example assembly: sequence packing and corpus term weighting.
+
+Beyond-reference capability. ``pack_sequences`` maps each document to
+its position in the concat-and-chunk packing that LLM training uses:
+documents are concatenated in a deterministic order and sliced into
+fixed-capacity token windows; a document therefore spans examples
+``[first_example, last_example]``. The cumulative token sum is one
+window aggregation — no UDF, no driver state.
+
+Scale notes (100 TB): a single global ordering means a single-partition
+window — fine for the contract corpus, wrong at scale. Pass
+``shard_col`` to pack within shards (the production layout: each shard
+is packed independently and examples are named (shard, example)); the
+window then partitions by shard and parallelizes. Growth-stability:
+append-only corpora packed by (shard, key) order keep existing example
+assignments as new shards arrive.
+
+``tfidf_top_terms`` is the classic two-aggregation TF-IDF: term
+frequency per (doc, term), document frequency per term, score =
+tf · ln(N / df), top-k terms per document by window rank. Both
+aggregations shuffle on bounded keys (term, doc); the text itself
+never moves twice.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["pack_sequences", "tfidf_top_terms"]
+
+
+def pack_sequences(
+    df: DataFrame,
+    tokens_col: str,
+    capacity: int,
+    order_col: str = "doc_id",
+    shard_col: Optional[str] = None,
+) -> DataFrame:
+    """Assign each document its example span under concat-and-chunk
+    packing with ``capacity`` tokens per example.
+
+    Documents are ordered by ``order_col`` (within ``shard_col`` if
+    given), concatenated, and chunked; the output adds:
+
+    * ``tok_start`` / ``tok_end`` — the document's [start, end) token
+      interval in the concatenated stream;
+    * ``first_example`` / ``last_example`` — the example indices the
+      document lands in (``tok_start div capacity`` …);
+    * ``n_examples`` — how many examples the document spans.
+    """
+    part = [shard_col] if shard_col else []
+    w = (Window.partitionBy(*part).orderBy(F.col(order_col).asc())
+         if part else Window.orderBy(F.col(order_col).asc()))
+    tok_end = F.sum(F.col(tokens_col)).over(w)
+    out = (
+        df.withColumn("tok_end", tok_end.cast("bigint"))
+        .withColumn("tok_start", (F.col("tok_end") - F.col(tokens_col)).cast("bigint"))
+        .withColumn("first_example", (F.col("tok_start") / capacity).cast("bigint"))
+        # a doc ending exactly on a boundary belongs to the chunk before it
+        .withColumn("last_example",
+                    ((F.col("tok_end") - 1) / capacity).cast("bigint"))
+        .withColumn("n_examples",
+                    (F.col("last_example") - F.col("first_example") + 1))
+    )
+    # zero-token docs occupy no example: normalize their span to the
+    # insertion point with n_examples = 0
+    return out.withColumn(
+        "n_examples",
+        F.when(F.col(tokens_col) <= 0, F.lit(0)).otherwise(F.col("n_examples")),
+    ).withColumn(
+        "last_example",
+        F.when(F.col(tokens_col) <= 0, F.col("first_example"))
+        .otherwise(F.col("last_example")),
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    digits: int = 4,
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document: score = tf · ln(N/df) over
+    lowercased whitespace terms; ties broken lexicographically for
+    determinism. Output: (id, rank, term, score)."""
+    n_docs = df.count()  # scalar corpus size; one metadata-light pass
+    terms = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term").asc())
+    return (
+        tf.join(dfreq, "term")
+        .withColumn(
+            "score",
+            F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), digits))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col(id_col), "rank", "term", "score")
+    )

@@ -480,3 +480,48 @@ def test_repetition_features_and_gopher_rules(spark):
     # 11 lines, 2 distinct -> dup_line_frac = 1 - 2/11
     assert abs(rows[3]["l"] - (1 - 2 / 11)) < 1e-3 and rows[3]["keep"] is False
     assert rows[4]["keep"] is False  # below the token floor
+
+
+def test_pack_sequences_spans(spark):
+    from feldman_spark.pipeline.training import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(1, 1000), (2, 1048), (3, 10), (4, 0), (5, 5000)],
+        "doc_id long, nt long")
+    rows = {r["doc_id"]: r for r in
+            pack_sequences(docs, "nt", capacity=2048).collect()}
+    # doc2 ends exactly at 2048: belongs to example 0 only
+    assert (rows[2]["first_example"], rows[2]["last_example"]) == (0, 0)
+    assert (rows[3]["first_example"], rows[3]["last_example"]) == (1, 1)
+    assert rows[4]["n_examples"] == 0  # zero-token doc occupies nothing
+    # doc5: tokens [2058, 7058) -> examples 1..3
+    assert (rows[5]["first_example"], rows[5]["last_example"]) == (1, 3)
+    assert rows[5]["n_examples"] == 3
+
+    # sharded packing: independent cumsums per shard
+    sharded = spark.createDataFrame(
+        [(1, "a", 3000), (2, "a", 100), (1, "b", 10)],
+        "doc_id long, shard string, nt long")
+    srows = {(r["shard"], r["doc_id"]): r for r in
+             pack_sequences(sharded, "nt", capacity=2048,
+                            shard_col="shard").collect()}
+    assert srows[("a", 2)]["first_example"] == 1   # after doc1's 3000
+    assert srows[("b", 1)]["first_example"] == 0   # shard b starts fresh
+
+
+def test_tfidf_top_terms(spark):
+    from feldman_spark.pipeline.training import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [(1, "apple apple banana shared"), (2, "cherry shared shared"),
+         (3, "banana cherry shared")],
+        "doc_id long, text string")
+    rows = tfidf_top_terms(docs, k=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append((r["rank"], r["term"], r["score"]))
+    # 'shared' appears in every doc -> idf = ln(1) = 0, never a top term
+    # unless nothing else scores (doc text always has something else here)
+    assert by_doc[1][0][1] == "apple"        # tf=2 of a df=1 term
+    assert all(t != "shared" or s == 0.0 for _, t, s in by_doc[1])
+    assert len(by_doc) == 3 and all(len(v) == 2 for v in by_doc.values())
