@@ -166,6 +166,134 @@ def test_e1_differential(spark_fuzz, steps, gap_pattern):
     _run_differential_case(spark_fuzz, steps, gap_pattern, kw={})
 
 
+DEPTH_COL = "Sediment Depth, unscaled (MBS / CSF-A)"
+
+_REF_E2_SCRIPT = """
+import sys, logging
+sys.path.insert(0, {ref!r})
+logging.basicConfig(level=logging.CRITICAL)
+import feldman
+feldman.exportMeasurementData({aff!r}, {sit!r}, {md!r}, {out!r},
+                              depthColumn={depth!r})
+"""
+
+
+def _write_measurement(case_dir, holes, cores_per_hole, extra_depths):
+    """Synthetic measurement rows on a 0.35 m grid plus the exact splice
+    boundary depths (the inclusive/exclusive edge cases), identity
+    columns consistent with the generated section geometry."""
+    path = os.path.join(case_dir, "md.csv")
+    max_depth = cores_per_hole * SECTIONS * SECTION_LEN
+    grid = [round(i * 0.35, 4) for i in range(int(max_depth / 0.35) + 1)]
+    depths = sorted(set(grid) | {d for d in extra_depths if 0 <= d < max_depth})
+    with open(path, "w") as f:
+        f.write('Site,Hole,Core,CoreType,Section,"%s",Value\n' % DEPTH_COL)
+        for h in holes:
+            for d in depths:
+                c = int(d // (SECTIONS * SECTION_LEN)) + 1
+                s = int((d - (c - 1) * SECTIONS * SECTION_LEN) // SECTION_LEN) + 1
+                if c > cores_per_hole or s > SECTIONS:
+                    continue
+                f.write(f"1,{h},{c},H,{s},{d},{round(d * 3.7 + ord(h), 3)}\n")
+    return path
+
+
+@st.composite
+def valid_splice_steps(draw):
+    """Interval chains the reference accepts by construction: top
+    strictly before bottom within each core, and cores ascend, so the
+    depth chain is monotone. Offsets still roam the whole section."""
+    n = draw(st.integers(2, 6))
+    steps = []
+    for _ in range(n):
+        hidx = draw(st.integers(0, 1))
+        sptype = draw(st.sampled_from(["TIE", "APPEND"]))
+        ts = draw(st.integers(1, 3))
+        bs = draw(st.integers(ts, 3))
+        toff = draw(st.floats(5.0, 135.0))
+        boff = (draw(st.floats(toff + 2.0, 145.0)) if bs == ts
+                else draw(st.floats(5.0, 145.0)))
+        steps.append((hidx, sptype, ts, bs, round(toff, 3), round(boff, 3),
+                      draw(st.booleans())))
+    return steps
+
+
+_e2_compared = []  # non-vacuity guard: counts examples that reached export
+
+
+@settings(max_examples=10, deadline=None)
+@given(steps=valid_splice_steps(),
+       gap_pattern=st.lists(st.booleans(), min_size=3, max_size=8))
+def test_e2_differential(spark_fuzz, steps, gap_pattern):
+    """Full-pipeline differential: E1 on a generated geometry, then the
+    measurement export (classification, interval gather, affine shifts,
+    off-splice handling) against the reference on synthetic measurement
+    rows that include exact interval-boundary depths."""
+    spark = spark_fuzz
+    holes, splice_plan = _splice_plan(steps)
+    key = hashlib.md5(repr(("e2", steps, gap_pattern)).encode()).hexdigest()[:12]
+    case_dir = os.path.join(OUT, key)
+    ss_path, sp_path = _write_inputs(case_dir, holes, len(steps),
+                                     gap_pattern, splice_plan)
+
+    ref_aff = os.path.join(case_dir, "ref_aff.csv")
+    ref_sit = os.path.join(case_dir, "ref_sit.csv")
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         _REF_SCRIPT.format(ref=REF, ss=ss_path, sp=sp_path, aff=ref_aff,
+                            sit=ref_sit, kw={})],
+        cwd=case_dir, capture_output=True, text=True)
+    if proc.returncode != 0 or not os.path.exists(ref_aff):
+        return  # E1 refusal paths are covered by test_e1_differential
+
+    # boundary depths: every interval top/bottom offset mapped to depth
+    sit = pd.read_csv(ref_sit)
+    extra = sorted(set(
+        round(float(v), 4)
+        for col in ("Top Depth CSF-A", "Bottom Depth CSF-A")
+        for v in sit[col].tolist()))
+    md_path = _write_measurement(case_dir, holes, len(steps), extra)
+
+    ref_out = os.path.join(case_dir, "ref_export.csv")
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         _REF_E2_SCRIPT.format(ref=REF, aff=ref_aff, sit=ref_sit, md=md_path,
+                               out=ref_out, depth=DEPTH_COL)],
+        cwd=case_dir, capture_output=True, text=True)
+    if proc.returncode != 0 or not os.path.exists(ref_out):
+        from feldman_spark.engine import export_measurement_data
+        with pytest.raises(Exception):
+            export_measurement_data(
+                spark, ref_aff, ref_sit, md_path,
+                os.path.join(case_dir, "our_export.csv"), depth_column=DEPTH_COL)
+        return
+
+    from feldman_spark.engine import export_measurement_data
+    our_out = os.path.join(case_dir, "our_export.csv")
+    export_measurement_data(spark, ref_aff, ref_sit, md_path, our_out,
+                            depth_column=DEPTH_COL)
+
+    _e2_compared.append(key)
+    r = pd.read_csv(ref_out, low_memory=False)
+    o = pd.read_csv(our_out, low_memory=False)
+    assert sorted(r.columns) == sorted(o.columns)
+    sort_cols = ["Hole", "Core", "Section", DEPTH_COL, "On-Splice"]
+    r = r.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
+    o = o[r.columns.tolist()].sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
+    assert len(r) == len(o), f"{len(r)} vs {len(o)} rows (case {key})"
+    for col in r.columns:
+        if pd.api.types.is_numeric_dtype(r[col]) and pd.api.types.is_numeric_dtype(o[col]):
+            ok = np.isclose(r[col].astype(float), o[col].astype(float),
+                            atol=1e-7, rtol=0, equal_nan=True)
+        else:
+            ok = (r[col].fillna("").astype(str).str.strip()
+                  == o[col].fillna("").astype(str).str.strip())
+        bad = np.where(~ok)[0]
+        assert len(bad) == 0, (
+            f"export col {col!r}: ref={r[col].iloc[bad[0]]!r} "
+            f"our={o[col].iloc[bad[0]]!r} (case {key}, row {bad[0]})")
+
+
 @settings(max_examples=16, deadline=None)
 @given(steps=splice_steps,
        gap_pattern=st.lists(st.booleans(), min_size=3, max_size=8),
@@ -186,3 +314,10 @@ def test_e1_differential_option_matrix(spark_fuzz, steps, gap_pattern,
     if startdepth is not None:
         kw["sparse_splice_depth"] = startdepth
     _run_differential_case(spark_fuzz, steps, gap_pattern, kw)
+
+
+def test_e2_differential_not_vacuous():
+    """Runs after the fuzz above (file order): most generated geometries
+    must have reached the export comparison, else the E2 fuzz is
+    silently testing nothing."""
+    assert len(_e2_compared) >= 5, _e2_compared
