@@ -567,6 +567,32 @@ def dedup_clusters(spark, sf_dir):
     return comp
 
 
+def pipeline_fuzzy_dedup(spark, sf_dir):
+    """The COMPLETE fuzzy-dedup pipeline in one query: MinHash-LSH pairs
+    → connected components → survivor anti-join → per-language corpus
+    stats. What a training pipeline actually runs: duplicates (including
+    transitive ones) are dropped, smallest-id survivor per cluster kept."""
+    from feldman_spark.pipeline.dedup import minhash_lsh_pairs
+    from feldman_spark.pipeline.graph import dedup_survivors
+
+    docs = _docs_with_dups(spark, sf_dir)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        pairs = minhash_lsh_pairs(docs, threshold=0.2)
+        kept = dedup_survivors(docs, pairs)
+        out = (
+            kept.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").alias("sum_chars"),
+                 F.min("doc_id").alias("min_id"))
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return out
+
+
 def text_quality(spark, sf_dir):
     """Quality features + score per document (pure column expressions)."""
     from feldman_spark.pipeline.text import quality_features, quality_score
@@ -727,6 +753,35 @@ def _components_oracle_sql() -> str:
           SELECT e.a, w.lab FROM edges e JOIN walk w ON w.id = e.b
         )
         SELECT id AS doc_id, min(lab) AS cluster_id FROM walk GROUP BY id
+    """
+
+
+def _fuzzy_dedup_oracle_sql() -> str:
+    """End-to-end fuzzy dedup: components of the minhash pair graph,
+    victims = non-minimum members, survivors aggregated per language."""
+    pairs_sql = _PIPELINE_ORACLES["dedup_minhash_lsh"]
+    return f"""
+        WITH RECURSIVE pairs AS ({pairs_sql}),
+        edges AS (
+          SELECT doc1 AS a, doc2 AS b FROM pairs
+          UNION
+          SELECT doc2, doc1 FROM pairs
+        ),
+        walk(id, lab) AS (
+          SELECT DISTINCT a, a FROM edges
+          UNION
+          SELECT e.a, w.lab FROM edges e JOIN walk w ON w.id = e.b
+        ),
+        comp AS (SELECT id, min(lab) AS lab FROM walk GROUP BY id),
+        victims AS (SELECT id FROM comp WHERE id <> lab),
+        kept AS (
+          SELECT * FROM {_DOCS_DUP_SQL} d
+          WHERE d.doc_id NOT IN (SELECT id FROM victims)
+        )
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+               min(doc_id) AS min_id
+        FROM kept GROUP BY lang
     """
 
 
@@ -1583,6 +1638,34 @@ def text_gopher_quality(spark, sf_dir):
     )
 
 
+def events_stream_dedup(spark, sf_dir):
+    """Stateful streaming dedup (applyInPandasWithState): first occurrence
+    of each key wins, later copies are suppressed. Copies are colocated
+    per file (repartition by key) so the per-key n_dupes emission is
+    batch-layout-independent and oracle-checkable."""
+    from feldman_spark.streaming.events import run_stream_to_memory
+    from feldman_spark.streaming.stateful import streaming_dedup
+
+    e = _events(spark, sf_dir).select("event_id", "event_type", "user_id")
+    dups = e.filter(F.col("event_id") < 300)
+    staging = "/root/repo/.tmp/events_stream_dedup_src"
+    (e.unionByName(dups).repartition(2, F.col("event_id"))
+     .write.mode("overwrite").parquet(staging))
+    schema = spark.read.parquet(staging).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        run_stream_to_memory(streaming_dedup(stream),
+                             "events_stream_dedup_sink", output_mode="append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table("events_stream_dedup_sink")
+
+
 def pack_examples(spark, sf_dir):
     """Concat-and-chunk sequence packing: each document's [token, example]
     span in a 2048-token-per-example training layout (one window cumsum —
@@ -1705,6 +1788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": dedup_exact,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_clusters": dedup_clusters,
+        "pipeline_fuzzy_dedup": pipeline_fuzzy_dedup,
         "dedup_simhash": dedup_simhash,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_embedding_cosine": dedup_embedding_cosine,
@@ -1741,6 +1825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_gopher_quality": text_gopher_quality,
         "pack_examples": pack_examples,
         "text_tfidf_terms": text_tfidf_terms,
+        "events_stream_dedup": events_stream_dedup,
         "q2_min_cost_supplier": q2_min_cost_supplier,
         "q4_order_priority": q4_order_priority,
         "q7_volume_shipping": q7_volume_shipping,
@@ -2031,6 +2116,17 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 2) AS value_sum
             FROM events GROUP BY 1, 2
         """,
+        "events_stream_dedup": """
+            WITH u AS (
+              SELECT event_id, event_type, user_id FROM events
+              UNION ALL
+              SELECT event_id, event_type, user_id FROM events
+              WHERE event_id < 300
+            )
+            SELECT event_id, event_type, user_id,
+                   count(*) - 1 AS n_dupes
+            FROM u GROUP BY event_id, event_type, user_id
+        """,
         "pack_examples": """
             WITH t AS (
               SELECT doc_id,
@@ -2139,6 +2235,7 @@ def oracle_sql() -> dict[str, str]:
         **{k: v for k, v in _PIPELINE_ORACLES.items() if v is not None},
         "dedup_simhash": _simhash_oracle_sql(),
         "dedup_clusters": _components_oracle_sql(),
+        "pipeline_fuzzy_dedup": _fuzzy_dedup_oracle_sql(),
         "text_lang_id": _lang_id_oracle_sql(),
         "sample_mix": """
             SELECT 'even' AS mix_src, count(*) AS n_docs,
