@@ -10,19 +10,19 @@ DataFrame joins:
 * every node starts labeled with itself;
 * each round, a node's label becomes the min of its own and its
   neighbors' labels (one join + one aggregate — both shuffle on the
-  node id, both linear in the edge count);
-* convergence when no label changes — bounded by the graph diameter,
-  which for near-dup clusters (stars / short chains around a template)
-  is small. ``max_iter`` caps pathological chains.
+  node id, both linear in the edge count), then pointer-jumps
+  (label := label's label), which halves label-chain lengths;
+* convergence when no label changes — O(log diameter) rounds thanks to
+  the pointer jumping; near-dup clusters (stars / short chains around
+  a template) finish in 2-3. ``max_iter`` caps pathological graphs.
 
 Scale notes (100 TB corpus): the edge list is the candidate-pair output
 of LSH/banding — a vanishing fraction of the corpus — so each round
 shuffles ids only, never documents. The driver-side loop holds no data,
 only iteration control (checking the convergence count), which is the
-standard shape for iterative algorithms on Spark; for graphs with long
-chains, swap in the alternating large-star/small-star rounds of
-Kiveris et al., "Connected Components in MapReduce and Beyond" — same
-join primitives, fewer rounds.
+standard shape for iterative algorithms on Spark. The hop + jump round
+is the two-phase idea of Kiveris et al., "Connected Components in
+MapReduce and Beyond" (large-star/small-star), expressed as two joins.
 """
 
 from __future__ import annotations
@@ -55,12 +55,17 @@ def connected_components(
         .distinct()
         .persist()
     )
+    # localCheckpoint (not persist): each round's plan would otherwise
+    # NEST the previous round's — with the pointer-jump self-join that
+    # doubles the logical-plan tree per round, exhausting driver heap on
+    # deep iterations. Checkpointing truncates lineage to the
+    # materialized blocks. On a cluster prefer a reliable checkpoint dir
+    # (sc.setCheckpointDir + .checkpoint()) to survive executor loss.
     labels = (
         edges.select(F.col("a").alias("id")).distinct()
         .withColumn("label", F.col("id"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    labels.count()  # materialize before the loop
 
     for _ in range(max_iter):
         # min neighbor label per node, folded with the node's own label
@@ -69,19 +74,29 @@ def connected_components(
             .groupBy(F.col("a").alias("id"))
             .agg(F.min("label").alias("nmin"))
         )
-        new_labels = (
+        hopped = (
             labels.join(neighbor_min, "id", "left")
             .select("id",
                     F.least(F.col("label"), F.coalesce("nmin", "label"))
                     .alias("label"))
-            .persist()
+        )
+        # pointer jumping (label := label's label): halves label-chain
+        # lengths each round, so convergence is O(log diameter) instead
+        # of O(diameter) — a path graph finishes in ~log2(n) rounds
+        lookup = hopped.select(F.col("id").alias("label"),
+                               F.col("label").alias("_ll"))
+        new_labels = (
+            hopped.join(lookup, "label", "left")
+            .select("id",
+                    F.least(F.col("label"), F.coalesce("_ll", "label"))
+                    .alias("label"))
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.join(labels.withColumnRenamed("label", "old"), "id")
             .filter(F.col("label") != F.col("old"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break

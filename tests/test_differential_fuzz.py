@@ -41,16 +41,21 @@ SECTION_LEN = 1.5
 SECTIONS = 3
 
 
-def _write_inputs(case_dir, holes, cores_per_hole, gap_flags, splice_plan):
+def _write_inputs(case_dir, holes, cores_per_hole, gap_flags, splice_plan,
+                  staggers=None):
     os.makedirs(case_dir, exist_ok=True)
     ss_path = os.path.join(case_dir, "secsumm.csv")
     sp_path = os.path.join(case_dir, "sparse.csv")
 
+    staggers = staggers or {}
     rows = []
     gi = 0
     for h in holes[:]:
         for c in range(1, cores_per_hole + 1):
-            core_top = (c - 1) * SECTIONS * SECTION_LEN
+            # per-hole stagger models staggered drilling: nearest-top
+            # selection then has genuinely distinct candidates, not only
+            # exact cross-hole ties
+            core_top = (c - 1) * SECTIONS * SECTION_LEN + staggers.get(h, 0.0)
             for s in range(1, SECTIONS + 1):
                 top = core_top + (s - 1) * SECTION_LEN
                 bot = top + SECTION_LEN
@@ -88,11 +93,11 @@ splice_steps = st.lists(
     min_size=2, max_size=6)
 
 
-def _splice_plan(steps):
-    holes = ["A", "B"]
+def _splice_plan(steps, num_holes=2):
+    holes = ["A", "B", "C"][:num_holes]
     plan = []
     for i, (hidx, sptype, ts, bs, toff, boff, usegap) in enumerate(steps):
-        h = holes[hidx]
+        h = holes[hidx % num_holes]
         c = str(i + 1)
         # sections/offsets are unconstrained: inverted intervals make the
         # reference bail, and then our engine must refuse too (dual-outcome
@@ -103,18 +108,20 @@ def _splice_plan(steps):
     return holes, plan
 
 
-def _run_differential_case(spark, steps, gap_pattern, kw):
+def _run_differential_case(spark, steps, gap_pattern, kw, num_holes=2,
+                           staggers=None):
     """Run the reference and our engine on one generated geometry with the
     given E1 option dict; dual-outcome contract (both refuse or both agree
     value-for-value)."""
-    holes, splice_plan = _splice_plan(steps)
+    holes, splice_plan = _splice_plan(steps, num_holes)
     ref_kw = {_REF_KW[k]: v for k, v in kw.items()}
 
-    key = hashlib.md5(repr((steps, gap_pattern, sorted(kw.items()))).encode()
-                      ).hexdigest()[:12]
+    key = hashlib.md5(repr((steps, gap_pattern, sorted(kw.items()),
+                            num_holes, staggers)).encode()).hexdigest()[:12]
     case_dir = os.path.join(OUT, key)
     ss_path, sp_path = _write_inputs(case_dir, holes, len(steps),
-                                     gap_pattern, splice_plan)
+                                     gap_pattern, splice_plan,
+                                     staggers=staggers)
 
     ref_aff = os.path.join(case_dir, "ref_aff.csv")
     ref_sit = os.path.join(case_dir, "ref_sit.csv")
@@ -164,6 +171,22 @@ def _run_differential_case(spark, steps, gap_pattern, kw):
 @given(steps=splice_steps, gap_pattern=st.lists(st.booleans(), min_size=3, max_size=8))
 def test_e1_differential(spark_fuzz, steps, gap_pattern):
     _run_differential_case(spark_fuzz, steps, gap_pattern, kw={})
+
+
+@settings(max_examples=12, deadline=None)
+@given(steps=splice_steps,
+       gap_pattern=st.lists(st.booleans(), min_size=3, max_size=8),
+       num_holes=st.sampled_from([2, 3]),
+       stagger_b=st.sampled_from([0.0, 0.4]),
+       stagger_c=st.sampled_from([0.0, 0.7]))
+def test_e1_differential_staggered_holes(spark_fuzz, steps, gap_pattern,
+                                         num_holes, stagger_b, stagger_c):
+    """Staggered drilling across up to three holes: cross-hole core tops
+    differ, so off-splice nearest-top selection has genuinely distinct
+    candidates (the uniform-geometry fuzz only ever exercises ties)."""
+    staggers = {"B": stagger_b, "C": stagger_c}
+    _run_differential_case(spark_fuzz, steps, gap_pattern, kw={},
+                           num_holes=num_holes, staggers=staggers)
 
 
 DEPTH_COL = "Sediment Depth, unscaled (MBS / CSF-A)"

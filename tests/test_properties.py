@@ -122,3 +122,34 @@ def test_splice_scan_model_tie_chain(lengths):
         depth += ln * 0.9  # overlapping CSF positions — TIEs must still chain
     for (t1, b1), (t2, _) in zip(tops, tops[1:]):
         assert abs(t2 - b1) < 1e-9
+
+
+@settings(max_examples=10, deadline=None)
+@given(edges=st.lists(
+    st.tuples(st.integers(0, 25), st.integers(0, 25)).filter(lambda e: e[0] != e[1]),
+    min_size=1, max_size=40))
+def test_connected_components_matches_union_find(spark, edges):
+    """Distributed min-label propagation equals a union-find oracle on
+    arbitrary small graphs (chains, cliques, forests, self-free loops)."""
+    from feldman_spark.pipeline.graph import connected_components
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = {n: find(n) for n in parent}
+
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in edges], "doc1 long, doc2 long")
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in connected_components(pairs, max_iter=60).collect()}
+    assert got == expect
