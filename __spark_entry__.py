@@ -638,6 +638,19 @@ def knn_brute_force(spark, sf_dir):
     return cosine_topk(e.filter(F.col("vec_id") != 0), q, k=10)
 
 
+def knn_ivf_exact(spark, sf_dir):
+    """IVF at full probe (nprobe == num_centroids) is EXACTLY brute force
+    regardless of how k-means assigned the vectors — so the whole IVF
+    build/bucket/probe machinery gets a value-level oracle row (the
+    pruned-probe variant stays rows-only, as any ANN must)."""
+    from feldman_spark.pipeline.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    return ivf_topk(e.filter(F.col("vec_id") != 0), q, k=10,
+                    num_centroids=8, nprobe=8, iters=2)
+
+
 def knn_lsh(spark, sf_dir):
     """Hyperplane-LSH bucketed ANN top-10 (approximate; the brute-force
     twin above is the oracle-checked baseline -> rows-only here)."""
@@ -934,6 +947,21 @@ _PIPELINE_ORACLES = {
         FROM documents
     """,
     "knn_brute_force": """
+        WITH q AS (SELECT embedding::DOUBLE[] AS qe,
+                          sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS qn
+                   FROM embeddings WHERE vec_id = 0),
+        scored AS (
+          SELECT vec_id,
+                 round(list_dot_product(embedding::DOUBLE[], q.qe)
+                       / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) * q.qn),
+                       6) AS cosine
+          FROM embeddings, q WHERE vec_id != 0
+        )
+        SELECT vec_id, cosine,
+               CAST(row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rank
+        FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT 10
+    """,
+    "knn_ivf_exact": """
         WITH q AS (SELECT embedding::DOUBLE[] AS qe,
                           sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS qn
                    FROM embeddings WHERE vec_id = 0),
@@ -1798,6 +1826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_brute_force": knn_brute_force,
         "knn_lsh": knn_lsh,
         "knn_ivf": knn_ivf,
+        "knn_ivf_exact": knn_ivf_exact,
         "text_tokens": text_tokens,
         "events_tumbling": events_tumbling,
         "events_sliding": events_sliding,
