@@ -1716,6 +1716,28 @@ def text_tfidf_terms(spark, sf_dir):
     return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
 
 
+def text_scrub_pii(spark, sf_dir):
+    """PII scrubbing over documents with injected email/URL/phone text on
+    every 7th doc: per-type hit counts + scrubbed length (pure
+    regexp_replace/regexp_count cascade, engine-portable patterns)."""
+    from feldman_spark.pipeline.text import scrub_pii
+
+    d = _t(spark, sf_dir, "documents")
+    injected = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(F.col("text"), F.lit(
+            " contact bob@example.com or https://ex.com/a?b=1 or 415-555-0199 now")),
+    ).otherwise(F.col("text"))
+    s = scrub_pii(injected)
+    return d.select(
+        "doc_id",
+        s["n_email"].alias("n_email"),
+        s["n_url"].alias("n_url"),
+        s["n_digit_run"].alias("n_digit_run"),
+        F.length(s["scrubbed"]).cast("bigint").alias("scrubbed_len"),
+    )
+
+
 def events_json_props(spark, sf_dir):
     """Semi-structured handling: parse the events JSON props column
     (from_json with an explicit schema — no inference pass at scale) and
@@ -1852,6 +1874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_props": events_json_props,
         "events_running_totals": events_running_totals,
         "text_gopher_quality": text_gopher_quality,
+        "text_scrub_pii": text_scrub_pii,
         "pack_examples": pack_examples,
         "text_tfidf_terms": text_tfidf_terms,
         "events_stream_dedup": events_stream_dedup,
@@ -2144,6 +2167,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
                    round(sum(value), 2) AS value_sum
             FROM events GROUP BY 1, 2
+        """,
+        "text_scrub_pii": """
+            WITH t AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 7 = 0 THEN text ||
+                       ' contact bob@example.com or https://ex.com/a?b=1 or 415-555-0199 now'
+                     ELSE text END AS tx
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(tx,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
+                     AS n_email,
+                   CAST(len(regexp_extract_all(tx, 'https?://[^\\s]+')) AS BIGINT)
+                     AS n_url,
+                   CAST(len(regexp_extract_all(tx,
+                     '[0-9][0-9 ()\\.-]{7,}[0-9]')) AS BIGINT) AS n_digit_run,
+                   CAST(len(regexp_replace(regexp_replace(regexp_replace(tx,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<PII>', 'g'),
+                     'https?://[^\\s]+', '<PII>', 'g'),
+                     '[0-9][0-9 ()\\.-]{7,}[0-9]', '<PII>', 'g')) AS BIGINT)
+                     AS scrubbed_len
+            FROM t
         """,
         "events_stream_dedup": """
             WITH u AS (

@@ -20,6 +20,7 @@ __all__ = [
     "quality_score",
     "repetition_features",
     "gopher_rules",
+    "scrub_pii",
     "lang_scores",
     "lang_id",
     "fingerprint",
@@ -182,6 +183,31 @@ def gopher_rules(
         & (q["avg_token_len"] <= max_avg_token_len)
         & (q["alpha_ratio"] >= min_alpha_ratio)
     )
+
+
+# Redaction patterns kept to constructs with identical semantics in Java
+# regex (Spark) and RE2/PCRE (DuckDB) so scrub results are engine-portable.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "url": r"https?://[^\s]+",
+    "digit_run": r"[0-9][0-9 ()\.-]{7,}[0-9]",  # phone/account-shaped runs
+}
+
+
+def scrub_pii(text: Column, replacement: str = "<PII>") -> Dict[str, Column]:
+    """PII / pattern scrubbing for training corpora: redact emails, URLs
+    and long digit runs (phone/account shapes) with ``replacement``, and
+    count each hit type. Pure ``regexp_replace`` / ``regexp_count``
+    column expressions — one pass, no UDF. A production deployment adds
+    locale-specific patterns and NER; the operator shape (ordered
+    redaction cascade + per-type counts) is the same."""
+    out: Dict[str, Column] = {}
+    scrubbed = text
+    for name, pat in PII_PATTERNS.items():
+        out[f"n_{name}"] = F.regexp_count(text, F.lit(pat)).cast("bigint")
+        scrubbed = F.regexp_replace(scrubbed, pat, replacement)
+    out["scrubbed"] = scrubbed
+    return out
 
 
 def lang_scores(text: Column) -> Dict[str, Column]:

@@ -525,3 +525,22 @@ def test_tfidf_top_terms(spark):
     assert by_doc[1][0][1] == "apple"        # tf=2 of a df=1 term
     assert all(t != "shared" or s == 0.0 for _, t, s in by_doc[1])
     assert len(by_doc) == 3 and all(len(v) == 2 for v in by_doc.values())
+
+
+def test_scrub_pii(spark):
+    from feldman_spark.pipeline.text import scrub_pii
+
+    df = spark.createDataFrame(
+        [(1, "reach me at jane.doe+x@corp.example.org please"),
+         (2, "see https://a.example.com/path?q=1 for details"),
+         (3, "call 415-555-0199 or (020) 7946 0958 today"),
+         (4, "nothing sensitive here at all")],
+        "doc_id long, text string")
+    s = scrub_pii(F.col("text"))
+    rows = {r["doc_id"]: r for r in df.select(
+        "doc_id", s["n_email"].alias("e"), s["n_url"].alias("u"),
+        s["n_digit_run"].alias("d"), s["scrubbed"].alias("out")).collect()}
+    assert rows[1]["e"] == 1 and "@" not in rows[1]["out"]
+    assert rows[2]["u"] == 1 and "https" not in rows[2]["out"]
+    assert rows[3]["d"] == 2 and "0199" not in rows[3]["out"]
+    assert rows[4]["out"] == "nothing sensitive here at all"
