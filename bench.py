@@ -6,13 +6,19 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 ``value`` is the summed wall-clock of all headline queries (execution time
-to a fully-materialized result, JVM/session startup excluded).
+to a fully-materialized result, JVM/session startup excluded). Each query
+is timed as the median of REPS runs (default 3) to a ``noop`` sink — the
+noop data source materializes every row of every column without letting
+Catalyst prune the projection the way ``count()`` does, and the median
+absorbs one-off GC/CPU-contention spikes that a single run reports as
+phantom regressions.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -82,21 +88,27 @@ def main() -> None:
     ivf_index = entry.knn_ivf_index(spark, sf_dir)
     setup = {"knn_ivf_build": round(time.time() - t0, 3)}
 
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     qs = entry.queries()
     timings = {}
     for name in HEADLINE:
         fn = qs.get(name)
         if fn is None:
             continue
-        t0 = time.time()
-        if name == "knn_ivf":
-            df = fn(spark, sf_dir, index=ivf_index)
-        else:
-            df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.time() - t0, 3)
-        if n == 0:
-            print(f"warning: {name} returned 0 rows", file=sys.stderr)
+        samples = []
+        for rep in range(reps):
+            t0 = time.time()
+            if name == "knn_ivf":
+                df = fn(spark, sf_dir, index=ivf_index)
+            else:
+                df = fn(spark, sf_dir)
+            # noop sink: full materialization of every column, immune to
+            # the projection pruning count() allows
+            df.write.format("noop").mode("overwrite").save()
+            samples.append(time.time() - t0)
+            if rep == 0 and df.isEmpty():
+                print(f"warning: {name} returned 0 rows", file=sys.stderr)
+        timings[name] = round(statistics.median(samples), 3)
 
     total = round(sum(timings.values()), 3)
 

@@ -19,9 +19,20 @@ __all__ = [
     "tumbling_agg",
     "sliding_agg",
     "sessionize",
+    "sessionize_native",
     "stream_events",
     "run_stream_to_memory",
 ]
+
+
+def _watermarkable(df: DataFrame, ts_col: str) -> DataFrame:
+    """``withWatermark`` requires TIMESTAMP (with time zone) event time;
+    Spark 4.1's parquet reader surfaces naive timestamps as TIMESTAMP_NTZ,
+    which it rejects. Cast NTZ → TIMESTAMP (a wall-clock reinterpretation
+    in the session zone — deterministic, no data movement)."""
+    if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
 
 
 def tumbling_agg(
@@ -35,7 +46,7 @@ def tumbling_agg(
     dropped and state is evicted — required for unbounded sources."""
     df = events
     if watermark:
-        df = df.withWatermark(ts_col, watermark)
+        df = _watermarkable(df, ts_col).withWatermark(ts_col, watermark)
     return (
         df.groupBy(F.window(F.col(ts_col), window_len).alias("w"), F.col("event_type"))
         .agg(F.count(F.lit(1)).alias("n"),
@@ -57,7 +68,7 @@ def sliding_agg(
     """Sliding event-time windows (each event lands in len/slide windows)."""
     df = events
     if watermark:
-        df = df.withWatermark(ts_col, watermark)
+        df = _watermarkable(df, ts_col).withWatermark(ts_col, watermark)
     return (
         df.groupBy(F.window(F.col(ts_col), window_len, slide).alias("w"))
         .agg(F.count(F.lit(1)).alias("n"))

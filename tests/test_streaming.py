@@ -18,8 +18,13 @@ SF = "/root/testdata/sf0.001"
 @pytest.fixture(scope="module")
 def events(spark):
     e = spark.read.parquet(f"{SF}/events.parquet")
-    if dict(e.dtypes)["ts"] == "bigint":
+    ts_type = dict(e.dtypes)["ts"]
+    if ts_type == "bigint":
         e = e.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # Spark 4.1 parquet reader yields TIMESTAMP_NTZ; normalize to
+        # TIMESTAMP so batch and watermarked-streaming plans agree
+        e = e.withColumn("ts", F.col("ts").cast("timestamp"))
     return e.cache()
 
 
