@@ -769,6 +769,85 @@ def _components_oracle_sql() -> str:
     """
 
 
+def _w1_oracle_sql() -> str:
+    """W1's affine recurrence (feldman.py:195-233) as a DuckDB recursive
+    CTE over the same literal inputs as :func:`w1_splice_scan`: each row's
+    shift depends on the previous row's *shifted* bottom (TIE), the
+    user gap (APPEND+gap), the previous affine (intra-hole APPEND), or the
+    scaled-depth gap (inter-hole APPEND), with APPEND overlap repair.
+    State carried row→row mirrors the scan loop exactly: previous affine,
+    previous shifted bottom, previous row's SpliceType/Gap/Hole and scaled
+    bottom."""
+    # raw affine choice, parameterized over the previous-row state (s) and
+    # the current enriched row (e) — repeated once more for overlap repair
+    raw = """CASE
+          WHEN s.sptype = 'TIE' THEN s.bot_ccsf - e.shift_top
+          WHEN s.sptype = 'APPEND' AND s.gap IS NOT NULL
+            THEN (s.bot_ccsf + s.gap) - e.shift_top
+          WHEN s.sptype = 'APPEND' AND e.hole = s.hole THEN s.affine
+          WHEN s.sptype = 'APPEND'
+            THEN (s.bot_ccsf - e.shift_top) + (e.shift_top_scaled - s.bot_scaled)
+        END"""
+    return f"""
+        WITH RECURSIVE
+        secsumm AS (
+          SELECT h.hole, CAST(c.c AS VARCHAR) AS core, CAST(x.s AS VARCHAR) AS sec,
+                 round(((c.c - 1) * 3 + (x.s - 1)) * 1.5, 3) AS sec_top,
+                 round(((c.c - 1) * 3 + (x.s - 1)) * 1.5 * 1.01, 3) AS sec_top_scaled
+          FROM (VALUES ('A'), ('B')) h(hole),
+               (VALUES (1), (2), (3)) c(c),
+               (VALUES (1), (2), (3)) x(s)
+        ),
+        sparse(site, hole, core, topsection, topoffset,
+               bottomsection, bottomoffset, splicetype, gap, idx) AS (
+          VALUES
+            ('1', 'A', '1', '1', 10.0, '2', 120.0, 'TIE',    CAST(NULL AS DOUBLE), 0),
+            ('1', 'B', '1', '1', 30.0, '2', 100.0, 'TIE',    NULL, 1),
+            ('1', 'A', '2', '1',  0.0, '3', 140.0, 'APPEND', 0.5,  2),
+            ('1', 'B', '2', '2',  5.0, '3', 130.0, 'APPEND', NULL, 3),
+            ('1', 'A', '3', '1',  0.0, '2', 110.0, 'TIE',    NULL, 4)
+        ),
+        enriched AS (
+          SELECT sp.*,
+                 st.sec_top + sp.topoffset / 100.0 AS shift_top,
+                 st.sec_top_scaled + sp.topoffset / 100.0 AS shift_top_scaled,
+                 sb.sec_top + sp.bottomoffset / 100.0 AS shift_bot,
+                 sb.sec_top_scaled + sp.bottomoffset / 100.0 AS shift_bot_scaled
+          FROM sparse sp
+          JOIN secsumm st ON st.hole = sp.hole AND st.core = sp.core
+                         AND st.sec = sp.topsection
+          JOIN secsumm sb ON sb.hole = sp.hole AND sb.core = sp.core
+                         AND sb.sec = sp.bottomsection
+        ),
+        scan(idx, hole, affine, bot_ccsf, sptype, gap, bot_scaled) AS (
+          SELECT idx, hole, CAST(0.0 AS DOUBLE), shift_bot, splicetype, gap,
+                 shift_bot_scaled
+          FROM enriched WHERE idx = 0
+          UNION ALL
+          SELECT e.idx, e.hole,
+                 CASE WHEN s.sptype = 'APPEND'
+                        AND s.bot_ccsf > e.shift_top + ({raw})
+                      THEN s.bot_ccsf - e.shift_top
+                      ELSE ({raw}) END,
+                 e.shift_bot +
+                 (CASE WHEN s.sptype = 'APPEND'
+                         AND s.bot_ccsf > e.shift_top + ({raw})
+                       THEN s.bot_ccsf - e.shift_top
+                       ELSE ({raw}) END),
+                 e.splicetype, e.gap, e.shift_bot_scaled
+          FROM scan s JOIN enriched e ON e.idx = s.idx + 1
+        )
+        SELECT e.site AS "Site", e.hole AS "Hole", e.core AS "Core",
+               e.topsection AS "TopSection", e.bottomsection AS "BottomSection",
+               e.splicetype AS "SpliceType",
+               round(e.shift_top, 3) AS "TopDepthCSF",
+               round(e.shift_top + s.affine, 3) AS "TopDepthCCSF",
+               round(e.shift_bot, 3) AS "BottomDepthCSF",
+               round(e.shift_bot + s.affine, 3) AS "BottomDepthCCSF"
+        FROM scan s JOIN enriched e ON e.idx = s.idx
+    """
+
+
 def _fuzzy_dedup_oracle_sql() -> str:
     """End-to-end fuzzy dedup: components of the minhash pair graph,
     victims = non-minimum members, survivors aggregated per language."""
@@ -2093,10 +2172,8 @@ def oracle_sql() -> dict[str, str]:
                    l_quantity
             FROM lineitem WHERE l_orderkey < 100
         """,
-        # w1_splice_scan: intentionally omitted — the recursive affine
-        # accumulation is not expressible in (non-recursive) SQL; the driver
-        # records a rows-only check for it.
-        # knn_lsh, media_features: approximate / binary-literal ops — rows-only.
+        "w1_splice_scan": _w1_oracle_sql(),
+        # media_features: binary-literal op — rows-only.
         "p7_parse_section_id": """
             WITH s AS (
               SELECT s_suppkey,
