@@ -661,6 +661,20 @@ def knn_lsh(spark, sf_dir):
     return lsh_partitioned_topk(e.filter(F.col("vec_id") != 0), q, k=10)
 
 
+def knn_lsh_exact(spark, sf_dir):
+    """LSH at full probe (probe_hamming == num_planes expands to all 2^p
+    signatures) is EXACTLY brute force regardless of how the hyperplanes
+    bucketed the vectors — so the signature/bucket/probe machinery gets a
+    value-level oracle row (the 1-bit-probe variant stays rows-only, as
+    any ANN must)."""
+    from feldman_spark.pipeline.similarity import lsh_partitioned_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    return lsh_partitioned_topk(e.filter(F.col("vec_id") != 0), q, k=10,
+                                num_planes=8, probe_hamming=8)
+
+
 def knn_ivf_index(spark, sf_dir):
     """Build + materialize the IVF index for knn_ivf. In production the
     index is built once, written bucketed by cid, and amortized across
@@ -1041,6 +1055,22 @@ _PIPELINE_ORACLES = {
         FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT 10
     """,
     "knn_ivf_exact": """
+        WITH q AS (SELECT embedding::DOUBLE[] AS qe,
+                          sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS qn
+                   FROM embeddings WHERE vec_id = 0),
+        scored AS (
+          SELECT vec_id,
+                 round(list_dot_product(embedding::DOUBLE[], q.qe)
+                       / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) * q.qn),
+                       6) AS cosine
+          FROM embeddings, q WHERE vec_id != 0
+        )
+        SELECT vec_id, cosine,
+               CAST(row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rank
+        FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT 10
+    """,
+    # full-probe LSH == brute force; same oracle as knn_brute_force
+    "knn_lsh_exact": """
         WITH q AS (SELECT embedding::DOUBLE[] AS qe,
                           sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS qn
                    FROM embeddings WHERE vec_id = 0),
@@ -1926,6 +1956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": text_fingerprint,
         "knn_brute_force": knn_brute_force,
         "knn_lsh": knn_lsh,
+        "knn_lsh_exact": knn_lsh_exact,
         "knn_ivf": knn_ivf,
         "knn_ivf_exact": knn_ivf_exact,
         "text_tokens": text_tokens,

@@ -106,7 +106,11 @@ def lsh_partitioned_topk(
     """IVF-style ANN: scan only rows whose hyperplane signature is within
     ``probe_hamming`` of the query's signature (multi-probe). With 8
     planes and 1-bit probing this scans ~9/256 of the corpus. Recall is
-    approximate — the contract of ANN; the brute-force path is the oracle."""
+    approximate — the contract of ANN; the brute-force path is the oracle.
+    ``probe_hamming == num_planes`` probes every signature and is therefore
+    EXACTLY brute force — the value-level oracle twin (`knn_lsh_exact`)."""
+    from itertools import combinations
+
     q = [float(x) for x in query_vec]
     dim = len(q)
     v = _as_double(F.col(vec_col))
@@ -117,11 +121,13 @@ def lsh_partitioned_topk(
         hyperplane_signature(F.col("qv"), dim, num_planes).alias("s")
     ).first()["s"]
 
-    probes = {qsig}
-    if probe_hamming >= 1:
-        for i in range(num_planes):
-            flipped = qsig[:i] + ("0" if qsig[i] == "1" else "1") + qsig[i + 1:]
-            probes.add(flipped)
+    probes = set()
+    for nbits in range(min(probe_hamming, num_planes) + 1):
+        for idxs in combinations(range(num_planes), nbits):
+            s = list(qsig)
+            for i in idxs:
+                s[i] = "0" if s[i] == "1" else "1"
+            probes.add("".join(s))
 
     qn = sum(x * x for x in q) ** 0.5
     qcol = F.array(*[F.lit(x) for x in q])
