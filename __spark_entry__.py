@@ -1915,12 +1915,76 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Key order is load-bearing: the driver's correctness gate records the
+    # FIRST 50 keys only. The prefix therefore rotates per round so that
+    # every oracle-backed query eventually carries a driver-green row —
+    # round 4 front-loads the 35 queries that had no driver row in r1-r3
+    # (TPC-H completion, E2 export, sampling/pivot/rollup, text ops,
+    # streaming twins, plus the newly oracle-backed w1/knn_lsh_exact),
+    # then 15 re-checks of round-2/3-green pipeline queries. The mirror
+    # gate (tools/check_oracle.py) still runs ALL keys every round, so
+    # queries outside the window cannot silently rot.
     return {
+        # --- never driver-covered before round 4 ---
+        "w1_splice_scan": w1_splice_scan,
+        "knn_lsh_exact": knn_lsh_exact,
+        "q2_min_cost_supplier": q2_min_cost_supplier,
+        "q4_order_priority": q4_order_priority,
+        "q7_volume_shipping": q7_volume_shipping,
+        "q8_market_share": q8_market_share,
+        "q9_product_profit": q9_product_profit,
+        "q11_important_stock": q11_important_stock,
+        "q13_customer_distribution": q13_customer_distribution,
+        "q15_top_supplier": q15_top_supplier,
+        "q16_supplier_cnt": q16_supplier_cnt,
+        "q17_avg_subquery": q17_avg_subquery,
+        "q18_large_volume": q18_large_volume,
+        "q19_disjunctive": q19_disjunctive,
+        "q20_potential_promotion": q20_potential_promotion,
+        "q21_waiting_supplier": q21_waiting_supplier,
+        "q22_global_sales": q22_global_sales,
+        "feldman_e2_export": feldman_e2_export,
+        "a7_percentiles": a7_percentiles,
+        "a8_rollup": a8_rollup,
+        "pipeline_dedup_stats": pipeline_dedup_stats,
+        "sample_split": sample_split,
+        "sample_fraction": sample_fraction,
+        "pivot_returnflag": pivot_returnflag,
+        "doc_embedding_join": doc_embedding_join,
+        "decontaminate_corpus": decontaminate_corpus,
+        "profile_documents": profile_documents,
+        "sample_mix": sample_mix,
+        "events_json_props": events_json_props,
+        "events_running_totals": events_running_totals,
+        "text_gopher_quality": text_gopher_quality,
+        "text_scrub_pii": text_scrub_pii,
+        "pack_examples": pack_examples,
+        "text_tfidf_terms": text_tfidf_terms,
+        "events_stream_dedup": events_stream_dedup,
+        # --- re-checks of r2/r3-green pipeline queries (15 slots) ---
+        "knn_ivf_exact": knn_ivf_exact,
+        "dedup_clusters": dedup_clusters,
+        "pipeline_fuzzy_dedup": pipeline_fuzzy_dedup,
+        "dedup_embedding_cosine": dedup_embedding_cosine,
+        "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "dedup_minhash_lsh": dedup_minhash_lsh,
+        "dedup_exact": dedup_exact,
+        "dedup_simhash": dedup_simhash,
+        "text_quality": text_quality,
+        "text_lang_id": text_lang_id,
+        "text_fingerprint": text_fingerprint,
+        "text_tokens": text_tokens,
+        "events_tumbling": events_tumbling,
+        "events_sliding": events_sliding,
+        "events_sessionize": events_sessionize,
+        # --- beyond the 50-row window (driver-green in r1; mirror-checked) ---
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
         "q5_local_supplier_volume": q5_local_supplier_volume,
         "q6_revenue_forecast": q6_revenue_forecast,
         "q10_returned_items": q10_returned_items,
+        "q12_shipmode": q12_shipmode,
+        "q14_promo_effect": q14_promo_effect,
         "f1_conjunctive_eq": f1_conjunctive_eq,
         "f2_range_between": f2_range_between,
         "f3_in_list": f3_in_list,
@@ -1942,64 +2006,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o1_topk": o1_topk,
         "u1_union_all": u1_union_all,
         "p6_regex_extract": p6_regex_extract,
+        "p7_parse_section_id": p7_parse_section_id,
         "c10_concat_ids": c10_concat_ids,
-        "w1_splice_scan": w1_splice_scan,
-        "dedup_exact": dedup_exact,
-        "dedup_minhash_lsh": dedup_minhash_lsh,
-        "dedup_clusters": dedup_clusters,
-        "pipeline_fuzzy_dedup": pipeline_fuzzy_dedup,
-        "dedup_simhash": dedup_simhash,
-        "dedup_ngram_jaccard": dedup_ngram_jaccard,
-        "dedup_embedding_cosine": dedup_embedding_cosine,
-        "text_quality": text_quality,
-        "text_lang_id": text_lang_id,
-        "text_fingerprint": text_fingerprint,
+        # rows-only by contract (approximate ANN / binary media) — kept out
+        # of the 50-row window so value-checkable queries fill every slot
         "knn_brute_force": knn_brute_force,
         "knn_lsh": knn_lsh,
-        "knn_lsh_exact": knn_lsh_exact,
         "knn_ivf": knn_ivf,
-        "knn_ivf_exact": knn_ivf_exact,
-        "text_tokens": text_tokens,
-        "events_tumbling": events_tumbling,
-        "events_sliding": events_sliding,
-        "events_sessionize": events_sessionize,
         "media_features": media_features,
-        "p7_parse_section_id": p7_parse_section_id,
-        "q12_shipmode": q12_shipmode,
-        "q14_promo_effect": q14_promo_effect,
-        "q17_avg_subquery": q17_avg_subquery,
-        "q18_large_volume": q18_large_volume,
-        "q19_disjunctive": q19_disjunctive,
-        "feldman_e2_export": feldman_e2_export,
-        "a7_percentiles": a7_percentiles,
-        "a8_rollup": a8_rollup,
-        "pipeline_dedup_stats": pipeline_dedup_stats,
-        "sample_split": sample_split,
-        "sample_fraction": sample_fraction,
-        "pivot_returnflag": pivot_returnflag,
-        "doc_embedding_join": doc_embedding_join,
-        "decontaminate_corpus": decontaminate_corpus,
-        "profile_documents": profile_documents,
-        "sample_mix": sample_mix,
-        "events_json_props": events_json_props,
-        "events_running_totals": events_running_totals,
-        "text_gopher_quality": text_gopher_quality,
-        "text_scrub_pii": text_scrub_pii,
-        "pack_examples": pack_examples,
-        "text_tfidf_terms": text_tfidf_terms,
-        "events_stream_dedup": events_stream_dedup,
-        "q2_min_cost_supplier": q2_min_cost_supplier,
-        "q4_order_priority": q4_order_priority,
-        "q7_volume_shipping": q7_volume_shipping,
-        "q8_market_share": q8_market_share,
-        "q9_product_profit": q9_product_profit,
-        "q11_important_stock": q11_important_stock,
-        "q13_customer_distribution": q13_customer_distribution,
-        "q15_top_supplier": q15_top_supplier,
-        "q16_supplier_cnt": q16_supplier_cnt,
-        "q20_potential_promotion": q20_potential_promotion,
-        "q21_waiting_supplier": q21_waiting_supplier,
-        "q22_global_sales": q22_global_sales,
     }
 
 

@@ -162,6 +162,14 @@ def ivf_build(
     column, and the centroid matrix as a list of lists. At corpus scale,
     persist ``assigned`` partitioned/bucketed by ``cid`` so that probing
     reads only the matching files.
+
+    Each k-means iteration is ONE corpus pass: the assignment
+    ``mapInPandas`` pre-aggregates per-Arrow-batch (cid, count,
+    sum-of-normalized-vectors) partials, so the only shuffle moves
+    ~``batches × C`` tiny rows into a single ``groupBy(cid)`` whose
+    element-wise array sum is a ``zip_with`` fold — never the corpus
+    itself (the earlier posexplode formulation shuffled corpus × dim
+    rows twice per iteration).
     """
     import numpy as np
 
@@ -176,8 +184,11 @@ def ivf_build(
     seed_norms = np.linalg.norm(cents, axis=1, keepdims=True)
     seed_norms[seed_norms == 0] = 1.0  # an all-zero seed must not NaN-poison assignment
     cents /= seed_norms
+    dim = cents.shape[1]
 
     spark = df.sparkSession
+    # slim iteration frame: only the vector column, cached across passes
+    vecs = df.select(vec_col).persist()
 
     def assigned_with(cmat: "np.ndarray") -> DataFrame:
         b = spark.sparkContext.broadcast(cmat)
@@ -200,29 +211,53 @@ def ivf_build(
 
         return df.mapInPandas(assign, schema=out_schema)
 
+    def partials_with(cmat: "np.ndarray") -> DataFrame:
+        b = spark.sparkContext.broadcast(cmat)
+
+        def stats(batches):
+            import pandas as pd
+
+            c = b.value
+            for pdf in batches:
+                x = np.array(list(pdf[vec_col]), dtype=np.float64)
+                xn = np.linalg.norm(x, axis=1, keepdims=True)
+                xn[xn == 0] = 1.0
+                u = x / xn
+                cid = (u @ c.T).argmax(axis=1)
+                cids, ns, sums = [], [], []
+                for k in np.unique(cid):
+                    mask = cid == k
+                    cids.append(int(k))
+                    ns.append(int(mask.sum()))
+                    sums.append([float(v) for v in u[mask].sum(axis=0)])
+                yield pd.DataFrame({"cid": cids, "n": ns, "s": sums})
+
+        return vecs.mapInPandas(stats, schema="cid int, n bigint, s array<double>")
+
+    zero = F.array_repeat(F.lit(0.0), dim)
     for _ in range(iters):
-        assigned = assigned_with(cents)
         # mean of normalized members per bucket; empty buckets keep their
         # previous centroid (argmax assignment can abandon a seed)
-        sums = (
-            assigned.select("cid", _as_double(F.col(vec_col)).alias("_v"))
-            .withColumn("_n", _safe_norm(F.col("_v")))
-            .withColumn("_u", F.transform("_v", lambda x: x / F.col("_n")))
-            .select("cid", F.posexplode("_u").alias("pos", "x"))
-            .groupBy("cid", "pos")
-            .agg(F.avg("x").alias("m"))
+        rows = (
+            partials_with(cents)
             .groupBy("cid")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("ms"))
-            .select("cid", F.col("ms.m").alias("mean"))
+            .agg(
+                F.sum("n").alias("n"),
+                F.aggregate(
+                    F.collect_list("s"), zero,
+                    lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b),
+                ).alias("s"),
+            )
             .collect()
         )
         new = cents.copy()
-        for r in sums:
-            m = np.array(r["mean"], dtype=np.float64)
+        for r in rows:
+            m = np.array(r["s"], dtype=np.float64) / r["n"]
             n = np.linalg.norm(m)
             if n > 0:
                 new[r["cid"]] = m / n
         cents = new
+    vecs.unpersist()
 
     return assigned_with(cents), [list(map(float, c)) for c in cents]
 
