@@ -115,6 +115,38 @@ def sessionize(
     )
 
 
+def sessionize_native(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    watermark: Optional[str] = None,
+) -> DataFrame:
+    """Sessionization via the native ``session_window`` — the same plan
+    runs in batch and under ``readStream``: with a watermark set, Spark
+    finalizes a session and evicts its state once the watermark passes
+    the session close (last event + gap), which the lag+cumsum batch
+    formulation cannot do on an unbounded stream.
+
+    Boundary semantics differ from :func:`sessionize` by an instant: an
+    event arriving exactly ``gap`` after the previous one starts a NEW
+    session here (window end is exclusive; new-session condition is
+    diff >= gap) vs. diff > gap for the lag-based form."""
+    df = events
+    if watermark:
+        df = _watermarkable(df, ts_col).withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.col(user_col), F.session_window(F.col(ts_col), gap).alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 2).alias("value_sum"))
+        .select(
+            user_col,
+            F.date_format(F.col("sw.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events", "value_sum",
+        )
+    )
+
+
 def stream_events(spark: SparkSession, parquet_dir: str, schema=None) -> DataFrame:
     """A real ``readStream`` over a parquet directory (file micro-batch
     source). Schema must be supplied or inferable from existing files."""

@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 from feldman_spark.streaming.events import (
     run_stream_to_memory,
     sessionize,
+    sessionize_native,
     sliding_agg,
     stream_events,
     tumbling_agg,
@@ -49,6 +50,68 @@ def test_sessionize_partitions_events(spark, events):
         F.count(F.lit(1)).alias("k"))
     bad = per_user.filter((F.col("lo") != 1) | (F.col("hi") != F.col("k"))).count()
     assert bad == 0
+
+
+def test_sessionize_native_matches_lag_form(spark, events):
+    """session_window sessionization agrees with the lag+cumsum batch
+    formulation (the test data has no inter-event gap of exactly 30:00,
+    the one instant where their boundary semantics differ)."""
+    native = sessionize_native(events)
+    legacy = sessionize(events, gap_minutes=30)
+    assert native.agg(F.sum("n_events")).first()[0] == events.count()
+    got = {(r["user_id"], r["session_start"]): (r["n_events"], r["value_sum"])
+           for r in native.collect()}
+    want = {(r["user_id"], r["session_start"]): (r["n_events"], r["value_sum"])
+            for r in legacy.collect()}
+    assert got == want
+
+
+def test_sessionize_native_streaming_matches_batch(spark, events, tmp_out):
+    """session_window under a real readStream: sessions merge in the state
+    store across micro-batches and emit (append mode) only once the
+    watermark passes their close. Run 1 ingests the real events (watermark
+    wider than the data span, so nothing finalizes and nothing is dropped
+    however the files are ordered); run 2 resumes from the checkpoint with
+    a far-future sentinel event that pushes the watermark past every
+    session close, flushing all finalized sessions to the file sink.
+    Batch output of the identical plan is the oracle."""
+    import shutil
+
+    src = f"{tmp_out}/sess_native_src"
+    ckpt = f"{tmp_out}/sess_native_ckpt"
+    sink = f"{tmp_out}/sess_native_sink"
+    for d in (src, ckpt, sink):
+        shutil.rmtree(d, ignore_errors=True)
+    events.repartition(4).write.mode("overwrite").parquet(src)
+
+    def run_until_drained():
+        q = (sessionize_native(stream_events(spark, src), watermark="45 days")
+             .writeStream.format("parquet")
+             .option("path", sink)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").start())
+        q.processAllAvailable()
+        q.stop()
+
+    run_until_drained()
+
+    max_ts = events.agg(F.max("ts")).first()[0]
+    sentinel = spark.createDataFrame(
+        [(10**9, max_ts, -1, "sentinel", 0.0, "{}")],
+        spark.read.parquet(src).schema,
+    )
+    sentinel.withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 46 DAYS")
+    ).repartition(1).write.mode("append").parquet(src)
+
+    run_until_drained()
+
+    out = spark.read.parquet(sink).filter(F.col("user_id") >= 0)
+    got = {(r["user_id"], r["session_start"]): (r["n_events"], r["value_sum"])
+           for r in out.collect()}
+    want = {(r["user_id"], r["session_start"]): (r["n_events"], r["value_sum"])
+            for r in sessionize_native(events).collect()}
+    assert got == want
 
 
 def test_streaming_matches_batch(spark, events, tmp_out):
