@@ -755,7 +755,9 @@ def events_sessionize_native(spark, sf_dir):
 def media_features(spark, sf_dir):
     """Multimodal plumbing: synthetic binary media rows -> Arrow-batched
     feature extraction (decode itself is stubbed; deterministic fake).
-    Rows-only: binary literals are impractical to replicate in SQL."""
+    Rows-only at the driver (binary literals are impractical to replicate
+    in SQL); value-verified by the pinned-constant golden in
+    tests/test_pipeline.py::test_media_features_golden_values."""
     from feldman_spark.pipeline.multimodal import extract_features, media_table
 
     rows = [

@@ -415,6 +415,40 @@ def test_multimodal_plumbing(spark):
     assert bytes(r44[1]["data"]) != bytes(resized[1]["data"])
 
 
+def test_media_features_golden_values(spark):
+    """Value-golden for the media_features contract query: exact pinned
+    feature vectors for sentinel rows (catches any drift in the digest
+    pipeline — batch shape, byte handling, rounding), plus a full-table
+    check against an independent per-row recomputation."""
+    import hashlib
+    import json
+
+    import __spark_entry__ as entry
+
+    out = {r["media_id"]: r
+           for r in entry.media_features(spark, "/root/testdata/sf0.001").collect()}
+    assert len(out) == 20
+
+    pinned = {
+        0: ("video", [0.698039, 0.827451, 0.960784, 0.419608,
+                      0.756863, 0.592157, 0.992157, 0.596078]),
+        1: ("image", [0.254902, 0.890196, 0.529412, 0.345098,
+                      0.105882, 0.937255, 0.007843, 0.098039]),
+        19: ("image", [0.745098, 0.180392, 0.180392, 0.184314,
+                       0.443137, 0.2, 0.317647, 0.886275]),
+    }
+    for mid, (kind, feats) in pinned.items():
+        assert out[mid]["kind"] == kind
+        assert out[mid]["n_bytes"] == 64
+        assert json.loads(out[mid]["features_json"]) == feats
+
+    for i in range(20):
+        data = bytes([(i * 7 + j) % 256 for j in range(64)])
+        h = hashlib.md5(data).digest()
+        want = [round(h[j] / 255.0, 6) for j in range(8)]
+        assert json.loads(out[i]["features_json"]) == want, f"media_id {i}"
+
+
 def test_connected_components_shapes(spark):
     """Chain, star, two components, and determinism under repartitioning."""
     from feldman_spark.pipeline.graph import connected_components
