@@ -49,6 +49,7 @@ HEADLINE = [
     "knn_brute_force",
     "knn_ivf",
     "events_sessionize",
+    "events_sessionize_native",
     "dedup_embedding_cosine",
     "q21_waiting_supplier",
     "sample_split",
