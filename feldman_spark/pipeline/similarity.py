@@ -25,6 +25,8 @@ __all__ = [
     "hyperplane_signature",
     "ivf_build",
     "ivf_topk",
+    "ivf_write",
+    "ivf_read",
     "quantize_embeddings",
     "dequantize_embeddings",
 ]
@@ -300,6 +302,30 @@ def ivf_topk(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def ivf_write(assigned: DataFrame, centroids, path: str) -> None:
+    """Materialize an IVF index on disk in its production shape: vectors
+    written ``partitionBy("cid")`` so a probe's ``cid IN (...)`` filter
+    becomes partition pruning (only ~nprobe/C of the files are read —
+    the plan shows it under ``PartitionFilters``), plus the tiny C×d
+    centroid table as a parquet sidecar."""
+    assigned.write.partitionBy("cid").mode("overwrite").parquet(f"{path}/vectors")
+    spark = assigned.sparkSession
+    cdf = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cid int, centroid array<double>",
+    )
+    cdf.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ivf_read(spark, path: str):
+    """Load an index written by :func:`ivf_write` as the
+    ``(assigned, centroids)`` pair :func:`ivf_topk` consumes. The
+    vectors frame is partition-pruned on ``cid`` at probe time."""
+    assigned = spark.read.parquet(f"{path}/vectors")
+    rows = spark.read.parquet(f"{path}/centroids").orderBy("cid").collect()
+    return assigned, [list(r["centroid"]) for r in rows]
 
 
 def quantize_embeddings(

@@ -21,3 +21,30 @@ def test_partition_pruning(spark, ref_testdata, tmp_out):
     assert "PartitionFilters" in plan
     seg = plan.split("PartitionFilters")[1][:200]
     assert "Site" in seg and "Hole" in seg
+
+
+def test_ivf_index_partition_pruning(spark, tmp_out):
+    """The materialized IVF index probes with partition pruning: the cid
+    filter lands in PartitionFilters (only nprobe/C of the files read),
+    and a full-probe query over the on-disk index equals brute force."""
+    from feldman_spark.pipeline.similarity import (
+        cosine_topk, ivf_build, ivf_read, ivf_topk, ivf_write)
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    corpus = e.filter(F.col("vec_id") != 0)
+    q = e.filter(F.col("vec_id") == 0).first()["embedding"]
+
+    path = f"{tmp_out}/ivf_index"
+    assigned, cents = ivf_build(corpus, num_centroids=4, iters=1)
+    ivf_write(assigned, cents, path)
+    index = ivf_read(spark, path)
+
+    probed = ivf_topk(corpus, q, k=5, num_centroids=4, nprobe=1, index=index)
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "cid" in plan.split("PartitionFilters")[1][:200]
+
+    exact = ivf_topk(corpus, q, k=5, num_centroids=4, nprobe=4, index=index)
+    want = [(r["vec_id"], r["cosine"]) for r in cosine_topk(corpus, q, k=5).collect()]
+    got = [(r["vec_id"], r["cosine"]) for r in exact.collect()]
+    assert got == want
