@@ -23,6 +23,7 @@ __all__ = [
     "cosine_topk",
     "lsh_partitioned_topk",
     "hyperplane_signature",
+    "ivf_assign",
     "ivf_build",
     "ivf_topk",
     "ivf_write",
@@ -143,6 +144,38 @@ def lsh_partitioned_topk(
     )
 
 
+def ivf_assign(df: DataFrame, centroids, vec_col: str = "embedding") -> DataFrame:
+    """Assign vectors to their nearest (max-cosine) centroid: the input
+    plus a ``cid`` bucket column. One corpus pass against the broadcast
+    C×d centroid matrix (vectorized numpy matmul per Arrow batch), no
+    shuffle. This is also the incremental-growth path for a materialized
+    index: assign a new batch with the FROZEN centroids and append it
+    ``partitionBy("cid")`` onto the :func:`ivf_write` layout — existing
+    signatures/buckets never need recomputation."""
+    import numpy as np
+
+    cmat = np.array(centroids, dtype=np.float64)
+    b = df.sparkSession.sparkContext.broadcast(cmat)
+    out_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + ", cid int"
+
+    def assign(batches):
+        import pandas as pd
+
+        c = b.value
+        for pdf in batches:
+            x = np.array(list(pdf[vec_col]), dtype=np.float64)
+            xn = np.linalg.norm(x, axis=1, keepdims=True)
+            xn[xn == 0] = 1.0
+            sims = (x / xn) @ c.T
+            pdf = pdf.copy()
+            pdf["cid"] = sims.argmax(axis=1).astype("int32")
+            yield pdf
+
+    return df.mapInPandas(assign, schema=out_schema)
+
+
 def ivf_build(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -192,27 +225,6 @@ def ivf_build(
     # slim iteration frame: only the vector column, cached across passes
     vecs = df.select(vec_col).persist()
 
-    def assigned_with(cmat: "np.ndarray") -> DataFrame:
-        b = spark.sparkContext.broadcast(cmat)
-        out_schema = ", ".join(
-            f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
-        ) + ", cid int"
-
-        def assign(batches):
-            import pandas as pd
-
-            c = b.value
-            for pdf in batches:
-                x = np.array(list(pdf[vec_col]), dtype=np.float64)
-                xn = np.linalg.norm(x, axis=1, keepdims=True)
-                xn[xn == 0] = 1.0
-                sims = (x / xn) @ c.T
-                pdf = pdf.copy()
-                pdf["cid"] = sims.argmax(axis=1).astype("int32")
-                yield pdf
-
-        return df.mapInPandas(assign, schema=out_schema)
-
     def partials_with(cmat: "np.ndarray") -> DataFrame:
         b = spark.sparkContext.broadcast(cmat)
 
@@ -261,7 +273,7 @@ def ivf_build(
         cents = new
     vecs.unpersist()
 
-    return assigned_with(cents), [list(map(float, c)) for c in cents]
+    return ivf_assign(df, cents, vec_col), [list(map(float, c)) for c in cents]
 
 
 def ivf_topk(

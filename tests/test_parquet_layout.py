@@ -48,3 +48,32 @@ def test_ivf_index_partition_pruning(spark, tmp_out):
     want = [(r["vec_id"], r["cosine"]) for r in cosine_topk(corpus, q, k=5).collect()]
     got = [(r["vec_id"], r["cosine"]) for r in exact.collect()]
     assert got == want
+
+
+def test_ivf_incremental_append(spark, tmp_out):
+    """Index growth without rebuild: new vectors are assigned with the
+    frozen centroids and appended into the cid-partitioned layout; a
+    full-probe query over the re-read index sees them."""
+    from feldman_spark.pipeline.similarity import (
+        ivf_assign, ivf_build, ivf_read, ivf_topk, ivf_write)
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    corpus = e.filter((F.col("vec_id") != 0) & (F.col("vec_id") < 500))
+    fresh = e.filter(F.col("vec_id") >= 500)
+    q = e.filter(F.col("vec_id") == 0).first()["embedding"]
+
+    path = f"{tmp_out}/ivf_incr"
+    assigned, cents = ivf_build(corpus, num_centroids=4, iters=1)
+    ivf_write(assigned, cents, path)
+
+    ivf_assign(fresh, cents).write.partitionBy("cid").mode("append").parquet(
+        f"{path}/vectors")
+
+    index = ivf_read(spark, path)
+    assert index[0].count() == corpus.count() + fresh.count()
+    got = ivf_topk(corpus.unionByName(fresh), q, k=5,
+                   num_centroids=4, nprobe=4, index=index)
+    from feldman_spark.pipeline.similarity import cosine_topk
+    want = [(r["vec_id"], r["cosine"])
+            for r in cosine_topk(corpus.unionByName(fresh), q, k=5).collect()]
+    assert [(r["vec_id"], r["cosine"]) for r in got.collect()] == want
