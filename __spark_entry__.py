@@ -752,6 +752,28 @@ def events_sessionize_native(spark, sf_dir):
     return sessionize_native(_events(spark, sf_dir))
 
 
+def j9_asof_join(spark, sf_dir):
+    """J9 (beyond-reference): backward as-of join — each 'click' event
+    picks the latest at-or-prior 'purchase' by the same user (the
+    feature-backfill join of training pipelines). Union + one window
+    pass per key, no join in the plan (ops/joins.py::asof_join);
+    DuckDB's native ASOF JOIN is the oracle."""
+    from feldman_spark.ops.joins import asof_join
+
+    e = _events(spark, sf_dir)
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.round("value", 2).alias("purchase_value"))
+    out = asof_join(clicks, purchases, on=["user_id"],
+                    right_cols=["purchase_value"])
+    return out.select(
+        "event_id", "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.date_format("ts_r", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.col("purchase_value_r").alias("purchase_value"))
+
+
 def media_features(spark, sf_dir):
     """Multimodal plumbing: synthetic binary media rows -> Arrow-batched
     feature extraction (decode itself is stubbed; deterministic fake).
@@ -1130,6 +1152,15 @@ _PIPELINE_ORACLES = {
                strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
                round(sum(value), 2) AS value_sum
         FROM ids GROUP BY user_id, session_id
+    """,
+    "j9_asof_join": """
+        SELECT c.event_id, c.user_id,
+               strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+               strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+               round(p.value, 2) AS purchase_value
+        FROM (SELECT * FROM events WHERE event_type = 'click') c
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          ON c.user_id = p.user_id AND c.ts >= p.ts
     """,
     "events_sessionize_native": """
         WITH flagged AS (
@@ -1993,6 +2024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf_terms": text_tfidf_terms,
         "events_stream_dedup": events_stream_dedup,
         "events_sessionize_native": events_sessionize_native,
+        "j9_asof_join": j9_asof_join,
         # --- re-checks of r2/r3-green pipeline queries (the last slot,
         # events_sessionize, sits just past the 50-key window; it was
         # driver-green in r2/r3 and stays mirror-checked) ---

@@ -22,6 +22,7 @@ __all__ = [
     "containment_join",
     "nearest_join",
     "nearest_value_join",
+    "asof_join",
 ]
 
 
@@ -199,3 +200,76 @@ def nearest_value_join(
             yield out
 
     return left.mapInPandas(search, schema=schema)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: Sequence[str] = (),
+    tolerance_seconds: Optional[float] = None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Backward as-of join: each left row picks the most recent right row
+    with ``right_ts <= left_ts`` on the same key — the feature-backfill
+    join of time-series/training pipelines (DuckDB/pandas ``ASOF JOIN``
+    semantics; unmatched left rows keep nulls).
+
+    Scale path: there is no join in the plan at all. Both sides union
+    with a side tag and ONE window pass per key carries the latest
+    right-side attributes forward (``last(ignorenulls)`` over event-time
+    order; right rows sort before left rows at equal timestamps so an
+    exactly-simultaneous right row is visible). One shuffle on the key —
+    both sides can be fact-sized, unlike the broadcast-dimension
+    contract of :func:`nearest_value_join`. With several right rows on
+    one timestamp the last in (key, ts) window order wins, matching
+    DuckDB's single-match contract only when (key, ts) is unique on the
+    right — pre-aggregate the right side otherwise.
+
+    ``tolerance_seconds`` nulls the carried attributes when the matched
+    right row is older than the bound (timestamps compare as epoch
+    seconds; plain numeric event-time columns subtract directly).
+    """
+    keys = list(on)
+    rcols = list(right_cols)
+    rts_out = f"{right_ts}{suffix}"
+
+    l_side = left.select(
+        *[F.col(c) for c in left.columns],
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}") for c in rcols],
+        F.lit(None).cast(right.schema[right_ts].dataType).alias(rts_out),
+    )
+    r_side = right.select(
+        *[F.col(c) for c in keys],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left.columns if c not in keys],
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in rcols],
+        F.col(right_ts).alias(rts_out),
+    )
+    u = l_side.unionByName(r_side)
+
+    w = (
+        Window.partitionBy(*[F.col(k) for k in keys])
+        .orderBy(F.col("_ts").asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = [rts_out] + [f"{c}{suffix}" for c in rcols]
+    filled = u.select(
+        *[c for c in u.columns if c not in carried],
+        *[F.last(F.col(f"`{c}`"), ignorenulls=True).over(w).alias(c) for c in carried],
+    )
+    out = filled.filter(F.col("_side") == 1).drop("_side", "_ts")
+
+    if tolerance_seconds is not None:
+        age = F.col(left_ts).cast("double") - F.col(rts_out).cast("double")
+        stale = F.col(rts_out).isNotNull() & (age > float(tolerance_seconds))
+        out = out.withColumns({
+            c: F.when(stale, F.lit(None)).otherwise(F.col(c)) for c in carried
+        })
+    return out

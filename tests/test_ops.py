@@ -157,3 +157,37 @@ def test_salted_join_equivalence(spark):
     pl = left.join(right_partial, ["k"], "left").count()
     sl = salted_join(left, right_partial, ["k"], buckets=8, how="left").count()
     assert pl == sl
+
+
+def test_asof_join_backward(spark):
+    """Backward as-of: latest right row at-or-before each left ts per key;
+    unmatched rows null; exact-simultaneous right row visible; tolerance
+    nulls stale matches. No join in the plan — union + one window pass."""
+    from feldman_spark.ops.joins import asof_join
+
+    left = spark.createDataFrame(
+        [("u1", 10, "a"), ("u1", 20, "b"), ("u1", 5, "c"), ("u2", 7, "d")],
+        "k string, ts int, tag string")
+    right = spark.createDataFrame(
+        [("u1", 8, 1.0), ("u1", 10, 2.0), ("u1", 15, 3.0), ("u3", 1, 9.0)],
+        "k string, ts int, val double")
+
+    out = {(r["k"], r["ts"]): (r["val_r"], r["ts_r"])
+           for r in asof_join(left, right, on=["k"],
+                              right_cols=["val"]).collect()}
+    assert out == {
+        ("u1", 10): (2.0, 10),   # simultaneous right row wins over ts=8
+        ("u1", 20): (3.0, 15),
+        ("u1", 5): (None, None),  # nothing at-or-before
+        ("u2", 7): (None, None),  # key absent on the right
+    }
+
+    tol = {(r["k"], r["ts"]): r["val_r"]
+           for r in asof_join(left, right, on=["k"], right_cols=["val"],
+                              tolerance_seconds=3).collect()}
+    assert tol == {("u1", 10): 2.0, ("u1", 20): None,  # 20-15=5 > 3 stale
+                   ("u1", 5): None, ("u2", 7): None}
+
+    plan = asof_join(left, right, on=["k"], right_cols=["val"]) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan  # union + window only
