@@ -211,11 +211,14 @@ def asof_join(
     right_cols: Sequence[str] = (),
     tolerance_seconds: Optional[float] = None,
     suffix: str = "_r",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: each left row picks the most recent right row
-    with ``right_ts <= left_ts`` on the same key — the feature-backfill
-    join of time-series/training pipelines (DuckDB/pandas ``ASOF JOIN``
-    semantics; unmatched left rows keep nulls).
+    """As-of join: each left row picks the most recent right row with
+    ``right_ts <= left_ts`` on the same key (``direction="backward"``,
+    the default — DuckDB/pandas ``ASOF JOIN`` semantics), or the
+    earliest right row with ``right_ts >= left_ts``
+    (``direction="forward"``). The feature-backfill join of
+    time-series/training pipelines; unmatched left rows keep nulls.
 
     Scale path: there is no join in the plan at all. Both sides union
     with a side tag and ONE window pass per key carries the latest
@@ -229,9 +232,12 @@ def asof_join(
     right — pre-aggregate the right side otherwise.
 
     ``tolerance_seconds`` nulls the carried attributes when the matched
-    right row is older than the bound (timestamps compare as epoch
-    seconds; plain numeric event-time columns subtract directly).
+    right row is further from the left timestamp than the bound
+    (timestamps compare as epoch seconds; plain numeric event-time
+    columns subtract directly).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward or forward, got {direction!r}")
     keys = list(on)
     rcols = list(right_cols)
     rts_out = f"{right_ts}{suffix}"
@@ -254,9 +260,13 @@ def asof_join(
     )
     u = l_side.unionByName(r_side)
 
+    # walking the key's timeline in event-time order (reversed for
+    # forward), the latest preceding right row IS the as-of match; right
+    # rows sort before left rows at equal timestamps in either direction
+    ts_order = F.col("_ts").asc() if direction == "backward" else F.col("_ts").desc()
     w = (
         Window.partitionBy(*[F.col(k) for k in keys])
-        .orderBy(F.col("_ts").asc(), F.col("_side").asc())
+        .orderBy(ts_order, F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = [rts_out] + [f"{c}{suffix}" for c in rcols]
@@ -267,7 +277,8 @@ def asof_join(
     out = filled.filter(F.col("_side") == 1).drop("_side", "_ts")
 
     if tolerance_seconds is not None:
-        age = F.col(left_ts).cast("double") - F.col(rts_out).cast("double")
+        lt, rt = F.col(left_ts).cast("double"), F.col(rts_out).cast("double")
+        age = lt - rt if direction == "backward" else rt - lt
         stale = F.col(rts_out).isNotNull() & (age > float(tolerance_seconds))
         out = out.withColumns({
             c: F.when(stale, F.lit(None)).otherwise(F.col(c)) for c in carried

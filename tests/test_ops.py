@@ -191,3 +191,29 @@ def test_asof_join_backward(spark):
     plan = asof_join(left, right, on=["k"], right_cols=["val"]) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan  # union + window only
+
+
+def test_asof_join_forward(spark):
+    """Forward as-of: earliest right row at-or-after each left ts."""
+    from feldman_spark.ops.joins import asof_join
+
+    left = spark.createDataFrame(
+        [("u1", 10, "a"), ("u1", 20, "b"), ("u1", 16, "c")],
+        "k string, ts int, tag string")
+    right = spark.createDataFrame(
+        [("u1", 8, 1.0), ("u1", 10, 2.0), ("u1", 15, 3.0)],
+        "k string, ts int, val double")
+
+    out = {r["ts"]: (r["val_r"], r["ts_r"])
+           for r in asof_join(left, right, on=["k"], right_cols=["val"],
+                              direction="forward").collect()}
+    assert out == {
+        10: (2.0, 10),       # simultaneous right row wins
+        16: (None, None),    # nothing at-or-after 16
+        20: (None, None),
+    }
+
+    tol = {r["ts"]: r["val_r"]
+           for r in asof_join(left, right, on=["k"], right_cols=["val"],
+                              direction="forward", tolerance_seconds=4).collect()}
+    assert tol == {10: 2.0, 16: None, 20: None}
