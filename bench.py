@@ -34,6 +34,7 @@ HEADLINE = [
     "j1_containment_join",
     "j4_broadcast_equi",
     "j7_nearest_join",
+    "j9_asof_join",
     "a5_conditional_sum_hof",
     "w2_lag_diff",
     "w3_expanding_slope",
