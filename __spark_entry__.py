@@ -752,6 +752,17 @@ def events_sessionize_native(spark, sf_dir):
     return sessionize_native(_events(spark, sf_dir))
 
 
+def sample_cap_per_source(spark, sf_dir):
+    """Per-source document cap (crawl-style domain cap): at most 10 docs
+    per source, survivors chosen by the deterministic hash variate so the
+    kept set is stable under corpus growth and partitioning."""
+    from feldman_spark.pipeline.sampling import cap_per_group
+
+    d = _t(spark, sf_dir, "documents")
+    capped = cap_per_group(d, group_col="source", cap=10)
+    return capped.select("doc_id", "source", "n_chars")
+
+
 def j9_asof_join(spark, sf_dir):
     """J9 (beyond-reference): backward as-of join — each 'click' event
     picks the latest at-or-prior 'purchase' by the same user (the
@@ -1152,6 +1163,17 @@ _PIPELINE_ORACLES = {
                strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
                round(sum(value), 2) AS value_sum
         FROM ids GROUP BY user_id, session_id
+    """,
+    "sample_cap_per_source": """
+        SELECT doc_id, source, n_chars
+        FROM (
+          SELECT doc_id, source, n_chars,
+                 row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY substr(md5(CAST(doc_id AS VARCHAR) || '#cap'), 1, 8) ASC,
+                            doc_id ASC) AS rk
+          FROM documents
+        ) WHERE rk <= 10
     """,
     "j9_asof_join": """
         SELECT c.event_id, c.user_id,
@@ -2025,6 +2047,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_dedup": events_stream_dedup,
         "events_sessionize_native": events_sessionize_native,
         "j9_asof_join": j9_asof_join,
+        "sample_cap_per_source": sample_cap_per_source,
         # --- re-checks of r2/r3-green pipeline queries (the last slot,
         # events_sessionize, sits just past the 50-key window; it was
         # driver-green in r2/r3 and stays mirror-checked) ---

@@ -20,10 +20,11 @@ from __future__ import annotations
 
 from typing import Dict, Sequence, Tuple
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["hash_variate", "hash_sample", "hash_split", "weighted_mix"]
+__all__ = ["hash_variate", "hash_sample", "hash_split", "weighted_mix",
+           "cap_per_group"]
 
 _PREFIX_LEN = 8  # 16^8 ~ 4.3e9 granularity
 
@@ -99,3 +100,28 @@ def weighted_mix(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    cap: int,
+    key_col: str = "doc_id",
+    seed: str = "cap",
+) -> DataFrame:
+    """At most ``cap`` rows per group — the per-domain/per-source cap of
+    crawl pipelines (a handful of hosts otherwise dominate the corpus).
+
+    Which rows survive is decided by the deterministic hash variate, NOT
+    arrival order, so the kept set is stable across runs, partitionings,
+    and corpus growth (a surviving row is only ever displaced by a
+    lower-variate newcomer, never resampled at random). One shuffle on
+    the group key; ties in the variate break by the key itself, so the
+    result is total-order deterministic."""
+    w = Window.partitionBy(group_col).orderBy(
+        hash_variate(F.col(key_col), seed).asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= cap)
+        .drop("_rk")
+    )

@@ -578,3 +578,50 @@ def test_scrub_pii(spark):
     assert rows[2]["u"] == 1 and "https" not in rows[2]["out"]
     assert rows[3]["d"] == 2 and "0199" not in rows[3]["out"]
     assert rows[4]["out"] == "nothing sensitive here at all"
+
+
+def test_cap_per_group_stable_under_growth(spark):
+    """The per-group cap keeps a growth-stable set: adding new rows never
+    resamples survivors at random — a kept row is only displaced by a
+    lower-variate newcomer — and the cap holds exactly."""
+    from feldman_spark.pipeline.sampling import cap_per_group
+
+    base = spark.createDataFrame(
+        [(i, f"src{i % 3}") for i in range(60)], "doc_id long, source string")
+    kept1 = cap_per_group(base, "source", cap=5)
+    counts = {r["source"]: r["n"] for r in
+              kept1.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {"src0": 5, "src1": 5, "src2": 5}
+
+    grown = base.unionByName(spark.createDataFrame(
+        [(i, f"src{i % 3}") for i in range(60, 90)], "doc_id long, source string"))
+    kept2 = cap_per_group(grown, "source", cap=5)
+    ids1 = {r["doc_id"] for r in kept1.collect()}
+    ids2 = {r["doc_id"] for r in kept2.collect()}
+    assert len(ids2) == 15
+    # survivors change only by displacement: the kept set under growth is
+    # the cap applied to the union, so re-running on the same data is
+    # idempotent and partition-order independent
+    again = {r["doc_id"] for r in cap_per_group(grown.repartition(7),
+                                                "source", cap=5).collect()}
+    assert ids2 == again
+    # exact semantics: per group, the 5 lowest (variate, doc_id) keys of
+    # the union — computed independently here with hashlib
+    import hashlib
+
+    def variate(i):
+        return hashlib.md5(f"{i}#cap".encode()).hexdigest()[:8]
+
+    want = set()
+    for g in range(3):
+        members = sorted((i for i in range(90) if i % 3 == g),
+                         key=lambda i: (variate(i), i))
+        want.update(members[:5])
+    assert ids2 == want
+    # survivors from the smaller corpus persist unless displaced by a
+    # lower-variate newcomer — never resampled at random
+    displaced = ids1 - ids2
+    for d in displaced:
+        g = d % 3
+        newer = [i for i in range(60, 90) if i % 3 == g and i in ids2]
+        assert any(variate(n) < variate(d) for n in newer)
