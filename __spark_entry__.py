@@ -763,6 +763,30 @@ def sample_cap_per_source(spark, sf_dir):
     return capped.select("doc_id", "source", "n_chars")
 
 
+def pipeline_curate_corpus(spark, sf_dir):
+    """End-to-end corpus curation in ONE Spark plan — the composition a
+    training-data pipeline actually runs: exact dedup (digest min-id
+    survivors over the dup-injected corpus) → Gopher keep gate →
+    per-source cap (10) → deterministic train/val/test split → per-split
+    stats. Every stage is an already-oracle-checked operator; the oracle
+    chains their SQL forms as CTEs."""
+    from feldman_spark.pipeline.dedup import exact_dedup
+    from feldman_spark.pipeline.sampling import cap_per_group, hash_split
+    from feldman_spark.pipeline.text import gopher_rules
+
+    d = _docs_with_dups(spark, sf_dir)
+    kept = exact_dedup(d)
+    gated = kept.filter(gopher_rules(F.col("text")))
+    capped = cap_per_group(gated, group_col="source", cap=10)
+    split = hash_split(capped, key_col="doc_id")
+    return (
+        split.groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_chars").cast("bigint").alias("sum_chars"),
+             F.min("doc_id").alias("min_id"))
+    )
+
+
 def j9_asof_join(spark, sf_dir):
     """J9 (beyond-reference): backward as-of join — each 'click' event
     picks the latest at-or-prior 'purchase' by the same user (the
@@ -905,6 +929,81 @@ def _w1_oracle_sql() -> str:
                round(e.shift_bot, 3) AS "BottomDepthCSF",
                round(e.shift_bot + s.affine, 3) AS "BottomDepthCCSF"
         FROM scan s JOIN enriched e ON e.idx = s.idx
+    """
+
+
+def _curate_oracle_sql() -> str:
+    """The curation pipeline as chained CTEs: dedup (row_number over
+    md5(text)), the Gopher gate (same expressions as the
+    text_gopher_quality oracle), the variate-ordered per-source cap, and
+    the hash-split stats — each stage the SQL twin of its Spark
+    operator."""
+    return f"""
+        WITH dedup AS (
+          SELECT doc_id, source, n_chars, text FROM (
+            SELECT d.*, row_number() OVER (PARTITION BY md5(text)
+                                           ORDER BY doc_id ASC) AS _rn
+            FROM {_DOCS_DUP_SQL} d
+          ) WHERE _rn = 1
+        ),
+        t AS (
+          SELECT doc_id, source, n_chars, text,
+                 string_split(text, chr(10)) AS lines,
+                 regexp_split_to_array(trim(text), '\\s+') AS toks,
+                 CAST(CASE WHEN trim(text) = '' THEN 0
+                      ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+                      AS BIGINT) AS n_tokens,
+                 len(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+                 len(regexp_replace(text, '[^ ]', '', 'g')) AS spaces,
+                 CAST(len(text) AS BIGINT) AS nc
+          FROM dedup
+        ),
+        g AS (
+          SELECT doc_id, source, n_chars, n_tokens,
+                 round(1.0 - CAST(len(list_distinct(lines)) AS DOUBLE)
+                       / len(lines), 4) AS dup_line_frac,
+                 CASE WHEN len(toks) < 3 THEN 0.0 ELSE
+                   round(1.0 - CAST(len(list_distinct(
+                           list_transform(range(1, len(toks) - 1),
+                                          i -> array_to_string(toks[i:i+2], ' '))))
+                         AS DOUBLE) / (len(toks) - 2), 4) END AS dup_ngram_frac,
+                 CASE WHEN n_tokens <= 0 THEN 0.0 ELSE
+                   round(CAST(list_max(list_transform(list_distinct(toks),
+                           x -> len(list_filter(toks, u -> u = x))))
+                         AS DOUBLE) / n_tokens, 4) END AS top_token_frac,
+                 round(CAST(nc - spaces AS DOUBLE)
+                       / CAST(greatest(n_tokens, 1) AS DOUBLE), 4) AS avg_token_len,
+                 round(CAST(alpha AS DOUBLE)
+                       / CAST(greatest(nc, 1) AS DOUBLE), 4) AS alpha_ratio
+          FROM t
+        ),
+        gated AS (
+          SELECT doc_id, source, n_chars FROM g
+          WHERE n_tokens >= 50 AND n_tokens <= 100000
+            AND dup_line_frac <= 0.30 AND dup_ngram_frac <= 0.50
+            AND top_token_frac <= 0.20
+            AND avg_token_len >= 3.0 AND avg_token_len <= 10.0
+            AND alpha_ratio >= 0.60
+        ),
+        capped AS (
+          SELECT doc_id, source, n_chars FROM (
+            SELECT *, row_number() OVER (PARTITION BY source
+              ORDER BY substr(md5(CAST(doc_id AS VARCHAR) || '#cap'), 1, 8) ASC,
+                       doc_id ASC) AS rk
+            FROM gated
+          ) WHERE rk <= 10
+        )
+        SELECT CASE
+                 WHEN substr(md5(doc_id::VARCHAR || '#split'), 1, 8) < 'e6666666'
+                   THEN 'train'
+                 WHEN substr(md5(doc_id::VARCHAR || '#split'), 1, 8) < 'f3333333'
+                   THEN 'val'
+                 ELSE 'test'
+               END AS split,
+               count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+               min(doc_id) AS min_id
+        FROM capped GROUP BY split
     """
 
 
@@ -1164,6 +1263,7 @@ _PIPELINE_ORACLES = {
                round(sum(value), 2) AS value_sum
         FROM ids GROUP BY user_id, session_id
     """,
+    "pipeline_curate_corpus": _curate_oracle_sql(),
     "sample_cap_per_source": """
         SELECT doc_id, source, n_chars
         FROM (
@@ -2048,6 +2148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize_native": events_sessionize_native,
         "j9_asof_join": j9_asof_join,
         "sample_cap_per_source": sample_cap_per_source,
+        "pipeline_curate_corpus": pipeline_curate_corpus,
         # --- re-checks of r2/r3-green pipeline queries (the last slot,
         # events_sessionize, sits just past the 50-key window; it was
         # driver-green in r2/r3 and stays mirror-checked) ---
