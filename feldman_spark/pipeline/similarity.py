@@ -113,6 +113,7 @@ def lsh_partitioned_topk(
     ``probe_hamming == num_planes`` probes every signature and is therefore
     EXACTLY brute force — the value-level oracle twin (`knn_lsh_exact`)."""
     from itertools import combinations
+    from math import comb as _comb
 
     q = [float(x) for x in query_vec]
     dim = len(q)
@@ -124,20 +125,39 @@ def lsh_partitioned_topk(
         hyperplane_signature(F.col("qv"), dim, num_planes).alias("s")
     ).first()["s"]
 
-    probes = set()
-    for nbits in range(min(probe_hamming, num_planes) + 1):
-        for idxs in combinations(range(num_planes), nbits):
-            s = list(qsig)
-            for i in idxs:
-                s[i] = "0" if s[i] == "1" else "1"
-            probes.add("".join(s))
+    # Enumerating sum_{i<=h} C(planes, i) probe signatures is fine for the
+    # default 8 planes (<=256 literals) but combinatorial for wide
+    # signatures (32 planes / hamming 8 ~ 15M literals would blow up the
+    # plan before any data is scanned). Past the cap, filter on hamming
+    # distance computed in-plan instead of an isin() enumeration — same
+    # rows scanned, O(num_planes) expression size, at the cost of losing
+    # literal-level pruning.
+    MAX_PROBE_ENUM = 4096
+    n_probes = sum(
+        _comb(num_planes, i) for i in range(min(probe_hamming, num_planes) + 1)
+    )
+    if n_probes > MAX_PROBE_ENUM:
+        hamming = sum(
+            (F.substring(F.col("_sig"), i + 1, 1) != F.lit(qsig[i])).cast("int")
+            for i in range(num_planes)
+        )
+        sig_filter = hamming <= probe_hamming
+    else:
+        probes = set()
+        for nbits in range(min(probe_hamming, num_planes) + 1):
+            for idxs in combinations(range(num_planes), nbits):
+                s = list(qsig)
+                for i in idxs:
+                    s[i] = "0" if s[i] == "1" else "1"
+                probes.add("".join(s))
+        sig_filter = F.col("_sig").isin(list(probes))
 
     qn = sum(x * x for x in q) ** 0.5
     qcol = F.array(*[F.lit(x) for x in q])
     cos = F.round(_dot(v, qcol) / (_safe_norm(v) * F.lit(qn or 1.0)), digits)
     w = Window.orderBy(F.col("cosine").desc(), F.col(id_col).asc())
     return (
-        signed.filter(F.col("_sig").isin(list(probes)))
+        signed.filter(sig_filter)
         .select(F.col(id_col), cos.alias("cosine"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

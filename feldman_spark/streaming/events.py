@@ -29,7 +29,11 @@ def _watermarkable(df: DataFrame, ts_col: str) -> DataFrame:
     """``withWatermark`` requires TIMESTAMP (with time zone) event time;
     Spark 4.1's parquet reader surfaces naive timestamps as TIMESTAMP_NTZ,
     which it rejects. Cast NTZ → TIMESTAMP (a wall-clock reinterpretation
-    in the session zone — deterministic, no data movement)."""
+    in ``spark.sql.session.timeZone`` — no data movement, and deterministic
+    only per session zone: watermark/window boundaries shift if the zone
+    differs between runs. :func:`feldman_spark.session.get_spark` pins
+    the session zone to UTC so batch/stream parity holds across
+    environments; under a foreign session, pin the zone yourself)."""
     if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
         df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     return df

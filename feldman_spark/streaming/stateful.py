@@ -39,12 +39,30 @@ def streaming_dedup(
     events: DataFrame,
     key_col: str = "event_id",
     payload_cols: Tuple[str, ...] = ("event_type", "user_id"),
+    ts_col: str = "ts",
+    watermark: str | None = None,
 ) -> DataFrame:
     """First occurrence of each key wins; later arrivals are suppressed.
 
     Output schema: key + payload of the first-seen row + ``n_dupes``
     (duplicates suppressed so far — 0 on first emission).
-    """
+
+    With ``watermark`` set, rows whose ``ts_col`` falls behind the
+    event-time watermark are dropped before they touch keyed state —
+    unbounded streams need the bound so a straggler cannot resurrect or
+    pollute state arbitrarily far in the past (late-drop is
+    pytest-asserted in test_streaming.py). Spark does NOT auto-filter
+    late input for arbitrary stateful ops (only for its built-in
+    windowed aggregations), so the filter runs inside the state
+    function against ``state.getCurrentWatermarkMs()`` — the documented
+    flatMapGroupsWithState pattern. State itself is deliberately
+    NoTimeout: dedup semantics are "ever seen", not "seen recently";
+    switch to event-time timeout only if re-admission past the horizon
+    is acceptable."""
+    if watermark:
+        from .events import _watermarkable
+
+        events = _watermarkable(events, ts_col).withWatermark(ts_col, watermark)
     key_field = events.schema[key_col]
     out_schema = StructType(
         [StructField(key_col, key_field.dataType)]
@@ -53,14 +71,22 @@ def streaming_dedup(
     )
     state_schema = StructType([StructField("seen", LongType())])
 
+    drop_late = watermark is not None
+
     def fn(key: Tuple[Any, ...], batches: Iterator[pd.DataFrame], state: GroupState):
+        wm_ms = state.getCurrentWatermarkMs() if drop_late else 0
         n_new = 0
         first_row = None
         for pdf in batches:
+            if wm_ms > 0:
+                ts_ms = pdf[ts_col].astype("datetime64[ms]").astype("int64")
+                pdf = pdf[ts_ms >= wm_ms]
             if first_row is None and len(pdf) > 0:
                 first_row = pdf.iloc[0]
             n_new += len(pdf)
         already_emitted = state.exists
+        if n_new == 0 and not already_emitted:
+            return  # every row was late: leave no state behind
         seen = state.get[0] if already_emitted else 0
         state.update((seen + n_new,))
         if not already_emitted and first_row is not None:

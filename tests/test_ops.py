@@ -193,6 +193,25 @@ def test_asof_join_backward(spark):
     assert "Join" not in plan  # union + window only
 
 
+def test_asof_join_null_right_attrs_not_backfilled(spark):
+    """The matched right row's NULL attributes stay NULL — they must not
+    backfill from an older right row (the match is a single row, carried
+    as one struct)."""
+    from feldman_spark.ops.joins import asof_join
+
+    left = spark.createDataFrame([("u1", 30, "a")], "k string, ts int, tag string")
+    right = spark.createDataFrame(
+        [("u1", 10, 1.0, "old"), ("u1", 20, None, "new")],
+        "k string, ts int, val double, label string")
+
+    [row] = asof_join(left, right, on=["k"],
+                      right_cols=["val", "label"]).collect()
+    # matched row is ts=20: label from it, val stays NULL (NOT 1.0 from ts=10)
+    assert row["ts_r"] == 20
+    assert row["label_r"] == "new"
+    assert row["val_r"] is None
+
+
 def test_asof_join_forward(spark):
     """Forward as-of: earliest right row at-or-after each left ts."""
     from feldman_spark.ops.joins import asof_join

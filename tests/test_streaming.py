@@ -284,6 +284,112 @@ def test_stateful_dedup_survives_restart(spark, events, tmp_out):
     assert new_ids == list(range(100, 150))
 
 
+def test_sessionize_native_drops_late_events(spark, events, tmp_out):
+    """An event older than watermark - delay must be DROPPED by the
+    streaming sessionizer (never reach state, never emit), while the
+    batch twin — which sees everything — sessionizes it. This pins the
+    late-data semantics the watermark exists for."""
+    import shutil
+
+    src = f"{tmp_out}/late_sess_src"
+    ckpt = f"{tmp_out}/late_sess_ckpt"
+    sink = f"{tmp_out}/late_sess_sink"
+    for d in (src, ckpt, sink):
+        shutil.rmtree(d, ignore_errors=True)
+    schema = events.schema
+
+    base = events.agg(F.min("ts")).first()[0]
+
+    def mk(rows):
+        return spark.createDataFrame(rows, schema)
+
+    # file 1: one user-1 session + a far-future sentinel that pushes the
+    # watermark (1 hour delay) ~10 days past the session's close
+    on_time = mk([(1, base, 1, "click", 1.0, "{}"),
+                  (2, base, 1, "click", 1.0, "{}")]) \
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 5 MINUTES") * (F.col("event_id") - 1))
+    sentinel = mk([(999, base, -1, "sentinel", 0.0, "{}")]) \
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 10 DAYS"))
+    on_time.unionByName(sentinel).repartition(1).write.parquet(src)
+
+    def run_until_drained():
+        q = (sessionize_native(stream_events(spark, src), watermark="1 hour")
+             .writeStream.format("parquet")
+             .option("path", sink)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").start())
+        q.processAllAvailable()
+        q.stop()
+
+    run_until_drained()
+    flushed = spark.read.parquet(sink).filter(F.col("user_id") == 1)
+    assert flushed.count() == 1  # the on-time session finalized and flushed
+
+    # file 2: a LATE user-2 event back at base time — ~10 days behind the
+    # established watermark. If accepted it would form a (already-closed)
+    # session and flush immediately; it must instead be dropped.
+    late = mk([(3, base, 2, "late", 1.0, "{}")])
+    late.repartition(1).write.mode("append").parquet(src)
+    run_until_drained()
+
+    out = spark.read.parquet(sink)
+    assert out.filter(F.col("user_id") == 2).count() == 0  # late row dropped
+
+    # the batch twin (no watermark) DOES sessionize the late event
+    everything = on_time.unionByName(sentinel).unionByName(late)
+    batch = sessionize_native(everything)
+    assert batch.filter(F.col("user_id") == 2).count() == 1
+
+
+def test_streaming_dedup_drops_late_events(spark, events, tmp_out):
+    """streaming_dedup with a watermark: a row whose event time is behind
+    watermark - delay is filtered before keyed state — a NEW key arriving
+    that late is not emitted (batch distinct would keep it)."""
+    import shutil
+    from feldman_spark.streaming.stateful import streaming_dedup
+
+    src = f"{tmp_out}/late_dedup_src"
+    ckpt = f"{tmp_out}/late_dedup_ckpt"
+    sink = f"{tmp_out}/late_dedup_sink"
+    for d in (src, ckpt, sink):
+        shutil.rmtree(d, ignore_errors=True)
+    schema = events.schema
+    base = events.agg(F.min("ts")).first()[0]
+
+    def mk(rows):
+        return spark.createDataFrame(rows, schema)
+
+    on_time = mk([(i, base, i, "click", 1.0, "{}") for i in range(1, 11)])
+    sentinel = mk([(999, base, -1, "sentinel", 0.0, "{}")]) \
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 10 DAYS"))
+    on_time.unionByName(sentinel).repartition(1).write.parquet(src)
+
+    def run_until_drained():
+        stream = stream_events(spark, src)
+        q = (streaming_dedup(stream, key_col="event_id", watermark="1 hour")
+             .writeStream.format("parquet")
+             .option("path", sink)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").start())
+        q.processAllAvailable()
+        q.stop()
+
+    run_until_drained()
+    assert spark.read.parquet(sink).count() == 11  # 10 keys + sentinel
+
+    # a brand-new key, ~10 days behind the watermark: must be dropped,
+    # not emitted
+    late = mk([(42, base, 42, "late", 1.0, "{}")])
+    late.repartition(1).write.mode("append").parquet(src)
+    run_until_drained()
+
+    out = spark.read.parquet(sink)
+    assert out.filter(F.col("event_id") == 42).count() == 0
+    assert out.count() == 11
+    # batch twin keeps it: dedup over the full data has the key
+    assert on_time.unionByName(late).select("event_id").distinct().count() == 11
+
+
 def test_incremental_ingest_exactly_once(spark, tmp_out):
     """Two ingest runs over a growing directory: the second processes
     only the new files (checkpointed file list), the transform applies
