@@ -25,6 +25,8 @@ __all__ = [
     "hyperplane_signature",
     "ivf_assign",
     "ivf_build",
+    "ivf_bucket_stats",
+    "ivf_drift_report",
     "ivf_topk",
     "ivf_write",
     "ivf_read",
@@ -358,6 +360,56 @@ def ivf_read(spark, path: str):
     assigned = spark.read.parquet(f"{path}/vectors")
     rows = spark.read.parquet(f"{path}/centroids").orderBy("cid").collect()
     return assigned, [list(r["centroid"]) for r in rows]
+
+
+def ivf_bucket_stats(
+    assigned: DataFrame, centroids, vec_col: str = "embedding",
+) -> DataFrame:
+    """Index-quality monitor: per-bucket vector count and mean cosine to
+    the owning centroid, in ONE pass (broadcast centroid join + agg —
+    never collects vectors). The incremental-append path
+    (:func:`ivf_assign` under frozen centroids) has no retraining step,
+    so this is the drift signal: data pulling away from the centroids
+    shows up as falling ``mean_sim`` and bucket imbalance long before
+    recall craters."""
+    spark = assigned.sparkSession
+    cdf = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cid int, _centroid array<double>",
+    )
+    v = _as_double(F.col(vec_col))
+    # build-time centroids are unit-norm, so cosine = dot / |v|
+    sim = _dot(v, F.col("_centroid")) / _safe_norm(v)
+    return (
+        assigned.join(F.broadcast(cdf), "cid")
+        .groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("n_vectors"),
+             F.round(F.avg(sim), 6).alias("mean_sim"))
+    )
+
+
+def ivf_drift_report(
+    assigned: DataFrame, centroids, vec_col: str = "embedding",
+) -> dict:
+    """Collect :func:`ivf_bucket_stats` into a one-line summary and emit
+    it through the progress listener — the per-append hook for the
+    incremental index: ``mean_sim`` is the count-weighted mean cosine to
+    the owning centroid, ``imbalance`` is max-bucket-count over the
+    uniform expectation (1.0 = perfectly even). Collect is C rows —
+    driver-safe at any corpus scale."""
+    from ..progress import report_progress
+
+    rows = ivf_bucket_stats(assigned, centroids, vec_col).collect()
+    total = sum(r["n_vectors"] for r in rows) or 1
+    mean_sim = sum(r["mean_sim"] * r["n_vectors"] for r in rows) / total
+    imbalance = max(r["n_vectors"] for r in rows) / (total / len(centroids))
+    out = {"n_vectors": total, "n_buckets_hit": len(rows),
+           "mean_sim": round(mean_sim, 6), "imbalance": round(imbalance, 4)}
+    report_progress(
+        1.0,
+        f"ivf index: {total} vecs, {len(rows)}/{len(centroids)} buckets, "
+        f"mean_sim={out['mean_sim']}, imbalance={out['imbalance']}")
+    return out
 
 
 def quantize_embeddings(

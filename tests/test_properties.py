@@ -153,3 +153,99 @@ def test_connected_components_matches_union_find(spark, edges):
     got = {r["doc_id"]: r["cluster_id"]
            for r in connected_components(pairs, max_iter=60).collect()}
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# ANN recall floors + IVF drift guard (seeded clustered corpus — the
+# workload ANN indexes exist for; everything below is deterministic)
+# ---------------------------------------------------------------------------
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def ann_corpus(spark):
+    """8 well-separated gaussian clusters (dim 16, 50 vectors each) and a
+    query placed inside cluster 0, plus the brute-force top-10 truth."""
+    from feldman_spark.pipeline.similarity import cosine_topk
+
+    rng = np.random.RandomState(7)
+    dim, n_clusters, per = 16, 8, 50
+    centers = rng.normal(size=(n_clusters, dim)) * 3
+    vecs = np.concatenate([c + rng.normal(size=(per, dim)) for c in centers])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))],
+        "vec_id bigint, embedding array<double>").cache()
+    q = [float(x) for x in centers[0] + rng.normal(size=dim) * 0.1]
+    truth = frozenset(r["vec_id"] for r in cosine_topk(df, q, k=10).collect())
+    return df, q, truth
+
+
+def _recall(df_topk, truth):
+    got = set(r["vec_id"] for r in df_topk.collect())
+    return len(got & truth) / len(truth)
+
+
+def test_ivf_recall_floor_and_monotone(spark, ann_corpus):
+    """A silent parameter/hash change that craters IVF recall must fail
+    here rather than ship: nprobe=2 keeps recall@10 >= 0.9 on clustered
+    data, recall never decreases in nprobe, and full probe is exact."""
+    from feldman_spark.pipeline.similarity import ivf_build, ivf_topk
+
+    df, q, truth = ann_corpus
+    index = ivf_build(df, num_centroids=8, iters=2)
+    recalls = [
+        _recall(ivf_topk(df, q, k=10, num_centroids=8, nprobe=p,
+                         iters=2, index=index), truth)
+        for p in (1, 2, 4, 8)
+    ]
+    assert recalls[1] >= 0.9
+    assert recalls == sorted(recalls)  # more probes never hurt
+    assert recalls[-1] == 1.0          # full probe IS brute force
+
+
+def test_lsh_recall_floor_and_monotone(spark, ann_corpus):
+    """Hyperplane-LSH floors: hamming-2 probing keeps recall@10 >= 0.8
+    on clustered data; recall is monotone in probe width; full probe is
+    exact."""
+    from feldman_spark.pipeline.similarity import lsh_partitioned_topk
+
+    df, q, truth = ann_corpus
+    recalls = [
+        _recall(lsh_partitioned_topk(df, q, k=10, num_planes=8,
+                                     probe_hamming=h), truth)
+        for h in (1, 2, 3, 8)
+    ]
+    assert recalls[1] >= 0.8
+    assert recalls == sorted(recalls)
+    assert recalls[-1] == 1.0
+
+
+def test_ivf_drift_guard(spark, ann_corpus):
+    """Incremental appends under frozen centroids have no retraining, so
+    ivf_drift_report is the quality monitor: an appended batch drawn far
+    from every training cluster must show up as (a) markedly lower
+    mean_sim than the build-time corpus and (b) concentration into few
+    buckets."""
+    from feldman_spark.pipeline.similarity import (
+        ivf_assign, ivf_build, ivf_drift_report)
+
+    df, _, _ = ann_corpus
+    assigned, cents = ivf_build(df, num_centroids=8, iters=2)
+    base = ivf_drift_report(assigned, cents)
+    assert base["n_vectors"] == 400
+    assert base["n_buckets_hit"] == 8
+
+    # drifted data: one tight alien cluster far from every centroid
+    rng = np.random.RandomState(99)
+    alien_center = rng.normal(size=16) * 30
+    alien = spark.createDataFrame(
+        [(10_000 + i,
+          [float(x) for x in alien_center + rng.normal(size=16) * 0.1])
+         for i in range(50)],
+        "vec_id bigint, embedding array<double>")
+    drifted = ivf_drift_report(ivf_assign(alien, cents), cents)
+    assert drifted["mean_sim"] < base["mean_sim"] - 0.2  # quality collapse
+    assert drifted["n_buckets_hit"] <= 2                 # concentration
+    assert drifted["imbalance"] >= 4.0                   # >= half of 8 empty
