@@ -114,11 +114,15 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
 
-    # regression gate against the committed per-query floor
+    sf_name = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+
+    # regression gate against the committed per-query floor — the floors
+    # are sf0.1 numbers, so only meaningful at that scale (scale-proof
+    # runs at other SFs are compared in docs/SCALING.md instead)
     regressions = {}
     floor_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "bench_floor.json")
-    if os.path.exists(floor_path):
+    if os.path.exists(floor_path) and sf_name == "0.1":
         with open(floor_path) as f:
             floors = json.load(f).get("queries", {})
         for name, t in timings.items():
@@ -127,11 +131,10 @@ def main() -> None:
                 regressions[name] = {"floor": fl, "now": t}
                 print(f"REGRESSION: {name} {t}s > limit {_limit(fl):.2f}s "
                       f"(floor {fl}s)", file=sys.stderr)
-    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
-        sf_val = float(sf)
+        sf_val = float(sf_name)
     except ValueError:
-        sf_val = sf
+        sf_val = sf_name
     out = {
         "metric": "headline_queries_total_wall_clock",
         "value": total,

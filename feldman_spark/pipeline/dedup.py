@@ -514,7 +514,8 @@ def embedding_cosine_pairs_lsh(
     threshold: float = 0.9,
     digits: int = 6,
     num_tables: int = 8,
-    planes_per_table: int = 4,
+    planes_per_table: Optional[int] = None,
+    target_bucket_rows: int = 64,
     seed: str = "cosdup",
     dim: Optional[int] = None,
 ) -> DataFrame:
@@ -531,13 +532,23 @@ def embedding_cosine_pairs_lsh(
 
     Recall: a pair at cosine c disagrees per plane with probability
     arccos(c)/π; with T tables of P planes a true pair is missed with
-    probability (1 - (1-arccos(c)/π)^P)^T — at the defaults ~6e-7 for
+    probability (1 - (1-arccos(c)/π)^P)^T — at P=4/T=8 ~6e-7 for
     c = 0.99 and ~2e-2 for c = 0.9 (raise ``num_tables`` to push it
-    down; exact duplicates are never missed). Size ``planes_per_table``
-    ≈ log2(N / wanted_bucket_rows): bucket count is 2^P per table, and
-    candidate verification is quadratic in bucket size. The all-pairs
+    down; exact duplicates are never missed).
+
+    ``planes_per_table=None`` (the default) auto-sizes P ≈
+    log2(N / target_bucket_rows), clamped to [4, 16]: bucket count is
+    2^P per table and candidate verification is quadratic in bucket
+    size, so a FIXED P makes candidates — and wall-clock — grow
+    O(N²/2^P). Auto-sizing holds expected bucket occupancy constant,
+    which keeps the candidate set (and the whole job) linear in N; the
+    cost is one count() pass and a slightly higher per-pair miss
+    probability at larger N (still <2e-4 for c ≥ 0.99 at P=16/T=8;
+    see docs/SCALING.md for the sf0.1→sf1 measurement). The all-pairs
     :func:`embedding_cosine_pairs` stays the correctness oracle.
     """
+    import math
+
     import numpy as np
 
     from feldman_spark.pipeline.similarity import _as_double, _dot, _safe_norm
@@ -548,6 +559,11 @@ def embedding_cosine_pairs_lsh(
             return df.sparkSession.createDataFrame(
                 [], "id1 long, id2 long, cosine double")
         dim = len(first[0])
+
+    if planes_per_table is None:
+        n = df.count()
+        planes_per_table = min(16, max(4, math.ceil(
+            math.log2(max(1.0, n / target_bucket_rows)))))
 
     planes = np.vstack([
         _hyperplane_matrix(dim, planes_per_table, f"{seed}:{t}")

@@ -76,7 +76,10 @@ def main() -> int:
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(args.sf_dir, f"{t}.parquet")
-        if os.path.exists(p):
+        if os.path.isdir(p):
+            # Spark writes <name>.parquet as a directory of part files
+            p = os.path.join(p, "*.parquet")
+        if os.path.exists(os.path.dirname(p)) or os.path.exists(p):
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     qs = entry.queries()
