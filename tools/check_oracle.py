@@ -21,6 +21,9 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+FLOAT_SIG = None  # None = exact (driver-faithful); int = significant digits
+
+
 def norm_cell(v):
     if v is None:
         return None
@@ -28,7 +31,13 @@ def norm_cell(v):
         if math.isnan(v):
             return None
         # exact comparison: the driver's value hash may be bit-strict, so
-        # every query must round its floats to hash-identical values itself
+        # every query must round its floats to hash-identical values itself.
+        # --float-sig N relaxes to N significant digits for SCALE runs,
+        # where a rounded SUM over 10x the addends legitimately differs
+        # from DuckDB's at the last ulp (summation order is associativity-
+        # dependent; both answers are "right") — never use it at sf0.01.
+        if FLOAT_SIG is not None:
+            return float(f"%.{FLOAT_SIG}g" % v)
         return v
     if hasattr(v, "isoformat"):
         return v.isoformat()
@@ -37,6 +46,11 @@ def norm_cell(v):
     if isinstance(v, list):
         return tuple(norm_cell(x) for x in v)
     return v
+
+
+def _decimals(v: float) -> int:
+    s = repr(v)
+    return len(s.split(".", 1)[1]) if "." in s and "e" not in s else 0
 
 
 def canonical(rows, columns):
@@ -50,11 +64,18 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--only", default=None)
+    ap.add_argument("--float-sig", type=int, default=None,
+                    help="compare floats at N significant digits instead of "
+                         "exactly — for scale runs (sf>=1) where rounded "
+                         "sums differ at the last ulp by summation order")
     ap.add_argument("--stock-session", action="store_true",
                     help="use an unconfigured SparkSession (mirrors the "
                          "driver harness, which owns its own session and "
                          "does not apply feldman_spark.get_spark defaults)")
     args = ap.parse_args()
+    if args.float_sig is not None:
+        global FLOAT_SIG
+        FLOAT_SIG = args.float_sig
 
     import duckdb
 
@@ -123,6 +144,33 @@ def main() -> int:
         else:
             a = canonical(srows, scols)
             b = canonical(drows, dcols)
+            if a != b and FLOAT_SIG is not None:
+                # scale-run leniency: a pre-round sum that lands within one
+                # ulp of a rounding boundary (summation-order effect) shows
+                # up as exactly one unit in the last rounded decimal —
+                # accept float cells within that step, nothing else
+                straddles = 0
+                for i in range(len(a)):
+                    if a[i] == b[i]:
+                        continue
+                    for x, y in zip(a[i], b[i]):
+                        if x == y:
+                            continue
+                        if not (isinstance(x, float) and isinstance(y, float)):
+                            straddles = -1
+                            break
+                        step = 10.0 ** -max(_decimals(x), _decimals(y))
+                        if abs(x - y) > step * 1.001:
+                            straddles = -1
+                            break
+                    if straddles < 0:
+                        break
+                    straddles += 1
+                if straddles >= 0:
+                    if straddles:
+                        print(f"      {name}: {straddles} rounding-straddle "
+                              f"row(s) accepted at one-rounding-step tolerance")
+                    a = b
             if a != b:
                 bad = next(i for i in range(len(a)) if a[i] != b[i])
                 problems.append(f"values differ at sorted-row {bad}:\n"
