@@ -553,13 +553,17 @@ def dedup_clusters(spark, sf_dir):
     from feldman_spark.pipeline.dedup import minhash_lsh_pairs
     from feldman_spark.pipeline.graph import connected_components
 
-    # pair generation + the label-propagation loop run ACTIONS here; scope
-    # the shuffle width to the tiny graph for the duration (a stock
-    # session's 200 partitions cost ~20s of pure task overhead)
+    # the conf applies at ACTION time, so materialize the corpus-wide
+    # pair generation at full shuffle width FIRST, then scope the width
+    # down to the tiny label-propagation graph only (a stock session's
+    # 200 partitions cost ~20s of pure task overhead in the loop; but
+    # pinning the whole query to 8 serializes the MinHash stage — 6x at
+    # sf1)
+    pairs = minhash_lsh_pairs(_docs_with_dups(spark, sf_dir), threshold=0.2)
+    pairs = pairs.localCheckpoint()  # full-width pair generation runs here
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        pairs = minhash_lsh_pairs(_docs_with_dups(spark, sf_dir), threshold=0.2)
         comp = connected_components(pairs)
         comp.count()  # materialize the persisted labels under the scoped conf
     finally:
@@ -576,10 +580,12 @@ def pipeline_fuzzy_dedup(spark, sf_dir):
     from feldman_spark.pipeline.graph import dedup_survivors
 
     docs = _docs_with_dups(spark, sf_dir)
+    # full-width pair generation first, scoped-width graph loop after —
+    # see dedup_clusters for why
+    pairs = minhash_lsh_pairs(docs, threshold=0.2).localCheckpoint()
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        pairs = minhash_lsh_pairs(docs, threshold=0.2)
         kept = dedup_survivors(docs, pairs)
         out = (
             kept.groupBy("lang")
@@ -756,6 +762,33 @@ def events_sessionize_native(spark, sf_dir):
     from feldman_spark.streaming.events import sessionize_native
 
     return sessionize_native(_events(spark, sf_dir))
+
+
+def events_interval_join(spark, sf_dir):
+    """Stream-stream INTERVAL join (view→click attribution): each view
+    matches the same user's clicks in the following 5 minutes. The
+    two-sided event-time bound is what makes the join state evictable
+    under readStream (feldman_spark/streaming/events.py::interval_join);
+    here run in batch for the value-level oracle — the streaming twin
+    (two file sources, watermarks, append sink) is pytest-verified in
+    tests/test_streaming.py."""
+    from feldman_spark.streaming.events import interval_join
+
+    ev = _events(spark, sf_dir)
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"))
+    out = interval_join(views, clicks, key="user_id",
+                        left_ts="view_ts", right_ts="click_ts",
+                        within="5 minutes")
+    return out.select(
+        "user_id", "view_id", "click_id",
+        (F.col("click_ts").cast("long") - F.col("view_ts").cast("long"))
+        .alias("lag_secs"),
+    )
 
 
 def sample_cap_per_source(spark, sf_dir):
@@ -2318,6 +2351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_documents": profile_documents,
         "sample_mix": sample_mix,
         "events_json_props": events_json_props,
+        "events_interval_join": events_interval_join,
         "text_gopher_quality": text_gopher_quality,
         "text_scrub_pii": text_scrub_pii,
         "pack_examples": pack_examples,
@@ -2597,6 +2631,18 @@ def oracle_sql() -> dict[str, str]:
             WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11 AND p_size <= 5)
                OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20 AND p_size <= 10)
                OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30 AND p_size <= 15)
+        """,
+        "events_interval_join": """
+            WITH v AS (SELECT user_id, event_id AS view_id, ts AS view_ts
+                       FROM events WHERE event_type = 'view'),
+                 c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+                       FROM events WHERE event_type = 'click')
+            SELECT v.user_id, view_id, click_id,
+                   floor(epoch(click_ts))::BIGINT - floor(epoch(view_ts))::BIGINT
+                     AS lag_secs
+            FROM v JOIN c ON v.user_id = c.user_id
+             AND click_ts >= view_ts
+             AND click_ts <= view_ts + INTERVAL 5 MINUTE
         """,
         "events_json_props": """
             SELECT event_type,

@@ -20,6 +20,7 @@ __all__ = [
     "sliding_agg",
     "sessionize",
     "sessionize_native",
+    "interval_join",
     "stream_events",
     "run_stream_to_memory",
 ]
@@ -149,6 +150,50 @@ def sessionize_native(
             "n_events", "value_sum",
         )
     )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    within: str = "5 minutes",
+    watermark: Optional[str] = None,
+) -> DataFrame:
+    """Stream-stream INTERVAL join: each left event matches the right
+    events of the same ``key`` whose timestamp falls in
+    ``[left_ts, left_ts + within]`` — the click/view-attribution shape
+    of an event pipeline.
+
+    The same plan runs in batch (the DuckDB-oracle ground truth) and
+    under two ``readStream`` sources. Streaming-correctness requirements
+    baked in (Spark refuses the join without them):
+
+    * BOTH sides carry a watermark — late input past it is dropped;
+    * the join condition bounds event-time distance in BOTH directions
+      (``right_ts >= left_ts`` and ``right_ts <= left_ts + within``),
+      which lets the state store evict a buffered row as soon as the
+      other side's watermark passes its match window — state is
+      O(rate × (watermark + within)), not unbounded.
+
+    Column names must be disjoint apart from ``key`` (rename before
+    joining, as the contract query does). Inner join; append output.
+    """
+    l = left
+    r = right
+    if watermark:
+        l = _watermarkable(l, left_ts).withWatermark(left_ts, watermark)
+        r = _watermarkable(r, right_ts).withWatermark(right_ts, watermark)
+    else:
+        l = _watermarkable(l, left_ts)
+        r = _watermarkable(r, right_ts)
+    cond = (
+        (l[key] == r[key])
+        & (r[right_ts] >= l[left_ts])
+        & (r[right_ts] <= l[left_ts] + F.expr(f"INTERVAL {within}"))
+    )
+    return l.join(r, cond).drop(r[key])
 
 
 def stream_events(spark: SparkSession, parquet_dir: str, schema=None) -> DataFrame:

@@ -422,3 +422,124 @@ def test_incremental_ingest_exactly_once(spark, tmp_out):
     second = spark.read.parquet(out)
     assert second.count() == 50 + 20  # only the 40 new docs processed
     assert second.filter(F.col("doc_id") < 100).count() == 50  # no re-ingest
+
+
+def test_interval_join_streaming_matches_batch(spark, events, tmp_out):
+    """Stream-stream interval join under TWO real readStream sources:
+    views and clicks arrive as separate file streams, both watermarked;
+    matches emit (append) once both watermarks pass the match window.
+    Run 1 ingests the real events; run 2 appends a far-future sentinel
+    on BOTH sides to push both watermarks past every real event, flushing
+    all remaining buffered matches. Batch output of the identical plan is
+    the oracle."""
+    import shutil
+
+    from feldman_spark.streaming.events import interval_join
+
+    v_src = f"{tmp_out}/ij_views_src"
+    c_src = f"{tmp_out}/ij_clicks_src"
+    ckpt = f"{tmp_out}/ij_ckpt"
+    sink = f"{tmp_out}/ij_sink"
+    for d in (v_src, c_src, ckpt, sink):
+        shutil.rmtree(d, ignore_errors=True)
+
+    views = events.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"))
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"))
+    views.repartition(3).write.mode("overwrite").parquet(v_src)
+    clicks.repartition(3).write.mode("overwrite").parquet(c_src)
+
+    def run_until_drained():
+        joined = interval_join(
+            stream_events(spark, v_src), stream_events(spark, c_src),
+            key="user_id", left_ts="view_ts", right_ts="click_ts",
+            within="5 minutes", watermark="45 days")
+        q = (joined.select("user_id", "view_id", "click_id")
+             .writeStream.format("parquet")
+             .option("path", sink)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").start())
+        q.processAllAvailable()
+        q.stop()
+
+    run_until_drained()
+
+    far = F.expr("INTERVAL 92 DAYS")
+    (views.limit(1).withColumn("view_ts", F.col("view_ts") + far)
+     .withColumn("user_id", F.lit(-1).cast("long"))
+     .repartition(1).write.mode("append").parquet(v_src))
+    (clicks.limit(1).withColumn("click_ts", F.col("click_ts") + far)
+     .withColumn("user_id", F.lit(-1).cast("long"))
+     .repartition(1).write.mode("append").parquet(c_src))
+
+    run_until_drained()
+
+    got = {(r["user_id"], r["view_id"], r["click_id"])
+           for r in spark.read.parquet(sink).filter(
+               F.col("user_id") >= 0).collect()}
+    want = {(r["user_id"], r["view_id"], r["click_id"])
+            for r in interval_join(
+                views, clicks, key="user_id", left_ts="view_ts",
+                right_ts="click_ts", within="5 minutes").collect()}
+    assert want, "batch twin produced no matches — fixture too sparse"
+    assert got == want
+
+
+def test_interval_join_drops_late_events(spark, events, tmp_out):
+    """A click older than the click-side watermark when it arrives is
+    dropped by the stream-stream join even though the batch twin (which
+    sees everything) matches it."""
+    import shutil
+
+    from feldman_spark.streaming.events import interval_join
+
+    v_src = f"{tmp_out}/ijl_views_src"
+    c_src = f"{tmp_out}/ijl_clicks_src"
+    ckpt = f"{tmp_out}/ijl_ckpt"
+    sink = f"{tmp_out}/ijl_sink"
+    for d in (v_src, c_src, ckpt, sink):
+        shutil.rmtree(d, ignore_errors=True)
+
+    views = events.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"))
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"))
+    views.repartition(2).write.mode("overwrite").parquet(v_src)
+    clicks.repartition(2).write.mode("overwrite").parquet(c_src)
+
+    def run_until_drained(watermark):
+        joined = interval_join(
+            stream_events(spark, v_src), stream_events(spark, c_src),
+            key="user_id", left_ts="view_ts", right_ts="click_ts",
+            within="5 minutes", watermark=watermark)
+        q = (joined.select("user_id", "view_id", "click_id")
+             .writeStream.format("parquet")
+             .option("path", sink)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").start())
+        q.processAllAvailable()
+        q.stop()
+
+    # tight watermark; first run advances both watermarks to (max ts - 1h)
+    run_until_drained("1 hour")
+
+    # a late click: pairs with an early view, but arrives after the
+    # watermark has moved past it — the join must drop it
+    first = (views.orderBy("view_ts").limit(1)
+             .withColumn("user_id", F.lit(7777).cast("long")))
+    first.write.mode("append").parquet(v_src)  # late view side too
+    late_click = (first.select(
+        F.col("user_id"),
+        (F.col("view_id") + 10**9).alias("click_id"),
+        (F.col("view_ts") + F.expr("INTERVAL 1 MINUTE")).alias("click_ts")))
+    late_click.write.mode("append").parquet(c_src)
+    run_until_drained("1 hour")
+
+    got = spark.read.parquet(sink)
+    assert got.filter(F.col("user_id") == 7777).count() == 0, \
+        "late pair must be dropped by the watermark"
