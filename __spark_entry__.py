@@ -2310,20 +2310,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": media_features,
         # --- NEW this round ---
         "j10_salted_join": j10_salted_join,
-        # --- re-checks: code paths touched in round 5 ---
+        # --- NEW this round: stream-stream interval join ---
+        "events_interval_join": events_interval_join,
+        # --- re-checks: code paths touched in round 5 (asof struct
+        # carry, ANN probe cap, stateful late-drop, and the codegen
+        # dedup rewrites: minhash stream, relational verify, hashed
+        # grams, decontaminate stream) ---
         "j9_asof_join": j9_asof_join,
         "knn_lsh_exact": knn_lsh_exact,
         "knn_ivf_exact": knn_ivf_exact,
         "pipeline_fuzzy_dedup": pipeline_fuzzy_dedup,
-        "events_sessionize_native": events_sessionize_native,
         "events_stream_dedup": events_stream_dedup,
         "events_running_totals": events_running_totals,
+        "dedup_clusters": dedup_clusters,
+        "dedup_minhash_lsh": dedup_minhash_lsh,
+        "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "decontaminate_corpus": decontaminate_corpus,
+        # --- beyond the 50-row window (driver-green on r4 code, which is
+        # unchanged for these paths — or r5-changed but mirror-checked;
+        # first in line for the r6 rotation: dedup_simhash,
+        # dedup_embedding_cosine, w1_splice_scan, pipeline_curate_corpus,
+        # sample_cap_per_source, events_sessionize_native) ---
+        "dedup_simhash": dedup_simhash,
+        "dedup_embedding_cosine": dedup_embedding_cosine,
         "w1_splice_scan": w1_splice_scan,
         "pipeline_curate_corpus": pipeline_curate_corpus,
-        "dedup_clusters": dedup_clusters,
         "sample_cap_per_source": sample_cap_per_source,
-        # --- beyond the 50-row window (driver-green on r4 code, which is
-        # unchanged for these paths; mirror-checked every round) ---
+        "events_sessionize_native": events_sessionize_native,
         "q2_min_cost_supplier": q2_min_cost_supplier,
         "q4_order_priority": q4_order_priority,
         "q7_volume_shipping": q7_volume_shipping,
@@ -2347,20 +2360,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_fraction": sample_fraction,
         "pivot_returnflag": pivot_returnflag,
         "doc_embedding_join": doc_embedding_join,
-        "decontaminate_corpus": decontaminate_corpus,
         "profile_documents": profile_documents,
         "sample_mix": sample_mix,
         "events_json_props": events_json_props,
-        "events_interval_join": events_interval_join,
         "text_gopher_quality": text_gopher_quality,
         "text_scrub_pii": text_scrub_pii,
         "pack_examples": pack_examples,
         "text_tfidf_terms": text_tfidf_terms,
-        "dedup_embedding_cosine": dedup_embedding_cosine,
-        "dedup_ngram_jaccard": dedup_ngram_jaccard,
-        "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_exact": dedup_exact,
-        "dedup_simhash": dedup_simhash,
         "text_quality": text_quality,
         "text_lang_id": text_lang_id,
         "text_fingerprint": text_fingerprint,
