@@ -1985,6 +1985,49 @@ def a8_rollup(spark, sf_dir):
     )
 
 
+def a9_sketch_distinct(spark, sf_dir):
+    """Sketch-based distinct counting: HyperLogLog++
+    (approx_count_distinct) per order priority, asserted within 5% of
+    the exact count inside the query. The 100 TB path for cardinality:
+    one pass, fixed-size mergeable registers, and the register merge is
+    a commutative max — the estimate is deterministic under ANY
+    partitioning/AQE plan, unlike order-sensitive sketches. The exact
+    count (a full distinct shuffle) rides along as the oracle-checked
+    ground truth; the within-bound flag pins the sketch's accuracy
+    contract at every SF rather than a pinned value at one."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("exact_custs"),
+            F.approx_count_distinct("o_custkey", 0.02).alias("_approx"),
+        )
+        .select(
+            "o_orderpriority", "exact_custs",
+            (F.abs(F.col("_approx") - F.col("exact_custs"))
+             / F.col("exact_custs") <= 0.05).alias("within_5pct"),
+        )
+    )
+
+
+def u2_unpivot(spark, sf_dir):
+    """Wide→long reshape (unpivot/melt): lineitem's three price
+    components become (metric, value) rows — the inverse of
+    pivot_returnflag, Spark-native (no explode-of-struct-array idiom),
+    aggregated per metric so the contract output is small at any SF."""
+    li = _t(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_extendedprice", "l_discount", "l_tax"],
+        "metric", "value")
+    return (
+        long.groupBy("metric")
+        .agg(F.count(F.lit(1)).alias("n"),
+             _r2(F.sum("value")).alias("value_sum"),
+             _r2(F.avg("value")).alias("value_avg"))
+    )
+
+
 def pipeline_dedup_stats(spark, sf_dir):
     """Composite training-data pipeline: fingerprint-dedup the corpus
     (formatting-insensitive md5, keep lowest doc_id), then per-language
@@ -2355,6 +2398,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feldman_e2_export": feldman_e2_export,
         "a7_percentiles": a7_percentiles,
         "a8_rollup": a8_rollup,
+        "a9_sketch_distinct": a9_sketch_distinct,
+        "u2_unpivot": u2_unpivot,
         "pipeline_dedup_stats": pipeline_dedup_stats,
         "sample_split": sample_split,
         "sample_fraction": sample_fraction,
@@ -2901,6 +2946,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
             FROM lineitem
             GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "a9_sketch_distinct": """
+            -- the exact count is the checked value; the flag pins the
+            -- HLL accuracy contract (register-merge is commutative, so
+            -- Spark's estimate is partitioning-independent)
+            SELECT o_orderpriority,
+                   count(DISTINCT o_custkey) AS exact_custs,
+                   TRUE AS within_5pct
+            FROM orders GROUP BY 1
+        """,
+        "u2_unpivot": """
+            WITH long AS (
+              SELECT 'l_extendedprice' AS metric, l_extendedprice AS value FROM lineitem
+              UNION ALL
+              SELECT 'l_discount', l_discount FROM lineitem
+              UNION ALL
+              SELECT 'l_tax', l_tax FROM lineitem
+            )
+            SELECT metric, count(*) AS n,
+                   round(sum(value), 2) AS value_sum,
+                   round(avg(value), 2) AS value_avg
+            FROM long GROUP BY metric
         """,
         "pipeline_dedup_stats": """
             WITH fp AS (
