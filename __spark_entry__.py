@@ -2287,6 +2287,66 @@ def events_running_totals(spark, sf_dir):
     )
 
 
+def dedup_paragraphs(spark, sf_dir):
+    """Span-level (paragraph) dedup, RefinedWeb/MassiveText style: keep
+    each distinct 20-word span's first corpus-wide occurrence and
+    reassemble documents from the survivors — subsumes exact doc dedup
+    and strips cross-document boilerplate. One bounded-key shuffle for
+    first-occurrence, one id shuffle for reassembly
+    (feldman_spark/pipeline/dedup.py::paragraph_dedup)."""
+    from feldman_spark.pipeline.dedup import paragraph_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    return paragraph_dedup(d, id_col="doc_id", text_col="text", chunk_words=20)
+
+
+def sample_shuffle(spark, sf_dir):
+    """Deterministic epoch reshuffle for training: per-epoch (shard,
+    sort-key) from the md5 variate — 'shards in index order, each sorted
+    by sk' IS the global permutation, with no sequential row counter to
+    funnel the corpus through one partition
+    (feldman_spark/pipeline/sampling.py::epoch_shuffle)."""
+    from feldman_spark.pipeline.sampling import epoch_shuffle
+
+    d = _t(spark, sf_dir, "documents")
+    return epoch_shuffle(d, "doc_id", epoch=1, num_shards=8).select(
+        "doc_id", "shard", "sk")
+
+
+def w6_scd2_intervals(spark, sf_dir):
+    """SCD type-2 historization of a change log: each click event becomes
+    a validity interval [ts, next ts) per user, latest open-ended and
+    flagged current — the point-in-time feature-snapshot shape, paired
+    with asof_join for reads (feldman_spark/ops/windows.py::scd2_intervals)."""
+    from feldman_spark.ops.windows import scd2_intervals
+
+    ev = _events(spark, sf_dir).filter(F.col("event_type") == "click")
+    out = scd2_intervals(
+        ev.select("user_id", "event_id", "ts", "value"),
+        key=["user_id"], ts_col="ts", tiebreak=["event_id"])
+    return out.select(
+        "user_id", "event_id", F.col("value"),
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+        F.col("is_current").cast("int").alias("is_current"),
+    )
+
+
+def events_enrich(spark, sf_dir):
+    """Stream-static dimension enrichment: the event feed broadcast-joined
+    against the customer dimension — under readStream this exact plan is
+    Spark's stateless stream-static join (re-broadcast per micro-batch;
+    streaming twin pytest-verified); run in batch for the value oracle
+    (feldman_spark/streaming/events.py::enrich)."""
+    from feldman_spark.streaming.events import enrich
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "value")
+    cust = _t(spark, sf_dir, "customer")
+    out = enrich(ev, cust, on="user_id", dim_key="c_custkey",
+                 dim_cols=["c_name", "c_nationkey"])
+    return out.select("event_id", "user_id", "c_name", "c_nationkey", "value")
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -2300,17 +2360,28 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Key order is load-bearing: the driver's correctness gate records the
     # FIRST 50 keys only. The prefix rotates per round so every query
-    # eventually carries a driver-green row — round 5 front-loads the 38
-    # keys whose driver rows date from r1/r3 code (TPC-H first seven +
-    # filters/aggs/joins/windows, text_tokens, the three streaming batch
-    # twins, and the four formerly rows-only ANN/media queries, which all
-    # gained value oracles this round), plus the new j10_salted_join, plus
-    # 11 re-checks of queries whose code paths changed in round 5
-    # (asof_join struct carry, similarity probe cap, events timezone note,
-    # fuzzy-dedup localCheckpoint). The mirror gate (tools/check_oracle.py)
-    # still runs ALL keys every round, so queries outside the window
-    # cannot silently rot.
+    # eventually carries a driver-green row. Round 5 window: NEW-or-CHANGED
+    # code first — the four brand-new operators (paragraph dedup, epoch
+    # shuffle, SCD2, stream-static enrich), the four text queries whose
+    # stopword counting was rewritten HOF→regexp_count this round, the
+    # four formerly rows-only ANN/media queries (value oracles new this
+    # round), j10_salted_join, the interval join, and 10 re-checks of the
+    # r5 codegen-rewrite/struct-carry paths — then as many stale (r1/r3
+    # row) keys as fit. Eight trivial unchanged stale keys (f2, f3, f7,
+    # a2, w4, w5, o1, u1) were displaced to make room and queue first for
+    # r6. The mirror gate (tools/check_oracle.py) still runs ALL keys
+    # every round, so queries outside the window cannot silently rot.
     return {
+        # --- NEW operators this round ---
+        "dedup_paragraphs": dedup_paragraphs,
+        "sample_shuffle": sample_shuffle,
+        "w6_scd2_intervals": w6_scd2_intervals,
+        "events_enrich": events_enrich,
+        # --- stopword counting rewritten HOF→regexp_count this round ---
+        "text_quality": text_quality,
+        "text_lang_id": text_lang_id,
+        "text_gopher_quality": text_gopher_quality,
+        "pipeline_dedup_stats": pipeline_dedup_stats,
         # --- driver rows stale (r1/r3 code) until this round ---
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
@@ -2320,11 +2391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q12_shipmode": q12_shipmode,
         "q14_promo_effect": q14_promo_effect,
         "f1_conjunctive_eq": f1_conjunctive_eq,
-        "f2_range_between": f2_range_between,
-        "f3_in_list": f3_in_list,
-        "f7_domain_validation": f7_domain_validation,
         "a1_group_minmax": a1_group_minmax,
-        "a2_distinct": a2_distinct,
         "a4_argmin": a4_argmin,
         "a5_conditional_sum_hof": a5_conditional_sum_hof,
         "j1_containment_join": j1_containment_join,
@@ -2335,10 +2402,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j8_lookup_join": j8_lookup_join,
         "w2_lag_diff": w2_lag_diff,
         "w3_expanding_slope": w3_expanding_slope,
-        "w4_first_seen": w4_first_seen,
-        "w5_explode_sequence": w5_explode_sequence,
-        "o1_topk": o1_topk,
-        "u1_union_all": u1_union_all,
         "p6_regex_extract": p6_regex_extract,
         "p7_parse_section_id": p7_parse_section_id,
         "c10_concat_ids": c10_concat_ids,
@@ -2374,6 +2437,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # first in line for the r6 rotation: dedup_simhash,
         # dedup_embedding_cosine, w1_splice_scan, pipeline_curate_corpus,
         # sample_cap_per_source, events_sessionize_native) ---
+        "f2_range_between": f2_range_between,
+        "f3_in_list": f3_in_list,
+        "f7_domain_validation": f7_domain_validation,
+        "a2_distinct": a2_distinct,
+        "w4_first_seen": w4_first_seen,
+        "w5_explode_sequence": w5_explode_sequence,
+        "o1_topk": o1_topk,
+        "u1_union_all": u1_union_all,
         "dedup_simhash": dedup_simhash,
         "dedup_embedding_cosine": dedup_embedding_cosine,
         "w1_splice_scan": w1_splice_scan,
@@ -2400,7 +2471,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a8_rollup": a8_rollup,
         "a9_sketch_distinct": a9_sketch_distinct,
         "u2_unpivot": u2_unpivot,
-        "pipeline_dedup_stats": pipeline_dedup_stats,
         "sample_split": sample_split,
         "sample_fraction": sample_fraction,
         "pivot_returnflag": pivot_returnflag,
@@ -2408,13 +2478,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_documents": profile_documents,
         "sample_mix": sample_mix,
         "events_json_props": events_json_props,
-        "text_gopher_quality": text_gopher_quality,
         "text_scrub_pii": text_scrub_pii,
         "pack_examples": pack_examples,
         "text_tfidf_terms": text_tfidf_terms,
         "dedup_exact": dedup_exact,
-        "text_quality": text_quality,
-        "text_lang_id": text_lang_id,
         "text_fingerprint": text_fingerprint,
     }
 
@@ -2856,6 +2923,57 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderstatus
+        """,
+        "dedup_paragraphs": """
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+              FROM documents
+            ),
+            chunks AS (
+              SELECT doc_id, CAST(u.i AS INT) AS chunk_idx,
+                     CAST(ceil(len(t) / 20.0) AS INT) AS nc,
+                     array_to_string(t[u.i*20+1 : u.i*20+20], ' ') AS para
+              FROM toks, UNNEST(range(CAST(ceil(len(t) / 20.0) AS BIGINT))) AS u(i)
+            ),
+            keep AS (
+              SELECT doc_id, chunk_idx, nc, para,
+                     row_number() OVER (PARTITION BY para
+                                        ORDER BY doc_id, chunk_idx) AS rn
+              FROM chunks
+            )
+            SELECT doc_id,
+                   string_agg(para, ' ' ORDER BY chunk_idx) AS text,
+                   CAST(count(*) AS BIGINT) AS n_kept,
+                   CAST(max(nc) - count(*) AS BIGINT) AS n_dropped
+            FROM keep WHERE rn = 1 GROUP BY doc_id
+        """,
+        "sample_shuffle": """
+            WITH v AS (
+              SELECT doc_id,
+                     substr(md5(CAST(doc_id AS VARCHAR) || '#shuffle:1'), 1, 8) AS sk
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(((strpos('0123456789abcdef', substr(sk, 1, 1)) - 1) * 16
+                         + (strpos('0123456789abcdef', substr(sk, 2, 1)) - 1)) % 8
+                        AS INT) AS shard,
+                   sk
+            FROM v
+        """,
+        "w6_scd2_intervals": """
+            WITH c AS (
+              SELECT user_id, event_id, value, ts
+              FROM events WHERE event_type = 'click'
+            )
+            SELECT user_id, event_id, value,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+                   strftime(lead(ts) OVER w, '%Y-%m-%d %H:%M:%S') AS valid_to,
+                   CAST(lead(ts) OVER w IS NULL AS INT) AS is_current
+            FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "events_enrich": """
+            SELECT e.event_id, e.user_id, c.c_name, c.c_nationkey, e.value
+            FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
         """,
         "sample_mix": """
             SELECT 'even' AS mix_src, count(*) AS n_docs,

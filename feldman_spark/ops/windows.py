@@ -18,6 +18,7 @@ __all__ = [
     "first_seen",
     "section_range",
     "explode_section_range",
+    "scd2_intervals",
 ]
 
 
@@ -95,3 +96,35 @@ def explode_section_range(
 ) -> DataFrame:
     """W5 applied: one row per section in the interval's section range."""
     return df.withColumn(out, F.explode(section_range(top_col, bot_col)))
+
+
+def scd2_intervals(
+    df: DataFrame,
+    key: Sequence[str],
+    ts_col: str,
+    tiebreak: Optional[Sequence[str]] = None,
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+    current_col: str = "is_current",
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 intervals from a change log: each
+    record becomes a validity interval ``[ts, next-change ts)`` per key,
+    with the latest record per key open-ended and flagged current — the
+    standard warehouse historization of an append-only attribute feed
+    (beyond-reference; the change-log shape training pipelines use for
+    feature snapshots, paired with :func:`~feldman_spark.ops.joins.asof_join`
+    for point-in-time reads).
+
+    One window pass per key — a single shuffle on ``key``, state bounded
+    per key-task; ``tiebreak`` columns (default none) make simultaneous
+    changes deterministic.
+    """
+    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in (tiebreak or [])]
+    w = Window.partitionBy(*_cols(key)).orderBy(*order)
+    nxt = F.lead(F.col(ts_col)).over(w)
+    return (
+        df.withColumn(from_col, F.col(ts_col))
+        .withColumn(to_col, nxt)
+        .withColumn(current_col, nxt.isNull())
+        .drop(ts_col)
+    )

@@ -37,6 +37,7 @@ __all__ = [
     "embedding_cosine_pairs",
     "embedding_cosine_pairs_lsh",
     "decontaminate",
+    "paragraph_dedup",
 ]
 
 HEX_HIGH = "89abcdef"  # hex digits whose high bit is set
@@ -780,4 +781,75 @@ def embedding_cosine_pairs_lsh(
         .withColumn("cosine", F.round(cos, digits))
         .filter(F.col("cosine") >= threshold)
         .select("id1", "id2", "cosine")
+    )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_words: int = 20,
+) -> DataFrame:
+    """Span-level (paragraph) dedup across the corpus, RefinedWeb /
+    MassiveText style: split every document into non-overlapping
+    ``chunk_words``-word spans, keep each distinct span's FIRST occurrence
+    corpus-wide (ordered by ``(id, chunk_idx)``), and reassemble documents
+    from their surviving spans. Documents whose every span was seen
+    earlier disappear entirely — this subsumes exact document dedup and
+    additionally strips boilerplate spans shared across documents.
+
+    Returns ``(id_col, text, n_kept, n_dropped)`` where ``text`` is the
+    surviving spans re-joined in original order.
+
+    Scale (100 TB): one pass builds spans (explode of a position sequence
+    + codegen'd ``slice``/``concat_ws`` — no higher-order functions in
+    the corpus-wide stage), ONE shuffle keyed by the span text (bounded:
+    ≤ ``chunk_words`` words ≈ 150 bytes) for the first-occurrence window,
+    and one shuffle back on the id for reassembly — both linear in corpus
+    size with map-side combine. The per-document reassembly ``transform``
+    runs over arrays bounded by the document's own span count, not the
+    corpus, so its CodegenFallback cost is immaterial.
+    """
+    tokens = F.split(F.trim(F.col(text_col)), r"\s+")
+    chunks = (
+        df.select(F.col(id_col), tokens.alias("_toks"))
+        .select(
+            id_col,
+            "_toks",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.ceil(F.size("_toks") / F.lit(float(chunk_words))).cast("int") - 1,
+                )
+            ).alias("chunk_idx"),
+            F.ceil(F.size("_toks") / F.lit(float(chunk_words))).cast("int").alias("_nc"),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            "_nc",
+            F.concat_ws(
+                " ",
+                F.slice("_toks", F.col("chunk_idx") * chunk_words + 1, chunk_words),
+            ).alias("para"),
+        )
+    )
+    first_seen = Window.partitionBy("para").orderBy(id_col, "chunk_idx")
+    keep = (
+        chunks.withColumn("_rn", F.row_number().over(first_seen))
+        .filter(F.col("_rn") == 1)
+    )
+    return (
+        keep.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("chunk_idx", "para"))),
+                    lambda s: s["para"],
+                ),
+                " ",
+            ).alias("text"),
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+            (F.max("_nc") - F.count(F.lit(1))).cast("bigint").alias("n_dropped"),
+        )
     )

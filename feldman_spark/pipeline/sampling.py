@@ -24,7 +24,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["hash_variate", "hash_sample", "hash_split", "weighted_mix",
-           "cap_per_group"]
+           "cap_per_group", "epoch_shuffle"]
 
 _PREFIX_LEN = 8  # 16^8 ~ 4.3e9 granularity
 
@@ -125,3 +125,35 @@ def cap_per_group(
         .filter(F.col("_rk") <= cap)
         .drop("_rk")
     )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    key_col: str,
+    epoch: int = 0,
+    num_shards: int = 8,
+    seed: str = "shuffle",
+    shard_col: str = "shard",
+    sort_col: str = "sk",
+) -> DataFrame:
+    """Deterministic global reshuffle for training epochs: every row gets
+    a ``(shard, sort_key)`` pair derived from ``md5(key # seed:epoch)``.
+    The global training order for an epoch is "shards in index order,
+    each shard sorted by ``sort_col``" — a total order that needs NO
+    sequential row counter (a global ``row_number`` would funnel the
+    corpus through one partition; shard + intra-shard sort expresses the
+    same permutation and lets a 1000-executor job write every shard in
+    parallel). A new ``epoch`` re-derives an independent permutation;
+    rows keep their fate under corpus growth within an epoch.
+
+    The shard index is the first two hex digits of the variate modulo
+    ``num_shards`` (uniform for ``num_shards ≤ 256``; production jobs
+    with more output shards widen the prefix). Pure column expressions —
+    portable to the DuckDB oracle digit-for-digit, no shuffle in this
+    operator itself (the downstream ``partitionBy(shard)`` write or
+    ``repartition`` is where the data moves, exactly once).
+    """
+    v = hash_variate(F.col(key_col), seed=f"{seed}:{epoch}")
+    byte0 = F.conv(F.substring(v, 1, 2), 16, 10).cast("int")
+    return df.withColumn(sort_col, v).withColumn(
+        shard_col, (byte0 % num_shards).cast("int"))

@@ -60,16 +60,28 @@ def bpe_token_count(text: Column) -> Column:
     return F.size(F.regexp_extract_all(text, F.lit(BPE_SPLIT_PATTERN), F.lit(0))).cast("bigint")
 
 
+def _word_hit_count(lowered_text: Column, words: Sequence[str]) -> Column:
+    """Occurrences of any of ``words`` as whole whitespace-delimited
+    tokens of ``lowered_text`` — exactly ``size(filter(split(text, '\\s+'),
+    t -> t IN words))``, but as ONE codegen'd ``regexp_count`` instead of a
+    higher-order function. HOF lambdas are CodegenFallback in Spark and
+    disable whole-stage codegen for the stage around them (~10× interpreted
+    penalty measured at sf1 — see docs/SCALING.md); the consumed leading
+    boundary ``(?:^|\\s)`` plus trailing lookahead ``(?=\\s|$)`` is
+    equivalent to token equality and cannot self-overlap."""
+    pat = "(?:^|\\s)(?:" + "|".join(words) + ")(?=\\s|$)"
+    return F.regexp_count(lowered_text, F.lit(pat))
+
+
 def quality_features(text: Column) -> Dict[str, Column]:
     """Deterministic quality signals: length, token stats, alpha/space/
     punct character ratios, stopword ratio."""
     n_chars = F.length(text).cast("bigint")
-    tokens = F.split(F.trim(text), r"\s+")
     n_tokens = token_count(text)
     alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
     spaces = F.length(F.regexp_replace(text, r"[^ ]", ""))
     nonspace = (n_chars - spaces).cast("double")
-    stop_hits = F.size(F.filter(tokens, lambda t: F.lower(t).isin(STOPWORDS["en"])))
+    stop_hits = _word_hit_count(F.lower(F.trim(text)), STOPWORDS["en"])
     return {
         "n_chars": n_chars,
         "n_tokens": n_tokens,
@@ -211,15 +223,12 @@ def scrub_pii(text: Column, replacement: str = "<PII>") -> Dict[str, Column]:
 
 
 def lang_scores(text: Column) -> Dict[str, Column]:
-    """Per-language stopword hit counts over the token stream."""
-    tokens = F.split(F.lower(F.trim(text)), r"\s+")
-
-    def hit_test(words: List[str]):  # unary-lambda factory: a second
-        # (even defaulted) lambda param would be read as the element index
-        return lambda t: t.isin(words)
-
+    """Per-language stopword hit counts over the token stream — one
+    codegen'd ``regexp_count`` per language (see :func:`_word_hit_count`
+    for why not a higher-order ``filter``)."""
+    lowered = F.lower(F.trim(text))
     return {
-        lang: F.size(F.filter(tokens, hit_test(words)))
+        lang: _word_hit_count(lowered, words)
         for lang, words in STOPWORDS.items()
     }
 

@@ -10,7 +10,7 @@ same plan through a real micro-batch streaming query.
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -21,6 +21,7 @@ __all__ = [
     "sessionize",
     "sessionize_native",
     "interval_join",
+    "enrich",
     "stream_events",
     "run_stream_to_memory",
 ]
@@ -223,3 +224,27 @@ def run_stream_to_memory(
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+def enrich(
+    events: DataFrame,
+    dim: DataFrame,
+    on: str,
+    dim_key: str,
+    dim_cols: Sequence[str],
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static dimension enrichment: join the (possibly streaming)
+    event feed against a small static dimension, broadcast. Under
+    ``readStream`` this is Spark's stream-static join — stateless, no
+    watermark needed, the dimension re-broadcast per micro-batch (so a
+    refreshed dim table is picked up on the next batch). The same plan
+    runs in batch for the value-level oracle; the streaming twin is
+    pytest-verified.
+
+    100 TB posture: the event side is unbounded and never shuffles — the
+    broadcast hash join is map-side; only ``dim_cols`` of the dimension
+    ship to executors.
+    """
+    d = dim.select(F.col(dim_key).alias(on), *[F.col(c) for c in dim_cols])
+    return events.join(F.broadcast(d), on, how)

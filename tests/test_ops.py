@@ -236,3 +236,29 @@ def test_asof_join_forward(spark):
            for r in asof_join(left, right, on=["k"], right_cols=["val"],
                               direction="forward", tolerance_seconds=4).collect()}
     assert tol == {10: 2.0, 16: None, 20: None}
+
+
+def test_scd2_intervals(spark):
+    from feldman_spark.ops.windows import scd2_intervals
+
+    log = spark.createDataFrame(
+        [
+            (1, 10, "2024-01-01 00:00:00", "a"),
+            (1, 11, "2024-01-02 00:00:00", "b"),
+            (1, 12, "2024-01-03 00:00:00", "c"),
+            (2, 20, "2024-01-05 00:00:00", "x"),
+            # simultaneous changes: tiebreak on event_id orders them
+            (3, 31, "2024-01-01 00:00:00", "v2"),
+            (3, 30, "2024-01-01 00:00:00", "v1"),
+        ],
+        ["user_id", "event_id", "ts", "attr"],
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r["event_id"]: r for r in scd2_intervals(
+        log, key=["user_id"], ts_col="ts", tiebreak=["event_id"]).collect()}
+    assert str(out[10]["valid_to"]) == "2024-01-02 00:00:00"
+    assert str(out[11]["valid_to"]) == "2024-01-03 00:00:00"
+    assert out[12]["valid_to"] is None and out[12]["is_current"]
+    assert out[20]["valid_to"] is None and out[20]["is_current"]
+    # same-ts changes: lower event_id closes first, at the SAME instant
+    assert str(out[30]["valid_to"]) == "2024-01-01 00:00:00"
+    assert out[31]["is_current"]

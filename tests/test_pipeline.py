@@ -625,3 +625,61 @@ def test_cap_per_group_stable_under_growth(spark):
         g = d % 3
         newer = [i for i in range(60, 90) if i % 3 == g and i in ids2]
         assert any(variate(n) < variate(d) for n in newer)
+
+
+def test_paragraph_dedup_first_occurrence_wins(spark):
+    from feldman_spark.pipeline.dedup import paragraph_dedup
+
+    # 4-word chunks; doc 2 repeats doc 1's first chunk, doc 3 is entirely
+    # chunks already seen, doc 4 is unique
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),            # chunks: "a b c d", "e f g h"
+            (2, "a b c d x y z w"),            # first chunk duplicate of doc 1
+            (3, "e f g h a b c d"),            # both chunks seen -> vanishes
+            (4, "q r s t"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in
+           paragraph_dedup(docs, chunk_words=4).collect()}
+    assert out[1]["text"] == "a b c d e f g h"
+    assert out[1]["n_kept"] == 2 and out[1]["n_dropped"] == 0
+    assert out[2]["text"] == "x y z w"
+    assert out[2]["n_kept"] == 1 and out[2]["n_dropped"] == 1
+    assert 3 not in out  # every span seen earlier -> document dropped
+    assert out[4]["text"] == "q r s t"
+
+
+def test_paragraph_dedup_partial_tail_chunk(spark):
+    from feldman_spark.pipeline.dedup import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e")], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           paragraph_dedup(docs, chunk_words=4).collect()}
+    # doc 1 keeps both chunks ("a b c d", tail "e"); doc 2 keeps none
+    assert out[1]["n_kept"] == 2 and out[1]["text"] == "a b c d e"
+    assert 2 not in out
+
+
+def test_epoch_shuffle_deterministic_and_epoch_independent(spark):
+    from feldman_spark.pipeline.sampling import epoch_shuffle
+
+    d = spark.range(2000).withColumnRenamed("id", "doc_id")
+    e0 = epoch_shuffle(d, "doc_id", epoch=0).select("doc_id", "shard", "sk")
+    e0b = epoch_shuffle(d, "doc_id", epoch=0).select("doc_id", "shard", "sk")
+    assert e0.collect() == e0b.collect()  # bit-deterministic across runs
+
+    rows0 = {r["doc_id"]: (r["shard"], r["sk"]) for r in e0.collect()}
+    rows1 = {r["doc_id"]: (r["shard"], r["sk"])
+             for r in epoch_shuffle(d, "doc_id", epoch=1).collect()}
+    # epochs give different permutations
+    assert rows0 != rows1
+    # shards in range and roughly balanced (uniform md5 byte % 8)
+    from collections import Counter
+    c = Counter(s for s, _ in rows0.values())
+    assert set(c) <= set(range(8))
+    assert max(c.values()) < 2 * min(c.values())
+    # the (shard, sk) pair is a total order: sort keys unique
+    assert len({sk for _, sk in rows0.values()}) == len(rows0)

@@ -543,3 +543,37 @@ def test_interval_join_drops_late_events(spark, events, tmp_out):
     got = spark.read.parquet(sink)
     assert got.filter(F.col("user_id") == 7777).count() == 0, \
         "late pair must be dropped by the watermark"
+
+
+def test_stream_static_enrich_matches_batch(spark, events, tmp_out):
+    """Stream-static join: the event stream enriched against a static
+    dimension must emit exactly the batch join, and the static side must
+    broadcast (stateless join — no watermark required)."""
+    from feldman_spark.streaming.events import enrich, stream_events, \
+        run_stream_to_memory
+
+    dim = spark.createDataFrame(
+        [(i, f"name_{i}", i % 5) for i in range(200)],
+        ["c_custkey", "c_name", "c_nationkey"])
+
+    src_dir = f"{tmp_out}/enrich_src"
+    ev = events.select("event_id", "user_id", "value").limit(500)
+    ev.repartition(3).write.mode("overwrite").parquet(src_dir)
+    batch_src = spark.read.parquet(src_dir)
+
+    stream = stream_events(spark, src_dir)
+    plan = enrich(stream.select("event_id", "user_id", "value"), dim,
+                  on="user_id", dim_key="c_custkey",
+                  dim_cols=["c_name", "c_nationkey"])
+    run_stream_to_memory(plan, "enrich_stream", output_mode="append")
+
+    got = sorted(map(tuple, spark.sql("select * from enrich_stream").collect()))
+    want = sorted(map(tuple, enrich(
+        batch_src, dim, on="user_id", dim_key="c_custkey",
+        dim_cols=["c_name", "c_nationkey"]).collect()))
+    assert got == want and len(got) == 500
+
+    # posture: the dimension side broadcasts in the batch twin's plan
+    plan_str = enrich(batch_src, dim, on="user_id", dim_key="c_custkey",
+                      dim_cols=["c_name"])._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan_str
