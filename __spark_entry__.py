@@ -811,11 +811,13 @@ def pipeline_curate_corpus(spark, sf_dir):
     chains their SQL forms as CTEs."""
     from feldman_spark.pipeline.dedup import exact_dedup
     from feldman_spark.pipeline.sampling import cap_per_group, hash_split
-    from feldman_spark.pipeline.text import gopher_rules
+    from feldman_spark.pipeline.text import gopher_quality
 
     d = _docs_with_dups(spark, sf_dir)
     kept = exact_dedup(d)
-    gated = kept.filter(gopher_rules(F.col("text")))
+    gq = gopher_quality(kept)
+    gated = kept.join(gq.filter(F.col("keep")).select("doc_id"),
+                      "doc_id", "left_semi")
     capped = cap_per_group(gated, group_col="source", cap=10)
     split = hash_split(capped, key_col="doc_id")
     return (
@@ -2143,19 +2145,16 @@ def doc_embedding_join(spark, sf_dir):
 def text_gopher_quality(spark, sf_dir):
     """Gopher-style repetition + quality gating (Rae et al. 2021 A1.1):
     duplicate-line / duplicate-3-gram / modal-token fractions and the
-    keep/drop verdict, per document. Pure column expressions
-    (feldman_spark/pipeline/text.py::repetition_features, gopher_rules)."""
-    from feldman_spark.pipeline.text import gopher_rules, repetition_features
+    keep/drop verdict, per document — the relational stream-aggregate
+    form (text.py::gopher_quality / repetition_metrics: exploded codegen
+    streams + hash aggregates, ~40× the row-local HOF form at sf1, which
+    remains the pytest twin)."""
+    from feldman_spark.pipeline.text import gopher_quality
 
     d = _t(spark, sf_dir, "documents")
-    r = repetition_features(F.col("text"))
-    return d.select(
-        "doc_id",
-        r["dup_line_frac"].alias("dup_line_frac"),
-        r["dup_ngram_frac"].alias("dup_ngram_frac"),
-        r["top_token_frac"].alias("top_token_frac"),
-        gopher_rules(F.col("text")).cast("int").alias("keep"),
-    )
+    return gopher_quality(d).select(
+        "doc_id", "dup_line_frac", "dup_ngram_frac", "top_token_frac",
+        F.col("keep").cast("int").alias("keep"))
 
 
 def events_stream_dedup(spark, sf_dir):

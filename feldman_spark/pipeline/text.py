@@ -19,7 +19,9 @@ __all__ = [
     "quality_features",
     "quality_score",
     "repetition_features",
+    "repetition_metrics",
     "gopher_rules",
+    "gopher_quality",
     "scrub_pii",
     "lang_scores",
     "lang_id",
@@ -169,8 +171,9 @@ def repetition_features(text: Column, ngram: int = 3) -> Dict[str, Column]:
     }
 
 
-def gopher_rules(
-    text: Column,
+def _gopher_verdict(
+    q: Dict[str, Column],
+    r: Dict[str, Column],
     min_tokens: int = 50,
     max_tokens: int = 100_000,
     max_dup_line_frac: float = 0.30,
@@ -180,12 +183,9 @@ def gopher_rules(
     max_avg_token_len: float = 10.0,
     min_alpha_ratio: float = 0.60,
 ) -> Column:
-    """Boolean keep/drop in the style of the Gopher quality rules: length
-    window, repetition caps (:func:`repetition_features`), mean-word-
-    length window and alphabetic-ratio floor. Thresholds are the
-    published defaults adapted to whitespace tokens; tune per corpus."""
-    q = quality_features(text)
-    r = repetition_features(text)
+    """The Gopher keep/drop boolean from already-computed quality (``q``)
+    and repetition (``r``) columns — shared by the row-local
+    :func:`gopher_rules` and the relational :func:`gopher_quality`."""
     return (
         (q["n_tokens"] >= min_tokens) & (q["n_tokens"] <= max_tokens)
         & (r["dup_line_frac"] <= max_dup_line_frac)
@@ -195,6 +195,145 @@ def gopher_rules(
         & (q["avg_token_len"] <= max_avg_token_len)
         & (q["alpha_ratio"] >= min_alpha_ratio)
     )
+
+
+def gopher_rules(text: Column, **thresholds) -> Column:
+    """Boolean keep/drop in the style of the Gopher quality rules: length
+    window, repetition caps (:func:`repetition_features`), mean-word-
+    length window and alphabetic-ratio floor. Thresholds are the
+    published defaults adapted to whitespace tokens; tune per corpus.
+
+    Row-local Column form — the repetition signals run as higher-order
+    array expressions, which are CodegenFallback and ~40× slower than the
+    relational form at corpus scale (measured at sf1). Use
+    :func:`gopher_quality` for corpus-wide gating; this form remains the
+    readable single-row definition and the pytest/differential twin."""
+    return _gopher_verdict(quality_features(text), repetition_features(text),
+                           **thresholds)
+
+
+def repetition_metrics(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+) -> DataFrame:
+    """Relational (stream-aggregate) form of :func:`repetition_features`:
+    returns ``(id_col, dup_line_frac, dup_ngram_frac, top_token_frac)``
+    with values identical to the row-local HOF form (pytest asserts the
+    twin equality; the sf0.01 driver oracle checks values).
+
+    Why not the row-local form at scale: ``transform``/``aggregate``
+    lambdas are CodegenFallback — the per-document gram build + modal-run
+    scan measured ~115 s at sf1 (50k docs) vs ~3 s relational. Here every
+    signal is an exploded stream into a codegen hash-aggregate:
+
+    * lines    → ``explode(split(text,'\\n'))``          → count / distinct
+    * tokens   → ``posexplode``                          → per-token counts → max
+    * n-grams  → position sequence + ``element_at`` chain → count / distinct
+
+    A document's exploded rows stay in its input partition, so partial
+    aggregation collapses them map-side and the three shuffles move ~one
+    slim row per document — linear at 100 TB, no text is shuffled (tokens,
+    lines and grams travel as xxhash64 longs; a distinct-count collision
+    needs two strings of one document to collide in 64 bits, ~n²/2⁶⁴).
+    """
+    text = F.col(text_col)
+    idc = F.col(id_col)
+
+    lines = df.select(idc, F.explode(F.split(text, "\n")).alias("_l"))
+    l_agg = lines.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("_nl"),
+        F.countDistinct(F.xxhash64("_l")).alias("_dl"))
+
+    toks = df.select(
+        idc, F.posexplode(F.split(F.trim(text), r"\s+")).alias("_i", "_tok"))
+    t_agg = (
+        toks.groupBy(id_col, F.xxhash64("_tok").alias("_h"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy(id_col).agg(F.max("_c").alias("_top"),
+                             F.sum("_c").alias("_ntok"))
+    )
+
+    words = F.split(F.trim(text), r"\s+")
+    base = df.select(idc, words.alias("_w"))
+    gidx = F.explode(
+        F.when(F.size("_w") >= ngram,
+               F.sequence(F.lit(0), F.size("_w") - ngram))
+        .otherwise(F.array().cast("array<int>"))).alias("_i")
+    parts: List[Column] = []
+    for j in range(ngram):
+        if j:
+            parts.append(F.lit(" "))
+        parts.append(F.element_at("_w", F.col("_i") + j + 1))
+    grams = base.select(idc, gidx, "_w").select(
+        idc, F.xxhash64(F.concat(*parts)).alias("_g"))
+    g_agg = grams.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("_ng"),
+        F.countDistinct("_g").alias("_dg"))
+
+    # token_count() (0 for whitespace-only text) drives the top-token
+    # denominator exactly as the row-local form does; the exploded count
+    # (_ntok) counts the single empty token such a text yields
+    met = (
+        df.select(idc, token_count(text).alias("_nt"))
+        .join(l_agg, id_col, "left")
+        .join(t_agg, id_col, "left")
+        .join(g_agg, id_col, "left")
+    )
+    return met.select(
+        idc,
+        F.round(
+            F.when(F.coalesce(F.col("_nl"), F.lit(0)) <= 0, 0.0)
+            .otherwise(1.0 - F.col("_dl").cast("double") / F.col("_nl")),
+            4).alias("dup_line_frac"),
+        F.round(
+            F.when(F.coalesce(F.col("_ng"), F.lit(0)) <= 0, 0.0)
+            .otherwise(1.0 - F.col("_dg").cast("double") / F.col("_ng")),
+            4).alias("dup_ngram_frac"),
+        F.round(
+            F.when(F.col("_nt") <= 0, 0.0)
+            .otherwise(F.col("_top").cast("double") / F.col("_nt")),
+            4).alias("top_token_frac"),
+    )
+
+
+def gopher_quality(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+    keep_col: str = "keep",
+    **thresholds,
+) -> DataFrame:
+    """Corpus-scale Gopher gating: per-document verdict frame
+    ``(id_col, dup_line_frac, dup_ngram_frac, top_token_frac, keep_col)``.
+    Quality signals are row-local codegen expressions projected into a
+    slim ``(id, numbers)`` frame BEFORE the join with
+    :func:`repetition_metrics`, so the document text itself never
+    shuffles — every joined row is a handful of doubles per document.
+    Gate a corpus with a semi-join on the kept ids:
+
+        gq = gopher_quality(docs)
+        gated = docs.join(gq.filter('keep').select('doc_id'),
+                          'doc_id', 'left_semi')
+    """
+    q = quality_features(F.col(text_col))
+    base = df.select(
+        F.col(id_col),
+        q["n_tokens"].alias("_q_nt"),
+        q["avg_token_len"].alias("_q_atl"),
+        q["alpha_ratio"].alias("_q_ar"),
+    )
+    r = repetition_metrics(df, id_col=id_col, text_col=text_col, ngram=ngram)
+    joined = base.join(r, id_col, "left")
+    qcols = {"n_tokens": F.col("_q_nt"), "avg_token_len": F.col("_q_atl"),
+             "alpha_ratio": F.col("_q_ar")}
+    rcols = {k: F.col(k) for k in
+             ("dup_line_frac", "dup_ngram_frac", "top_token_frac")}
+    return joined.withColumn(
+        keep_col, _gopher_verdict(qcols, rcols, **thresholds)
+    ).drop("_q_nt", "_q_atl", "_q_ar")
 
 
 # Redaction patterns kept to constructs with identical semantics in Java
@@ -235,19 +374,22 @@ def lang_scores(text: Column) -> Dict[str, Column]:
 
 def lang_id(text: Column, default: str = "en") -> Column:
     """Predicted language = argmax of stopword hits (ties and zero hits →
-    ``default``). A real deployment swaps in larger n-gram tables; the
-    operator shape — argmax over per-class scores, one pass — is the same."""
+    ``default``, ties broken by STOPWORDS declaration order). A real
+    deployment swaps in larger n-gram tables; the operator shape — argmax
+    over per-class scores, one pass — is the same.
+
+    The argmax is ``array_max`` over ``(score, -declaration_rank, lang)``
+    structs so each language's score expression appears exactly ONCE in the
+    plan — the natural nested-CASE chain re-embeds every earlier score in
+    each later branch (O(langs²) regexp evaluations; measured 5× slower
+    at sf1)."""
     scores = lang_scores(text)
-    best = None
-    best_score = None
-    for lang, score in scores.items():
-        if best is None:
-            best, best_score = F.lit(lang), score
-        else:
-            cond = score > best_score
-            best = F.when(cond, F.lit(lang)).otherwise(best)
-            best_score = F.when(cond, score).otherwise(best_score)
-    return F.when(best_score > 0, best).otherwise(F.lit(default))
+    entries = [
+        F.struct(score.alias("s"), F.lit(-i).alias("r"), F.lit(lang).alias("l"))
+        for i, (lang, score) in enumerate(scores.items())
+    ]
+    best = F.array_max(F.array(*entries))
+    return F.when(best["s"] > 0, best["l"]).otherwise(F.lit(default))
 
 
 def fingerprint(text: Column) -> Column:

@@ -683,3 +683,39 @@ def test_epoch_shuffle_deterministic_and_epoch_independent(spark):
     assert max(c.values()) < 2 * min(c.values())
     # the (shard, sk) pair is a total order: sort keys unique
     assert len({sk for _, sk in rows0.values()}) == len(rows0)
+
+
+def test_repetition_metrics_matches_row_local_twin(spark):
+    """The relational stream-aggregate repetition metrics must equal the
+    row-local HOF definition value-for-value, including the degenerate
+    docs (empty, whitespace-only, < ngram tokens, all-duplicate)."""
+    from feldman_spark.pipeline.text import (
+        gopher_quality, gopher_rules, repetition_features, repetition_metrics)
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c a b c a b c"),
+            (2, "x\nx\ny\nx"),
+            (3, ""),
+            (4, "   "),
+            (5, "one two"),
+            (6, "w " * 60),
+            (7, "the quick brown fox jumps over the lazy dog " * 8),
+        ],
+        ["doc_id", "text"],
+    )
+    rel = {r["doc_id"]: r for r in repetition_metrics(docs).collect()}
+    rf = repetition_features(F.col("text"))
+    row = {r["doc_id"]: r for r in docs.select(
+        "doc_id",
+        rf["dup_line_frac"].alias("dup_line_frac"),
+        rf["dup_ngram_frac"].alias("dup_ngram_frac"),
+        rf["top_token_frac"].alias("top_token_frac")).collect()}
+    for i in row:
+        for c in ("dup_line_frac", "dup_ngram_frac", "top_token_frac"):
+            assert rel[i][c] == row[i][c], (i, c, rel[i][c], row[i][c])
+
+    gq = {r["doc_id"]: r["keep"] for r in gopher_quality(docs).collect()}
+    gr = {r["doc_id"]: r["keep"] for r in docs.select(
+        "doc_id", gopher_rules(F.col("text")).alias("keep")).collect()}
+    assert gq == gr
