@@ -29,7 +29,7 @@ from typing import Optional
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["pack_sequences", "tfidf_top_terms"]
+__all__ = ["pack_sequences", "tfidf_top_terms", "export_jsonl_sharded"]
 
 
 def pack_sequences(
@@ -104,4 +104,64 @@ def tfidf_top_terms(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(F.col(id_col), "rank", "term", "score")
+    )
+
+
+def export_jsonl_sharded(
+    df: DataFrame,
+    path: str,
+    shard_key: str,
+    num_shards: int = 8,
+    epoch: int = 0,
+    max_records_per_file: Optional[int] = None,
+    manifest: bool = True,
+) -> Optional[DataFrame]:
+    """Training-data export: write ``df`` as sharded JSONL with a
+    deterministic layout — the hand-off format most training loaders
+    consume.
+
+    Rows are routed to ``shard=<i>`` directories by the
+    :func:`~feldman_spark.pipeline.sampling.epoch_shuffle` variate and
+    sorted by it inside each shard, so "shards in index order, each file
+    in order" IS the epoch's global permutation — reproducible across
+    runs/cluster sizes, with no sequential counter bottleneck.
+    ``max_records_per_file`` additionally caps file size (Spark splits
+    files at the cap during write — no extra pass).
+
+    Writes with ``partitionBy(shard)``; each output file is plain JSONL
+    (one ``to_json(struct(*))`` document per line — the shard/sort
+    columns are not exported). With ``manifest=True``, returns a small
+    DataFrame ``(shard, n_rows, n_files)`` computed by reading the
+    written tree back (a distributed count — verifies the sink rather
+    than trusting it, and doubles as the loader's index).
+
+    100 TB posture: one shuffle (the repartition on shard + intra-shard
+    sort), then embarrassingly parallel file writes; the manifest
+    read-back scans only file metadata + line counts.
+    """
+    from feldman_spark.pipeline.sampling import epoch_shuffle
+
+    spark = df.sparkSession
+    staged = epoch_shuffle(df, shard_key, epoch=epoch, num_shards=num_shards)
+    payload = F.to_json(F.struct(*[F.col(c) for c in df.columns]))
+    out = (
+        staged.repartition(num_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "sk")
+        .select(F.col("shard"), payload.alias("value"))
+    )
+    writer = out.write.mode("overwrite").partitionBy("shard")
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", int(max_records_per_file))
+    writer.text(path)
+    if not manifest:
+        return None
+    back = spark.read.text(path)
+    return (
+        back.withColumn("_file", F.input_file_name())
+        .withColumn(
+            "shard",
+            F.regexp_extract(F.col("_file"), r"shard=(\d+)", 1).cast("int"))
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n_rows"),
+             F.countDistinct("_file").alias("n_files"))
     )

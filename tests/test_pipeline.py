@@ -719,3 +719,43 @@ def test_repetition_metrics_matches_row_local_twin(spark):
     gr = {r["doc_id"]: r["keep"] for r in docs.select(
         "doc_id", gopher_rules(F.col("text")).alias("keep")).collect()}
     assert gq == gr
+
+
+def test_export_jsonl_sharded(spark, tmp_out):
+    import glob
+    import json as _json
+
+    from feldman_spark.pipeline.training import export_jsonl_sharded
+
+    d = spark.createDataFrame(
+        [(i, f"text {i}", i % 3) for i in range(400)],
+        ["doc_id", "text", "grp"])
+    path = f"{tmp_out}/jsonl_export"
+    man = export_jsonl_sharded(d, path, shard_key="doc_id", num_shards=4,
+                               max_records_per_file=40)
+    rows = {r["shard"]: (r["n_rows"], r["n_files"]) for r in man.collect()}
+    assert sum(n for n, _ in rows.values()) == 400
+    assert set(rows) <= set(range(4))
+
+    seen = set()
+    for f in glob.glob(f"{path}/shard=*/part-*"):
+        lines = open(f).read().splitlines()
+        assert len(lines) <= 40  # maxRecordsPerFile respected
+        for ln in lines:
+            rec = _json.loads(ln)
+            assert set(rec) == {"doc_id", "text", "grp"}  # no shard/sk leak
+            seen.add(rec["doc_id"])
+    assert len(seen) == 400
+
+    # determinism: same epoch -> byte-identical shard contents
+    path2 = f"{tmp_out}/jsonl_export2"
+    export_jsonl_sharded(d, path2, shard_key="doc_id", num_shards=4,
+                         max_records_per_file=40, manifest=False)
+    # compare per-shard sorted file contents
+    a = {}
+    for f in glob.glob(f"{path}/shard=*/part-*"):
+        a.setdefault(f.split("shard=")[1].split("/")[0], []).append(open(f).read())
+    b = {}
+    for f in glob.glob(f"{path2}/shard=*/part-*"):
+        b.setdefault(f.split("shard=")[1].split("/")[0], []).append(open(f).read())
+    assert {k: sorted(v) for k, v in a.items()} == {k: sorted(v) for k, v in b.items()}
