@@ -851,10 +851,12 @@ def j9_asof_join(spark, sf_dir):
 
 
 def j10_salted_join(spark, sf_dir):
-    """J10 (beyond-reference): large-large equi-join under explicit key
-    salting (ops/skew.py::salted_join — left side salted into 8 buckets,
-    right side replicated per bucket) for hot keys AQE cannot split
-    finely enough. The per-status aggregate must be row-identical to the
+    """J10 (beyond-reference): large-large equi-join under two-path key
+    salting (ops/skew.py::salted_join): keys above the hot threshold get
+    salted left rows + per-bucket right replication, every other key
+    takes the normal unsalted join, and the hot-key set broadcasts into
+    map-side routing — replication is paid only for the skewed tail,
+    not the table. The per-status aggregate must be row-identical to the
     plain join, which IS the oracle — salting is a physical rewrite,
     never a semantic one."""
     from feldman_spark.ops.skew import salted_join
@@ -863,7 +865,9 @@ def j10_salted_join(spark, sf_dir):
         F.col("l_orderkey").alias("okey"), "l_extendedprice", "l_discount")
     od = _t(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("okey"), "o_orderstatus")
-    j = salted_join(li, od, on=["okey"], buckets=8)
+    # orders with 7 lineitems (~1/7 of keys) are 'hot': exercises the
+    # hot-salted and cold-unsalted paths plus their union in one query
+    j = salted_join(li, od, on=["okey"], buckets=8, hot_threshold=6)
     return j.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
@@ -2185,6 +2189,40 @@ def events_stream_dedup(spark, sf_dir):
     return spark.table("events_stream_dedup_sink")
 
 
+def events_stream_dedup_native(spark, sf_dir):
+    """Streaming dedup with Spark's NATIVE dropDuplicatesWithinWatermark
+    (streaming/events.py::dedup_native) — the corpus-scale path: JVM
+    state store, no per-key Python (the applyInPandasWithState twin pays
+    a Python call per key: 380 s vs ~4 s at sf1's 1M-key stream). Run as
+    a real two-micro-batch readStream; injected duplicate rows are
+    byte-identical, so the appended output must equal SELECT DISTINCT.
+    The 90-day horizon exceeds the staged stream's 30-day span: no row is
+    late and no state evicts mid-run — in production the horizon is the
+    business dedup window and bounds state."""
+    from feldman_spark.streaming.events import dedup_native, run_stream_to_memory
+
+    e = _events(spark, sf_dir).select("event_id", "event_type", "user_id", "ts")
+    dups = e.filter(F.col("event_id") < 300)
+    staging = "/root/repo/.tmp/events_stream_dedup_native_src"
+    (e.unionByName(dups).repartition(2, F.col("event_id"))
+     .write.mode("overwrite").parquet(staging))
+    schema = spark.read.parquet(staging).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        run_stream_to_memory(
+            dedup_native(stream, keys=["event_id"], watermark="90 days"),
+            "events_stream_dedup_native_sink", output_mode="append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table("events_stream_dedup_native_sink").select(
+        "event_id", "event_type", "user_id")
+
+
 def pack_examples(spark, sf_dir):
     """Concat-and-chunk sequence packing: each document's [token, example]
     span in a 2048-token-per-example training layout (one window cumsum —
@@ -2376,6 +2414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_shuffle": sample_shuffle,
         "w6_scd2_intervals": w6_scd2_intervals,
         "events_enrich": events_enrich,
+        "events_stream_dedup_native": events_stream_dedup_native,
         # --- stopword counting rewritten HOF→regexp_count this round ---
         "text_quality": text_quality,
         "text_lang_id": text_lang_id,
@@ -2423,7 +2462,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # grams, decontaminate stream) ---
         "j9_asof_join": j9_asof_join,
         "knn_lsh_exact": knn_lsh_exact,
-        "knn_ivf_exact": knn_ivf_exact,
         "pipeline_fuzzy_dedup": pipeline_fuzzy_dedup,
         "events_stream_dedup": events_stream_dedup,
         "events_running_totals": events_running_totals,
@@ -2444,6 +2482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w5_explode_sequence": w5_explode_sequence,
         "o1_topk": o1_topk,
         "u1_union_all": u1_union_all,
+        "knn_ivf_exact": knn_ivf_exact,
         "dedup_simhash": dedup_simhash,
         "dedup_embedding_cosine": dedup_embedding_cosine,
         "w1_splice_scan": w1_splice_scan,
@@ -2973,6 +3012,9 @@ def oracle_sql() -> dict[str, str]:
         "events_enrich": """
             SELECT e.event_id, e.user_id, c.c_name, c.c_nationkey, e.value
             FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        """,
+        "events_stream_dedup_native": """
+            SELECT event_id, event_type, user_id FROM events
         """,
         "sample_mix": """
             SELECT 'even' AS mix_src, count(*) AS n_docs,

@@ -11,15 +11,15 @@ Two complementary tools:
   (``spark.sql.adaptive.skewJoin.enabled``) — it splits oversized
   sort-merge partitions at runtime and is the first line of defense.
 * :func:`salted_join` handles the pathological key that AQE cannot split
-  finely enough: the left (skewed) side gets a uniform random salt in
-  [0, buckets); the right side is replicated once per bucket; the join key
-  becomes (key, salt), spreading one hot key over ``buckets`` tasks.
-  Cost: right side inflates ×buckets — use on the pruned/projected right.
+  finely enough: hot keys get a uniform salt in [0, buckets) on the left
+  and a ×buckets replication on the right, spreading each hot key over
+  ``buckets`` tasks — while every other key takes the normal unsalted
+  join. Replication cost is paid ONLY for the hot subset.
 """
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -36,14 +36,61 @@ def salted_join(
     buckets: int = 16,
     how: str = "inner",
     seed: int = 42,
+    hot_threshold: Optional[int] = None,
+    hot_keys: Optional[DataFrame] = None,
 ) -> DataFrame:
-    """Equi-join with the left side's hot keys spread across ``buckets``
-    salt partitions. Result is row-identical to ``left.join(right, on,
-    how)`` for inner/left joins on unique-ish right keys."""
+    """Equi-join with skewed (hot) keys spread across ``buckets`` salt
+    partitions. Result is row-identical to ``left.join(right, on, how)``
+    for inner/left joins — salting is a physical rewrite, never a
+    semantic one.
+
+    Hot-key selection (first match wins):
+
+    * ``hot_keys`` — a DataFrame of the ``on`` columns, e.g. from prior
+      profiling of the key histogram; no extra pass over ``left``.
+    * ``hot_threshold`` — derive hot keys as left keys with more than
+      this many rows (one key-count aggregate over the left: 8-byte
+      partials with map-side combine — cheap next to the join itself).
+    * neither — salt EVERY key (the right side inflates ×``buckets``;
+      only sensible when the right is a pruned projection and the whole
+      key space is hot, e.g. a low-cardinality uniformly-hot key).
+
+    The two-path plan: hot left rows get ``rand(seed)*buckets`` salts and
+    join the hot right rows replicated per bucket; cold rows join the
+    cold right rows unsalted; results union. The hot-key set broadcasts
+    into map-side semi/anti routing joins, so routing itself shuffles
+    nothing. A hot key missing from ``right`` still emits exactly one
+    null-extended row under ``how='left'`` (its single salt bucket joins
+    the replicated-right bucket and misses).
+
+    100 TB posture: replication is O(|hot keys| × buckets) right rows —
+    bounded by the skew you are treating, not the table size.
+    """
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports inner and left joins")
-    left_s = left.withColumn(SALT, (F.rand(seed) * buckets).cast("int"))
-    right_s = right.withColumn(
-        SALT, F.explode(F.sequence(F.lit(0), F.lit(buckets - 1))))
-    out = left_s.join(right_s, list(on) + [SALT], how)
-    return out.drop(SALT)
+    on = list(on)
+
+    def _salt_all(lf: DataFrame, rt: DataFrame) -> DataFrame:
+        lf_s = lf.withColumn(SALT, (F.rand(seed) * buckets).cast("int"))
+        rt_s = rt.withColumn(
+            SALT, F.explode(F.sequence(F.lit(0), F.lit(buckets - 1))))
+        return lf_s.join(rt_s, on + [SALT], how).drop(SALT)
+
+    if hot_keys is None and hot_threshold is None:
+        return _salt_all(left, right)
+
+    if hot_keys is None:
+        hot_keys = (
+            left.groupBy(*on).agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > int(hot_threshold)).select(*on)
+        )
+    hot = F.broadcast(hot_keys.select(*on).distinct())
+
+    left_hot = left.join(hot, on, "left_semi")
+    left_cold = left.join(hot, on, "left_anti")
+    right_hot = right.join(hot, on, "left_semi")
+    right_cold = right.join(hot, on, "left_anti")
+
+    hot_joined = _salt_all(left_hot, right_hot)
+    cold_joined = left_cold.join(right_cold, on, how)
+    return hot_joined.unionByName(cold_joined)

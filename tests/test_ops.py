@@ -158,6 +158,31 @@ def test_salted_join_equivalence(spark):
     sl = salted_join(left, right_partial, ["k"], buckets=8, how="left").count()
     assert pl == sl
 
+    # two-path (hot-key-only) mode: same equivalences, and only key 0
+    # (18k rows vs ~40 for the rest) qualifies as hot at the threshold
+    b2 = {(r["k"]): (r["n"], r["sv"]) for r in
+          salted_join(left, right, ["k"], buckets=8, hot_threshold=1000)
+          .groupBy("k").agg(F.count(F.lit(1)).alias("n"),
+                            F.sum("v").alias("sv")).collect()}
+    assert a == b2
+    sl2 = salted_join(left, right_partial, ["k"], buckets=8, how="left",
+                      hot_threshold=1000).count()
+    assert sl2 == pl
+    # explicit hot_keys frame: skip the counting pass entirely
+    hk = spark.createDataFrame([(0,)], ["k"])
+    b3 = {(r["k"]): (r["n"], r["sv"]) for r in
+          salted_join(left, right, ["k"], buckets=8, hot_keys=hk)
+          .groupBy("k").agg(F.count(F.lit(1)).alias("n"),
+                            F.sum("v").alias("sv")).collect()}
+    assert a == b3
+    # a hot key absent from the right under how='left': exactly one
+    # null-extended row survives
+    hk_missing = spark.createDataFrame([(0,), (777,)], ["k"])
+    lf2 = left.unionByName(spark.createDataFrame([(777, 1)], ["k", "v"]))
+    sl3 = salted_join(lf2, right_partial, ["k"], buckets=8, how="left",
+                      hot_keys=hk_missing)
+    assert sl3.filter(F.col("k") == 777).count() == 1
+
 
 def test_asof_join_backward(spark):
     """Backward as-of: latest right row at-or-before each left ts per key;

@@ -577,3 +577,26 @@ def test_stream_static_enrich_matches_batch(spark, events, tmp_out):
     plan_str = enrich(batch_src, dim, on="user_id", dim_key="c_custkey",
                       dim_cols=["c_name"])._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan_str
+
+
+def test_native_stream_dedup_suppresses_cross_batch_copies(spark, events, tmp_out):
+    """dropDuplicatesWithinWatermark over a real two-batch stream: copies
+    in later micro-batches are suppressed while the horizon holds."""
+    from feldman_spark.streaming.events import (
+        dedup_native, run_stream_to_memory, stream_events)
+
+    src = f"{tmp_out}/native_dedup_src"
+    e = events.select("event_id", "event_type", "user_id", "ts").limit(1000)
+    dups = e.limit(200)  # byte-identical copies
+    e.unionByName(dups).repartition(3, F.col("event_id")).write.mode(
+        "overwrite").parquet(src)
+
+    stream = stream_events(spark, src)
+    out = dedup_native(stream, keys=["event_id"], watermark="90 days")
+    run_stream_to_memory(out, "native_dedup_sink", output_mode="append")
+
+    got = spark.sql("select * from native_dedup_sink")
+    assert got.count() == 1000                      # copies suppressed
+    assert got.select("event_id").distinct().count() == 1000
+    want = sorted(map(tuple, e.collect()))
+    assert sorted(map(tuple, got.select(*e.columns).collect())) == want
