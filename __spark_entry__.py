@@ -1782,11 +1782,22 @@ def q16_supplier_cnt(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     pa = _t(spark, sf_dir, "part").filter(F.col("p_brand") != "Brand#1")
     bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    # the distinct-count's irreducible shuffle is ~|distinct pairs| rows;
+    # key it by an 8-byte attribute hash instead of the brand/type/size
+    # strings and join the strings back onto the 1.7k-row result — the
+    # fact-side shuffle carries 16 bytes/row end-to-end (an xxhash64
+    # attr-tuple collision, ~|attrs|²/2⁶⁴, would merge two groups)
+    attr = F.xxhash64("p_brand", "p_type", "p_size")
+    pa_keyed = pa.select("p_partkey", attr.alias("_ak"))
+    attrs = pa.select(attr.alias("_ak"), "p_brand", "p_type", "p_size").distinct()
     return (
-        li.join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
-        .join(F.broadcast(pa), F.col("l_partkey") == F.col("p_partkey"))
-        .groupBy("p_brand", "p_type", "p_size")
+        li.join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"),
+                "left_anti")
+        .join(F.broadcast(pa_keyed), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("_ak")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .join(F.broadcast(attrs), "_ak")
+        .select("p_brand", "p_type", "p_size", "supplier_cnt")
     )
 
 

@@ -466,31 +466,39 @@ def ngram_jaccard_pairs(
     # shuffle/compare 8-byte keys instead of n-char strings. The
     # prefix-filter recall proof only needs SOME global total order, so
     # ordering by (df, hash) instead of (df, gram) is equally valid.
-    # Unlike the word-shingle operators, char-n-grams keep the per-doc
-    # ARRAY + persist shape: a doc yields ~len(text) grams (4-5x the
-    # word-shingle count), per-doc dedup is row-local (array_distinct —
-    # no shuffle), and the persisted long arrays feed the ranking pass
-    # AND verification; the stream form would re-shuffle the full gram
-    # stream for a global distinct and recompute it per consumer
-    # (measured 4x slower at 50k docs).
-    grams = df.select(
-        F.col(id_col),
-        *[F.col(c) for c in grp],
-        F.transform(
-            F.array_distinct(char_ngrams(F.col(text_col), n)),
-            lambda s: F.xxhash64(s),
-        ).alias("grams"),
-    ).filter(F.size("grams") > 0).persist()
+    # Unlike the word-shingle operators, char-n-grams keep per-doc
+    # ARRAYS (persisted): the long arrays feed the ranking pass AND the
+    # per-pair verification. The arrays are BUILT from the codegen
+    # n-gram stream via one collect_set groupBy — a doc's grams sit in
+    # its own input partition, so the partial aggregate assembles each
+    # set map-side in the JVM and the shuffle moves one row per doc;
+    # the former row-local HOF build (transform∘array_distinct) was
+    # CodegenFallback and ~3x slower. collect_set order is
+    # nondeterministic, which is immaterial: every consumer (explode,
+    # size, array_intersect) is order-insensitive.
+    grams = (
+        _char_ngram_stream(df, text_col, id_col, n, hashed=True,
+                           carry=list(grp))
+        .groupBy(F.col(id_col), *[F.col(c) for c in grp])
+        .agg(F.collect_set("_g").alias("grams"))
+        .persist()
+    )
     exd = grams.select(
         F.col(id_col), *[F.col(c) for c in grp], F.explode("grams").alias("_g"))
 
-    # document frequency per (group, gram): the ordering pass
-    dfreq = exd.groupBy(*grp, "_g").agg(F.count(F.lit(1)).alias("_df"))
+    # document frequency per (group, gram) annotated IN PLACE with a
+    # window count: one shuffle keyed on the gram, versus the
+    # aggregate-then-join-back form's two more gram-stream exchanges —
+    # and with millions of distinct grams the aggregate's map-side
+    # partial tables are nearly all-unique anyway (partial output
+    # multiplies with task count; measured 2x slower at sf1's 15M-gram
+    # stream under 32-way scans)
+    wdf = Window.partitionBy(*grp, "_g")
 
     # re-assemble each doc's grams sorted by (df, gram) — rare first —
     # and slice the prefix whose length guarantees recall 1.0 at t
     ranked = (
-        exd.join(dfreq, grp + ["_g"])
+        exd.withColumn("_df", F.count(F.lit(1)).over(wdf))
         .groupBy(F.col(id_col), *grp)
         .agg(F.array_sort(F.collect_list(F.struct("_df", "_g"))).alias("_ord"))
         .withColumn("sz", F.size("_ord"))
@@ -515,7 +523,10 @@ def ngram_jaccard_pairs(
         # J >= t  =>  max(|A|,|B|) * t <= min(|A|,|B|)
         .filter(F.greatest("sz1", "sz2") * F.lit(float(threshold))
                 <= F.least("sz1", "sz2"))
-        .select("doc1", "doc2")
+        # sizes are functions of the doc ids, so carrying them through
+        # the distinct leaves the pair set unchanged — and saves the
+        # verification from re-deriving set sizes from the arrays
+        .select("doc1", "doc2", "sz1", "sz2")
         .distinct()
         # AQE coalesces this shuffle to ~1 partition (candidate id pairs
         # are tiny in BYTES) but each row costs an array-intersect over
@@ -528,10 +539,13 @@ def ngram_jaccard_pairs(
     # pruning is the price of recall 1.0), and the relational co-count
     # (:func:`_relational_jaccard`) multiplies each pair by its gram
     # count — array_intersect touches only the pair's two cached arrays
-    # (measured 3x faster at 1.7M candidates)
+    # (measured 3x faster at 1.7M candidates). Only the INTERSECTION is
+    # computed on the arrays: |A ∪ B| = |A| + |B| − |A ∩ B| from the
+    # carried sizes, halving the per-pair array work (no array_union
+    # pass over two full gram sets per candidate).
+    inter = F.size(F.array_intersect("g1", "g2")).cast("double")
     jaccard = F.round(
-        F.size(F.array_intersect("g1", "g2")).cast("double")
-        / F.size(F.array_union("g1", "g2")),
+        inter / (F.col("sz1") + F.col("sz2") - inter),
         4,
     )
     s1 = grams.select(F.col(id_col).alias("doc1"), F.col("grams").alias("g1"))

@@ -72,6 +72,20 @@ KEY_GROUPS = {
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 FIXED_DIMS = {"region", "nation"}
+# fact-sized tables get one output file per core (scan parallelism);
+# dims stay single-file like the driver's own layout
+BIG_TABLES = {"customer", "supplier", "part", "orders", "lineitem",
+              "events", "documents", "embeddings"}
+# hash-cluster each table by its dominant group/join key on write — the
+# standard lakehouse layout (TPC-H ships lineitem clustered by orderkey).
+# Round-robin splitting measured 2-5x WORSE on key-grouped aggregates:
+# when per-task row count ~ group cardinality, every task emits its own
+# partial row per group and the partial-aggregate output multiplies by
+# the task count (see docs/SCALING.md layout experiment).
+CLUSTER_KEYS = {"lineitem": "l_orderkey", "orders": "o_orderkey",
+                "customer": "c_custkey", "supplier": "s_suppkey",
+                "part": "p_partkey", "events": "user_id",
+                "documents": "doc_id", "embeddings": "vec_id"}
 
 
 def _stride(max_val: int) -> int:
@@ -159,6 +173,16 @@ def main() -> None:
         src = spark.read.parquet(f"{args.src}/{name}.parquet")
         scaled = scale_table(src, name, k, strides)
         dest = f"{out_dir}/{name}.parquet"
+        # write one file per core: a 100 TB table has thousands of
+        # splits, so a 2-file layout (what the crossJoin replication
+        # produces) would serialize every scan stage onto 2 tasks and
+        # misreport the engine's scaling — parquet row groups are the
+        # parallelism floor, and these files are ~1 row group each
+        if name in BIG_TABLES:
+            scaled = scaled.repartition(int(args.cpus),
+                                        F.col(CLUSTER_KEYS[name]))
+        else:
+            scaled = scaled.repartition(1)
         scaled.write.mode("overwrite").parquet(dest)
         n = spark.read.parquet(dest).count()
         print(f"{name}: {n:,} rows in {time.time() - t0:.1f}s -> {dest}",
