@@ -2176,7 +2176,15 @@ def events_stream_dedup(spark, sf_dir):
     """Stateful streaming dedup (applyInPandasWithState): first occurrence
     of each key wins, later copies are suppressed. Copies are colocated
     per file (repartition by key) so the per-key n_dupes emission is
-    batch-layout-independent and oracle-checkable."""
+    batch-layout-independent and oracle-checkable.
+
+    CUSTOM-STATE DEMO, not the dedup scale path: applyInPandasWithState
+    invokes the Python state function once PER KEY (~6 min at sf1's 1M
+    keys — see the cardinality contract in streaming/stateful.py).
+    Production dedup is `events_stream_dedup_native`
+    (dropDuplicatesWithinWatermark, JVM state, 38× here); this query
+    stays registered because the per-key n_dupes counter is exactly the
+    kind of custom per-key logic the native operator cannot express."""
     from feldman_spark.streaming.events import run_stream_to_memory
     from feldman_spark.streaming.stateful import streaming_dedup
 

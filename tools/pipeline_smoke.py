@@ -148,11 +148,34 @@ def main() -> None:
     timings["token_stats"] = round(time.time() - t0, 1)
     assert toks["ws"] == n * WORDS
 
+    # span-level dedup: every injected duplicate doc contributes WORDS/20
+    # duplicate spans, so survivors must drop by exactly the dup count
+    t0 = time.time()
+    from feldman_spark.pipeline.dedup import paragraph_dedup
+    para = paragraph_dedup(corpus, chunk_words=20)
+    n_para_docs = para.count()
+    timings["paragraph_dedup"] = round(time.time() - t0, 1)
+    assert n_para_docs == n_unique, (n_para_docs, n_unique)
+
+    # epoch reshuffle + sharded export manifest on a 100k slice: shard
+    # balance within 20%, total preserved, all rows accounted for
+    t0 = time.time()
+    from feldman_spark.pipeline.training import export_jsonl_sharded
+    slice_df = corpus.filter(F.col("doc_id") < 100_000)
+    man = export_jsonl_sharded(
+        slice_df, "/root/repo/.tmp/pipeline_smoke_jsonl", "doc_id",
+        num_shards=int(args.cpus), max_records_per_file=20_000)
+    man_rows = {r["shard"]: r["n_rows"] for r in man.collect()}
+    timings["epoch_shuffle_export"] = round(time.time() - t0, 1)
+    assert sum(man_rows.values()) == 100_000
+    assert max(man_rows.values()) < 1.2 * (100_000 / int(args.cpus))
+
     total = round(sum(timings.values()), 1)
     print(json.dumps({
         "docs": n, "unique": n_unique, "near_dup_pairs": n_pairs,
         "embedding_pairs": n_emb_pairs, "ngram_pairs": n_ngram_pairs,
         "splits": split_counts, "clean_docs": n_clean,
+        "para_docs": n_para_docs, "export_shards": len(man_rows),
         "ws_tokens": toks["ws"], "bpe_tokens": toks["bpe"],
         "timings_sec": timings, "total_sec": total,
         "docs_per_sec_total": round(n * len(timings) / total),
