@@ -690,9 +690,9 @@ def embedding_cosine_pairs_lsh(
     id_col: str = "vec_id",
     threshold: float = 0.9,
     digits: int = 6,
-    num_tables: int = 8,
+    num_tables: int = 16,
     planes_per_table: Optional[int] = None,
-    target_bucket_rows: int = 64,
+    target_bucket_rows: int = 8,
     seed: str = "cosdup",
     dim: Optional[int] = None,
 ) -> DataFrame:
@@ -718,11 +718,17 @@ def embedding_cosine_pairs_lsh(
     2^P per table and candidate verification is quadratic in bucket
     size, so a FIXED P makes candidates — and wall-clock — grow
     O(N²/2^P). Auto-sizing holds expected bucket occupancy constant,
-    which keeps the candidate set (and the whole job) linear in N; the
-    cost is one count() pass and a slightly higher per-pair miss
-    probability at larger N (still <2e-4 for c ≥ 0.99 at P=16/T=8;
-    see docs/SCALING.md for the sf0.1→sf1 measurement). The all-pairs
-    :func:`embedding_cosine_pairs` stays the correctness oracle.
+    which keeps the candidate set (and the whole job) linear in N.
+    The bucket/table trade is deliberate: verification cost is linear
+    in candidates (each pays a full-dimension cosine) while recall loss
+    shrinks EXPONENTIALLY in tables, so small buckets (target 8) + many
+    tables (16) beat the converse — at sf1's 20k vectors this is ~5×
+    fewer candidates than (64, 8 tables) AND a lower miss bound
+    ((1-(1-arccos(c)/π)^P)^T ≈ 1e-6 at c=0.99, P=12, T=16; exact
+    duplicates are never missed at any setting). Table count multiplies
+    only the signature matmul and the (table, bucket, id) triple stream,
+    both negligible. The all-pairs :func:`embedding_cosine_pairs` stays
+    the correctness oracle.
     """
     import math
 
@@ -786,10 +792,20 @@ def embedding_cosine_pairs_lsh(
         .repartition(df.sparkSession.sparkContext.defaultParallelism)
     )
 
-    v1 = base.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("_v1"))
-    v2 = base.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("_v2"))
-    a, b = _as_double(F.col("_v1")), _as_double(F.col("_v2"))
-    cos = _dot(a, b) / (_safe_norm(a) * _safe_norm(b))
+    # norms are per-VECTOR quantities: compute each once on the N-row
+    # side of the join instead of twice per candidate pair — the
+    # per-pair work drops to the single dot product (the HOF cosine is
+    # interpreted, so shaving 2 of its 3 array passes is ~2× on the
+    # verification stage)
+    normed = base.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("_vd"))
+    normed = normed.select(
+        id_col, "_vd", _safe_norm(F.col("_vd")).alias("_nrm"))
+    v1 = normed.select(F.col(id_col).alias("id1"),
+                       F.col("_vd").alias("_v1"), F.col("_nrm").alias("_n1"))
+    v2 = normed.select(F.col(id_col).alias("id2"),
+                       F.col("_vd").alias("_v2"), F.col("_nrm").alias("_n2"))
+    cos = _dot(F.col("_v1"), F.col("_v2")) / (F.col("_n1") * F.col("_n2"))
     return (
         cand.join(v1, "id1").join(v2, "id2")
         .withColumn("cosine", F.round(cos, digits))
