@@ -544,6 +544,28 @@ def dedup_embedding_cosine(spark, sf_dir):
     return embedding_cosine_pairs_lsh(e.unionByName(dups), threshold=0.99)
 
 
+def dedup_semantic(spark, sf_dir):
+    """SemDeDup-style semantic dedup (pipeline/dedup.py::semantic_dedup):
+    deterministic spherical k-means clusters, then greedy-by-id pruning
+    of ≥0.95-cosine neighbors within each cluster — injected duplicate
+    vectors (vec_id+100000 copies of the first 20) must all drop while
+    every original survives. Output is the per-cluster survivor
+    checksum; the xxhash64-seeded k-means is deterministic, so the
+    expected rows are a pinned VALUES oracle (same treatment as
+    knn_ivf), with the prune rule independently recomputed brute-force
+    in tests/test_pipeline.py."""
+    from feldman_spark.pipeline.dedup import semantic_dedup
+
+    e = _t(spark, sf_dir, "embeddings")
+    dups = e.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label")
+    surv = semantic_dedup(e.unionByName(dups), threshold=0.95,
+                          num_centroids=8, iters=2)
+    return surv.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.sum("vec_id").cast("bigint").alias("id_sum"))
+
+
 def dedup_clusters(spark, sf_dir):
     """Near-duplicate CLUSTERS: transitive closure of the MinHash-LSH
     pair graph via iterative min-label propagation (Pregel-style joins,
@@ -2417,8 +2439,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Key order is load-bearing: the driver's correctness gate records the
     # FIRST 50 keys only. The prefix rotates per round so every query
     # eventually carries a driver-green row. Round 5 window: NEW-or-CHANGED
-    # code first — the four brand-new operators (paragraph dedup, epoch
-    # shuffle, SCD2, stream-static enrich), the four text queries whose
+    # code first — the six brand-new operators (paragraph dedup, epoch
+    # shuffle, SCD2, stream-static enrich, native stream dedup, semantic
+    # dedup), the four text queries whose
     # stopword counting was rewritten HOF→regexp_count this round, the
     # four formerly rows-only ANN/media queries (value oracles new this
     # round), j10_salted_join, the interval join, and 10 re-checks of the
@@ -2434,6 +2457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w6_scd2_intervals": w6_scd2_intervals,
         "events_enrich": events_enrich,
         "events_stream_dedup_native": events_stream_dedup_native,
+        "dedup_semantic": dedup_semantic,
         # --- stopword counting rewritten HOF→regexp_count this round ---
         "text_quality": text_quality,
         "text_lang_id": text_lang_id,
@@ -2480,7 +2504,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup rewrites: minhash stream, relational verify, hashed
         # grams, decontaminate stream) ---
         "j9_asof_join": j9_asof_join,
-        "knn_lsh_exact": knn_lsh_exact,
         "pipeline_fuzzy_dedup": pipeline_fuzzy_dedup,
         "events_stream_dedup": events_stream_dedup,
         "events_running_totals": events_running_totals,
@@ -2501,6 +2524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w5_explode_sequence": w5_explode_sequence,
         "o1_topk": o1_topk,
         "u1_union_all": u1_union_all,
+        "knn_lsh_exact": knn_lsh_exact,
         "knn_ivf_exact": knn_ivf_exact,
         "dedup_simhash": dedup_simhash,
         "dedup_embedding_cosine": dedup_embedding_cosine,
@@ -3034,6 +3058,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_stream_dedup_native": """
             SELECT event_id, event_type, user_id FROM events
+        """,
+        # deterministic-by-seed output (xxhash64-seeded k-means), pinned
+        # like knn_ivf; valid at the driver's sf0.01 gate only
+        "dedup_semantic": """
+            SELECT * FROM (VALUES
+              (0, CAST(61 AS BIGINT), CAST(14620 AS BIGINT)),
+              (1, 61, 15981),
+              (2, 74, 20388),
+              (3, 61, 14009),
+              (4, 66, 18097),
+              (5, 62, 13869),
+              (6, 63, 15816),
+              (7, 52, 11970)
+            ) AS t(cid, n_kept, id_sum)
         """,
         "sample_mix": """
             SELECT 'even' AS mix_src, count(*) AS n_docs,

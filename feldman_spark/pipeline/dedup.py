@@ -38,6 +38,7 @@ __all__ = [
     "embedding_cosine_pairs_lsh",
     "decontaminate",
     "paragraph_dedup",
+    "semantic_dedup",
 ]
 
 HEX_HIGH = "89abcdef"  # hex digits whose high bit is set
@@ -883,3 +884,63 @@ def paragraph_dedup(
             (F.max("_nc") - F.count(F.lit(1))).cast("bigint").alias("n_dropped"),
         )
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    num_centroids: int = 16,
+    iters: int = 2,
+    digits: int = 6,
+) -> DataFrame:
+    """Semantic dedup in the SemDeDup style (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space with the
+    deterministic spherical k-means of
+    :func:`feldman_spark.pipeline.similarity.ivf_build`, then within each
+    cluster drop every item that has a LOWER-id neighbor at cosine ≥
+    ``threshold`` — a greedy-by-id keep rule that is order- and
+    partitioning-independent, so the survivor set is reproducible across
+    runs and engines. Complements the hyperplane-LSH near-dup pass:
+    k-means buckets adapt to the data's actual density (hyperplanes are
+    data-oblivious), which is what lets SemDeDup prune *semantic*
+    redundancy rather than only near-copies.
+
+    Returns the surviving rows of ``df`` plus their ``cid`` cluster id.
+
+    Scale: clustering is the one-pass-per-iteration IVF build (centroid
+    matrix broadcasts); the prune is a self-join keyed on ``cid`` —
+    quadratic in CLUSTER size by design (the published algorithm), so
+    ``num_centroids`` must scale ~N/target_cluster_size at corpus scale,
+    exactly like the IVF index's capacity rule; norms are computed once
+    per vector, and only (cid, id, vector) rows shuffle.
+    """
+    from feldman_spark.pipeline.similarity import (
+        _as_double, _dot, _safe_norm, ivf_build)
+
+    assigned, _cents = ivf_build(
+        df, vec_col=vec_col, id_col=id_col,
+        num_centroids=num_centroids, iters=iters)
+    normed = assigned.select(
+        "cid", F.col(id_col), _as_double(F.col(vec_col)).alias("_vd"))
+    normed = normed.select(
+        "cid", id_col, "_vd", _safe_norm(F.col("_vd")).alias("_n"))
+    hi = normed.select(
+        "cid", F.col(id_col).alias("_hi"),
+        F.col("_vd").alias("_v1"), F.col("_n").alias("_n1"))
+    lo = normed.select(
+        "cid", F.col(id_col).alias("_lo"),
+        F.col("_vd").alias("_v2"), F.col("_n").alias("_n2"))
+    cos = F.round(
+        _dot(F.col("_v1"), F.col("_v2")) / (F.col("_n1") * F.col("_n2")),
+        digits)
+    dropped = (
+        hi.join(lo, "cid")
+        .filter(F.col("_hi") > F.col("_lo"))
+        .withColumn("_cos", cos)
+        .filter(F.col("_cos") >= threshold)
+        .select(F.col("_hi").alias(id_col))
+        .distinct()
+    )
+    return assigned.join(dropped, id_col, "left_anti")

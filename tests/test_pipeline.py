@@ -759,3 +759,49 @@ def test_export_jsonl_sharded(spark, tmp_out):
     for f in glob.glob(f"{path2}/shard=*/part-*"):
         b.setdefault(f.split("shard=")[1].split("/")[0], []).append(open(f).read())
     assert {k: sorted(v) for k, v in a.items()} == {k: sorted(v) for k, v in b.items()}
+
+
+def test_semantic_dedup_prune_rule_brute_force(spark):
+    """The SemDeDup prune must equal a brute-force recomputation: within
+    each k-means cluster (as assigned by ivf_build), drop exactly the
+    vectors that have a lower-id neighbor at cosine >= t."""
+    import numpy as np
+
+    from feldman_spark.pipeline.dedup import semantic_dedup
+    from feldman_spark.pipeline.similarity import ivf_build
+
+    rng = [(i, [float(((i * 37 + j * 11) % 19) - 9) for j in range(8)])
+           for i in range(120)]
+    # inject near-duplicates: ids 200+ copy ids 0-9 with a tiny scale
+    # (cosine exactly 1.0 — scaling preserves direction)
+    dups = [(200 + i, [x * 1.5 for x in v]) for i, v in rng[:10]]
+    df = spark.createDataFrame(rng + dups, ["vec_id", "embedding"])
+
+    t = 0.98
+    surv = {r["vec_id"] for r in
+            semantic_dedup(df, threshold=t, num_centroids=4, iters=2).collect()}
+
+    assigned, _ = ivf_build(df, num_centroids=4, iters=2)
+    rows = assigned.select("cid", "vec_id", "embedding").collect()
+    by_cid = {}
+    for r in rows:
+        by_cid.setdefault(r["cid"], []).append((r["vec_id"], np.array(r["embedding"])))
+    expected = set()
+    for cid, members in by_cid.items():
+        for vid, v in members:
+            dropped = False
+            for vid2, v2 in members:
+                if vid2 >= vid:
+                    continue
+                c = float(v @ v2) / ((np.linalg.norm(v) * np.linalg.norm(v2)) or 1.0)
+                if round(c, 6) >= t:
+                    dropped = True
+                    break
+            if not dropped:
+                expected.add(vid)
+    assert surv == expected
+    # every injected copy is gone: each has its original (scaled copy,
+    # cosine exactly 1.0) at a lower id in the same cluster
+    assert all(200 + i not in surv for i in range(10))
+    # and the drop actually pruned beyond the copies
+    assert len(surv) < 130
