@@ -72,3 +72,53 @@ def test_question_marks_null(spark, tmp_out):
     rows = sorted(df.collect(), key=lambda r: (r["B"] is None, r["B"] or ""))
     assert rows[0]["A"] is None and rows[0]["B"] == "1.5"
     assert rows[1]["A"] == "x" and rows[1]["B"] is None
+
+
+def test_read_jsonl_clean_corrupt_split(spark, tmp_out):
+    import json as _json
+    import os
+
+    from feldman_spark.io.jsonl import jsonl_stats, read_jsonl
+
+    src = f"{tmp_out}/jsonl_src"
+    os.makedirs(src, exist_ok=True)
+    with open(f"{src}/a.jsonl", "w") as f:
+        for i in range(50):
+            f.write(_json.dumps({"doc_id": i, "text": f"doc {i}"}) + "\n")
+        f.write("\n")                      # blank: skipped, not corrupt
+        f.write("{broken json\n")          # corrupt
+        f.write('{"doc_id": 99}\n')        # missing field: clean w/ null
+    with open(f"{src}/b.jsonl", "w") as f:
+        f.write("also not json\n")
+
+    from pyspark.sql import functions as F
+
+    r = read_jsonl(spark, src, "doc_id LONG, text STRING")
+    assert r.clean.count() == 51
+    assert r.clean.filter(F.col("doc_id") == 99).first()["text"] is None
+    bad = r.corrupt.collect()
+    assert {b["raw"] for b in bad} == {"{broken json", "also not json"}
+    assert all(b["src_file"] for b in bad)
+
+    stats = {os.path.basename(s["src_file"]): (s["n_clean"], s["n_corrupt"])
+             for s in jsonl_stats(r).collect()}
+    assert stats["a.jsonl"] == (51, 1)
+    assert stats["b.jsonl"] == (0, 1)
+
+
+def test_jsonl_export_roundtrip(spark, tmp_out):
+    """export_jsonl_sharded output reads back losslessly through
+    read_jsonl with zero corrupt lines."""
+    from feldman_spark.io.jsonl import read_jsonl
+    from feldman_spark.pipeline.training import export_jsonl_sharded
+
+    d = spark.createDataFrame(
+        [(i, f"text {i}", float(i) / 7) for i in range(300)],
+        ["doc_id", "text", "w"])
+    path = f"{tmp_out}/jsonl_rt"
+    export_jsonl_sharded(d, path, "doc_id", num_shards=4, manifest=False)
+    r = read_jsonl(spark, f"{path}/shard=*", "doc_id LONG, text STRING, w DOUBLE")
+    assert r.corrupt.count() == 0
+    got = sorted(map(tuple, r.clean.select("doc_id", "text", "w").collect()))
+    want = sorted(map(tuple, d.collect()))
+    assert got == want
