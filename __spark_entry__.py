@@ -544,6 +544,29 @@ def dedup_embedding_cosine(spark, sf_dir):
     return embedding_cosine_pairs_lsh(e.unionByName(dups), threshold=0.99)
 
 
+def dedup_incremental(spark, sf_dir):
+    """Incremental exact dedup against a historical fingerprint store
+    (pipeline/dedup.py::exact_dedup_incremental): history = digests of
+    doc_id < 250; the incoming batch is the remaining docs plus re-crawl
+    copies of 10 historical texts (new ids, same text) and an
+    intra-batch copy — survivors must exclude every re-crawl copy (store
+    hit) and the intra-batch duplicate (within-batch dedup), keeping
+    everything genuinely new."""
+    from feldman_spark.pipeline.dedup import exact_dedup_incremental
+
+    d = _t(spark, sf_dir, "documents")
+    hist = d.filter(F.col("doc_id") < 250).select(
+        F.md5(F.col("text")).alias("digest")).distinct()
+    recrawl = d.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text")
+    intra = d.filter((F.col("doc_id") >= 250) & (F.col("doc_id") < 255)).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text")
+    batch = (d.filter(F.col("doc_id") >= 250).select("doc_id", "text")
+             .unionByName(recrawl).unionByName(intra))
+    kept, _digests = exact_dedup_incremental(batch, hist, broadcast_seen=True)
+    return kept.select("doc_id")
+
+
 def dedup_semantic(spark, sf_dir):
     """SemDeDup-style semantic dedup (pipeline/dedup.py::semantic_dedup):
     deterministic spherical k-means clusters, then greedy-by-id pruning
@@ -2458,6 +2481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_enrich": events_enrich,
         "events_stream_dedup_native": events_stream_dedup_native,
         "dedup_semantic": dedup_semantic,
+        "dedup_incremental": dedup_incremental,
         # --- stopword counting rewritten HOF→regexp_count this round ---
         "text_quality": text_quality,
         "text_lang_id": text_lang_id,
@@ -2506,11 +2530,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j9_asof_join": j9_asof_join,
         "pipeline_fuzzy_dedup": pipeline_fuzzy_dedup,
         "events_stream_dedup": events_stream_dedup,
-        "events_running_totals": events_running_totals,
         "dedup_clusters": dedup_clusters,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "decontaminate_corpus": decontaminate_corpus,
+        "events_running_totals": events_running_totals,
         # --- beyond the 50-row window (driver-green on r4 code, which is
         # unchanged for these paths — or r5-changed but mirror-checked;
         # first in line for the r6 rotation: dedup_simhash,
@@ -3058,6 +3082,28 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_stream_dedup_native": """
             SELECT event_id, event_type, user_id FROM events
+        """,
+        "dedup_incremental": """
+            WITH hist AS (
+              SELECT DISTINCT md5(text) AS digest FROM documents WHERE doc_id < 250
+            ),
+            batch AS (
+              SELECT doc_id, text FROM documents WHERE doc_id >= 250
+              UNION ALL
+              SELECT doc_id + 100000, text FROM documents WHERE doc_id < 10
+              UNION ALL
+              SELECT doc_id + 200000, text FROM documents
+              WHERE doc_id >= 250 AND doc_id < 255
+            ),
+            bd AS (
+              SELECT doc_id FROM (
+                SELECT doc_id, md5(text) AS dg,
+                       row_number() OVER (PARTITION BY md5(text)
+                                          ORDER BY doc_id) AS rn
+                FROM batch
+              ) WHERE rn = 1 AND dg NOT IN (SELECT digest FROM hist)
+            )
+            SELECT doc_id FROM bd
         """,
         # deterministic-by-seed output (xxhash64-seeded k-means), pinned
         # like knn_ivf; valid at the driver's sf0.01 gate only

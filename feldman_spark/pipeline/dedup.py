@@ -39,6 +39,7 @@ __all__ = [
     "decontaminate",
     "paragraph_dedup",
     "semantic_dedup",
+    "exact_dedup_incremental",
 ]
 
 HEX_HIGH = "89abcdef"  # hex digits whose high bit is set
@@ -944,3 +945,40 @@ def semantic_dedup(
         .distinct()
     )
     return assigned.join(dropped, id_col, "left_anti")
+
+
+def exact_dedup_incremental(
+    new_df: DataFrame,
+    seen: Optional[DataFrame],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    digest_col: str = "digest",
+    broadcast_seen: bool = False,
+):
+    """Incremental exact dedup for a growing corpus: dedup the incoming
+    batch within itself (smallest id per digest), then drop everything
+    whose digest already exists in the historical fingerprint store
+    ``seen`` — the re-crawl shape of a production pipeline, where every
+    ingest run must be idempotent against all prior runs.
+
+    Returns ``(kept, digests)``: the surviving batch rows, and their
+    ``(digest_col)`` frame to append to the store (md5 — deterministic
+    and engine-portable, so a store written by any prior run keys the
+    same texts identically; see the module scale notes).
+
+    Scale: the store holds one 32-byte digest per historical document —
+    orders of magnitude smaller than the corpus. The anti-join shuffles
+    digests only (or broadcasts them with ``broadcast_seen=True`` when
+    the store fits the broadcast threshold); the batch's text never
+    moves beyond its own within-batch digest shuffle. ``seen=None``
+    degrades to plain :func:`exact_dedup` plus the digest output — the
+    bootstrap run.
+    """
+    batch = exact_dedup(new_df, text_col=text_col, id_col=id_col)
+    batchd = batch.withColumn(digest_col, F.md5(F.col(text_col)))
+    if seen is not None:
+        s = seen.select(digest_col)
+        if broadcast_seen:
+            s = F.broadcast(s)
+        batchd = batchd.join(s, digest_col, "left_anti")
+    return batchd.drop(digest_col), batchd.select(digest_col)

@@ -805,3 +805,26 @@ def test_semantic_dedup_prune_rule_brute_force(spark):
     assert all(200 + i not in surv for i in range(10))
     # and the drop actually pruned beyond the copies
     assert len(surv) < 130
+
+
+def test_exact_dedup_incremental(spark):
+    from feldman_spark.pipeline.dedup import exact_dedup_incremental
+
+    run1 = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "alpha")], ["doc_id", "text"])
+    kept1, dg1 = exact_dedup_incremental(run1, seen=None)
+    assert {r["doc_id"] for r in kept1.collect()} == {1, 2}  # bootstrap dedups within batch
+
+    store = dg1  # append-only digest store after run 1
+    run2 = spark.createDataFrame(
+        [(10, "alpha"),    # re-crawl of run-1 text -> store hit, dropped
+         (11, "gamma"),    # new
+         (12, "gamma"),    # intra-batch dup of 11 -> dropped
+         (13, "delta")],   # new
+        ["doc_id", "text"])
+    kept2, dg2 = exact_dedup_incremental(run2, store)
+    assert {r["doc_id"] for r in kept2.collect()} == {11, 13}
+    # the returned digests are exactly the survivors' -> idempotent growth
+    store2 = store.unionByName(dg2)
+    kept3, _ = exact_dedup_incremental(run2, store2)
+    assert kept3.count() == 0  # re-running the same batch is a no-op
