@@ -582,8 +582,9 @@ def dedup_semantic(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     dups = e.filter(F.col("vec_id") < 20).select(
         (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label")
-    surv = semantic_dedup(e.unionByName(dups), threshold=0.95,
-                          num_centroids=8, iters=2)
+    # num_centroids auto-sizes (~N/256): exactly 8 at the sf0.01 gate,
+    # where the pinned oracle lives, and linear capacity at any larger SF
+    surv = semantic_dedup(e.unionByName(dups), threshold=0.95, iters=2)
     return surv.groupBy("cid").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_kept"),
         F.sum("vec_id").cast("bigint").alias("id_sum"))
