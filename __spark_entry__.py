@@ -544,6 +544,57 @@ def dedup_embedding_cosine(spark, sf_dir):
     return embedding_cosine_pairs_lsh(e.unionByName(dups), threshold=0.99)
 
 
+def a10_cube(spark, sf_dir):
+    """Beyond-reference aggregate: full CUBE grouping sets over
+    (returnflag, ship year) with grouping-id flags — completes the
+    multi-level aggregation family next to a8's ROLLUP."""
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "ship_year", F.year("l_shipdate").cast("bigint"))
+    return (
+        li.cube("l_returnflag", "ship_year")
+        .agg(F.count(F.lit(1)).alias("n"),
+             _r2(F.sum("l_extendedprice")).alias("sum_price"),
+             F.grouping_id().cast("bigint").alias("gid"))
+    )
+
+
+def sample_curriculum(spark, sf_dir):
+    """Curriculum bucketing: decile buckets over a difficulty signal
+    (document length), assigned SCALE-SAFELY — exact decile boundaries
+    from one percentile aggregate (a single broadcast row), bucket
+    membership as a row-local comparison against the 9 boundaries. A
+    global ntile() window would funnel the corpus through one
+    partition; boundary-based assignment is the distributed equivalent
+    (ties at a boundary all land in the lower bucket — deterministic)."""
+    d = _t(spark, sf_dir, "documents")
+    bounds = d.agg(F.expr(
+        "percentile(n_chars, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))"
+    ).alias("bs"))
+    bucket = (F.size(F.filter(
+        F.col("bs"), lambda b: F.col("n_chars").cast("double") > b)) + 1)
+    return (
+        d.crossJoin(F.broadcast(bounds))
+        .withColumn("bucket", bucket.cast("int"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.round(F.avg("n_chars"), 4).alias("avg_chars"))
+    )
+
+
+def w7_time_gapfill(spark, sf_dir):
+    """Time-series gap-fill (ops/windows.py::time_gapfill): hourly event
+    counts per type over the DENSE hour × type grid — silent hours
+    appear as explicit zeros. Grid size is span × types, independent of
+    event volume."""
+    from feldman_spark.ops.windows import time_gapfill
+
+    ev = _events(spark, sf_dir)
+    out = time_gapfill(ev, ts_col="ts", group_cols=["event_type"])
+    return out.select(
+        F.date_format("bucket", "yyyy-MM-dd HH:mm").alias("bucket"),
+        "event_type", "n")
+
+
 def dedup_incremental(spark, sf_dir):
     """Incremental exact dedup against a historical fingerprint store
     (pipeline/dedup.py::exact_dedup_incremental): history = digests of
@@ -2483,6 +2534,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_dedup_native": events_stream_dedup_native,
         "dedup_semantic": dedup_semantic,
         "dedup_incremental": dedup_incremental,
+        "a10_cube": a10_cube,
+        "sample_curriculum": sample_curriculum,
+        "w7_time_gapfill": w7_time_gapfill,
         # --- stopword counting rewritten HOF→regexp_count this round ---
         "text_quality": text_quality,
         "text_lang_id": text_lang_id,
@@ -2528,14 +2582,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # carry, ANN probe cap, stateful late-drop, and the codegen
         # dedup rewrites: minhash stream, relational verify, hashed
         # grams, decontaminate stream) ---
-        "j9_asof_join": j9_asof_join,
-        "pipeline_fuzzy_dedup": pipeline_fuzzy_dedup,
-        "events_stream_dedup": events_stream_dedup,
         "dedup_clusters": dedup_clusters,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "decontaminate_corpus": decontaminate_corpus,
         "events_running_totals": events_running_totals,
+        "j9_asof_join": j9_asof_join,
+        "pipeline_fuzzy_dedup": pipeline_fuzzy_dedup,
+        "events_stream_dedup": events_stream_dedup,
         # --- beyond the 50-row window (driver-green on r4 code, which is
         # unchanged for these paths — or r5-changed but mirror-checked;
         # first in line for the r6 rotation: dedup_simhash,
@@ -3083,6 +3137,51 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_stream_dedup_native": """
             SELECT event_id, event_type, user_id FROM events
+        """,
+        "a10_cube": """
+            SELECT l_returnflag,
+                   CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+                   count(*) AS n,
+                   round(sum(l_extendedprice), 2) AS sum_price,
+                   CAST(GROUPING(l_returnflag, year(l_shipdate)) AS BIGINT) AS gid
+            FROM lineitem
+            GROUP BY CUBE (l_returnflag, year(l_shipdate))
+        """,
+        "sample_curriculum": """
+            WITH b AS (
+              SELECT quantile_cont(n_chars,
+                  [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bs
+              FROM documents
+            )
+            SELECT CAST(1 + len(list_filter(b.bs,
+                         x -> CAST(d.n_chars AS DOUBLE) > x)) AS INT) AS bucket,
+                   count(*) AS n_docs,
+                   round(avg(n_chars), 4) AS avg_chars
+            FROM documents d, b
+            GROUP BY 1
+        """,
+        "w7_time_gapfill": """
+            WITH bounds AS (
+              SELECT date_trunc('hour', min(ts)) AS lo,
+                     date_trunc('hour', max(ts)) AS hi
+              FROM events
+            ),
+            grid AS (
+              SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+              FROM bounds
+            ),
+            types AS (SELECT DISTINCT event_type FROM events),
+            counts AS (
+              SELECT date_trunc('hour', ts) AS bucket, event_type,
+                     count(*) AS n
+              FROM events GROUP BY 1, 2
+            )
+            SELECT strftime(g.bucket, '%Y-%m-%d %H:%M') AS bucket,
+                   t.event_type,
+                   CAST(coalesce(c.n, 0) AS BIGINT) AS n
+            FROM grid g CROSS JOIN types t
+            LEFT JOIN counts c ON c.bucket = g.bucket
+                               AND c.event_type = t.event_type
         """,
         "dedup_incremental": """
             WITH hist AS (

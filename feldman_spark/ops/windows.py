@@ -19,6 +19,7 @@ __all__ = [
     "section_range",
     "explode_section_range",
     "scd2_intervals",
+    "time_gapfill",
 ]
 
 
@@ -128,3 +129,38 @@ def scd2_intervals(
         .withColumn(current_col, nxt.isNull())
         .drop(ts_col)
     )
+
+
+def time_gapfill(
+    df: DataFrame,
+    ts_col: str,
+    group_cols: Sequence[str],
+    unit: str = "hour",
+    step: str = "1 hour",
+    count_col: str = "n",
+) -> DataFrame:
+    """Dense time-series resampling: truncate event time to ``unit``
+    buckets, then LEFT-join the per-(bucket, group) counts onto the full
+    bucket × group grid so silent periods appear as explicit zero rows —
+    the gap-filling step dashboards and downsampled feature series need
+    (a missing hour must read 0, not vanish).
+
+    The grid is built from one min/max aggregate (a single row) exploded
+    through ``sequence(lo, hi, step)`` and cross-joined with the
+    distinct groups — grid size is (span/step) × |groups|, independent
+    of event volume, so the cross join is dimension-sized by
+    construction; the event table itself contributes one grouped
+    aggregate (one shuffle) and the grid join broadcasts.
+    """
+    b = F.date_trunc(unit, F.col(ts_col))
+    bounds = df.agg(F.min(b).alias("_lo"), F.max(b).alias("_hi"))
+    grid = bounds.select(
+        F.explode(F.sequence(F.col("_lo"), F.col("_hi"),
+                             F.expr(f"INTERVAL {step}"))).alias("bucket"))
+    groups = df.select(*[F.col(c) for c in group_cols]).distinct()
+    full = grid.crossJoin(F.broadcast(groups))
+    counts = df.groupBy(b.alias("bucket"), *[F.col(c) for c in group_cols]).agg(
+        F.count(F.lit(1)).alias(count_col))
+    joined = full.join(F.broadcast(counts), ["bucket", *group_cols], "left")
+    return joined.withColumn(
+        count_col, F.coalesce(F.col(count_col), F.lit(0)).cast("bigint"))

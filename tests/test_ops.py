@@ -287,3 +287,21 @@ def test_scd2_intervals(spark):
     # same-ts changes: lower event_id closes first, at the SAME instant
     assert str(out[30]["valid_to"]) == "2024-01-01 00:00:00"
     assert out[31]["is_current"]
+
+
+def test_time_gapfill_emits_zero_rows(spark):
+    from feldman_spark.ops.windows import time_gapfill
+
+    ev = spark.createDataFrame(
+        [("2024-01-01 00:10:00", "a"), ("2024-01-01 00:40:00", "a"),
+         ("2024-01-01 03:10:00", "a"), ("2024-01-01 01:20:00", "b")],
+        ["ts", "event_type"],
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {(str(r["bucket"]), r["event_type"]): r["n"]
+           for r in time_gapfill(ev, "ts", ["event_type"]).collect()}
+    # full 4-hour x 2-type grid, silent cells explicit zeros
+    assert len(out) == 8
+    assert out[("2024-01-01 00:00:00", "a")] == 2
+    assert out[("2024-01-01 01:00:00", "a")] == 0
+    assert out[("2024-01-01 02:00:00", "b")] == 0
+    assert out[("2024-01-01 01:00:00", "b")] == 1
