@@ -57,6 +57,10 @@ HEADLINE = [
     "decontaminate_corpus",
     "pipeline_dedup_stats",
     "dedup_ngram_jaccard",
+    # round-5 continuation flagships
+    "dedup_paragraphs",
+    "dedup_semantic",
+    "text_gopher_quality",
 ]
 
 # slack for the regression gate: sub-second queries jitter by whole
