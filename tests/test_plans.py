@@ -78,3 +78,39 @@ def test_broadcast_equi_join_hint_respected(spark):
     pa = spark.read.parquet(f"{SF}/part.parquet")
     plan = _plan(broadcast_equi_join(li, pa, on=["p_partkey"]))
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_paragraph_dedup_plan_no_cartesian(spark):
+    """Span dedup: no cartesian/nested-loop anywhere; the first-occurrence
+    window and the reassembly are the only wide operations."""
+    from feldman_spark.pipeline.dedup import paragraph_dedup
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(paragraph_dedup(d))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
+def test_time_gapfill_grid_broadcasts(spark):
+    """The dense grid joins broadcast — the event table itself feeds one
+    grouped aggregate, never a sort-merge join."""
+    from feldman_spark.ops.windows import time_gapfill
+
+    ev = (spark.read.parquet(f"{SF}/events.parquet")
+          .withColumn("ts", F.col("ts").cast("timestamp")))
+    plan = _plan(time_gapfill(ev, "ts", ["event_type"]))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_salted_join_hot_routing_broadcasts(spark):
+    """Two-path salting: the hot-key set routes via broadcast semi/anti
+    joins — the fact sides must not sort-merge against the hot set."""
+    from feldman_spark.ops.skew import salted_join
+
+    left = spark.range(0, 5000).selectExpr("id % 7 AS k", "id AS v")
+    right = spark.range(0, 7).selectExpr("id AS k", "id * 10 AS p")
+    plan = _plan(salted_join(left, right, ["k"], buckets=4, hot_threshold=100))
+    # routing joins (semi/anti on the hot set) are broadcast
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("SortMergeJoin") == 0
