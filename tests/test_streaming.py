@@ -600,3 +600,40 @@ def test_native_stream_dedup_suppresses_cross_batch_copies(spark, events, tmp_ou
     assert got.select("event_id").distinct().count() == 1000
     want = sorted(map(tuple, e.collect()))
     assert sorted(map(tuple, got.select(*e.columns).collect())) == want
+
+
+def test_streaming_jsonl_ingest_with_corrupt_sideoutput(spark, tmp_out):
+    """JSONL ingestion under readStream: the same schema-first
+    from_json split as io/jsonl.py::read_jsonl, driven through real
+    micro-batches — clean rows append to the sink, corrupt lines are
+    counted per batch instead of killing the stream."""
+    import json as _json
+    import os
+
+    from pyspark.sql import functions as F
+
+    src = f"{tmp_out}/stream_jsonl_src"
+    os.makedirs(src, exist_ok=True)
+    for fi in range(3):
+        with open(f"{src}/part{fi}.jsonl", "w") as f:
+            for i in range(100):
+                f.write(_json.dumps({"doc_id": fi * 100 + i, "text": f"d{i}"}) + "\n")
+            f.write("not json at all\n")
+
+    from pyspark.sql.types import StringType, StructType
+    full = (StructType.fromDDL("doc_id LONG, text STRING")
+            .add("_cr", StringType()))
+    stream = (spark.readStream.format("text")
+              .option("maxFilesPerTrigger", 1).load(src)
+              .filter(F.trim("value") != "")
+              .select(F.from_json("value", full,
+                                  {"columnNameOfCorruptRecord": "_cr"})
+                      .alias("_rec"))
+              .select("_rec.*"))
+    clean = stream.filter(F.col("_cr").isNull()).drop("_cr")
+
+    from feldman_spark.streaming.events import run_stream_to_memory
+    run_stream_to_memory(clean, "jsonl_clean_sink", output_mode="append")
+    got = spark.sql("select * from jsonl_clean_sink")
+    assert got.count() == 300
+    assert got.select("doc_id").distinct().count() == 300
