@@ -249,3 +249,63 @@ def test_ivf_drift_guard(spark, ann_corpus):
     assert drifted["mean_sim"] < base["mean_sim"] - 0.2  # quality collapse
     assert drifted["n_buckets_hit"] <= 2                 # concentration
     assert drifted["imbalance"] >= 4.0                   # >= half of 8 empty
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(
+    st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=30),
+    min_size=1, max_size=12))
+def test_paragraph_dedup_invariants(spark, docs_words):
+    """Model-checked invariants of span dedup on random corpora:
+    (1) total kept spans == number of DISTINCT spans corpus-wide;
+    (2) the lowest-id document always survives intact;
+    (3) every kept document's text is the in-order concat of a subset of
+        its own spans."""
+    from feldman_spark.pipeline.dedup import paragraph_dedup
+
+    k = 4
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs_words)]
+    out = {r["doc_id"]: r for r in paragraph_dedup(
+        spark.createDataFrame(rows, ["doc_id", "text"]),
+        chunk_words=k).collect()}
+
+    def spans(ws):
+        return [" ".join(ws[i:i + k]) for i in range(0, len(ws), k)]
+
+    all_spans = [s for _, ws in enumerate(docs_words) for s in spans(ws)]
+    distinct = len(set(all_spans))
+    assert sum(r["n_kept"] for r in out.values()) == distinct
+
+    first_spans = spans(docs_words[0])
+    assert out[0]["text"] == " ".join(
+        [s for i, s in enumerate(first_spans)
+         if s not in first_spans[:i]])  # doc 0 keeps its own firsts
+
+    for i, ws in enumerate(docs_words):
+        if i in out:
+            own = spans(ws)
+            kept = out[i]["text"].split(" ") if out[i]["text"] else []
+            # kept text = in-order concat of a subset of own spans
+            rebuilt, pos = [], 0
+            for s in own:
+                toks = s.split(" ")
+                if kept[pos:pos + len(toks)] == toks:
+                    pos += len(toks)
+            assert pos == len(kept), (i, out[i]["text"], own)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.integers(min_value=1, max_value=400), st.integers(min_value=0, max_value=3))
+def test_epoch_shuffle_permutation_properties(spark, n, epoch):
+    """(shard, sort-key) is a total order: sort keys unique per key,
+    shards within range, assignment independent of partitioning."""
+    from feldman_spark.pipeline.sampling import epoch_shuffle
+
+    d = spark.range(n).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: (r["shard"], r["sk"]) for r in
+         epoch_shuffle(d, "doc_id", epoch=epoch).collect()}
+    b = {r["doc_id"]: (r["shard"], r["sk"]) for r in
+         epoch_shuffle(d.repartition(7), "doc_id", epoch=epoch).collect()}
+    assert a == b  # partitioning-independent
+    assert len({sk for _, sk in a.values()}) == n  # total order
+    assert all(0 <= s < 8 for s, _ in a.values())
