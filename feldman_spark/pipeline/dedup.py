@@ -836,11 +836,18 @@ def paragraph_dedup(
     Scale (100 TB): one pass builds spans (explode of a position sequence
     + codegen'd ``slice``/``concat_ws`` — no higher-order functions in
     the corpus-wide stage), ONE shuffle keyed by the span text (bounded:
-    ≤ ``chunk_words`` words ≈ 150 bytes) for the first-occurrence window,
-    and one shuffle back on the id for reassembly — both linear in corpus
-    size with map-side combine. The per-document reassembly ``transform``
-    runs over arrays bounded by the document's own span count, not the
-    corpus, so its CodegenFallback cost is immaterial.
+    ≤ ``chunk_words`` words ≈ 150 bytes) for the first-occurrence
+    AGGREGATE, and one shuffle back on the id for reassembly — both
+    linear in corpus size with map-side combine. First occurrence is
+    ``min(struct(id, chunk_idx))`` per span — NOT a ``row_number``
+    window: a boilerplate span duplicated millions of times ("all
+    rights reserved…") would funnel every copy through the single
+    reducer owning that span under a window, whereas the min-struct
+    aggregate collapses each hot span to one row per map task before
+    the exchange (partial_min), so skewed spans cost nothing. The
+    per-document reassembly ``transform`` runs over arrays bounded by
+    the document's own span count, not the corpus, so its
+    CodegenFallback cost is immaterial.
     """
     tokens = F.split(F.trim(F.col(text_col)), r"\s+")
     chunks = (
@@ -866,10 +873,27 @@ def paragraph_dedup(
             ).alias("para"),
         )
     )
-    first_seen = Window.partitionBy("para").orderBy(id_col, "chunk_idx")
+    # first occurrence per span, skew-immune: lexicographic struct-min on
+    # (id, chunk_idx) — the window orderBy's exact sort key, so the
+    # winner is identical — with _nc riding along (constant per id, and
+    # (id, chunk_idx) is unique per row, so it never influences the min)
     keep = (
-        chunks.withColumn("_rn", F.row_number().over(first_seen))
-        .filter(F.col("_rn") == 1)
+        chunks.groupBy("para")
+        .agg(
+            F.min(
+                F.struct(
+                    F.col(id_col).alias("_i"),
+                    F.col("chunk_idx").alias("_c"),
+                    F.col("_nc").alias("_n"),
+                )
+            ).alias("_w")
+        )
+        .select(
+            F.col("_w._i").alias(id_col),
+            F.col("_w._c").alias("chunk_idx"),
+            F.col("_w._n").alias("_nc"),
+            "para",
+        )
     )
     return (
         keep.groupBy(id_col)

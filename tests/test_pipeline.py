@@ -651,6 +651,33 @@ def test_paragraph_dedup_first_occurrence_wins(spark):
     assert out[4]["text"] == "q r s t"
 
 
+def test_paragraph_dedup_hot_span_no_straggler(spark):
+    """One boilerplate span duplicated 100k× across distinct docs: the
+    min-struct aggregate collapses it map-side, the winner is the
+    smallest (id, chunk_idx), and every other doc keeps only its unique
+    tail chunk."""
+    from feldman_spark.pipeline.dedup import paragraph_dedup
+
+    n = 100_000
+    docs = (
+        spark.range(n)
+        .select(
+            F.col("id").cast("int").alias("doc_id"),
+            # shared 4-word boilerplate chunk + a per-doc unique chunk
+            F.concat(F.lit("all rights reserved legal notice tail "),
+                     F.col("id").cast("string")).alias("text"),
+        )
+    )
+    out = paragraph_dedup(docs, chunk_words=4)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert len(rows) == n  # every doc survives via its unique tail
+    assert rows[0]["n_kept"] == 2 and rows[0]["n_dropped"] == 0
+    assert rows[0]["text"] == "all rights reserved legal notice tail 0"
+    # all later docs lost the boilerplate span, kept the unique tail
+    assert rows[1]["n_kept"] == 1 and rows[1]["n_dropped"] == 1
+    assert rows[n - 1]["text"] == f"notice tail {n - 1}"
+
+
 def test_paragraph_dedup_partial_tail_chunk(spark):
     from feldman_spark.pipeline.dedup import paragraph_dedup
 

@@ -82,13 +82,28 @@ def test_broadcast_equi_join_hint_respected(spark):
 
 def test_paragraph_dedup_plan_no_cartesian(spark):
     """Span dedup: no cartesian/nested-loop anywhere; the first-occurrence
-    window and the reassembly are the only wide operations."""
+    aggregate and the reassembly are the only wide operations."""
     from feldman_spark.pipeline.dedup import paragraph_dedup
 
     d = spark.read.parquet(f"{SF}/documents.parquet")
     plan = _plan(paragraph_dedup(d))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_paragraph_dedup_first_occurrence_is_partial_aggregate(spark):
+    """First-occurrence-per-span must be a map-side-combinable aggregate
+    (partial min BEFORE the span-keyed exchange), not a row_number
+    window: a window would funnel every copy of a hot boilerplate span
+    through the single reducer owning that span key."""
+    from feldman_spark.pipeline.dedup import paragraph_dedup
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    out = paragraph_dedup(d)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan  # no per-span window anywhere
+    # the span-keyed exchange is fed by a partial_min hash aggregate
+    assert "partial_min" in plan or "partial min" in plan.lower()
 
 
 def test_time_gapfill_grid_broadcasts(spark):
