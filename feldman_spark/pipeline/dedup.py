@@ -943,21 +943,20 @@ def semantic_dedup(
     as the embedding-LSH plane auto-sizing, holding expected cluster
     occupancy (hence pair count, hence wall-clock) linear in N
     (measured: fixed C=8 was 42 s at sf1's 20k vectors, auto C=79 is
-    ~7 s, identical survivors on the sf0.01 gate where both give C=8);
+    ~7 s, identical survivors on the sf0.01 gate where both give C=8).
+    Sizing is folded INTO the k-means seed pass (the KMV over-collect
+    in :func:`~feldman_spark.pipeline.similarity.ivf_build`) — no
+    separate ``count()`` action scans the corpus before work starts;
     norms are computed once per vector, and only (cid, id, vector) rows
     shuffle.
     """
-    import math
-
-    if num_centroids is None:
-        n = df.count()
-        num_centroids = max(8, math.ceil(n / target_cluster_rows))
     from feldman_spark.pipeline.similarity import (
         _as_double, _dot, _safe_norm, ivf_build)
 
     assigned, _cents = ivf_build(
         df, vec_col=vec_col, id_col=id_col,
-        num_centroids=num_centroids, iters=iters)
+        num_centroids=num_centroids, iters=iters,
+        target_cluster_rows=target_cluster_rows)
     normed = assigned.select(
         "cid", F.col(id_col), _as_double(F.col(vec_col)).alias("_vd"))
     normed = normed.select(

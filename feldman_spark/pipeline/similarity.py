@@ -16,6 +16,12 @@ from __future__ import annotations
 
 from typing import List, Sequence
 
+# seed-pass over-collect bound for ivf_build's num_centroids=None
+# auto-sizing: covers N ≲ _KMV_CAP · target_cluster_rows (~2M rows at
+# the default target) with exact-or-KMV sizing in ONE collect of at
+# most this many (id, vector, hash) rows
+_KMV_CAP = 8192
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -202,8 +208,9 @@ def ivf_build(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    num_centroids: int = 16,
+    num_centroids: "int | None" = 16,
     iters: int = 2,
+    target_cluster_rows: int = 256,
 ):
     """IVF index build: spherical k-means with deterministic seeding.
 
@@ -214,6 +221,20 @@ def ivf_build(
     new centroids as the mean of assigned L2-normalized vectors. The
     centroid matrix is C×d doubles — driver/broadcast-sized for any
     realistic C.
+
+    ``num_centroids=None`` auto-sizes to ``max(8, ceil(N /
+    target_cluster_rows))`` — the capacity rule that keeps expected
+    cluster occupancy (hence within-cluster pair counts downstream)
+    constant as the corpus grows — WITHOUT a separate ``count()`` pass:
+    the seed job over-collects the ``_KMV_CAP`` smallest-hash rows, and
+    because xxhash64 values are uniform, the k smallest of N hashes give
+    N two ways in one action — exactly (fewer than the cap came back ⇒
+    the collected rows ARE the corpus) or via the k-minimum-values
+    estimate N̂ = (k−1)/u_k (Bar-Yossef et al. 2002), u_k the largest
+    collected hash mapped to (0,1). Sizing then reuses the collected
+    prefix as the seed sample; only when the auto-sized C exceeds the
+    cap (≳2M rows at the default target) does a second exact seed pass
+    run.
 
     Returns ``(assigned, centroids)``: the input with a ``cid`` bucket
     column, and the centroid matrix as a list of lists. At corpus scale,
@@ -228,15 +249,25 @@ def ivf_build(
     itself (the earlier posexplode formulation shuffled corpus × dim
     rows twice per iteration).
     """
+    import math
+
     import numpy as np
 
-    seeds = (
-        df.select(id_col, vec_col)
-        .withColumn("_h", F.xxhash64(F.col(id_col)))
-        .orderBy("_h")
-        .limit(num_centroids)
-        .collect()
-    )
+    hashed = df.select(id_col, vec_col).withColumn(
+        "_h", F.xxhash64(F.col(id_col)))
+    if num_centroids is None:
+        rows = hashed.orderBy("_h").limit(_KMV_CAP).collect()
+        if len(rows) < _KMV_CAP:
+            n_est = len(rows)  # the whole corpus fit under the cap: exact
+        else:
+            # signed 64-bit hash -> uniform u_k in (0, 1)
+            u_k = (rows[-1]["_h"] + 2**63 + 1) / 2.0**64
+            n_est = int((_KMV_CAP - 1) / u_k)
+        num_centroids = max(8, math.ceil(n_est / target_cluster_rows))
+        seeds = (rows[:num_centroids] if num_centroids <= len(rows)
+                 else hashed.orderBy("_h").limit(num_centroids).collect())
+    else:
+        seeds = hashed.orderBy("_h").limit(num_centroids).collect()
     cents = np.array([r[vec_col] for r in seeds], dtype=np.float64)
     seed_norms = np.linalg.norm(cents, axis=1, keepdims=True)
     seed_norms[seed_norms == 0] = 1.0  # an all-zero seed must not NaN-poison assignment

@@ -282,6 +282,26 @@ def test_ivf_zero_vector_seed(spark):
     assert all(r["cosine"] == r["cosine"] for r in out)  # no NaNs
 
 
+def test_ivf_autosize_exact_under_cap(spark):
+    """num_centroids=None: under the KMV over-collect cap the sizing is
+    EXACT (the seed pass saw every row), so C == max(8, ceil(N/target))
+    with no separate count() action, and seeds equal the explicit-C
+    build's seeds (centroids bit-identical)."""
+    from feldman_spark.pipeline.similarity import ivf_build
+
+    n = 1000
+    df = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.col("id").cast("double"), F.lit(1.0), F.lit(0.0))
+        .alias("embedding"),
+    )
+    _a_auto, cents_auto = ivf_build(df, num_centroids=None,
+                                    target_cluster_rows=100, iters=1)
+    assert len(cents_auto) == 10  # ceil(1000/100), exact
+    _a_fix, cents_fix = ivf_build(df, num_centroids=10, iters=1)
+    assert cents_auto == cents_fix
+
+
 def test_hash_split_custom_weights(spark):
     from feldman_spark.pipeline.sampling import hash_split
 
