@@ -3120,8 +3120,10 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             )
             SELECT doc_id,
-                   CAST(((strpos('0123456789abcdef', substr(sk, 1, 1)) - 1) * 16
-                         + (strpos('0123456789abcdef', substr(sk, 2, 1)) - 1)) % 8
+                   CAST((((strpos('0123456789abcdef', substr(sk, 1, 1)) - 1) * 4096
+                          + (strpos('0123456789abcdef', substr(sk, 2, 1)) - 1) * 256
+                          + (strpos('0123456789abcdef', substr(sk, 3, 1)) - 1) * 16
+                          + (strpos('0123456789abcdef', substr(sk, 4, 1)) - 1)) % 8)
                         AS INT) AS shard,
                    sk
             FROM v

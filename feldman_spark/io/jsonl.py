@@ -30,10 +30,19 @@ __all__ = ["JsonlRead", "read_jsonl", "jsonl_stats"]
 @dataclass
 class JsonlRead:
     """Result of :func:`read_jsonl`: ``clean`` rows in the requested
-    schema; ``corrupt`` rows as ``(raw, src_file)``."""
+    schema; ``corrupt`` rows as ``(raw, src_file)``.
+
+    ``clean_src`` is ``clean`` plus the captured source-file column —
+    the frame :func:`jsonl_stats` aggregates. It carries the ``_src``
+    value captured AT PARSE TIME rather than re-evaluating
+    ``input_file_name()`` later: that function only yields names inside
+    an unshuffled narrow chain over the text scan, so a persisted /
+    checkpointed ``clean`` (or any future exchange before the stats
+    call) would silently collapse every count under one blank key."""
 
     clean: DataFrame
     corrupt: DataFrame
+    clean_src: DataFrame = None
 
 
 _CR = "_feldman_corrupt"
@@ -67,22 +76,24 @@ def read_jsonl(spark: SparkSession, path: str, schema) -> JsonlRead:
         F.from_json(F.col("value"), full,
                     {"columnNameOfCorruptRecord": _CR}).alias("_rec"),
     )
-    clean = (
-        parsed.filter(F.col(f"_rec.{_CR}").isNull())
-        .select(*[F.col(f"_rec.{f}").alias(f) for f in user_fields])
-    )
+    ok = parsed.filter(F.col(f"_rec.{_CR}").isNull())
+    clean = ok.select(*[F.col(f"_rec.{f}").alias(f) for f in user_fields])
+    clean_src = ok.select(
+        F.col("_src").alias("src_file"),
+        *[F.col(f"_rec.{f}").alias(f) for f in user_fields])
     corrupt = parsed.filter(F.col(f"_rec.{_CR}").isNotNull()).select(
         F.col("value").alias("raw"), F.col("_src").alias("src_file"))
-    return JsonlRead(clean=clean, corrupt=corrupt)
+    return JsonlRead(clean=clean, corrupt=corrupt, clean_src=clean_src)
 
 
 def jsonl_stats(read: JsonlRead) -> DataFrame:
     """Per-source-file ingest report: clean/corrupt line counts — the
     monitoring hook an ingestion job emits per run. Two slim aggregates
-    over the same one-pass parse."""
-    spark = read.clean.sparkSession
+    over the same one-pass parse; the clean side counts the parse-time
+    ``clean_src`` capture, never a re-evaluated ``input_file_name()``
+    (empty once any exchange/persist separates the call from the scan)."""
     good = (
-        read.clean.select(F.input_file_name().alias("src_file"))
+        read.clean_src.select("src_file")
         .groupBy("src_file").agg(F.count(F.lit(1)).alias("n_clean"))
     )
     bad = read.corrupt.groupBy("src_file").agg(

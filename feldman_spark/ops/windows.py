@@ -27,6 +27,41 @@ def _cols(names: Sequence[str]) -> list:
     return [F.col(f"`{n}`") for n in names]
 
 
+# fixed-length truncation units in seconds; calendar units (month,
+# quarter, year) have no fixed length and are validated by unit-name
+# match instead
+_UNIT_SECONDS = {
+    "second": 1, "minute": 60, "hour": 3600, "day": 86400, "week": 604800,
+}
+
+
+def _validate_gapfill_step(unit: str, step: str) -> None:
+    """Reject a gap-fill ``step`` that cannot align with
+    ``date_trunc(unit)`` buckets (see :func:`time_gapfill`)."""
+    import re
+
+    m = re.fullmatch(r"\s*(\d+)\s+([A-Za-z]+?)s?\s*", step)
+    if not m:
+        raise ValueError(
+            f"time_gapfill: step {step!r} is not of the form '<n> <unit>'")
+    n, step_unit = int(m.group(1)), m.group(2).lower()
+    u = unit.lower()
+    if n < 1:
+        raise ValueError(f"time_gapfill: step {step!r} must be positive")
+    if u in _UNIT_SECONDS and step_unit in _UNIT_SECONDS:
+        step_s = n * _UNIT_SECONDS[step_unit]
+        if step_s % _UNIT_SECONDS[u] != 0:
+            raise ValueError(
+                f"time_gapfill: step {step!r} is not a whole multiple of "
+                f"unit {unit!r} — grid buckets would never match the "
+                f"date_trunc({unit!r}) count keys")
+    elif step_unit != u:
+        # calendar units: only same-unit steps are alignment-safe
+        raise ValueError(
+            f"time_gapfill: calendar unit {unit!r} requires a step in the "
+            f"same unit (got {step!r})")
+
+
 def lag_diff(
     df: DataFrame,
     value: str,
@@ -150,8 +185,18 @@ def time_gapfill(
     distinct groups — grid size is (span/step) × |groups|, independent
     of event volume, so the cross join is dimension-sized by
     construction; the event table itself contributes one grouped
-    aggregate (one shuffle) and the grid join broadcasts.
+    aggregate (one shuffle) and the grid join broadcasts. That
+    broadcast bounds span/step: a years-long span at a seconds-grain
+    step makes the grid itself huge — keep (span/step) × |groups| under
+    the broadcast threshold or coarsen ``step``.
+
+    ``step`` must be a whole multiple of ``unit`` (validated): counts
+    are keyed by ``date_trunc(unit)``, so a finer or misaligned step
+    (e.g. ``unit='hour'``, ``step='30 minutes'``) would put half the
+    grid buckets where no counts key can ever land — silently reporting
+    0 for populated periods.
     """
+    _validate_gapfill_step(unit, step)
     b = F.date_trunc(unit, F.col(ts_col))
     bounds = df.agg(F.min(b).alias("_lo"), F.max(b).alias("_hi"))
     grid = bounds.select(

@@ -122,11 +122,19 @@ def export_jsonl_sharded(
 
     Rows are routed to ``shard=<i>`` directories by the
     :func:`~feldman_spark.pipeline.sampling.epoch_shuffle` variate and
-    sorted by it inside each shard, so "shards in index order, each file
-    in order" IS the epoch's global permutation — reproducible across
-    runs/cluster sizes, with no sequential counter bottleneck.
-    ``max_records_per_file`` additionally caps file size (Spark splits
-    files at the cap during write — no extra pass).
+    sorted by ``(variate, shard_key)`` inside each shard — the key
+    tiebreak matters: the 8-hex variate collides at birthday rates
+    beyond ~100k rows and ``sortWithinPartitions`` is not stable, so
+    without it tied rows would order nondeterministically. With it,
+    "shards in index order, each file in order" IS the epoch's global
+    permutation — reproducible across runs/cluster sizes, with no
+    sequential counter bottleneck. ``max_records_per_file``
+    additionally caps file size (Spark splits files at the cap during
+    write — no extra pass).
+
+    ``df`` must not contain columns named ``shard`` or ``sk`` (the
+    internal routing names) — the export raises rather than silently
+    exporting the internal values in their place.
 
     Writes with ``partitionBy(shard)``; each output file is plain JSONL
     (one ``to_json(struct(*))`` document per line — the shard/sort
@@ -141,12 +149,18 @@ def export_jsonl_sharded(
     """
     from feldman_spark.pipeline.sampling import epoch_shuffle
 
+    clash = {"shard", "sk"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"export_jsonl_sharded: column(s) {sorted(clash)} collide with "
+            "the internal shard/sort-variate names; rename them before "
+            "export")
     spark = df.sparkSession
     staged = epoch_shuffle(df, shard_key, epoch=epoch, num_shards=num_shards)
     payload = F.to_json(F.struct(*[F.col(c) for c in df.columns]))
     out = (
         staged.repartition(num_shards, F.col("shard"))
-        .sortWithinPartitions("shard", "sk")
+        .sortWithinPartitions("shard", "sk", shard_key)
         .select(F.col("shard"), payload.alias("value"))
     )
     writer = out.write.mode("overwrite").partitionBy("shard")

@@ -289,6 +289,29 @@ def test_scd2_intervals(spark):
     assert out[31]["is_current"]
 
 
+def test_time_gapfill_rejects_misaligned_step(spark):
+    """A step that cannot align with date_trunc(unit) buckets must raise,
+    not silently report 0 for populated periods."""
+    import pytest
+
+    from feldman_spark.ops.windows import time_gapfill
+
+    ev = spark.createDataFrame(
+        [("2024-01-01 00:10:00", "a")], ["ts", "event_type"]
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    with pytest.raises(ValueError, match="whole multiple"):
+        time_gapfill(ev, "ts", ["event_type"], unit="hour", step="30 minutes")
+    with pytest.raises(ValueError, match="same unit"):
+        time_gapfill(ev, "ts", ["event_type"], unit="month", step="30 days")
+    with pytest.raises(ValueError, match="form"):
+        time_gapfill(ev, "ts", ["event_type"], unit="hour", step="hourly")
+    # aligned coarser steps stay legal (downsampled grid)
+    assert time_gapfill(
+        ev, "ts", ["event_type"], unit="hour", step="2 hours").count() == 1
+    assert time_gapfill(
+        ev, "ts", ["event_type"], unit="month", step="1 month").count() == 1
+
+
 def test_time_gapfill_emits_zero_rows(spark):
     from feldman_spark.ops.windows import time_gapfill
 

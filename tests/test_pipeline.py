@@ -732,6 +732,25 @@ def test_epoch_shuffle_deterministic_and_epoch_independent(spark):
     assert len({sk for _, sk in rows0.values()}) == len(rows0)
 
 
+def test_epoch_shuffle_rejects_reserved_column_collision(spark):
+    """An input already carrying 'shard'/'sk' must raise instead of being
+    silently overwritten (and exported in place of the user's data)."""
+    import pytest
+
+    from feldman_spark.pipeline.sampling import epoch_shuffle
+    from feldman_spark.pipeline.training import export_jsonl_sharded
+
+    d = spark.range(5).select(F.col("id").alias("doc_id"),
+                              F.lit(7).alias("sk"))
+    with pytest.raises(ValueError, match="sk"):
+        epoch_shuffle(d, "doc_id")
+    with pytest.raises(ValueError, match="collide"):
+        export_jsonl_sharded(d, "/tmp/never-written", "doc_id")
+    # non-colliding names remain usable on the same frame
+    out = epoch_shuffle(d, "doc_id", shard_col="_s", sort_col="_k")
+    assert {"doc_id", "sk", "_s", "_k"} <= set(out.columns)
+
+
 def test_repetition_metrics_matches_row_local_twin(spark):
     """The relational stream-aggregate repetition metrics must equal the
     row-local HOF definition value-for-value, including the degenerate
