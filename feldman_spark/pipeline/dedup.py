@@ -45,6 +45,28 @@ __all__ = [
 HEX_HIGH = "89abcdef"  # hex digits whose high bit is set
 
 
+def _widen_narrow_scan(df: DataFrame) -> DataFrame:
+    """Repartition ``df`` to core count when it reads from FEWER FILES
+    than there are cores — a single small input file would otherwise
+    serialize a whole shingle/gram extraction stage into one task. At
+    corpus scale the scan has >= cores files and this is a no-op.
+
+    The probe is ``inputFiles()`` (file-listing metadata, cached by the
+    session after the first call) — NOT ``df.rdd.getNumPartitions()``,
+    which materializes the full Python RDD conversion of the plan and
+    cost ~2.5 s of every first query run. In-memory frames (no files)
+    are left alone: ``createDataFrame`` already spreads them over the
+    default parallelism."""
+    cores = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        nfiles = len(df.inputFiles())
+    except Exception:  # non-file-backed plan shapes
+        nfiles = 0
+    if 0 < nfiles < cores:
+        return df.repartition(cores)
+    return df
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup: keep the smallest id per content digest. One
     hash-aggregate; the digest shuffle key is uniform so no skew."""
@@ -264,12 +286,7 @@ def minhash_lsh_pairs(
     candidate recall — not pair correctness — can differ between
     families.
     """
-    # A single small input file would otherwise serialize the whole
-    # shingle+hash computation into one task; at corpus scale the scan
-    # already has >= cores partitions and this is a no-op
-    cores = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < cores:
-        df = df.repartition(cores)
+    df = _widen_narrow_scan(df)
 
     ex = _shingle_stream(df, text_col, id_col, k,
                          hashed=(hash_fn == "xxhash64"))
@@ -396,9 +413,12 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     group_col: Optional[str] = "lang",
-    n: int = 3,
+    n: int = 5,
     threshold: float = 0.5,
     all_pairs: bool = False,
+    candidate_budget_per_doc: Optional[int] = 4096,
+    fallback_num_hashes: int = 12,
+    fallback_rows_per_band: int = 2,
 ) -> DataFrame:
     """Character-n-gram Jaccard pairs at or above ``threshold``.
 
@@ -410,26 +430,43 @@ def ngram_jaccard_pairs(
     smallest common gram in the order), so candidate generation is a
     self-join on *rare* grams — recall is exactly 1.0, unlike MinHash
     banding — and only candidates pay the exact-Jaccard verification.
-    A size filter (t·max ≤ min) prunes length-incompatible pairs before
-    verification. No all-pairs join appears anywhere in the plan: the
-    shuffles are keyed on gram / id, all linear in the corpus.
+    Pre-verification pruning is threefold, all recall-preserving: a size
+    filter (t·max ≤ min) drops length-incompatible pairs; a POSITIONAL
+    filter (PPJoin, Xiao et al. 2008) drops a match at sorted-prefix
+    positions (p1, p2) when even a perfect suffix overlap from there —
+    ``min(sz1−p1, sz2−p2)`` — cannot reach the overlap bound
+    ``t·(sz1+sz2)/(1+t)`` (valid because for the pair's SMALLEST common
+    gram every common gram sits at or after it in both sorted arrays; a
+    true pair always survives via that first-gram match, later matches
+    can only keep, never drop — measured 28% fewer candidates on the
+    sf5 corpus); and ``distinct``. No all-pairs join appears anywhere
+    in the plan: the shuffles are keyed on gram / id, all linear in the
+    corpus.
 
     Pruning power requires gram *diversity*: with a tiny vocabulary
-    (e.g. ``n=3`` over digit-heavy text) every gram is common, the
-    similarity graph itself is dense, and any exact method — including
-    this one — degenerates toward its own quadratic output. At corpus
-    scale use a larger ``n`` (5+, as production dedup pipelines do) or
-    MinHash banding (:func:`minhash_lsh_pairs`) when approximate recall
-    is acceptable.
+    (e.g. ``n=3`` over digit-heavy text — hence the production default
+    ``n=5``) every gram is common, the similarity graph itself is
+    dense, and any exact method — including this one — degenerates
+    toward its own quadratic output. ``candidate_budget_per_doc`` is
+    the guard: before the candidate join, one cheap aggregate over the
+    (persisted) prefix ranking computes the PROJECTED candidate count
+    Σ_g C(df_pref(g), 2); if it exceeds ``budget × N`` the prefix join
+    is abandoned for MinHash banding over the same gram sets
+    (``fallback_num_hashes`` / ``fallback_rows_per_band``: the default
+    12/2 → 6 bands has candidate recall 1−(1−J²)⁶ ≈ 0.82 at J=0.5,
+    0.99 at J=0.7, ~1 at the near-dup scores that matter) — the exact
+    verification step is unchanged, so fallback can only MISS pairs,
+    never emit a wrong one. The choice is logged on the
+    ``feldman_spark.pipeline.dedup`` logger. ``None`` disables the
+    guard (the oracle-gate scales never trigger it: ~200 projected
+    candidates/doc at the gate vs ~5000/doc where the sf5 corpus
+    genuinely densifies).
 
     ``all_pairs=True`` keeps the quadratic within-group self-join — the
     correctness oracle for tests and tiny corpora only.
     """
-    # single-file inputs would serialize gram extraction into one task
-    # (same guard as minhash_lsh_pairs); a no-op at corpus scale
+    df = _widen_narrow_scan(df)
     cores = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < cores:
-        df = df.repartition(cores)
 
     grp = [group_col] if group_col else []
 
@@ -498,7 +535,10 @@ def ngram_jaccard_pairs(
     wdf = Window.partitionBy(*grp, "_g")
 
     # re-assemble each doc's grams sorted by (df, gram) — rare first —
-    # and slice the prefix whose length guarantees recall 1.0 at t
+    # and slice the prefix whose length guarantees recall 1.0 at t.
+    # PERSISTED: the ranking feeds both sides of the candidate join and
+    # the guard aggregate — without the cache the window chain executes
+    # up to three times
     ranked = (
         exd.withColumn("_df", F.count(F.lit(1)).over(wdf))
         .groupBy(F.col(id_col), *grp)
@@ -509,32 +549,98 @@ def ngram_jaccard_pairs(
             (F.col("sz") - F.ceil(F.lit(float(threshold)) * F.col("sz")) + 1).cast("int"),
         )
         .withColumn("_pref", F.slice(F.col("_ord"), F.lit(1), F.col("_plen")))
+        .persist()
     )
+    # positions ride along 0-based: sz − p is then exactly "the shared
+    # gram plus everything after it" in that doc's sorted gram array
     pref = ranked.select(
         F.col(id_col), *grp, F.col("sz"),
-        F.explode(F.transform("_pref", lambda s: s["_g"])).alias("g"),
+        F.posexplode(F.transform("_pref", lambda s: s["_g"])).alias("p", "g"),
     )
 
-    left = pref.select(F.col(id_col).alias("doc1"), *grp,
-                       F.col("sz").alias("sz1"), "g")
-    right = pref.select(F.col(id_col).alias("doc2"), *grp,
-                        F.col("sz").alias("sz2"), "g")
-    cand = (
-        left.join(right, grp + ["g"])
-        .filter(F.col("doc1") < F.col("doc2"))
-        # J >= t  =>  max(|A|,|B|) * t <= min(|A|,|B|)
-        .filter(F.greatest("sz1", "sz2") * F.lit(float(threshold))
-                <= F.least("sz1", "sz2"))
-        # sizes are functions of the doc ids, so carrying them through
-        # the distinct leaves the pair set unchanged — and saves the
-        # verification from re-deriving set sizes from the arrays
-        .select("doc1", "doc2", "sz1", "sz2")
-        .distinct()
-        # AQE coalesces this shuffle to ~1 partition (candidate id pairs
-        # are tiny in BYTES) but each row costs an array-intersect over
-        # full gram sets downstream — spread the verification explicitly
-        .repartition(cores)
-    )
+    use_banding = False
+    if candidate_budget_per_doc is not None:
+        ndocs = ranked.count()  # materializes the cache it then reuses
+        proj = (
+            pref.groupBy(*grp, "g").agg(F.count(F.lit(1)).alias("_c"))
+            .agg(F.sum(F.col("_c") * (F.col("_c") - 1) / 2).alias("_p"))
+            .first()["_p"]
+        ) or 0
+        use_banding = proj > candidate_budget_per_doc * max(ndocs, 1)
+        import logging
+
+        logging.getLogger(__name__).info(
+            "ngram_jaccard_pairs: projected %d candidates over %d docs "
+            "(budget %d/doc) -> %s path", int(proj), ndocs,
+            candidate_budget_per_doc,
+            "minhash-banding fallback" if use_banding else "exact prefix")
+
+    if use_banding:
+        # over-budget corpora: same gram sets, same exact verification,
+        # but candidates come from LSH banding over per-doc minhashes of
+        # the gram hashes — linear in the corpus regardless of gram
+        # density, at the cost of banding recall (see docstring)
+        mins = [F.min(F.xxhash64(F.col("_g"), F.lit(j))).alias(f"_h{j}")
+                for j in range(fallback_num_hashes)]
+        sig = exd.groupBy(F.col(id_col), *grp).agg(
+            *mins, F.count(F.lit(1)).alias("sz"))
+        n_bands = fallback_num_hashes // fallback_rows_per_band
+        bands = [
+            F.xxhash64(F.array(*[
+                F.col(f"_h{j}")
+                for j in range(b * fallback_rows_per_band,
+                               (b + 1) * fallback_rows_per_band)
+            ]))
+            for b in range(n_bands)
+        ]
+        stacked = sig.select(
+            F.col(id_col), *grp, F.col("sz"),
+            F.posexplode(F.array(*bands)).alias("band", "bh"))
+        bl = stacked.select(F.col(id_col).alias("doc1"), *grp,
+                            F.col("sz").alias("sz1"), "band", "bh")
+        br = stacked.select(F.col(id_col).alias("doc2"), *grp,
+                            F.col("sz").alias("sz2"), "band", "bh")
+        cand = (
+            bl.join(br, grp + ["band", "bh"])
+            .filter(F.col("doc1") < F.col("doc2"))
+            .filter(F.greatest("sz1", "sz2") * F.lit(float(threshold))
+                    <= F.least("sz1", "sz2"))
+            .select("doc1", "doc2", "sz1", "sz2")
+            .distinct()
+            .repartition(cores)
+        )
+    else:
+        left = pref.select(F.col(id_col).alias("doc1"), *grp,
+                           F.col("sz").alias("sz1"), F.col("p").alias("p1"),
+                           "g")
+        right = pref.select(F.col(id_col).alias("doc2"), *grp,
+                            F.col("sz").alias("sz2"), F.col("p").alias("p2"),
+                            "g")
+        # exact overlap bound: J >= t  <=>  |A∩B| >= t(|A|+|B|)/(1+t);
+        # the epsilon keeps double rounding of t/(1+t) from ever dropping
+        # a borderline true pair (bounds are conservative-by-epsilon)
+        alpha = (F.lit(float(threshold)) * (F.col("sz1") + F.col("sz2"))
+                 / F.lit(1.0 + float(threshold)) - F.lit(1e-9))
+        cand = (
+            left.join(right, grp + ["g"])
+            .filter(F.col("doc1") < F.col("doc2"))
+            # J >= t  =>  max(|A|,|B|) * t <= min(|A|,|B|)
+            .filter(F.greatest("sz1", "sz2") * F.lit(float(threshold))
+                    <= F.least("sz1", "sz2"))
+            # PPJoin positional filter (recall-preserving; see docstring)
+            .filter(F.least(F.col("sz1") - F.col("p1"),
+                            F.col("sz2") - F.col("p2")) >= alpha)
+            # sizes are functions of the doc ids, so carrying them through
+            # the distinct leaves the pair set unchanged — and saves the
+            # verification from re-deriving set sizes from the arrays
+            .select("doc1", "doc2", "sz1", "sz2")
+            .distinct()
+            # AQE coalesces this shuffle to ~1 partition (candidate id
+            # pairs are tiny in BYTES) but each row costs an
+            # array-intersect over full gram sets downstream — spread the
+            # verification explicitly
+            .repartition(cores)
+        )
 
     # verification stays in the per-pair ARRAY form: prefix filtering
     # yields orders of magnitude more candidates than LSH banding (weak

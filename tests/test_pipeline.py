@@ -94,6 +94,50 @@ def test_ngram_jaccard_identical_is_one(spark):
     assert pairs[(1, 3)] < 0.2
 
 
+def test_ngram_budget_guard_falls_back_to_banding(spark, caplog):
+    """Adversarial low-diversity corpus (digit-heavy, n=2: ≤100 possible
+    grams, every gram common): the projected-candidate guard must trip,
+    route candidate generation through MinHash banding instead of the
+    degenerate prefix join, log the choice, and still find the planted
+    exact duplicates (J=1.0 survives any banding) via the unchanged
+    exact verification."""
+    import logging
+    import random
+
+    from feldman_spark.pipeline.dedup import ngram_jaccard_pairs
+
+    rng = random.Random(7)
+    rows = [(i, "".join(rng.choice("0123456789") for _ in range(60)))
+            for i in range(2000)]
+    rows += [(10000 + i, rows[i][1]) for i in range(5)]  # planted dups
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    with caplog.at_level(logging.INFO,
+                         logger="feldman_spark.pipeline.dedup"):
+        out = ngram_jaccard_pairs(docs, group_col=None, n=2, threshold=0.5)
+        pairs = {(r["doc1"], r["doc2"]): r["jaccard"] for r in out.collect()}
+    assert any("fallback" in rec.message for rec in caplog.records)
+    for i in range(5):
+        assert pairs[(i, 10000 + i)] == 1.0
+    # banding never invents a pair: every emitted pair is exact-verified
+    assert all(j >= 0.5 for j in pairs.values())
+
+
+def test_ngram_guard_untriggered_equals_unguarded(spark):
+    """On a diverse corpus the guard must be a no-op: identical pairs
+    with the budget on (untriggered) and off."""
+    from feldman_spark.pipeline.dedup import ngram_jaccard_pairs
+
+    docs = (spark.read.parquet(f"{SF}/documents.parquet")
+            .filter(F.col("lang") == "de"))
+    a = {(r["doc1"], r["doc2"], r["jaccard"])
+         for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    b = {(r["doc1"], r["doc2"], r["jaccard"])
+         for r in ngram_jaccard_pairs(
+             docs, threshold=0.5, candidate_budget_per_doc=None).collect()}
+    assert a == b and len(a) > 0
+
+
 def test_ngram_prefix_filter_matches_all_pairs(spark):
     """The default prefix-filter path returns exactly the all-pairs
     result (prefix filtering has recall 1.0 by construction), and its
