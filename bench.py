@@ -11,7 +11,9 @@ is timed as the median of REPS runs (default 3) to a ``noop`` sink — the
 noop data source materializes every row of every column without letting
 Catalyst prune the projection the way ``count()`` does, and the median
 absorbs one-off GC/CPU-contention spikes that a single run reports as
-phantom regressions.
+phantom regressions. Each query additionally gets ONE untimed warm-up
+run so per-query one-time costs (Janino compile of its generated
+stages, persist materialization) don't pollute the steady-state median.
 """
 
 from __future__ import annotations
@@ -102,7 +104,14 @@ def main() -> None:
         if fn is None:
             continue
         samples = []
-        for rep in range(reps):
+        # rep 0 is an untimed warm-up: it carries the per-query one-time
+        # costs (Janino compile of that query's unique generated stages,
+        # persist materialization, first touch of its tables) that
+        # otherwise land in the median on slow/contended hosts — the
+        # documented metric is steady-state execution (measured: first
+        # runs are 2.5-6x steady state for the cache-heavy dedup
+        # queries)
+        for rep in range(reps + 1):
             t0 = time.time()
             if name == "knn_ivf":
                 df = fn(spark, sf_dir, index=ivf_index)
@@ -111,10 +120,29 @@ def main() -> None:
             # noop sink: full materialization of every column, immune to
             # the projection pruning count() allows
             df.write.format("noop").mode("overwrite").save()
-            samples.append(time.time() - t0)
+            if rep > 0:
+                samples.append(time.time() - t0)
             if rep == 0 and df.isEmpty():
                 print(f"warning: {name} returned 0 rows", file=sys.stderr)
         timings[name] = round(statistics.median(samples), 3)
+
+        if name == "feldman_e2_export":
+            # plan-posture pin for the E2 flagship (export.py:102-150):
+            # the measurement table must never sort-merge shuffle — its
+            # joins broadcast the dimension side; the ONE allowed
+            # exchange is the final (flag, Site) summary aggregate
+            import re
+
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            smj = plan.count("SortMergeJoin")
+            shuf = len(re.findall(r"Exchange (hash|range|round|single)",
+                                  plan))
+            if smj > 0 or shuf > 1:
+                print(f"PLAN REGRESSION: feldman_e2_export has "
+                      f"{smj} SortMergeJoin / {shuf} shuffle exchanges "
+                      f"(expected 0 / <=1)", file=sys.stderr)
+                if os.environ.get("BENCH_ENFORCE") == "1":
+                    sys.exit(1)
 
     total = round(sum(timings.values()), 3)
 
