@@ -453,6 +453,144 @@ def w1_splice_scan(spark, sf_dir):
     )
 
 
+# grouped multi-splice fixture: per-site (section spacing, scaled factor)
+# and per-site sparse rows with PER-SITE _idx order — both literal, shared
+# with the recursive-CTE oracle below
+_W1G_SITES = {"1": (1.5, 1.01), "2": (1.6, 1.02)}
+_W1G_SPARSE = [
+    ("1", "A", "1", "1", 10.0, "2", 120.0, "TIE", None, 0),
+    ("1", "B", "1", "1", 30.0, "2", 100.0, "TIE", None, 1),
+    ("1", "A", "2", "1", 0.0, "3", 140.0, "APPEND", 0.5, 2),
+    ("1", "B", "2", "2", 5.0, "3", 130.0, "APPEND", None, 3),
+    ("1", "A", "3", "1", 0.0, "2", 110.0, "TIE", None, 4),
+    ("2", "A", "1", "1", 20.0, "2", 110.0, "TIE", None, 0),
+    ("2", "B", "1", "2", 15.0, "3", 95.0, "APPEND", 1.0, 1),
+    ("2", "A", "2", "1", 5.0, "3", 125.0, "APPEND", None, 2),
+    ("2", "B", "2", "1", 0.0, "2", 105.0, "TIE", None, 3),
+    ("2", "A", "3", "2", 10.0, "3", 115.0, "APPEND", None, 4),
+]
+
+
+def w1_splice_scan_grouped(spark, sf_dir):
+    """W1 grouped: the same recursive stateful splice scan run as MANY
+    independent splices in one job via ``splice_scan(group_cols=["Site"])``
+    (feldman_spark/splice.py — one applyInPandas group per site, the
+    parallel multi-splice path; reference feldman.py:155-281 runs one
+    splice per process). Two sites with different section geometries scan
+    concurrently; the recursive-CTE oracle replays the recurrence per
+    site."""
+    from feldman_spark.splice import (
+        section_lookup, sit_from_scan, splice_scan, with_offset_depths)
+
+    secsumm = spark.createDataFrame(
+        [
+            (site, h, str(c), "H", str(s),
+             ((c - 1) * 3 + (s - 1)) * sp,
+             ((c - 1) * 3 + s) * sp,
+             ((c - 1) * 3 + (s - 1)) * sp * sc,
+             ((c - 1) * 3 + s) * sp * sc,
+             sp, "")
+            for site, (sp, sc) in _W1G_SITES.items()
+            for h in ("A", "B") for c in (1, 2, 3) for s in (1, 2, 3)
+        ],
+        "Site string, Hole string, Core string, Tool string, Section string, "
+        "TopDepth double, BottomDepth double, TopDepthScaled double, "
+        "BottomDepthScaled double, CuratedLength double, Gaps string",
+    )
+    sparse = spark.createDataFrame(
+        [(s, h, c, "H", ts, to, bs, bo, st, g, "", "", i)
+         for (s, h, c, ts, to, bs, bo, st, g, i) in _W1G_SPARSE],
+        "Site string, Hole string, Core string, Tool string, TopSection string, "
+        "TopOffset double, BottomSection string, BottomOffset double, "
+        "SpliceType string, Gap double, DataUsed string, Comment string, _idx long",
+    )
+    enriched = with_offset_depths(sparse, section_lookup(secsumm))
+    scanned = splice_scan(enriched, group_cols=["Site"])
+    sit = sit_from_scan(scanned, [c for c in sparse.columns])
+    return sit.select(
+        "Site", "Hole", "Core", "TopSection", "BottomSection", "SpliceType",
+        F.round("TopDepthCSF", 3).alias("TopDepthCSF"),
+        F.round("TopDepthCCSF", 3).alias("TopDepthCCSF"),
+        F.round("BottomDepthCSF", 3).alias("BottomDepthCSF"),
+        F.round("BottomDepthCCSF", 3).alias("BottomDepthCCSF"),
+    )
+
+
+def _w1_grouped_oracle_sql() -> str:
+    """The grouped W1 recurrence: identical to :func:`_w1_oracle_sql` but
+    the recursion seeds EVERY site's idx-0 row and steps on
+    ``(site, idx)`` — the SQL twin of one applyInPandas group per site."""
+    raw = """CASE
+          WHEN s.sptype = 'TIE' THEN s.bot_ccsf - e.shift_top
+          WHEN s.sptype = 'APPEND' AND s.gap IS NOT NULL
+            THEN (s.bot_ccsf + s.gap) - e.shift_top
+          WHEN s.sptype = 'APPEND' AND e.hole = s.hole THEN s.affine
+          WHEN s.sptype = 'APPEND'
+            THEN (s.bot_ccsf - e.shift_top) + (e.shift_top_scaled - s.bot_scaled)
+        END"""
+    sparse_rows = ",\n            ".join(
+        "('%s', '%s', '%s', '%s', %s, '%s', %s, '%s', %s, %d)" % (
+            s, h, c, ts, to, bs, bo, st,
+            "CAST(NULL AS DOUBLE)" if g is None else g, i)
+        for (s, h, c, ts, to, bs, bo, st, g, i) in _W1G_SPARSE)
+    site_rows = ", ".join(
+        f"('{site}', {sp}, {sc})" for site, (sp, sc) in _W1G_SITES.items())
+    return f"""
+        WITH RECURSIVE
+        secsumm AS (
+          SELECT st.site, h.hole, CAST(c.c AS VARCHAR) AS core,
+                 CAST(x.s AS VARCHAR) AS sec,
+                 round(((c.c - 1) * 3 + (x.s - 1)) * st.sp, 3) AS sec_top,
+                 round(((c.c - 1) * 3 + (x.s - 1)) * st.sp * st.sc, 3) AS sec_top_scaled
+          FROM (VALUES {site_rows}) st(site, sp, sc),
+               (VALUES ('A'), ('B')) h(hole),
+               (VALUES (1), (2), (3)) c(c),
+               (VALUES (1), (2), (3)) x(s)
+        ),
+        sparse(site, hole, core, topsection, topoffset,
+               bottomsection, bottomoffset, splicetype, gap, idx) AS (
+          VALUES
+            {sparse_rows}
+        ),
+        enriched AS (
+          SELECT sp.*,
+                 st.sec_top + sp.topoffset / 100.0 AS shift_top,
+                 st.sec_top_scaled + sp.topoffset / 100.0 AS shift_top_scaled,
+                 sb.sec_top + sp.bottomoffset / 100.0 AS shift_bot,
+                 sb.sec_top_scaled + sp.bottomoffset / 100.0 AS shift_bot_scaled
+          FROM sparse sp
+          JOIN secsumm st ON st.site = sp.site AND st.hole = sp.hole
+                         AND st.core = sp.core AND st.sec = sp.topsection
+          JOIN secsumm sb ON sb.site = sp.site AND sb.hole = sp.hole
+                         AND sb.core = sp.core AND sb.sec = sp.bottomsection
+        ),
+        scan(site, idx, hole, affine, bot_ccsf, sptype, gap, bot_scaled) AS (
+          SELECT site, idx, hole, CAST(0.0 AS DOUBLE), shift_bot, splicetype,
+                 gap, shift_bot_scaled
+          FROM enriched WHERE idx = 0
+          UNION ALL
+          SELECT e.site, e.idx, e.hole,
+                 CASE WHEN s.sptype = 'APPEND'
+                        AND s.bot_ccsf > e.shift_top + ({raw})
+                      THEN s.bot_ccsf - e.shift_top
+                      ELSE ({raw}) END,
+                 e.shift_bot +
+                 (CASE WHEN s.sptype = 'APPEND'
+                         AND s.bot_ccsf > e.shift_top + ({raw})
+                       THEN s.bot_ccsf - e.shift_top
+                       ELSE ({raw}) END),
+                 e.splicetype, e.gap, e.shift_bot_scaled
+          FROM scan s JOIN enriched e ON e.site = s.site AND e.idx = s.idx + 1
+        )
+        SELECT e.site AS "Site", e.hole AS "Hole", e.core AS "Core",
+               e.topsection AS "TopSection", e.bottomsection AS "BottomSection",
+               e.splicetype AS "SpliceType",
+               round(e.shift_top, 3) AS "TopDepthCSF",
+               round(e.shift_top + s.affine, 3) AS "TopDepthCCSF",
+               round(e.shift_bot, 3) AS "BottomDepthCSF",
+               round(e.shift_bot + s.affine, 3) AS "BottomDepthCCSF"
+        FROM scan s JOIN enriched e ON e.site = s.site AND e.idx = s.idx
+    """
 
 
 # --------------------------------------------------------------------------
@@ -2613,6 +2751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": dedup_simhash,
         "dedup_embedding_cosine": dedup_embedding_cosine,
         "w1_splice_scan": w1_splice_scan,
+        "w1_splice_scan_grouped": w1_splice_scan_grouped,
         "pipeline_curate_corpus": pipeline_curate_corpus,
         "sample_cap_per_source": sample_cap_per_source,
         "events_sessionize_native": events_sessionize_native,
@@ -2852,6 +2991,7 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem WHERE l_orderkey < 100
         """,
         "w1_splice_scan": _w1_oracle_sql(),
+        "w1_splice_scan_grouped": _w1_grouped_oracle_sql(),
         # media_features: binary-literal op — rows-only.
         "p7_parse_section_id": """
             WITH s AS (
