@@ -2654,38 +2654,86 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Key order is load-bearing: the driver's correctness gate records the
-    # FIRST 50 keys only. The prefix rotates per round so every query
-    # eventually carries a driver-green row. Round 5 window: NEW-or-CHANGED
-    # code first — the six brand-new operators (paragraph dedup, epoch
-    # shuffle, SCD2, stream-static enrich, native stream dedup, semantic
-    # dedup), the four text queries whose
-    # stopword counting was rewritten HOF→regexp_count this round, the
-    # four formerly rows-only ANN/media queries (value oracles new this
-    # round), j10_salted_join, the interval join, and 10 re-checks of the
-    # r5 codegen-rewrite/struct-carry paths — then as many stale (r1/r3
-    # row) keys as fit. Eight trivial unchanged stale keys (f2, f3, f7,
-    # a2, w4, w5, o1, u1) were displaced to make room and queue first for
-    # r6. The mirror gate (tools/check_oracle.py) still runs ALL keys
-    # every round, so queries outside the window cannot silently rot.
     return {
-        # --- NEW operators this round ---
+    # Key order is load-bearing: the driver's correctness gate records the
+    # FIRST 50 keys only; the prefix rotates per round so every query
+    # eventually carries a driver-green row (the mirror gate,
+    # tools/check_oracle.py, still runs ALL keys every round, so queries
+    # outside the window cannot silently rot). Round 6 window, in
+    # priority order: (a) every query whose code changed this round —
+    # the NEW grouped splice scan, the four reworked dedup paths
+    # (paragraph min-struct aggregate, semantic KMV sizing, ngram
+    # guard+PPJoin, minhash scan-probe; dedup_clusters consumes the
+    # minhash pairs), the widened-prefix epoch shuffle, the validated
+    # gap-fill; (b) a9_sketch_distinct / u2_unpivot — first-ever driver
+    # rows; (c) the eight r3-stale keys displaced in r5; (d) the six
+    # keys the r5 comment queued; (e) r4 rows whose adjacent files
+    # changed in r5/r6 (stateful streaming, as-of carry, ANN exact
+    # twins + the ivf_build seed-pass refactor); (f) r4-stale keys from
+    # files touched this round (sampling/training/text), then
+    # q2/q4/q7/q8. The nine remaining r4-green TPC-H keys (q13-q22
+    # minus the bench-covered ones) lead the r7 queue.
+        "w1_splice_scan_grouped": w1_splice_scan_grouped,
         "dedup_paragraphs": dedup_paragraphs,
+        "dedup_semantic": dedup_semantic,
+        "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "dedup_minhash_lsh": dedup_minhash_lsh,
+        "dedup_clusters": dedup_clusters,
         "sample_shuffle": sample_shuffle,
+        "w7_time_gapfill": w7_time_gapfill,
+        "a9_sketch_distinct": a9_sketch_distinct,
+        "u2_unpivot": u2_unpivot,
+        "f2_range_between": f2_range_between,
+        "f3_in_list": f3_in_list,
+        "f7_domain_validation": f7_domain_validation,
+        "a2_distinct": a2_distinct,
+        "w4_first_seen": w4_first_seen,
+        "w5_explode_sequence": w5_explode_sequence,
+        "o1_topk": o1_topk,
+        "u1_union_all": u1_union_all,
+        "dedup_simhash": dedup_simhash,
+        "dedup_embedding_cosine": dedup_embedding_cosine,
+        "w1_splice_scan": w1_splice_scan,
+        "pipeline_curate_corpus": pipeline_curate_corpus,
+        "sample_cap_per_source": sample_cap_per_source,
+        "events_sessionize_native": events_sessionize_native,
+        "events_running_totals": events_running_totals,
+        "events_stream_dedup": events_stream_dedup,
+        "j9_asof_join": j9_asof_join,
+        "pipeline_fuzzy_dedup": pipeline_fuzzy_dedup,
+        "knn_lsh_exact": knn_lsh_exact,
+        "knn_ivf_exact": knn_ivf_exact,
+        "knn_ivf": knn_ivf,
+        "sample_split": sample_split,
+        "sample_fraction": sample_fraction,
+        "sample_mix": sample_mix,
+        "pack_examples": pack_examples,
+        "dedup_exact": dedup_exact,
+        "feldman_e2_export": feldman_e2_export,
+        "text_fingerprint": text_fingerprint,
+        "text_scrub_pii": text_scrub_pii,
+        "text_tfidf_terms": text_tfidf_terms,
+        "doc_embedding_join": doc_embedding_join,
+        "profile_documents": profile_documents,
+        "events_json_props": events_json_props,
+        "pivot_returnflag": pivot_returnflag,
+        "a7_percentiles": a7_percentiles,
+        "a8_rollup": a8_rollup,
+        "q2_min_cost_supplier": q2_min_cost_supplier,
+        "q4_order_priority": q4_order_priority,
+        "q7_volume_shipping": q7_volume_shipping,
+        "q8_market_share": q8_market_share,
+        # --- beyond the 50-row window (mirror-checked every round) ---
         "w6_scd2_intervals": w6_scd2_intervals,
         "events_enrich": events_enrich,
         "events_stream_dedup_native": events_stream_dedup_native,
-        "dedup_semantic": dedup_semantic,
         "dedup_incremental": dedup_incremental,
         "a10_cube": a10_cube,
         "sample_curriculum": sample_curriculum,
-        "w7_time_gapfill": w7_time_gapfill,
-        # --- stopword counting rewritten HOF→regexp_count this round ---
         "text_quality": text_quality,
         "text_lang_id": text_lang_id,
         "text_gopher_quality": text_gopher_quality,
         "pipeline_dedup_stats": pipeline_dedup_stats,
-        # --- driver rows stale (r1/r3 code) until this round ---
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
         "q5_local_supplier_volume": q5_local_supplier_volume,
@@ -2713,52 +2761,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sliding": events_sliding,
         "events_sessionize": events_sessionize,
         "knn_brute_force": knn_brute_force,
-        # --- formerly rows-only; value oracles NEW this round ---
         "knn_lsh": knn_lsh,
-        "knn_ivf": knn_ivf,
         "media_features": media_features,
-        # --- NEW this round ---
         "j10_salted_join": j10_salted_join,
-        # --- NEW this round: stream-stream interval join ---
         "events_interval_join": events_interval_join,
-        # --- re-checks: code paths touched in round 5 (asof struct
-        # carry, ANN probe cap, stateful late-drop, and the codegen
-        # dedup rewrites: minhash stream, relational verify, hashed
-        # grams, decontaminate stream) ---
-        "dedup_clusters": dedup_clusters,
-        "dedup_minhash_lsh": dedup_minhash_lsh,
-        "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "decontaminate_corpus": decontaminate_corpus,
-        "events_running_totals": events_running_totals,
-        "j9_asof_join": j9_asof_join,
-        "pipeline_fuzzy_dedup": pipeline_fuzzy_dedup,
-        "events_stream_dedup": events_stream_dedup,
-        # --- beyond the 50-row window (driver-green on r4 code, which is
-        # unchanged for these paths — or r5-changed but mirror-checked;
-        # first in line for the r6 rotation: dedup_simhash,
-        # dedup_embedding_cosine, w1_splice_scan, pipeline_curate_corpus,
-        # sample_cap_per_source, events_sessionize_native) ---
-        "f2_range_between": f2_range_between,
-        "f3_in_list": f3_in_list,
-        "f7_domain_validation": f7_domain_validation,
-        "a2_distinct": a2_distinct,
-        "w4_first_seen": w4_first_seen,
-        "w5_explode_sequence": w5_explode_sequence,
-        "o1_topk": o1_topk,
-        "u1_union_all": u1_union_all,
-        "knn_lsh_exact": knn_lsh_exact,
-        "knn_ivf_exact": knn_ivf_exact,
-        "dedup_simhash": dedup_simhash,
-        "dedup_embedding_cosine": dedup_embedding_cosine,
-        "w1_splice_scan": w1_splice_scan,
-        "w1_splice_scan_grouped": w1_splice_scan_grouped,
-        "pipeline_curate_corpus": pipeline_curate_corpus,
-        "sample_cap_per_source": sample_cap_per_source,
-        "events_sessionize_native": events_sessionize_native,
-        "q2_min_cost_supplier": q2_min_cost_supplier,
-        "q4_order_priority": q4_order_priority,
-        "q7_volume_shipping": q7_volume_shipping,
-        "q8_market_share": q8_market_share,
         "q9_product_profit": q9_product_profit,
         "q11_important_stock": q11_important_stock,
         "q13_customer_distribution": q13_customer_distribution,
@@ -2770,23 +2777,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_potential_promotion": q20_potential_promotion,
         "q21_waiting_supplier": q21_waiting_supplier,
         "q22_global_sales": q22_global_sales,
-        "feldman_e2_export": feldman_e2_export,
-        "a7_percentiles": a7_percentiles,
-        "a8_rollup": a8_rollup,
-        "a9_sketch_distinct": a9_sketch_distinct,
-        "u2_unpivot": u2_unpivot,
-        "sample_split": sample_split,
-        "sample_fraction": sample_fraction,
-        "pivot_returnflag": pivot_returnflag,
-        "doc_embedding_join": doc_embedding_join,
-        "profile_documents": profile_documents,
-        "sample_mix": sample_mix,
-        "events_json_props": events_json_props,
-        "text_scrub_pii": text_scrub_pii,
-        "pack_examples": pack_examples,
-        "text_tfidf_terms": text_tfidf_terms,
-        "dedup_exact": dedup_exact,
-        "text_fingerprint": text_fingerprint,
     }
 
 
