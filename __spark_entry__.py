@@ -806,6 +806,44 @@ def dedup_clusters(spark, sf_dir):
     return comp
 
 
+def dedup_survivors_quality(spark, sf_dir):
+    """Best-quality survivor per near-duplicate cluster
+    (pipeline/graph.py::dedup_survivors_best): instead of keep-smallest-id,
+    each MinHash-LSH cluster keeps its highest-quality member (min-id
+    tiebreak) — the keep-the-cleanest-copy policy. Quality here is a
+    deterministic pseudo-score (doc_id·37 mod 101) so the winner
+    provably differs from the min id; argmax runs as two cluster-keyed
+    aggregates (skew-immune), never a per-cluster window."""
+    from feldman_spark.pipeline.dedup import minhash_lsh_pairs
+    from feldman_spark.pipeline.graph import dedup_survivors_best
+
+    d = _docs_with_dups(spark, sf_dir).withColumn(
+        "q", (F.col("doc_id") * 37 % 101).cast("bigint"))
+    pairs = minhash_lsh_pairs(d, threshold=0.2)
+    pairs = pairs.localCheckpoint()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        out = dedup_survivors_best(d, pairs, "q")
+        out = out.select("doc_id", "q").localCheckpoint()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return out
+
+
+def sample_temperature(spark, sf_dir):
+    """Temperature-reweighted corpus mixing
+    (pipeline/sampling.py::temperature_mix): alpha=0.5 exponentiated
+    source weights — the multilingual-LM sampling rule that upweights
+    small sources; per-source keep fractions derive from one tiny count
+    aggregate and apply as a deterministic hash-variate filter the
+    DuckDB oracle reproduces threshold-for-threshold."""
+    from feldman_spark.pipeline.sampling import temperature_mix
+
+    d = _t(spark, sf_dir, "documents")
+    return temperature_mix(d, alpha=0.5).select("doc_id", "source")
+
+
 def pipeline_fuzzy_dedup(spark, sf_dir):
     """The COMPLETE fuzzy-dedup pipeline in one query: MinHash-LSH pairs
     → connected components → survivor anti-join → per-language corpus
@@ -1130,6 +1168,43 @@ def media_features(spark, sf_dir):
     return feats.select(
         "media_id", "kind", "n_bytes",
         F.to_json("features").alias("features_json"))
+
+
+def _survivors_quality_oracle_sql() -> str:
+    """dedup_survivors_best as SQL: the components walk (see
+    :func:`_components_oracle_sql`) plus per-cluster max-quality /
+    min-id-tiebreak winner selection and the victim anti-join."""
+    pairs_sql = _PIPELINE_ORACLES["dedup_minhash_lsh"]
+    return f"""
+        WITH RECURSIVE pairs AS ({pairs_sql}),
+        edges AS (
+          SELECT doc1 AS a, doc2 AS b FROM pairs
+          UNION
+          SELECT doc2, doc1 FROM pairs
+        ),
+        walk(id, lab) AS (
+          SELECT DISTINCT a, a FROM edges
+          UNION
+          SELECT e.a, w.lab FROM edges e JOIN walk w ON w.id = e.b
+        ),
+        comp AS (SELECT id AS doc_id, min(lab) AS cluster_id
+                 FROM walk GROUP BY id),
+        docs AS (SELECT doc_id, CAST(doc_id * 37 % 101 AS BIGINT) AS q
+                 FROM {_DOCS_DUP_SQL}),
+        ranked AS (SELECT c.doc_id, c.cluster_id, d.q
+                   FROM comp c JOIN docs d ON c.doc_id = d.doc_id),
+        mq AS (SELECT cluster_id, max(q) AS qmax
+               FROM ranked GROUP BY cluster_id),
+        best AS (SELECT r.cluster_id, min(r.doc_id) AS keep
+                 FROM ranked r JOIN mq ON r.cluster_id = mq.cluster_id
+                                      AND r.q = mq.qmax
+                 GROUP BY r.cluster_id),
+        victims AS (SELECT r.doc_id
+                    FROM ranked r JOIN best b ON r.cluster_id = b.cluster_id
+                    WHERE r.doc_id != b.keep)
+        SELECT d.doc_id, d.q FROM docs d
+        WHERE d.doc_id NOT IN (SELECT doc_id FROM victims)
+    """
 
 
 def _components_oracle_sql() -> str:
@@ -2674,6 +2749,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # q2/q4/q7/q8. The nine remaining r4-green TPC-H keys (q13-q22
     # minus the bench-covered ones) lead the r7 queue.
         "w1_splice_scan_grouped": w1_splice_scan_grouped,
+        "dedup_survivors_quality": dedup_survivors_quality,
+        "sample_temperature": sample_temperature,
         "dedup_paragraphs": dedup_paragraphs,
         "dedup_semantic": dedup_semantic,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -2721,9 +2798,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a8_rollup": a8_rollup,
         "q2_min_cost_supplier": q2_min_cost_supplier,
         "q4_order_priority": q4_order_priority,
+        # --- beyond the 50-row window (mirror-checked every round) ---
         "q7_volume_shipping": q7_volume_shipping,
         "q8_market_share": q8_market_share,
-        # --- beyond the 50-row window (mirror-checked every round) ---
         "w6_scd2_intervals": w6_scd2_intervals,
         "events_enrich": events_enrich,
         "events_stream_dedup_native": events_stream_dedup_native,
@@ -3209,6 +3286,31 @@ def oracle_sql() -> dict[str, str]:
         **{k: v for k, v in _PIPELINE_ORACLES.items() if v is not None},
         "dedup_simhash": _simhash_oracle_sql(),
         "dedup_clusters": _components_oracle_sql(),
+        "dedup_survivors_quality": _survivors_quality_oracle_sql(),
+        "sample_temperature": """
+            WITH c AS (
+              SELECT source, CAST(count(*) AS DOUBLE) AS n
+              FROM documents GROUP BY source
+            ),
+            z AS (SELECT sum(pow(n, 0.5)) AS z, sum(n) AS total FROM c),
+            f AS (
+              SELECT source,
+                     least(1.0, round(total * pow(n, 0.5) / z / n, 6)) AS f
+              FROM c, z
+            ),
+            t AS (
+              SELECT source,
+                     CASE WHEN f >= 1.0 THEN 'gggggggg'
+                          ELSE lower(lpad(hex(CAST(floor(f * 4294967296.0)
+                                                   AS BIGINT)), 8, '0'))
+                     END AS thr
+              FROM f
+            )
+            SELECT d.doc_id, d.source
+            FROM documents d JOIN t ON d.source = t.source
+            WHERE substr(md5(CAST(d.doc_id AS VARCHAR) || '#mixt'), 1, 8)
+                  < t.thr
+        """,
         "pipeline_fuzzy_dedup": _fuzzy_dedup_oracle_sql(),
         "text_lang_id": _lang_id_oracle_sql(),
         "knn_lsh": _lsh_oracle_sql(),

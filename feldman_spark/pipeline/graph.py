@@ -29,7 +29,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["connected_components", "dedup_survivors"]
+__all__ = ["connected_components", "dedup_survivors",
+           "dedup_survivors_best"]
 
 
 def connected_components(
@@ -126,4 +127,44 @@ def dedup_survivors(
     comp = connected_components(pairs, src_col, dst_col,
                                 out_id=id_col, out_label="_cluster")
     victims = comp.filter(F.col(id_col) != F.col("_cluster")).select(id_col)
+    return df.join(victims, id_col, "left_anti")
+
+
+def dedup_survivors_best(
+    df: DataFrame,
+    pairs: DataFrame,
+    quality_col: str,
+    id_col: str = "doc_id",
+    src_col: str = "doc1",
+    dst_col: str = "doc2",
+) -> DataFrame:
+    """Like :func:`dedup_survivors`, but the survivor of each
+    near-duplicate cluster is its BEST document by ``quality_col``
+    (min-id tiebreak) — the production policy when near-dups differ in
+    extraction quality and "keep the cleanest copy" beats "keep the
+    first crawl". Documents in no pair survive untouched; a cluster
+    whose every quality is NULL survives whole (``max`` ignores nulls —
+    no winner can be named, so nothing is dropped).
+
+    The argmax is two cluster-keyed AGGREGATES (max quality, then min
+    id among the maxima) rather than a ``row_number`` window: a
+    boilerplate cluster of millions partial-aggregates map-side instead
+    of funnelling through the single reducer owning its cluster label.
+    Only (id, cluster, quality) triples shuffle — never documents."""
+    comp = connected_components(pairs, src_col, dst_col,
+                                out_id=id_col, out_label="_cluster")
+    ranked = comp.join(df.select(F.col(id_col), F.col(quality_col)), id_col)
+    mq = ranked.groupBy("_cluster").agg(
+        F.max(F.col(quality_col)).alias("_qmax"))
+    winners = (
+        ranked.join(mq, "_cluster")
+        .filter(F.col(quality_col) == F.col("_qmax"))
+        .groupBy("_cluster")
+        .agg(F.min(F.col(id_col)).alias("_keep"))
+    )
+    victims = (
+        comp.join(winners, "_cluster")
+        .filter(F.col(id_col) != F.col("_keep"))
+        .select(id_col)
+    )
     return df.join(victims, id_col, "left_anti")

@@ -24,7 +24,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["hash_variate", "hash_sample", "hash_split", "weighted_mix",
-           "cap_per_group", "epoch_shuffle"]
+           "temperature_mix", "cap_per_group", "epoch_shuffle"]
 
 _PREFIX_LEN = 8  # 16^8 ~ 4.3e9 granularity
 
@@ -100,6 +100,51 @@ def weighted_mix(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def temperature_mix(
+    df: DataFrame,
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    alpha: float = 0.5,
+    target_rows: "int | None" = None,
+    seed: str = "mixt",
+) -> DataFrame:
+    """Temperature-reweighted corpus mixing — the multilingual-LM
+    sampling rule (exponentiated weighting, as in mBERT/T5/XLM-R data
+    mixing): source ``s`` with ``n_s`` rows gets sampling weight
+    ``p_s ∝ n_s^alpha``; with ``alpha < 1`` small sources are upweighted
+    relative to their natural share (alpha=1 is proportional, alpha=0
+    uniform across sources). Each source keeps the deterministic
+    fraction ``f_s = min(1, round(target·p_s / n_s, 6))`` of its rows by
+    hash variate, so membership is reproducible across runs/engines and
+    stable per key. ``target_rows=None`` targets the current corpus
+    size (pure re-balancing: big sources shrink to fund the small-source
+    upweighting; the realized total lands near the target, not exactly —
+    per-source rounding and capped sources absorb the difference).
+
+    One tiny aggregate (per-source counts — |sources| rows to the
+    driver), then a pure row-local filter against a broadcast
+    source→threshold map: the corpus is scanned once, nothing shuffles.
+    The 6-decimal round on ``f_s`` pins the thresholds across engines
+    (summation order of the normalizer differs at the last ulp
+    otherwise)."""
+    counts = {
+        r[source_col]: r["n"]
+        for r in df.groupBy(source_col).agg(
+            F.count(F.lit(1)).alias("n")).collect()
+    }
+    if not counts:
+        return df
+    z = sum(c ** alpha for _, c in sorted(counts.items()))
+    total = float(target_rows if target_rows is not None
+                  else sum(counts.values()))
+    frac = {s: min(1.0, round(total * (c ** alpha) / z / c, 6))
+            for s, c in counts.items()}
+    thr = F.create_map(*[lit for s in sorted(counts)
+                         for lit in (F.lit(s), F.lit(_threshold(frac[s])))])
+    v = hash_variate(F.col(key_col), seed=seed)
+    return df.filter(v < thr[F.col(source_col)])
 
 
 def cap_per_group(

@@ -548,6 +548,46 @@ def test_dedup_survivors(spark):
     assert kept == [1, 3, 4]
 
 
+def test_dedup_survivors_best_quality(spark):
+    """Best-quality member survives per cluster (min-id tiebreak on
+    quality ties); untouched docs pass through; an all-NULL-quality
+    cluster survives whole (no winner can be named)."""
+    from feldman_spark.pipeline.graph import dedup_survivors_best
+
+    docs = spark.createDataFrame(
+        [(1, 10.0), (2, 30.0), (7, 30.0),   # cluster {1,2,7}: q-max tie 2/7
+         (3, 5.0),                          # untouched
+         (8, None), (9, None)],             # cluster {8,9}: all-null quality
+        "doc_id long, q double")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 7), (8, 9)], "doc1 long, doc2 long")
+    kept = sorted(r["doc_id"] for r in
+                  dedup_survivors_best(docs, pairs, "q").collect())
+    assert kept == [2, 3, 8, 9]
+
+
+def test_temperature_mix_upweights_small_sources(spark):
+    """alpha<1 keeps small sources whole-ish while big sources shrink;
+    alpha=1 is proportional (every fraction 1.0 when target=total);
+    membership is deterministic across calls."""
+    from feldman_spark.pipeline.sampling import temperature_mix
+
+    d = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 900, "big").otherwise("small").alias("source"))
+    out = temperature_mix(d, alpha=0.5)
+    counts = {r["source"]: r["n"] for r in
+              out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # weights ∝ sqrt(n): small's fraction caps at 1.0 (kept whole),
+    # big shrinks toward total·w_big/n_big ≈ 0.83
+    assert counts["small"] == 100
+    assert 700 < counts["big"] < 900
+    again = {r["doc_id"] for r in out.collect()}
+    assert again == {r["doc_id"] for r in temperature_mix(d, alpha=0.5).collect()}
+    # alpha=1: proportional -> every source keeps fraction 1.0
+    assert temperature_mix(d, alpha=1.0).count() == 1000
+
+
 def test_connected_components_max_iter(spark):
     from feldman_spark.pipeline.graph import connected_components
 
