@@ -1649,8 +1649,8 @@ _PIPELINE_ORACLES = {
     "text_lang_id": None,  # filled below from _lang_id_oracle_sql()
     "text_fingerprint": """
         SELECT doc_id,
-               md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
-                                       '\\s+', ' ', 'g'))) AS fp,
+               md5(trim(array_to_string(regexp_split_to_array(lower(text),
+                                        '[^a-z0-9]+'), ' '))) AS fp,
                CAST(CASE WHEN trim(text) = '' THEN 0
                     ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT)
                  AS n_tokens
@@ -2359,17 +2359,32 @@ def pipeline_dedup_stats(spark, sf_dir):
     """Composite training-data pipeline: fingerprint-dedup the corpus
     (formatting-insensitive md5, keep lowest doc_id), then per-language
     document and token statistics — the fingerprint/dedup/token operators
-    composed end-to-end in one plan."""
+    composed end-to-end in one plan.
+
+    Scale shape: token counts are computed BEFORE the dedup shuffle, so
+    the fingerprint-keyed exchange moves one ~40-byte (id, lang, counts)
+    struct per document and the winner is a map-side-combinable
+    ``min(struct)`` — the former ``row_number`` window shuffled and
+    sorted the full TEXT of every copy, and a viral fingerprint
+    duplicated millions of times would have landed on one reducer
+    (same de-skew rule as paragraph_dedup). The ~dup-fraction of wasted
+    pre-shuffle token counting is noise against not moving the corpus."""
     from feldman_spark.pipeline.text import bpe_token_count, fingerprint, token_count
 
     d = _t(spark, sf_dir, "documents")
-    w = Window.partitionBy(fingerprint(F.col("text"))).orderBy(F.col("doc_id").asc())
-    kept = d.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    slim = d.select(
+        fingerprint(F.col("text")).alias("_fp"),
+        F.struct(
+            F.col("doc_id"), F.col("lang"),
+            token_count(F.col("text")).alias("_ws"),
+            bpe_token_count(F.col("text")).alias("_bpe"),
+        ).alias("_row"))
+    kept = slim.groupBy("_fp").agg(F.min("_row").alias("_w"))
     return (
-        kept.groupBy("lang")
+        kept.groupBy(F.col("_w.lang").alias("lang"))
         .agg(F.count(F.lit(1)).alias("n_docs"),
-             F.sum(token_count(F.col("text"))).alias("ws_tokens"),
-             F.sum(bpe_token_count(F.col("text"))).alias("bpe_tokens"))
+             F.sum("_w._ws").alias("ws_tokens"),
+             F.sum("_w._bpe").alias("bpe_tokens"))
     )
 
 
@@ -3574,8 +3589,8 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_dedup_stats": """
             WITH fp AS (
               SELECT doc_id, lang, text,
-                     md5(trim(regexp_replace(regexp_replace(lower(text),
-                         '[^a-z0-9 ]', '', 'g'), '\\s+', ' ', 'g'))) AS f
+                     md5(trim(array_to_string(regexp_split_to_array(lower(text),
+                         '[^a-z0-9]+'), ' '))) AS f
               FROM documents
             ),
             kept AS (

@@ -58,8 +58,12 @@ def bpe_token_count(text: Column) -> Column:
     """BPE-ish token count: number of ``BPE_SPLIT_PATTERN`` matches —
     the pre-merge piece count a byte-pair tokenizer would start from
     (an upper bound on, and in practice a close proxy for, the merged
-    token count). Pure column expression, one pass, no UDF."""
-    return F.size(F.regexp_extract_all(text, F.lit(BPE_SPLIT_PATTERN), F.lit(0))).cast("bigint")
+    token count). Pure column expression, one pass, no UDF —
+    ``regexp_count`` rather than ``size(regexp_extract_all(...))``,
+    which materialized an array holding a copy of every token substring
+    just to take its length (~2× the whole pipeline_dedup_stats wall at
+    sf5's corpus)."""
+    return F.regexp_count(text, F.lit(BPE_SPLIT_PATTERN)).cast("bigint")
 
 
 def _word_hit_count(lowered_text: Column, words: Sequence[str]) -> Column:
@@ -393,9 +397,16 @@ def lang_id(text: Column, default: str = "en") -> Column:
 
 
 def fingerprint(text: Column) -> Column:
-    """Normalized content fingerprint: lowercase, collapse whitespace,
-    strip non-alphanumerics, md5. Stable under formatting noise —
-    the key for exact dedup across re-crawls."""
-    norm = F.regexp_replace(F.lower(text), r"[^a-z0-9 ]", "")
-    norm = F.trim(F.regexp_replace(norm, r"\s+", " "))
+    """Normalized content fingerprint: lowercase, every non-alphanumeric
+    run becomes one space (so punctuation is a token boundary, not
+    deletion — "don't" and "dont" stay distinct), trim, md5. Stable
+    under case/punctuation/whitespace noise — the key for exact dedup
+    across re-crawls.
+
+    Normalization is split + array_join, NOT regexp_replace: Java's
+    regex replace rebuilds the string through a StringBuffer per match
+    and measured 20× slower than the split form over the sf5 corpus
+    (8.6 s vs 0.4 s for the same scan; it was the entire
+    pipeline_dedup_stats budget)."""
+    norm = F.trim(F.array_join(F.split(F.lower(text), "[^a-z0-9]+"), " "))
     return F.md5(norm)
