@@ -756,6 +756,34 @@ def dedup_incremental(spark, sf_dir):
     return kept.select("doc_id")
 
 
+def dedup_near_incremental(spark, sf_dir):
+    """Incremental NEAR-dup dedup against a historical LSH band-hash
+    store (pipeline/dedup.py::minhash_dedup_incremental) — the fuzzy
+    twin of dedup_incremental: the store holds only ~50 bytes of band
+    hashes per historical survivor; the batch drops (a) within-batch
+    near-dups (exact-verified pairs → components → min-id survivor) and
+    (b) every doc colliding with a stored band (approximate by design —
+    re-crawl copies of 5 historical docs collide with certainty here).
+    History = band rows of docs < 250; batch = the rest + 5 re-crawl
+    copies (+100000, must drop via store hit) + 5 intra-batch copies
+    (+200000, must drop via within-batch survivorship)."""
+    from feldman_spark.pipeline.dedup import (
+        minhash_band_rows, minhash_dedup_incremental)
+
+    d = _t(spark, sf_dir, "documents")
+    hist = d.filter(F.col("doc_id") < 250).select("doc_id", "text")
+    store = minhash_band_rows(hist)
+    recrawl = d.filter(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text")
+    intra = d.filter((F.col("doc_id") >= 250) & (F.col("doc_id") < 255)).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text")
+    batch = (d.filter(F.col("doc_id") >= 250).select("doc_id", "text")
+             .unionByName(recrawl).unionByName(intra))
+    kept, _bands = minhash_dedup_incremental(batch, store,
+                                             broadcast_seen=True)
+    return kept.select("doc_id")
+
+
 def dedup_semantic(spark, sf_dir):
     """SemDeDup-style semantic dedup (pipeline/dedup.py::semantic_dedup):
     deterministic spherical k-means clusters, then greedy-by-id pruning
@@ -1204,6 +1232,89 @@ def _survivors_quality_oracle_sql() -> str:
                     WHERE r.doc_id != b.keep)
         SELECT d.doc_id, d.q FROM docs d
         WHERE d.doc_id NOT IN (SELECT doc_id FROM victims)
+    """
+
+
+def _near_inc_oracle_sql() -> str:
+    """minhash_dedup_incremental as SQL: band rows for history and
+    batch (same md5 minhash family as the dedup_minhash_lsh oracle),
+    within-batch verified pairs → components walk → min-id survivors,
+    store hits via a (band, bh) semi-join, both dropped from the
+    batch."""
+    sig_cols = ", ".join(
+        "list_min(list_transform(shingles, s -> md5(s || '#%d'))) AS h%d"
+        % (j, j) for j in range(9))
+
+    def bands(src: str) -> str:
+        return f"""(
+          WITH s AS (
+            SELECT doc_id,
+                   list_transform(range(1, len(w) - 1),
+                                  i -> array_to_string(w[i:i+2], ' ')) AS shingles
+            FROM (SELECT doc_id, string_split(text, ' ') AS w FROM {src})
+            WHERE len(w) >= 3
+          ),
+          g AS (SELECT doc_id, {sig_cols} FROM s)
+          SELECT doc_id, 0 AS band, md5(h0 || '|' || h1 || '|' || h2) AS bh FROM g
+          UNION ALL
+          SELECT doc_id, 1, md5(h3 || '|' || h4 || '|' || h5) FROM g
+          UNION ALL
+          SELECT doc_id, 2, md5(h6 || '|' || h7 || '|' || h8) FROM g
+        )"""
+
+    return f"""
+        WITH RECURSIVE
+        hist AS (SELECT doc_id, text FROM documents WHERE doc_id < 250),
+        batch AS (
+          SELECT doc_id, text FROM documents WHERE doc_id >= 250
+          UNION ALL
+          SELECT doc_id + 100000, text FROM documents WHERE doc_id < 5
+          UNION ALL
+          SELECT doc_id + 200000, text FROM documents
+          WHERE doc_id >= 250 AND doc_id < 255
+        ),
+        hbands AS (SELECT * FROM {bands('hist')} t),
+        bbands AS (SELECT * FROM {bands('batch')} t),
+        bsh AS (
+          SELECT doc_id,
+                 list_transform(range(1, len(w) - 1),
+                                i -> array_to_string(w[i:i+2], ' ')) AS shingles
+          FROM (SELECT doc_id, string_split(text, ' ') AS w FROM batch)
+          WHERE len(w) >= 3
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+          FROM bbands a JOIN bbands b ON a.band = b.band AND a.bh = b.bh
+                                     AND a.doc_id < b.doc_id
+        ),
+        pairs AS (
+          SELECT doc1, doc2 FROM cand
+          JOIN bsh s1 ON s1.doc_id = doc1
+          JOIN bsh s2 ON s2.doc_id = doc2
+          WHERE CAST(len(list_intersect(list_distinct(s1.shingles),
+                                        list_distinct(s2.shingles))) AS DOUBLE)
+                / len(list_distinct(list_concat(s1.shingles, s2.shingles)))
+                >= 0.2
+        ),
+        edges AS (
+          SELECT doc1 AS a, doc2 AS b FROM pairs
+          UNION
+          SELECT doc2, doc1 FROM pairs
+        ),
+        walk(id, lab) AS (
+          SELECT DISTINCT a, a FROM edges
+          UNION
+          SELECT e.a, w.lab FROM edges e JOIN walk w ON w.id = e.b
+        ),
+        comp AS (SELECT id, min(lab) AS lab FROM walk GROUP BY id),
+        victims AS (SELECT id AS doc_id FROM comp WHERE id != lab),
+        hits AS (
+          SELECT DISTINCT b.doc_id
+          FROM bbands b JOIN hbands h ON b.band = h.band AND b.bh = h.bh
+        )
+        SELECT doc_id FROM batch
+        WHERE doc_id NOT IN (SELECT doc_id FROM victims)
+          AND doc_id NOT IN (SELECT doc_id FROM hits)
     """
 
 
@@ -2765,6 +2876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # minus the bench-covered ones) lead the r7 queue.
         "w1_splice_scan_grouped": w1_splice_scan_grouped,
         "dedup_survivors_quality": dedup_survivors_quality,
+        "dedup_near_incremental": dedup_near_incremental,
         "sample_temperature": sample_temperature,
         "dedup_paragraphs": dedup_paragraphs,
         "dedup_semantic": dedup_semantic,
@@ -2812,8 +2924,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a7_percentiles": a7_percentiles,
         "a8_rollup": a8_rollup,
         "q2_min_cost_supplier": q2_min_cost_supplier,
-        "q4_order_priority": q4_order_priority,
         # --- beyond the 50-row window (mirror-checked every round) ---
+        "q4_order_priority": q4_order_priority,
         "q7_volume_shipping": q7_volume_shipping,
         "q8_market_share": q8_market_share,
         "w6_scd2_intervals": w6_scd2_intervals,
@@ -3302,6 +3414,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _simhash_oracle_sql(),
         "dedup_clusters": _components_oracle_sql(),
         "dedup_survivors_quality": _survivors_quality_oracle_sql(),
+        "dedup_near_incremental": _near_inc_oracle_sql(),
         "sample_temperature": """
             WITH c AS (
               SELECT source, CAST(count(*) AS DOUBLE) AS n

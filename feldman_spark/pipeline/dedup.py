@@ -40,6 +40,8 @@ __all__ = [
     "paragraph_dedup",
     "semantic_dedup",
     "exact_dedup_incremental",
+    "minhash_band_rows",
+    "minhash_dedup_incremental",
 ]
 
 HEX_HIGH = "89abcdef"  # hex digits whose high bit is set
@@ -260,6 +262,46 @@ def lsh_bands(sig_cols: Sequence[str], rows_per_band: int = 3) -> List[Column]:
     return bands
 
 
+def _band_stack(
+    ex: DataFrame,
+    id_col: str,
+    num_hashes: int,
+    rows_per_band: int,
+    hash_fn: str,
+) -> DataFrame:
+    """(id, band, bh) LSH band rows from a shingle stream ``ex`` —
+    per-doc min() signatures (partial aggregation shrinks the shuffle to
+    per-partition per-doc minima; values identical to
+    :func:`minhash_signature_array`'s — same family, same min), then
+    band b = hash of signature rows b·r..b·r+r−1, exactly the
+    :func:`lsh_bands` values."""
+    if hash_fn == "xxhash64":
+        # shingles are pre-hashed longs here; family j = xxhash64(h, j)
+        mins = [F.min(F.xxhash64(F.col("_g"), F.lit(j))).alias(f"h{j}")
+                for j in range(num_hashes)]
+    elif hash_fn == "md5":
+        mins = [F.min(F.md5(F.concat(F.col("_g"), F.lit(f"#{j}")))).alias(f"h{j}")
+                for j in range(num_hashes)]
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r} (md5 | xxhash64)")
+    sig = ex.groupBy(id_col).agg(*mins)
+
+    n_bands = num_hashes // rows_per_band
+
+    def band_hash(b: int) -> Column:
+        cols = [F.col(f"h{j}")
+                for j in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        if hash_fn == "xxhash64":
+            return F.xxhash64(F.array(*cols))
+        return F.md5(F.concat_ws("|", *cols))
+
+    return sig.select(
+        F.col(id_col),
+        F.posexplode(F.array(*[band_hash(b) for b in range(n_bands)]))
+        .alias("band", "bh"),
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -290,35 +332,8 @@ def minhash_lsh_pairs(
 
     ex = _shingle_stream(df, text_col, id_col, k,
                          hashed=(hash_fn == "xxhash64"))
-    if hash_fn == "xxhash64":
-        # shingles are pre-hashed longs here; family j = xxhash64(h, j)
-        mins = [F.min(F.xxhash64(F.col("_g"), F.lit(j))).alias(f"h{j}")
-                for j in range(num_hashes)]
-    elif hash_fn == "md5":
-        mins = [F.min(F.md5(F.concat(F.col("_g"), F.lit(f"#{j}")))).alias(f"h{j}")
-                for j in range(num_hashes)]
-    else:
-        raise ValueError(f"unknown hash_fn {hash_fn!r} (md5 | xxhash64)")
-    # partial aggregation shrinks the shuffle to per-partition per-doc
-    # minima; values are identical to minhash_signature_array's (same
-    # family, same min)
-    sig = ex.groupBy(id_col).agg(*mins)
-
-    n_bands = num_hashes // rows_per_band
-
-    # band b = hash of rows b*r..b*r+r-1 — exactly the lsh_bands values
-    def band_hash(b: int) -> Column:
-        cols = [F.col(f"h{j}")
-                for j in range(b * rows_per_band, (b + 1) * rows_per_band)]
-        if hash_fn == "xxhash64":
-            return F.xxhash64(F.array(*cols))
-        return F.md5(F.concat_ws("|", *cols))
-
-    stacked = sig.select(
-        F.col(id_col),
-        F.posexplode(F.array(*[band_hash(b) for b in range(n_bands)]))
-        .alias("band", "bh"),
-    ).persist()  # both sides of the self-join; (id, band, hash) only
+    stacked = _band_stack(ex, id_col, num_hashes, rows_per_band, hash_fn)
+    stacked = stacked.persist()  # both sides of the self-join; slim rows
 
     left = stacked.select(F.col(id_col).alias("doc1"), "band", "bh")
     right = stacked.select(F.col(id_col).alias("doc2"), "band", "bh")
@@ -1122,3 +1137,86 @@ def exact_dedup_incremental(
             s = F.broadcast(s)
         batchd = batchd.join(s, digest_col, "left_anti")
     return batchd.drop(digest_col), batchd.select(digest_col)
+
+
+def minhash_band_rows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 9,
+    rows_per_band: int = 3,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Per-document LSH band rows ``(id, band, bh)`` — the storable
+    near-dup fingerprint: ``num_hashes/rows_per_band`` hashes per doc
+    (≤ ~50 bytes/doc at the defaults), independent of text size. Two
+    documents are near-dup *candidates* iff they share any (band, bh).
+    The store format for :func:`minhash_dedup_incremental`."""
+    ex = _shingle_stream(_widen_narrow_scan(df), text_col, id_col, k,
+                         hashed=(hash_fn == "xxhash64"))
+    return _band_stack(ex, id_col, num_hashes, rows_per_band, hash_fn)
+
+
+def minhash_dedup_incremental(
+    new_df: DataFrame,
+    seen_bands: Optional[DataFrame],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 9,
+    rows_per_band: int = 3,
+    threshold: float = 0.2,
+    hash_fn: str = "md5",
+    broadcast_seen: bool = False,
+):
+    """Incremental NEAR-dup dedup for a growing corpus — the fuzzy twin
+    of :func:`exact_dedup_incremental`: dedup the incoming batch within
+    itself (MinHash-LSH pairs at ``threshold``, exact-verified, then
+    min-id survivor per connected component), and drop every batch doc
+    that shares ANY LSH band hash with the historical store
+    ``seen_bands`` (the :func:`minhash_band_rows` of all prior
+    survivors).
+
+    Returns ``(kept, bands)``: the surviving batch rows, and their band
+    rows to append to the store.
+
+    The history check is approximate BY DESIGN: the store holds band
+    hashes only (≤ ~50 bytes/doc — no text, no shingles), so a store
+    hit cannot be verified; it inherits exactly the banding candidate
+    step's false-positive rate (two docs sharing a full band of minhash
+    values), which is what production re-crawl pipelines accept in
+    exchange for a store 3-4 orders of magnitude smaller than the
+    corpus. Identical and near-identical re-crawls collide with
+    probability ~1. The within-batch side IS exact-verified (the batch
+    still has its text).
+
+    Scale: the store join shuffles (band, bh) pairs only (or broadcasts
+    them with ``broadcast_seen=True``); batch text never moves beyond
+    its own shingle shuffle; components run on the batch's pair graph
+    (vanishing vs corpus). ``seen_bands=None`` is the bootstrap run.
+    """
+    from feldman_spark.pipeline.graph import dedup_survivors
+
+    pairs = minhash_lsh_pairs(
+        new_df, text_col=text_col, id_col=id_col, k=k,
+        num_hashes=num_hashes, rows_per_band=rows_per_band,
+        threshold=threshold, hash_fn=hash_fn)
+    batch_kept = dedup_survivors(new_df, pairs, id_col=id_col)
+
+    if seen_bands is not None:
+        bands_all = minhash_band_rows(
+            new_df, text_col=text_col, id_col=id_col, k=k,
+            num_hashes=num_hashes, rows_per_band=rows_per_band,
+            hash_fn=hash_fn)
+        s = seen_bands.select("band", "bh")
+        if broadcast_seen:
+            s = F.broadcast(s)
+        hit_ids = bands_all.join(s, ["band", "bh"], "left_semi") \
+            .select(id_col).distinct()
+        batch_kept = batch_kept.join(hit_ids, id_col, "left_anti")
+
+    out_bands = minhash_band_rows(
+        batch_kept, text_col=text_col, id_col=id_col, k=k,
+        num_hashes=num_hashes, rows_per_band=rows_per_band, hash_fn=hash_fn)
+    return batch_kept, out_bands

@@ -548,6 +548,37 @@ def test_dedup_survivors(spark):
     assert kept == [1, 3, 4]
 
 
+def test_minhash_dedup_incremental(spark):
+    """Fuzzy incremental dedup: within-batch near-dups keep the min id;
+    anything colliding with the historical band store drops; a second
+    run of the surviving batch against the updated store is empty
+    (idempotent re-crawl)."""
+    from feldman_spark.pipeline.dedup import (
+        minhash_band_rows, minhash_dedup_incremental)
+
+    hist = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today"),
+         (2, "an entirely different historical document about rivers")],
+        "doc_id long, text string")
+    store = minhash_band_rows(hist)
+    batch = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog today"),  # store hit
+         (11, "a brand new document with completely fresh words here"),
+         (12, "a brand new document with completely fresh words here"),  # intra dup of 11
+         (13, "unrelated third text nothing shared with anything else")],
+        "doc_id long, text string")
+    kept, bands = minhash_dedup_incremental(batch, store,
+                                            broadcast_seen=True)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [11, 13]
+    # idempotency: re-running the kept docs against store+bands drops all
+    store2 = store.unionByName(bands)
+    again, _ = minhash_dedup_incremental(kept, store2, broadcast_seen=True)
+    assert again.count() == 0
+    # bootstrap run (no store): only within-batch dedup applies
+    boot, _ = minhash_dedup_incremental(batch, None)
+    assert sorted(r["doc_id"] for r in boot.collect()) == [10, 11, 13]
+
+
 def test_dedup_survivors_best_quality(spark):
     """Best-quality member survives per cluster (min-id tiebreak on
     quality ties); untouched docs pass through; an all-NULL-quality
