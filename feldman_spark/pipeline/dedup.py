@@ -1057,49 +1057,54 @@ def semantic_dedup(
     Returns the surviving rows of ``df`` plus their ``cid`` cluster id.
 
     Scale: clustering is the one-pass-per-iteration IVF build (centroid
-    matrix broadcasts); the prune is a self-join keyed on ``cid`` —
-    quadratic in CLUSTER size by design (the published algorithm), so
-    ``num_centroids=None`` (default) auto-sizes to
-    ``max(8, ceil(N / target_cluster_rows))`` — the same capacity rule
-    as the embedding-LSH plane auto-sizing, holding expected cluster
-    occupancy (hence pair count, hence wall-clock) linear in N
-    (measured: fixed C=8 was 42 s at sf1's 20k vectors, auto C=79 is
-    ~7 s, identical survivors on the sf0.01 gate where both give C=8).
-    Sizing is folded INTO the k-means seed pass (the KMV over-collect
-    in :func:`~feldman_spark.pipeline.similarity.ivf_build`) — no
-    separate ``count()`` action scans the corpus before work starts;
-    norms are computed once per vector, and only (cid, id, vector) rows
-    shuffle.
+    matrix broadcasts); the prune is ONE ``applyInPandas`` group per
+    cluster — a vectorized numpy gram matrix over the cluster's
+    normalized vectors, quadratic in CLUSTER size by design (the
+    published algorithm), so ``num_centroids=None`` (default)
+    auto-sizes to ``max(8, ceil(N / target_cluster_rows))`` — the same
+    capacity rule as the embedding-LSH plane auto-sizing, holding
+    per-cluster work (a ~256×256 matmul) constant as N grows. The
+    former relational self-join form evaluated ~N·target/2 cosines
+    through ``aggregate``/``zip_with`` lambdas — CodegenFallback,
+    interpreted per pair (8.1 s at sf5's 100k vectors vs ~1 s
+    vectorized). Sizing is folded INTO the k-means seed pass (the KMV
+    over-collect in
+    :func:`~feldman_spark.pipeline.similarity.ivf_build`) — no separate
+    ``count()`` action scans the corpus before work starts; the only
+    shuffle is the cid-keyed group exchange of (row, vector) pairs.
+    Cosines are rounded to ``digits`` before the threshold test, which
+    also absorbs the BLAS-vs-fold summation-order ulp so survivors are
+    bit-stable across both formulations.
     """
-    from feldman_spark.pipeline.similarity import (
-        _as_double, _dot, _safe_norm, ivf_build)
+    import numpy as np
+    import pandas as pd
+
+    from feldman_spark.pipeline.similarity import ivf_build
 
     assigned, _cents = ivf_build(
         df, vec_col=vec_col, id_col=id_col,
         num_centroids=num_centroids, iters=iters,
         target_cluster_rows=target_cluster_rows)
-    normed = assigned.select(
-        "cid", F.col(id_col), _as_double(F.col(vec_col)).alias("_vd"))
-    normed = normed.select(
-        "cid", id_col, "_vd", _safe_norm(F.col("_vd")).alias("_n"))
-    hi = normed.select(
-        "cid", F.col(id_col).alias("_hi"),
-        F.col("_vd").alias("_v1"), F.col("_n").alias("_n1"))
-    lo = normed.select(
-        "cid", F.col(id_col).alias("_lo"),
-        F.col("_vd").alias("_v2"), F.col("_n").alias("_n2"))
-    cos = F.round(
-        _dot(F.col("_v1"), F.col("_v2")) / (F.col("_n1") * F.col("_n2")),
-        digits)
-    dropped = (
-        hi.join(lo, "cid")
-        .filter(F.col("_hi") > F.col("_lo"))
-        .withColumn("_cos", cos)
-        .filter(F.col("_cos") >= threshold)
-        .select(F.col("_hi").alias(id_col))
-        .distinct()
-    )
-    return assigned.join(dropped, id_col, "left_anti")
+
+    thr = float(threshold)
+    dig = int(digits)
+
+    def prune(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        if len(pdf) <= 1:
+            return pdf
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        x = np.array(list(pdf[vec_col]), dtype=np.float64)
+        nrm = np.linalg.norm(x, axis=1)
+        nrm[nrm == 0] = 1.0  # zero vectors: cosine defined as 0, never >= thr
+        u = x / nrm[:, None]
+        s = np.round(u @ u.T, dig)
+        # drop row i iff ANY lower-id row j<i has cosine >= threshold —
+        # the order-independent SemDeDup keep rule (strictly-lower
+        # triangle, diagonal excluded)
+        drop = (np.tril(s >= thr, k=-1)).any(axis=1)
+        return pdf[~drop]
+
+    return assigned.groupBy("cid").applyInPandas(prune, schema=assigned.schema)
 
 
 def exact_dedup_incremental(
