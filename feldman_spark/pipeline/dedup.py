@@ -1203,17 +1203,44 @@ def minhash_dedup_incremental(
     """
     from feldman_spark.pipeline.graph import dedup_survivors
 
-    pairs = minhash_lsh_pairs(
-        new_df, text_col=text_col, id_col=id_col, k=k,
-        num_hashes=num_hashes, rows_per_band=rows_per_band,
-        threshold=threshold, hash_fn=hash_fn)
-    batch_kept = dedup_survivors(new_df, pairs, id_col=id_col)
+    # ONE shingle stream + band stack serves all three consumers —
+    # within-batch candidates, the store check, and the returned store
+    # delta (the returned bands are the kept docs' slice of the same
+    # persisted stack, not a recompute; the naive compose-of-operators
+    # form ran the shingle+signature pipeline three times, ~2× wall)
+    ex = _shingle_stream(_widen_narrow_scan(new_df), text_col, id_col, k,
+                         hashed=(hash_fn == "xxhash64"))
+    bands_all = _band_stack(ex, id_col, num_hashes, rows_per_band,
+                            hash_fn).persist()
+
+    left = bands_all.select(F.col(id_col).alias("doc1"), "band", "bh")
+    right = bands_all.select(F.col(id_col).alias("doc2"), "band", "bh")
+    cand = (
+        left.join(right, ["band", "bh"])
+        .filter(F.col("doc1") < F.col("doc2"))
+        .select("doc1", "doc2")
+        .distinct()
+    )
+    pairs = _relational_jaccard(cand, ex, id_col, threshold)
+    # the components loop is many TINY stages (a handful of near-dup
+    # edges, several joins+counts per round): run the corpus-wide pair
+    # generation at full shuffle width, checkpoint, then scope the loop
+    # to a few partitions — at 32-wide sessions the loop's pure
+    # task-scheduling overhead otherwise dominates this operator (same
+    # treatment as the dedup_clusters contract query)
+    spark = new_df.sparkSession
+    pairs = pairs.localCheckpoint()  # full-width pair generation runs here
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        # the label-propagation rounds execute EAGERLY inside this call
+        # (per-round convergence counts), so the scope covers the loop;
+        # the returned anti-join itself is lazy and runs at full width
+        batch_kept = dedup_survivors(new_df, pairs, id_col=id_col)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
     if seen_bands is not None:
-        bands_all = minhash_band_rows(
-            new_df, text_col=text_col, id_col=id_col, k=k,
-            num_hashes=num_hashes, rows_per_band=rows_per_band,
-            hash_fn=hash_fn)
         s = seen_bands.select("band", "bh")
         if broadcast_seen:
             s = F.broadcast(s)
@@ -1221,7 +1248,6 @@ def minhash_dedup_incremental(
             .select(id_col).distinct()
         batch_kept = batch_kept.join(hit_ids, id_col, "left_anti")
 
-    out_bands = minhash_band_rows(
-        batch_kept, text_col=text_col, id_col=id_col, k=k,
-        num_hashes=num_hashes, rows_per_band=rows_per_band, hash_fn=hash_fn)
+    out_bands = bands_all.join(
+        batch_kept.select(id_col), id_col, "left_semi")
     return batch_kept, out_bands
