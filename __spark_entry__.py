@@ -2861,12 +2861,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # eventually carries a driver-green row (the mirror gate,
     # tools/check_oracle.py, still runs ALL keys every round, so queries
     # outside the window cannot silently rot). Round 6 window, in
-    # priority order: (a) every query whose code changed this round —
-    # the NEW grouped splice scan, the four reworked dedup paths
-    # (paragraph min-struct aggregate, semantic KMV sizing, ngram
-    # guard+PPJoin, minhash scan-probe; dedup_clusters consumes the
-    # minhash pairs), the widened-prefix epoch shuffle, the validated
-    # gap-fill; (b) a9_sketch_distinct / u2_unpivot — first-ever driver
+    # priority order: (a) every query whose code is new or changed this
+    # round — the grouped splice scan, the best-quality survivor policy,
+    # the incremental near-dup band store, temperature mixing, the four
+    # reworked dedup paths (paragraph min-struct aggregate, semantic
+    # KMV sizing + vectorized prune, ngram guard+PPJoin, minhash
+    # scan-probe; dedup_clusters consumes the minhash pairs), the
+    # widened-prefix epoch shuffle, the validated gap-fill; (b) a9_sketch_distinct / u2_unpivot — first-ever driver
     # rows; (c) the eight r3-stale keys displaced in r5; (d) the six
     # keys the r5 comment queued; (e) r4 rows whose adjacent files
     # changed in r5/r6 (stateful streaming, as-of carry, ANN exact
