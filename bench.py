@@ -72,9 +72,40 @@ def _limit(floor: float) -> float:
     return max(1.5 * floor, floor + 1.0)
 
 
+def _autosize_driver_memory(sf_dir: str) -> None:
+    """Scale the local-mode JVM heap with the input size.
+
+    In ``local[N]`` everything — scans, 32 concurrent shuffle tasks, the
+    block manager — shares the DRIVER heap, so the 8g default that is
+    right for the sf0.1 gate becomes a GC trap at sf20 (3.2 GB parquet
+    ≈ 15-25 GB live during wide shuffles; measured: the first sf20 run
+    under 8g lost shuffle files and ran ~2x slow on pure GC). Heuristic:
+    ~12 GB heap per on-disk GB (decompression + shuffle double-buffering
+    across 32 threads), floored at the 8g gate default so sf0.1 floors
+    stay comparable, capped at half of physical RAM. An explicit
+    SPARK_DRIVER_MEMORY always wins. On a real cluster this knob is
+    per-executor memory and comes from cluster_conf() sizing instead.
+    """
+    if os.environ.get("SPARK_DRIVER_MEMORY"):
+        return
+    try:
+        disk = sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _, files in os.walk(sf_dir) for f in files
+        )
+        with open("/proc/meminfo") as f:
+            ram_kb = int(next(l for l in f if l.startswith("MemTotal"))
+                         .split()[1])
+        heap = min(max(8, 4 + int(12 * disk / 2**30)), ram_kb // 1024 // 2048)
+        os.environ["SPARK_DRIVER_MEMORY"] = f"{heap}g"
+    except (OSError, StopIteration, ValueError):
+        pass  # keep the session.py default
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    _autosize_driver_memory(sf_dir)
 
     import __spark_entry__ as entry
     from feldman_spark.session import get_spark
