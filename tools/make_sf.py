@@ -92,16 +92,43 @@ def _stride(max_val: int) -> int:
     return 10 ** math.ceil(math.log10(max_val + 2))
 
 
+# multipliers coprime with 26: the decimation axis of the affine cipher
+_COPRIME26 = [1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25]
+
+
 def _cipher_expr(col: str, rep) -> F.Column:
-    """Per-replica substitution cipher: rotate the alphabet by the replica
-    index (identity for replica 0). A char-bijection, so length, word
-    boundaries, and all within-replica Jaccard relationships survive."""
-    out = F.col(col)
+    """Per-replica AFFINE substitution cipher, a char-bijection: length,
+    word boundaries, and all within-replica Jaccard relationships
+    survive exactly.
+
+    Letter i maps to ``m·(i + s) mod 26`` with shift ``s = rep % 26``
+    and decimation ``m = coprime[(rep // 26) % 12]`` — 26 × 12 = 312
+    distinct permutations. The previous single rotation axis wraps at
+    26 replicas: at sf20 (k=200) replicas r and r+26 produced IDENTICAL
+    texts, so every base doc had ~8 exact twins per rotation class and
+    the true near-dup pair set (and every candidate scheme's work) grew
+    O(k²) — a generator artifact, not a workload (measured: 30×
+    ngram-jaccard wall at 4× data). Two distinct affine permutations
+    agree on at most one letter, so cross-class texts share essentially
+    no letter n-grams. For rep < 26 the decimation is the identity
+    (m=1), so every k ≤ 26 corpus (sf1 and below) is byte-identical to
+    the old scheme. Replicas share a cipher class only when
+    rep₁ ≡ rep₂ (mod 312) — keep k ≤ 312."""
+    rot = F.col(col)
     for r in range(1, 26):
-        rot_l = LOWER[r:] + LOWER[:r]
-        rot_u = UPPER[r:] + UPPER[:r]
-        out = F.when(rep % 26 == r,
-                     F.translate(F.col(col), LOWER + UPPER, rot_l + rot_u)
+        rot = F.when(
+            rep % 26 == r,
+            F.translate(F.col(col), LOWER + UPPER,
+                        LOWER[r:] + LOWER[:r] + UPPER[r:] + UPPER[:r])
+        ).otherwise(rot)
+    out = rot
+    for j, m in enumerate(_COPRIME26):
+        if m == 1:
+            continue  # identity decimation: `rot` already is the result
+        dec_l = "".join(LOWER[(m * i) % 26] for i in range(26))
+        dec_u = "".join(UPPER[(m * i) % 26] for i in range(26))
+        out = F.when(F.floor(rep / 26) % 12 == j,
+                     F.translate(rot, LOWER + UPPER, dec_l + dec_u)
                      ).otherwise(out)
     return out
 
@@ -129,12 +156,25 @@ def scale_table(df: DataFrame, name: str, k: int, strides: dict) -> DataFrame:
         rotated = F.when(shift == 0, emb).otherwise(
             F.concat(F.slice(emb, shift + 1, F.lit(dim) - shift),
                      F.slice(emb, F.lit(1), shift)))
+        # the rotation wraps at `dim` replicas: at k > dim, replicas r
+        # and r+dim share a shift and differ only by the ±0.002
+        # perturbation (cosine ≈ 0.9999 — artifact twins, quadratic in
+        # k/dim). Compose a per-wrap-class ±1 diagonal (an orthogonal
+        # transform: within-replica inner products are preserved
+        # EXACTLY; cross-class cosine decorrelates since ~half the dims
+        # flip). Class 0 (every k ≤ dim corpus) keeps the identity, so
+        # existing sf1/sf5 embeddings are unchanged.
+        wrap = F.floor(rep / dim)
         out = out.withColumn(
             "embedding",
             F.transform(
                 rotated,
-                lambda x, i: (x + F.lit(0.002) * F.sin(
-                    F.col("vec_id") * 7 + i * 13 + rep * 31)).cast("float")))
+                lambda x, i: (
+                    x * F.when(wrap == 0, F.lit(1.0)).otherwise(
+                        F.signum(F.sin(i * 13.37 + wrap * 96.71)))
+                    + F.lit(0.002) * F.sin(
+                        F.col("vec_id") * 7 + i * 13 + rep * 31)
+                ).cast("float")))
     return out.drop("_rep")
 
 
@@ -144,6 +184,8 @@ def main() -> None:
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--out", default=None)
     ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    ap.add_argument("--tables", default=None,
+                    help="comma-separated subset to (re)generate in place")
     args = ap.parse_args()
 
     k = round(args.target / SRC_SF)
@@ -168,7 +210,9 @@ def main() -> None:
         strides[grp] = _stride(int(mx))
     print(f"strides: {strides}", file=sys.stderr)
 
-    for name in TABLES:
+    wanted = (args.tables.split(",") if args.tables else TABLES)
+    for name in wanted:
+        assert name in TABLES, name
         t0 = time.time()
         src = spark.read.parquet(f"{args.src}/{name}.parquet")
         scaled = scale_table(src, name, k, strides)
