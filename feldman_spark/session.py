@@ -38,6 +38,19 @@ def get_spark(
         # (convert with ns_to_timestamp where needed)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # JDK-17 G1: a large humongous allocation retries only twice when
+        # it loses the race against JNI critical sections (Arrow/Netty
+        # hold GetPrimitiveArrayCritical constantly under 32 concurrent
+        # tasks) and then kills the task as a spurious OOM with most of
+        # the heap free — observed at sf20 as "Retried waiting for
+        # GCLocker too often allocating 16777218 words" followed by lost
+        # shuffle files. Raising the retry count is the documented
+        # mitigation (JDK-8192647); on a real cluster this belongs in
+        # spark.executor.extraJavaOptions too.
+        .config("spark.driver.extraJavaOptions",
+                "-XX:+UnlockDiagnosticVMOptions "
+                "-XX:GCLockerRetryAllocationCount=100 "
+                + os.environ.get("SPARK_DRIVER_EXTRA_JAVA_OPTIONS", ""))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.warehouse.dir",
                 os.environ.get("SPARK_WAREHOUSE_DIR", "/tmp/feldman-spark-warehouse"))
@@ -81,4 +94,9 @@ def cluster_conf(
             "org.apache.spark.sql.execution.streaming.state."
             "RocksDBStateStoreProvider",
         "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+        # see get_spark: Arrow's JNI critical sections starve humongous
+        # allocations under high task concurrency on JDK-17 G1
+        "spark.executor.extraJavaOptions":
+            "-XX:+UnlockDiagnosticVMOptions "
+            "-XX:GCLockerRetryAllocationCount=100",
     }
