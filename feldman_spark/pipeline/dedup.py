@@ -434,17 +434,26 @@ def ngram_jaccard_pairs(
     candidate_budget_per_doc: Optional[int] = 4096,
     fallback_num_hashes: int = 12,
     fallback_rows_per_band: int = 2,
+    verify_broadcast_bytes: int = 768 << 20,
 ) -> DataFrame:
     """Character-n-gram Jaccard pairs at or above ``threshold``.
 
     Default path is **prefix filtering** (Chaudhuri et al. SSJoin /
     Bayardo et al. AllPairs): order each document's distinct grams by
     ascending document frequency (rare first — a global total order),
-    and explode only the first ``|g| - ceil(t·|g|) + 1`` grams. Any pair
-    with Jaccard ≥ t provably shares a prefix gram (pigeonhole on the
-    smallest common gram in the order), so candidate generation is a
-    self-join on *rare* grams — recall is exactly 1.0, unlike MinHash
-    banding — and only candidates pay the exact-Jaccard verification.
+    and explode only a prefix of each document's sorted grams. The
+    prefixes are ASYMMETRIC (the AllPairs probe/index split): the
+    *index* side explodes ``|g| - ceil(t·|g|) + 1`` grams, while the
+    *probe* side only needs ``|g| - ceil(2t/(1+t)·|g|) + 1`` (≈ |g|/3
+    at t=0.5 vs |g|/2) because for a pair with |A| ≤ |B| the overlap
+    bound t·(|A|+|B|)/(1+t) is at least 2t/(1+t)·|A| — so the pair's
+    smallest common gram sits within A's SHORTER probe prefix and B's
+    index prefix. Orienting the join by (size, id) instead of bare id
+    keeps recall exactly 1.0 (pigeonhole on the smallest common gram
+    in the order) while cutting the per-gram join product roughly in
+    half; candidate generation remains a self-join on *rare* grams —
+    recall is exactly 1.0, unlike MinHash banding — and only
+    candidates pay the exact-Jaccard verification.
     Pre-verification pruning is threefold, all recall-preserving: a size
     filter (t·max ≤ min) drops length-incompatible pairs; a POSITIONAL
     filter (PPJoin, Xiao et al. 2008) drops a match at sorted-prefix
@@ -476,6 +485,20 @@ def ngram_jaccard_pairs(
     guard (the oracle-gate scales never trigger it: ~200 projected
     candidates/doc at the gate vs ~5000/doc where the sf5 corpus
     genuinely densifies).
+
+    Verification joins the candidate pairs back to the per-doc gram
+    arrays (~8·|g| bytes per doc). Moving those arrays per-PAIR through
+    a shuffle is the scale killer (measured ~60 GB of array shuffle at
+    1M docs / 25M candidates): when the whole gram table fits
+    ``verify_broadcast_bytes`` (estimated as 8·Σ|g| from the cached
+    ranking — the corpus never rescans) both verification joins
+    broadcast it, so candidate rows stream through two in-memory hash
+    joins and the arrays never hit a shuffle. Above the bound the joins
+    fall back to SHUFFLE_HASH (never sort-merge: sorting the candidate
+    table twice is pure overhead), which moves each pair's arrays once
+    — the documented cost of corpora beyond ~3M docs per group on
+    default settings. The verification parallelism is sized from the
+    projected candidate count, not a fixed core count.
 
     ``all_pairs=True`` keeps the quadratic within-group self-join — the
     correctness oracle for tests and tiny corpora only.
@@ -554,6 +577,12 @@ def ngram_jaccard_pairs(
     # PERSISTED: the ranking feeds both sides of the candidate join and
     # the guard aggregate — without the cache the window chain executes
     # up to three times
+    # both ceil() bounds carry a -1e-9: float noise pushing t·sz a hair
+    # ABOVE its true integer value would ceil one higher and shorten the
+    # prefix — a silent recall hole; the epsilon can only LENGTHEN a
+    # prefix (more candidates, never fewer)
+    t = float(threshold)
+    probe_frac = 2.0 * t / (1.0 + t)
     ranked = (
         exd.withColumn("_df", F.count(F.lit(1)).over(wdf))
         .groupBy(F.col(id_col), *grp)
@@ -561,7 +590,14 @@ def ngram_jaccard_pairs(
         .withColumn("sz", F.size("_ord"))
         .withColumn(
             "_plen",
-            (F.col("sz") - F.ceil(F.lit(float(threshold)) * F.col("sz")) + 1).cast("int"),
+            (F.col("sz")
+             - F.ceil(F.lit(t) * F.col("sz") - F.lit(1e-9)) + 1).cast("int"),
+        )
+        .withColumn(
+            "_plen_probe",
+            (F.col("sz")
+             - F.ceil(F.lit(probe_frac) * F.col("sz") - F.lit(1e-9))
+             + 1).cast("int"),
         )
         .withColumn("_pref", F.slice(F.col("_ord"), F.lit(1), F.col("_plen")))
         .persist()
@@ -569,11 +605,13 @@ def ngram_jaccard_pairs(
     # positions ride along 0-based: sz − p is then exactly "the shared
     # gram plus everything after it" in that doc's sorted gram array
     pref = ranked.select(
-        F.col(id_col), *grp, F.col("sz"),
+        F.col(id_col), *grp, F.col("sz"), F.col("_plen_probe"),
         F.posexplode(F.transform("_pref", lambda s: s["_g"])).alias("p", "g"),
     )
 
     use_banding = False
+    proj = None
+    total_grams = None
     if candidate_budget_per_doc is not None:
         ndocs = ranked.count()  # materializes the cache it then reuses
         proj = (
@@ -581,6 +619,9 @@ def ngram_jaccard_pairs(
             .agg(F.sum(F.col("_c") * (F.col("_c") - 1) / 2).alias("_p"))
             .first()["_p"]
         ) or 0
+        # Σ|g| off the SAME cache — sizes the verification strategy
+        # below without another corpus pass
+        total_grams = ranked.agg(F.sum("sz")).first()[0] or 0
         use_banding = proj > candidate_budget_per_doc * max(ndocs, 1)
         import logging
 
@@ -589,6 +630,16 @@ def ngram_jaccard_pairs(
             "(budget %d/doc) -> %s path", int(proj), ndocs,
             candidate_budget_per_doc,
             "minhash-banding fallback" if use_banding else "exact prefix")
+
+    # verification parallelism: the candidate table is tiny in BYTES
+    # (AQE would coalesce it to ~1 partition) but each row costs an
+    # array-intersect over two full gram sets — spread by projected
+    # candidate volume, not a fixed core count
+    cores = max(cores, 1)
+    if proj is not None:
+        verify_parts = int(min(4096, max(cores, proj // 2_000_000)))
+    else:
+        verify_parts = cores
 
     if use_banding:
         # over-budget corpora: same gram sets, same exact verification,
@@ -620,14 +671,22 @@ def ngram_jaccard_pairs(
             .filter(F.col("doc1") < F.col("doc2"))
             .filter(F.greatest("sz1", "sz2") * F.lit(float(threshold))
                     <= F.least("sz1", "sz2"))
-            .select("doc1", "doc2", "sz1", "sz2")
+            # |A|+|B| is symmetric and functionally dependent on the id
+            # pair — verification needs only the sum (|A∪B| = ssum − ∩)
+            .select("doc1", "doc2",
+                    (F.col("sz1") + F.col("sz2")).alias("ssum"))
             .distinct()
-            .repartition(cores)
+            .repartition(verify_parts)
         )
     else:
-        left = pref.select(F.col(id_col).alias("doc1"), *grp,
-                           F.col("sz").alias("sz1"), F.col("p").alias("p1"),
-                           "g")
+        # asymmetric probe/index split (see docstring): the probe side
+        # keeps only positions inside the SHORTER 2t/(1+t) prefix, the
+        # index side the full t-prefix; orientation is by (size, id) —
+        # for |A| ≤ |B| the smallest common gram provably lies in A's
+        # probe prefix and B's index prefix
+        left = pref.filter(F.col("p") < F.col("_plen_probe")).select(
+            F.col(id_col).alias("doc1"), *grp,
+            F.col("sz").alias("sz1"), F.col("p").alias("p1"), "g")
         right = pref.select(F.col(id_col).alias("doc2"), *grp,
                             F.col("sz").alias("sz2"), F.col("p").alias("p2"),
                             "g")
@@ -638,23 +697,30 @@ def ngram_jaccard_pairs(
                  / F.lit(1.0 + float(threshold)) - F.lit(1e-9))
         cand = (
             left.join(right, grp + ["g"])
-            .filter(F.col("doc1") < F.col("doc2"))
+            # (size, id) orientation: probe strictly smaller, id breaks
+            # size ties (either orientation satisfies the prefix bounds
+            # when sizes are equal)
+            .filter((F.col("sz1") < F.col("sz2"))
+                    | ((F.col("sz1") == F.col("sz2"))
+                       & (F.col("doc1") < F.col("doc2"))))
             # J >= t  =>  max(|A|,|B|) * t <= min(|A|,|B|)
             .filter(F.greatest("sz1", "sz2") * F.lit(float(threshold))
                     <= F.least("sz1", "sz2"))
             # PPJoin positional filter (recall-preserving; see docstring)
             .filter(F.least(F.col("sz1") - F.col("p1"),
                             F.col("sz2") - F.col("p2")) >= alpha)
-            # sizes are functions of the doc ids, so carrying them through
-            # the distinct leaves the pair set unchanged — and saves the
-            # verification from re-deriving set sizes from the arrays
-            .select("doc1", "doc2", "sz1", "sz2")
+            # re-canonicalize to id order for the output contract; the
+            # size SUM is orientation-independent, so it rides through
+            # the distinct unchanged
+            .select(F.least("doc1", "doc2").alias("doc1"),
+                    F.greatest("doc1", "doc2").alias("doc2"),
+                    (F.col("sz1") + F.col("sz2")).alias("ssum"))
             .distinct()
             # AQE coalesces this shuffle to ~1 partition (candidate id
             # pairs are tiny in BYTES) but each row costs an
             # array-intersect over full gram sets downstream — spread the
             # verification explicitly
-            .repartition(cores)
+            .repartition(verify_parts)
         )
 
     # verification stays in the per-pair ARRAY form: prefix filtering
@@ -664,15 +730,20 @@ def ngram_jaccard_pairs(
     # count — array_intersect touches only the pair's two cached arrays
     # (measured 3x faster at 1.7M candidates). Only the INTERSECTION is
     # computed on the arrays: |A ∪ B| = |A| + |B| − |A ∩ B| from the
-    # carried sizes, halving the per-pair array work (no array_union
+    # carried size sum, halving the per-pair array work (no array_union
     # pass over two full gram sets per candidate).
     inter = F.size(F.array_intersect("g1", "g2")).cast("double")
-    jaccard = F.round(
-        inter / (F.col("sz1") + F.col("sz2") - inter),
-        4,
-    )
+    jaccard = F.round(inter / (F.col("ssum") - inter), 4)
     s1 = grams.select(F.col(id_col).alias("doc1"), F.col("grams").alias("g1"))
     s2 = grams.select(F.col(id_col).alias("doc2"), F.col("grams").alias("g2"))
+    # join strategy (see docstring): broadcast the gram table when it
+    # fits — the candidate rows then never shuffle their arrays — else
+    # shuffle-hash (the candidate side must never be SORTED twice just
+    # to attach arrays)
+    if total_grams is not None and total_grams * 8 <= verify_broadcast_bytes:
+        s1, s2 = F.broadcast(s1), F.broadcast(s2)
+    else:
+        s1, s2 = s1.hint("shuffle_hash"), s2.hint("shuffle_hash")
     return (
         cand.join(s1, "doc1").join(s2, "doc2")
         .withColumn("jaccard", jaccard)

@@ -158,6 +158,50 @@ def test_ngram_prefix_filter_matches_all_pairs(spark):
         assert "g#" in cond or "doc" in cond, f"group-only join: {cond}"
 
 
+@pytest.mark.parametrize("seed,threshold", [(1, 0.3), (2, 0.5), (3, 0.72)])
+def test_ngram_asym_prefix_recall_randomized(spark, seed, threshold):
+    """Adversarial recall check for the asymmetric probe/index prefix
+    split: small alphabet (heavy gram sharing), many equal-length docs
+    (exercises the (size, id) tie orientation), mutated near-copies at
+    every similarity level, and thresholds where ceil(t·sz) /
+    ceil(2t/(1+t)·sz) land on and around integer boundaries. The prefix
+    path must equal the all-pairs oracle exactly."""
+    import random
+
+    rng = random.Random(seed)
+    rows = []
+    for i in range(150):
+        base = "".join(rng.choice("abcd") for _ in range(rng.choice([24, 30, 36])))
+        rows.append((i, base))
+        if i % 3 == 0:  # mutated copy: similarity spread around t
+            s = list(base)
+            for _ in range(rng.randrange(0, 12)):
+                s[rng.randrange(len(s))] = rng.choice("abcd")
+            rows.append((1000 + i, "".join(s)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(group_col=None, n=3, threshold=threshold,
+              candidate_budget_per_doc=None)
+    ap = {(r["doc1"], r["doc2"], r["jaccard"])
+          for r in ngram_jaccard_pairs(docs, all_pairs=True, **kw).collect()}
+    pf = {(r["doc1"], r["doc2"], r["jaccard"])
+          for r in ngram_jaccard_pairs(docs, **kw).collect()}
+    assert pf == ap and len(ap) > 0
+
+
+def test_ngram_shuffle_hash_verify_path_parity(spark):
+    """verify_broadcast_bytes=0 forces the shuffle-hash verification
+    join (the >bound regime of corpora whose gram table cannot
+    broadcast); the pair set must be identical to the broadcast path."""
+    docs = (spark.read.parquet(f"{SF}/documents.parquet")
+            .filter(F.col("lang") == "de"))
+    bc = {(r["doc1"], r["doc2"], r["jaccard"])
+          for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    shj = {(r["doc1"], r["doc2"], r["jaccard"])
+           for r in ngram_jaccard_pairs(
+               docs, threshold=0.5, verify_broadcast_bytes=0).collect()}
+    assert bc == shj and len(bc) > 0
+
+
 def test_embedding_cosine_pairs_self_dup(spark):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet").filter(F.col("vec_id") < 20)
     dup = emb.withColumn("vec_id", F.col("vec_id") + 10_000)
