@@ -3575,17 +3575,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM bd
         """,
         # deterministic-by-seed output (xxhash64-seeded k-means), pinned
-        # like knn_ivf; valid at the driver's sf0.01 gate only
+        # like knn_ivf; valid at the driver's sf0.01 gate only.
+        # Re-pinned for the cost-balanced C* = sqrt(N/iters) sizing
+        # (semantic_dedup no longer uses the search index's capacity
+        # rule); survivor total is unchanged at 500 — every original
+        # survives, all 20 injected duplicates drop.
         "dedup_semantic": """
             SELECT * FROM (VALUES
-              (0, CAST(61 AS BIGINT), CAST(14620 AS BIGINT)),
-              (1, 61, 15981),
-              (2, 74, 20388),
-              (3, 61, 14009),
-              (4, 66, 18097),
-              (5, 62, 13869),
-              (6, 63, 15816),
-              (7, 52, 11970)
+              (0, CAST(32 AS BIGINT), CAST(9064 AS BIGINT)),
+              (1, 32, 8493),
+              (2, 34, 7805),
+              (3, 28, 6760),
+              (4, 22, 5249),
+              (5, 31, 6676),
+              (6, 28, 6545),
+              (7, 32, 8318),
+              (8, 35, 8085),
+              (9, 32, 8215),
+              (10, 30, 7351),
+              (11, 29, 7389),
+              (12, 31, 8286),
+              (13, 26, 6532),
+              (14, 23, 5642),
+              (15, 27, 7214),
+              (16, 28, 7126)
             ) AS t(cid, n_kept, id_sum)
         """,
         "sample_mix": """

@@ -1131,15 +1131,23 @@ def semantic_dedup(
     matrix broadcasts); the prune is ONE ``applyInPandas`` group per
     cluster — a vectorized numpy gram matrix over the cluster's
     normalized vectors, quadratic in CLUSTER size by design (the
-    published algorithm), so ``num_centroids=None`` (default)
-    auto-sizes to ``max(8, ceil(N / target_cluster_rows))`` — the same
-    capacity rule as the embedding-LSH plane auto-sizing, holding
-    per-cluster work (a ~256×256 matmul) constant as N grows. The
-    former relational self-join form evaluated ~N·target/2 cosines
-    through ``aggregate``/``zip_with`` lambdas — CodegenFallback,
-    interpreted per pair (8.1 s at sf5's 100k vectors vs ~1 s
-    vectorized). Sizing is folded INTO the k-means seed pass (the KMV
-    over-collect in
+    published algorithm). ``num_centroids=None`` (default) auto-sizes
+    with ivf_build's COST-BALANCED rule ``C* = √(N/iters)``, not the
+    search index's capacity rule ``N/target``: semantic dedup pays both
+    the assignment passes (iters·N·C·d) and the within-cluster
+    quadratic prune (N²·d/C), so constant-occupancy sizing makes the
+    assignment — hence the whole operator — quadratic in N (measured
+    9× wall at 4× vectors before the change), while C* keeps both
+    terms O(N^1.5). The prune's gram matrix is computed in
+    ≤2048-row blocks against the strictly-lower rows, so a cluster of
+    any size stays ≤ 2048×2048 doubles of peak memory — cluster sizes
+    grow as √(N·iters) under balanced sizing and k-means occupancy is
+    uneven anyway, so per-group memory must not scale with the
+    cluster. The former relational self-join form evaluated
+    ~N·target/2 cosines through ``aggregate``/``zip_with`` lambdas —
+    CodegenFallback, interpreted per pair (8.1 s at sf5's 100k vectors
+    vs ~1 s vectorized). Sizing is folded INTO the k-means seed pass
+    (the KMV over-collect in
     :func:`~feldman_spark.pipeline.similarity.ivf_build`) — no separate
     ``count()`` action scans the corpus before work starts; the only
     shuffle is the cid-keyed group exchange of (row, vector) pairs.
@@ -1155,10 +1163,11 @@ def semantic_dedup(
     assigned, _cents = ivf_build(
         df, vec_col=vec_col, id_col=id_col,
         num_centroids=num_centroids, iters=iters,
-        target_cluster_rows=target_cluster_rows)
+        target_cluster_rows=target_cluster_rows, sizing="balanced")
 
     thr = float(threshold)
     dig = int(digits)
+    block = 2048
 
     def prune(pdf: "pd.DataFrame") -> "pd.DataFrame":
         if len(pdf) <= 1:
@@ -1168,11 +1177,22 @@ def semantic_dedup(
         nrm = np.linalg.norm(x, axis=1)
         nrm[nrm == 0] = 1.0  # zero vectors: cosine defined as 0, never >= thr
         u = x / nrm[:, None]
-        s = np.round(u @ u.T, dig)
+        n = len(u)
         # drop row i iff ANY lower-id row j<i has cosine >= threshold —
         # the order-independent SemDeDup keep rule (strictly-lower
-        # triangle, diagonal excluded)
-        drop = (np.tril(s >= thr, k=-1)).any(axis=1)
+        # triangle, diagonal excluded). The rule compares against ALL
+        # lower rows (kept or dropped), so each block's verdict needs
+        # only gram blocks, never earlier verdicts: peak memory is one
+        # block×block matrix regardless of cluster size.
+        drop = np.zeros(n, dtype=bool)
+        for lo in range(0, n, block):
+            hi = min(lo + block, n)
+            s = np.round(u[lo:hi] @ u[:hi].T, dig)
+            # columns >= own row index (within [lo:hi]) are the
+            # diagonal/upper triangle — mask them out of "lower-id"
+            cols = np.arange(hi)
+            rows_ = np.arange(lo, hi)[:, None]
+            drop[lo:hi] = ((s >= thr) & (cols < rows_)).any(axis=1)
         return pdf[~drop]
 
     return assigned.groupBy("cid").applyInPandas(prune, schema=assigned.schema)

@@ -211,6 +211,7 @@ def ivf_build(
     num_centroids: "int | None" = 16,
     iters: int = 2,
     target_cluster_rows: int = 256,
+    sizing: str = "capacity",
 ):
     """IVF index build: spherical k-means with deterministic seeding.
 
@@ -222,10 +223,21 @@ def ivf_build(
     centroid matrix is C×d doubles — driver/broadcast-sized for any
     realistic C.
 
-    ``num_centroids=None`` auto-sizes to ``max(8, ceil(N /
-    target_cluster_rows))`` — the capacity rule that keeps expected
-    cluster occupancy (hence within-cluster pair counts downstream)
-    constant as the corpus grows — WITHOUT a separate ``count()`` pass:
+    ``num_centroids=None`` auto-sizes by ``sizing`` rule:
+
+    * ``"capacity"`` (default): ``max(8, ceil(N / target_cluster_rows))``
+      — constant expected cluster occupancy, the right shape for a
+      SEARCH index (probe cost ∝ cluster rows). Note the build's
+      assignment pass is N·C·d, so this rule makes the one-time build
+      quadratic in N — acceptable for an index built once and probed
+      many times.
+    * ``"balanced"``: ``max(8, ceil(√(N / iters)))`` — minimizes total
+      flops for consumers that pay BOTH the assignment (iters·N·C·d)
+      and a within-cluster quadratic pass (N²·d/C, e.g. the SemDeDup
+      prune): d·N·(iters·C + N/C) is minimal at C* = √(N/iters), and
+      both terms stay O(N^1.5) as the corpus grows instead of O(N²).
+
+    Either way sizing needs N WITHOUT a separate ``count()`` pass:
     the seed job over-collects the ``_KMV_CAP`` smallest-hash rows, and
     because xxhash64 values are uniform, the k smallest of N hashes give
     N two ways in one action — exactly (fewer than the cap came back ⇒
@@ -263,7 +275,15 @@ def ivf_build(
             # signed 64-bit hash -> uniform u_k in (0, 1)
             u_k = (rows[-1]["_h"] + 2**63 + 1) / 2.0**64
             n_est = int((_KMV_CAP - 1) / u_k)
-        num_centroids = max(8, math.ceil(n_est / target_cluster_rows))
+        if sizing == "balanced":
+            num_centroids = max(8, math.ceil(
+                math.sqrt(n_est / max(iters, 1))))
+        elif sizing == "capacity":
+            num_centroids = max(8, math.ceil(n_est / target_cluster_rows))
+        else:
+            raise ValueError(
+                f"ivf_build: unknown sizing rule {sizing!r} "
+                "(expected 'capacity' or 'balanced')")
         seeds = (rows[:num_centroids] if num_centroids <= len(rows)
                  else hashed.orderBy("_h").limit(num_centroids).collect())
     else:
