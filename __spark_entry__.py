@@ -2259,14 +2259,32 @@ def q21_waiting_supplier(spark, sf_dir):
         .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
         .select("l_orderkey", "l_suppkey")
     )
-    li2 = li.select(F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2"))
-    l3 = late_all.select(F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3"))
+    # EXISTS/NOT-EXISTS as per-order aggregates instead of a semi + anti
+    # join pair: 'another supplier exists in the order' is exactly
+    # min(supp) != max(supp) over the order's lineitems, and 'no OTHER
+    # supplier shipped late' is min == max over its LATE lineitems (l1
+    # itself is late, so the late set being single-supplier pins it to
+    # l1's). The former form re-executed the li-join-orders subtree for
+    # the anti branch and shuffled the full lineitem for a non-equi
+    # semi join; this one makes a single map-side-combining pass over
+    # (orderkey, suppkey) — lineitem is clustered by orderkey, so the
+    # partial min/max collapse locally — and every join key below is
+    # l_orderkey, so the exchanges line up with no re-shuffle
+    # (5.9x -> ~3x wall for 4x rows at the sf5->sf20 audit).
+    multi = (
+        li.groupBy("l_orderkey")
+        .agg((F.min("l_suppkey") != F.max("l_suppkey")).alias("_multi"))
+        .filter(F.col("_multi")).select("l_orderkey")
+    )
+    solo_late = (
+        late_all.groupBy("l_orderkey")
+        .agg(F.min("l_suppkey").alias("_lo"), F.max("l_suppkey").alias("_hi"))
+        .filter(F.col("_lo") == F.col("_hi")).select("l_orderkey")
+    )
     return (
         late_all
-        .join(li2, (F.col("l_orderkey") == F.col("k2"))
-              & (F.col("l_suppkey") != F.col("s2")), "left_semi")
-        .join(l3, (F.col("l_orderkey") == F.col("k3"))
-              & (F.col("l_suppkey") != F.col("s3")), "left_anti")
+        .join(multi, "l_orderkey", "left_semi")
+        .join(solo_late, "l_orderkey", "left_semi")
         .join(F.broadcast(
             su.join(F.broadcast(na), F.col("s_nationkey") == F.col("n_nationkey"))
             .select("s_suppkey", "s_name")),
