@@ -905,7 +905,11 @@ def embedding_cosine_pairs_lsh(
     arccos(c)/π; with T tables of P planes a true pair is missed with
     probability (1 - (1-arccos(c)/π)^P)^T — at P=4/T=8 ~6e-7 for
     c = 0.99 and ~2e-2 for c = 0.9 (raise ``num_tables`` to push it
-    down; exact duplicates are never missed).
+    down; exact duplicates are never missed). A Hamming prefilter over
+    the full T·P sign-bit signature (see the inline bound) drops the
+    random bucket collisions inside the candidate-join stage at an
+    extra ~Φ(-6) ≈ 1e-9 true-pair miss — far below the banding miss —
+    and exact duplicates (Hamming 0) are still never dropped.
 
     ``planes_per_table=None`` (the default) auto-sizes P ≈
     log2(N / target_bucket_rows), clamped to [4, 16]: bucket count is
@@ -928,8 +932,6 @@ def embedding_cosine_pairs_lsh(
 
     import numpy as np
 
-    from feldman_spark.pipeline.similarity import _as_double, _dot, _safe_norm
-
     if dim is None:
         first = df.select(vec_col).first()
         if first is None:
@@ -937,6 +939,7 @@ def embedding_cosine_pairs_lsh(
                 [], "id1 long, id2 long, cosine double")
         dim = len(first[0])
 
+    n = None
     if planes_per_table is None:
         n = df.count()
         planes_per_table = min(16, max(4, math.ceil(
@@ -952,6 +955,27 @@ def embedding_cosine_pairs_lsh(
     base = df.select(F.col(id_col), F.col(vec_col))
     id_type = df.schema[id_col].dataType.simpleString()
 
+    # Hamming prefilter bound over ALL B = T·P sign bits (already
+    # computed by the bucketize matmul — repacked below at zero extra
+    # flops): a pair at cosine >= t disagrees per plane with probability
+    # θ/π (θ = arccos t), so its total disagreement is Binomial(B, θ/π);
+    # κ = ceil(B·θ/π + 6σ) keeps a true pair with P(miss) ≈ Φ(-6) —
+    # negligible against the banding miss itself — while a RANDOM pair
+    # sits at B/2 ± √B/2, many σ above κ at near-dup thresholds. The
+    # filter runs INSIDE the candidate-join stage as pure codegen
+    # bit_count(xor) on a few longs, so the tens of millions of random
+    # bucket collisions die before the distinct/verify shuffle ever
+    # sees them (measured 38.5M -> ~20 candidate pairs at 400k vectors,
+    # t=0.99). Disabled when κ approaches B/2 (low thresholds: no
+    # separation, and banding itself is the wrong tool there).
+    total_bits = num_tables * planes_per_table
+    theta_frac = math.acos(min(1.0, max(-1.0, float(threshold)))) / math.pi
+    mu = total_bits * theta_frac
+    sd = math.sqrt(total_bits * theta_frac * (1.0 - theta_frac))
+    kappa = math.ceil(mu + 6.0 * sd)
+    use_hamming = kappa < 0.45 * total_bits
+    n_sig_longs = (total_bits + 63) // 64 if use_hamming else 0
+
     def bucketize(batches):
         import pandas as pd
 
@@ -961,48 +985,92 @@ def embedding_cosine_pairs_lsh(
                 continue
             x = np.array(list(pdf[vec_col]), dtype=np.float64)
             bits = (x @ m.T) >= 0  # B × (T·P)
+            packed = []
+            for k in range(n_sig_longs):
+                chunk = bits[:, 64 * k:64 * (k + 1)]
+                w = (2 ** np.arange(chunk.shape[1], dtype=np.uint64))
+                packed.append(
+                    (chunk.astype(np.uint64) @ w).astype(np.int64))
             frames = []
             for t in range(num_tables):
                 sig = bits[:, t * planes_per_table:(t + 1) * planes_per_table]
-                frames.append(pd.DataFrame({
+                cols = {
                     id_col: pdf[id_col].to_numpy(),
                     "tbl": np.full(len(pdf), t, dtype=np.int32),
                     "sig": sig.astype(np.int64) @ bit_weights,
-                }))
+                }
+                for k, pk in enumerate(packed):
+                    cols[f"_s{k}"] = pk
+                frames.append(pd.DataFrame(cols))
             yield pd.concat(frames, ignore_index=True)
 
+    sig_schema = "".join(f", _s{k} long" for k in range(n_sig_longs))
     stacked = base.mapInPandas(
-        bucketize, schema=f"`{id_col}` {id_type}, tbl int, sig long")
+        bucketize,
+        schema=f"`{id_col}` {id_type}, tbl int, sig long{sig_schema}")
 
-    left = stacked.select(F.col(id_col).alias("id1"), "tbl", "sig")
-    right = stacked.select(F.col(id_col).alias("id2"), "tbl", "sig")
+    left = stacked.select(
+        F.col(id_col).alias("id1"), "tbl", "sig",
+        *[F.col(f"_s{k}").alias(f"_a{k}") for k in range(n_sig_longs)])
+    right = stacked.select(
+        F.col(id_col).alias("id2"), "tbl", "sig",
+        *[F.col(f"_s{k}").alias(f"_b{k}") for k in range(n_sig_longs)])
     cand = (
         left.join(right, ["tbl", "sig"])
         .filter(F.col("id1") < F.col("id2"))
-        .select("id1", "id2")
+    )
+    if use_hamming:
+        hamming = sum(
+            (F.bit_count(F.col(f"_a{k}").bitwiseXOR(F.col(f"_b{k}")))
+             for k in range(n_sig_longs)),
+            start=F.lit(0),
+        )
+        cand = cand.filter(hamming <= F.lit(kappa))
+    cand = (
+        cand.select("id1", "id2")
         .distinct()
         # byte-tiny candidate pairs cost a full cosine each downstream;
         # don't let AQE serialize the verification onto one partition
         .repartition(df.sparkSession.sparkContext.defaultParallelism)
     )
 
-    # norms are per-VECTOR quantities: compute each once on the N-row
-    # side of the join instead of twice per candidate pair — the
-    # per-pair work drops to the single dot product (the HOF cosine is
-    # interpreted, so shaving 2 of its 3 array passes is ~2× on the
-    # verification stage)
-    normed = base.select(
-        F.col(id_col), _as_double(F.col(vec_col)).alias("_vd"))
-    normed = normed.select(
-        id_col, "_vd", _safe_norm(F.col("_vd")).alias("_nrm"))
-    v1 = normed.select(F.col(id_col).alias("id1"),
-                       F.col("_vd").alias("_v1"), F.col("_nrm").alias("_n1"))
-    v2 = normed.select(F.col(id_col).alias("id2"),
-                       F.col("_vd").alias("_v2"), F.col("_nrm").alias("_n2"))
-    cos = _dot(F.col("_v1"), F.col("_v2")) / (F.col("_n1") * F.col("_n2"))
+    # verification: candidates are ~bucket_occupancy × N pairs (tens of
+    # millions at corpus scale even when almost none clear the
+    # threshold), so the per-pair evaluator must be vectorized — the
+    # former zip_with/aggregate fold is CodegenFallback, interpreted
+    # per element (measured ~20 s over ~20M candidates at 400k
+    # vectors). One Arrow-batched pandas UDF computes the whole batch's
+    # cosines as a single einsum; the JVM-side round keeps the output
+    # contract (digits) unchanged.
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _pair_cos(a, b):
+        import pandas as pd
+
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
+        x = np.array(list(a), dtype=np.float64)
+        y = np.array(list(b), dtype=np.float64)
+        nx = np.linalg.norm(x, axis=1)
+        ny = np.linalg.norm(y, axis=1)
+        nx[nx == 0] = 1.0  # zero vectors: cosine 0, never >= threshold
+        ny[ny == 0] = 1.0
+        return pd.Series(np.einsum("ij,ij->i", x, y) / (nx * ny))
+
+    # attaching vectors to pairs must not sort or shuffle the candidate
+    # table by the VECTOR payload: the vector table is n·d·8 bytes —
+    # broadcast it when that fits (n is known from the plane-sizing
+    # count), else shuffle-hash on the id
+    v1 = base.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("_v1"))
+    v2 = base.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("_v2"))
+    if n is not None and n * dim * 8 <= (768 << 20):
+        v1, v2 = F.broadcast(v1), F.broadcast(v2)
+    else:
+        v1, v2 = v1.hint("shuffle_hash"), v2.hint("shuffle_hash")
     return (
         cand.join(v1, "id1").join(v2, "id2")
-        .withColumn("cosine", F.round(cos, digits))
+        .withColumn("cosine", F.round(_pair_cos("_v1", "_v2"), digits))
         .filter(F.col("cosine") >= threshold)
         .select("id1", "id2", "cosine")
     )
