@@ -872,6 +872,21 @@ def sample_temperature(spark, sf_dir):
     return temperature_mix(d, alpha=0.5).select("doc_id", "source")
 
 
+def sample_dsir(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023): every raw document
+    scored by the summed bigram log-likelihood ratio between a target
+    model (the src0 slice — the trusted-domain sample) and the raw-corpus
+    model, Laplace-smoothed — the published hashed-ngram data-selection
+    recipe, run in its engine-portable raw-gram form (the bucketed
+    broadcast form is the documented scale path)
+    (feldman_spark/pipeline/sampling.py::dsir_weights)."""
+    from feldman_spark.pipeline.sampling import dsir_weights
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "is_tgt", F.col("source") == "src0")
+    return dsir_weights(d, "is_tgt", n=2)
+
+
 def pipeline_fuzzy_dedup(spark, sf_dir):
     """The COMPLETE fuzzy-dedup pipeline in one query: MinHash-LSH pairs
     → connected components → survivor anti-join → per-language corpus
@@ -2815,6 +2830,63 @@ def dedup_paragraphs(spark, sf_dir):
     return paragraph_dedup(d, id_col="doc_id", text_col="text", chunk_words=20)
 
 
+# exactly 20 words, so it occupies exactly one 20-word span and every
+# src0 document sheds it as chunk 0 without disturbing later chunk
+# boundaries
+_BOILERPLATE_20W = (
+    "terms of service all rights reserved this page is copyright "
+    "protected do not redistribute without permission thank you kindly friend"
+)
+
+
+def dedup_frequent_spans(spark, sf_dir):
+    """Corpus-level frequent-span removal, CCNet/RefinedWeb line-dedup
+    policy: spans occurring >2 times corpus-wide are boilerplate and are
+    stripped from EVERY document (no first-occurrence survivor — the
+    policy difference vs dedup_paragraphs). A 20-word license header is
+    injected onto every src0 document so the boilerplate band verifiably
+    fires on synthetic word-salad; each src0 doc loses exactly that span
+    (feldman_spark/pipeline/dedup.py::remove_frequent_spans)."""
+    from feldman_spark.pipeline.dedup import remove_frequent_spans
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.when(
+            F.col("source") == "src0",
+            F.concat(F.lit(_BOILERPLATE_20W + " "), F.col("text")),
+        ).otherwise(F.col("text")),
+    )
+    return remove_frequent_spans(
+        d, id_col="doc_id", text_col="text", chunk_words=20, max_count=2)
+
+
+def j11_binned_range_join(spark, sf_dir):
+    """Large×large interval join with NO equi key — the case the
+    broadcast containment join (J1) cannot cover: every customer matched
+    to every supplier whose [s_acctbal, s_acctbal+500] band contains
+    c_acctbal, then per-supplier match count and balance sum. Domain
+    binning (width = the 500 band span) turns the range predicate into a
+    shuffled equi-join on the bin id with ~2x interval replication —
+    never a BroadcastNestedLoopJoin
+    (feldman_spark/ops/joins.py::binned_range_join)."""
+    from feldman_spark.ops.joins import binned_range_join
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    supp = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        F.col("s_acctbal").alias("lo"),
+        (F.col("s_acctbal") + 500.0).alias("hi"),
+    )
+    out = binned_range_join(cust, supp, "c_acctbal", "lo", "hi", bin_width=500.0)
+    return (
+        out.groupBy("s_suppkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cust"),
+            F.bround(F.sum("c_acctbal"), 2).alias("sum_bal"),
+        )
+    )
+
+
 def sample_shuffle(spark, sf_dir):
     """Deterministic epoch reshuffle for training: per-epoch (shard,
     sort-key) from the md5 variate — 'shards in index order, each sorted
@@ -2892,7 +2964,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # twins + the ivf_build seed-pass refactor); (f) r4-stale keys from
     # files touched this round (sampling/training/text), then
     # q2/q4/q7/q8. The nine remaining r4-green TPC-H keys (q13-q22
-    # minus the bench-covered ones) lead the r7 queue.
+    # minus the bench-covered ones) lead the r7 queue, along with
+    # a7_percentiles, a8_rollup and q2_min_cost_supplier (all r4-green),
+    # displaced from this window by the three operators newest in this
+    # round: frequent-span removal, the binned range join, and DSIR
+    # importance weighting.
+        "dedup_frequent_spans": dedup_frequent_spans,
+        "j11_binned_range_join": j11_binned_range_join,
+        "sample_dsir": sample_dsir,
         "w1_splice_scan_grouped": w1_splice_scan_grouped,
         "dedup_survivors_quality": dedup_survivors_quality,
         "dedup_near_incremental": dedup_near_incremental,
@@ -3434,6 +3513,36 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": _components_oracle_sql(),
         "dedup_survivors_quality": _survivors_quality_oracle_sql(),
         "dedup_near_incremental": _near_inc_oracle_sql(),
+        "sample_dsir": """
+            WITH toks AS (
+              SELECT doc_id, source = 'src0' AS tgt,
+                     regexp_split_to_array(trim(text), '\\s+') AS w
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id, tgt,
+                     unnest(list_transform(range(1, len(w)),
+                            i -> array_to_string(w[i:i+1], ' '))) AS g
+              FROM toks WHERE len(w) >= 2
+            ),
+            model AS (
+              SELECT g,
+                     sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct,
+                     sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS cr
+              FROM grams GROUP BY g
+            ),
+            tot AS (SELECT sum(ct) AS t, sum(cr) AS r, count(*) AS v FROM model),
+            ratio AS (
+              SELECT g,
+                     ln((ct + 1.0) / (t + 1.0 * v))
+                     - ln((cr + 1.0) / (r + 1.0 * v)) AS lr
+              FROM model, tot
+            )
+            SELECT doc_id, round(sum(lr), 6) AS weight
+            FROM grams JOIN ratio USING (g)
+            WHERE NOT tgt
+            GROUP BY doc_id
+        """,
         "sample_temperature": """
             WITH c AS (
               SELECT source, CAST(count(*) AS DOUBLE) AS n
@@ -3468,6 +3577,44 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderstatus
+        """,
+        "dedup_frequent_spans": f"""
+            WITH src AS (
+              SELECT doc_id,
+                     CASE WHEN source = 'src0'
+                          THEN '{_BOILERPLATE_20W} ' || text
+                          ELSE text END AS text
+              FROM documents
+            ),
+            toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+              FROM src
+            ),
+            chunks AS (
+              SELECT doc_id, CAST(u.i AS INT) AS chunk_idx,
+                     CAST(ceil(len(t) / 20.0) AS INT) AS nc,
+                     array_to_string(t[u.i*20+1 : u.i*20+20], ' ') AS para
+              FROM toks, UNNEST(range(CAST(ceil(len(t) / 20.0) AS BIGINT))) AS u(i)
+            ),
+            freq AS (
+              SELECT para FROM chunks GROUP BY para HAVING count(*) > 2
+            )
+            SELECT doc_id,
+                   string_agg(para, ' ' ORDER BY chunk_idx) AS text,
+                   CAST(count(*) AS BIGINT) AS n_kept,
+                   CAST(max(nc) - count(*) AS BIGINT) AS n_dropped
+            FROM chunks
+            WHERE para NOT IN (SELECT para FROM freq)
+            GROUP BY doc_id
+        """,
+        "j11_binned_range_join": """
+            SELECT s_suppkey,
+                   CAST(count(*) AS BIGINT) AS n_cust,
+                   round(sum(c_acctbal), 2) AS sum_bal
+            FROM supplier
+            JOIN customer
+              ON c_acctbal BETWEEN s_acctbal AND s_acctbal + 500.0
+            GROUP BY s_suppkey
         """,
         "dedup_paragraphs": """
             WITH toks AS (

@@ -63,6 +63,11 @@ HEADLINE = [
     "dedup_paragraphs",
     "dedup_semantic",
     "text_gopher_quality",
+    # round-6 additions: corpus-wide boilerplate strip, keyless range
+    # join, DSIR data selection
+    "dedup_frequent_spans",
+    "j11_binned_range_join",
+    "sample_dsir",
 ]
 
 # slack for the regression gate: sub-second queries jitter by whole

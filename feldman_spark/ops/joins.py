@@ -20,6 +20,7 @@ __all__ = [
     "semi_join",
     "anti_join",
     "containment_join",
+    "binned_range_join",
     "nearest_join",
     "nearest_value_join",
     "asof_join",
@@ -75,6 +76,60 @@ def containment_join(
     hi = F.col(f"`{interval_hi}`")
     residual = point.between(lo, hi) if inclusive else (point > lo) & (point < hi)
     return fact.join(right, on=list(equi_on), how="inner").filter(residual)
+
+
+def binned_range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bin_width: float,
+) -> DataFrame:
+    """J11: large × large interval-containment join with NO equi key —
+    the case :func:`containment_join` cannot handle at scale (no key to
+    hash on, and neither side broadcastable, Spark would plan a
+    BroadcastNestedLoopJoin and die). The domain is cut into fixed
+    ``bin_width`` bins: each point maps to exactly ONE bin, each interval
+    replicates into every bin it overlaps (``explode(sequence(...))``),
+    and the join becomes a plain shuffled EQUI-join on the bin id with
+    the ``BETWEEN`` residual filtered after. A matching (point, interval)
+    pair meets in exactly one bin — the point's — so no dedup pass is
+    needed and inner-join multiplicity is exact.
+
+    Column names must be disjoint between the two sides (checked).
+
+    Scale (100 TB): both sides shuffle ONCE on the bin id; the interval
+    side inflates by ``span/bin_width + 1`` copies per row, so pick
+    ``bin_width`` near the typical interval span (replication ≈ 2×) —
+    much smaller and replication explodes, much larger and each bin
+    degenerates toward the per-bin cross product. Hot bins (many points
+    AND many intervals in one range) are a skew risk like any equi-join
+    key: AQE's skew-join split handles moderate cases; for pathological
+    ones wrap the bin key with :mod:`feldman_spark.ops.skew` salting.
+    """
+    overlap = set(points.columns) & set(intervals.columns)
+    if overlap:
+        raise ValueError(
+            f"binned_range_join: overlapping column names {sorted(overlap)}; "
+            "rename one side first")
+    w = float(bin_width)
+    pb = points.withColumn(
+        "_bin", F.floor(F.col(f"`{point_col}`") / F.lit(w)).cast("bigint"))
+    ib = intervals.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(f"`{lo_col}`") / F.lit(w)).cast("bigint"),
+                F.floor(F.col(f"`{hi_col}`") / F.lit(w)).cast("bigint"),
+            )
+        ),
+    )
+    return (
+        pb.join(ib, on="_bin", how="inner")
+        .filter(F.col(f"`{point_col}`").between(F.col(f"`{lo_col}`"), F.col(f"`{hi_col}`")))
+        .drop("_bin")
+    )
 
 
 def nearest_join(

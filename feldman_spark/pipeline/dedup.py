@@ -38,6 +38,7 @@ __all__ = [
     "embedding_cosine_pairs_lsh",
     "decontaminate",
     "paragraph_dedup",
+    "remove_frequent_spans",
     "semantic_dedup",
     "exact_dedup_incremental",
     "minhash_band_rows",
@@ -1076,6 +1077,61 @@ def embedding_cosine_pairs_lsh(
     )
 
 
+def _word_chunks(
+    df: DataFrame, id_col: str, text_col: str, chunk_words: int
+) -> DataFrame:
+    """Split each document into non-overlapping ``chunk_words``-word spans:
+    ``(id_col, chunk_idx, _nc, para)`` with ``_nc`` = the document's span
+    count. Pure codegen (split + explode(sequence) + slice/concat_ws — no
+    higher-order functions), shared by :func:`paragraph_dedup` and
+    :func:`remove_frequent_spans`."""
+    tokens = F.split(F.trim(F.col(text_col)), r"\s+")
+    return (
+        df.select(F.col(id_col), tokens.alias("_toks"))
+        .select(
+            id_col,
+            "_toks",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.ceil(F.size("_toks") / F.lit(float(chunk_words))).cast("int") - 1,
+                )
+            ).alias("chunk_idx"),
+            F.ceil(F.size("_toks") / F.lit(float(chunk_words))).cast("int").alias("_nc"),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            "_nc",
+            F.concat_ws(
+                " ",
+                F.slice("_toks", F.col("chunk_idx") * chunk_words + 1, chunk_words),
+            ).alias("para"),
+        )
+    )
+
+
+def _reassemble_spans(keep: DataFrame, id_col: str) -> DataFrame:
+    """Rebuild ``(id_col, text, n_kept, n_dropped)`` from surviving spans
+    ``(id_col, chunk_idx, _nc, para)`` — spans re-joined in original order.
+    The per-document ``transform`` runs over arrays bounded by the
+    document's own span count, not the corpus."""
+    return (
+        keep.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("chunk_idx", "para"))),
+                    lambda s: s["para"],
+                ),
+                " ",
+            ).alias("text"),
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+            (F.max("_nc") - F.count(F.lit(1))).cast("bigint").alias("n_dropped"),
+        )
+    )
+
+
 def paragraph_dedup(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -1109,30 +1165,7 @@ def paragraph_dedup(
     the document's own span count, not the corpus, so its
     CodegenFallback cost is immaterial.
     """
-    tokens = F.split(F.trim(F.col(text_col)), r"\s+")
-    chunks = (
-        df.select(F.col(id_col), tokens.alias("_toks"))
-        .select(
-            id_col,
-            "_toks",
-            F.explode(
-                F.sequence(
-                    F.lit(0),
-                    F.ceil(F.size("_toks") / F.lit(float(chunk_words))).cast("int") - 1,
-                )
-            ).alias("chunk_idx"),
-            F.ceil(F.size("_toks") / F.lit(float(chunk_words))).cast("int").alias("_nc"),
-        )
-        .select(
-            id_col,
-            "chunk_idx",
-            "_nc",
-            F.concat_ws(
-                " ",
-                F.slice("_toks", F.col("chunk_idx") * chunk_words + 1, chunk_words),
-            ).alias("para"),
-        )
-    )
+    chunks = _word_chunks(df, id_col, text_col, chunk_words)
     # first occurrence per span, skew-immune: lexicographic struct-min on
     # (id, chunk_idx) — the window orderBy's exact sort key, so the
     # winner is identical — with _nc riding along (constant per id, and
@@ -1155,20 +1188,50 @@ def paragraph_dedup(
             "para",
         )
     )
-    return (
-        keep.groupBy(id_col)
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("chunk_idx", "para"))),
-                    lambda s: s["para"],
-                ),
-                " ",
-            ).alias("text"),
-            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
-            (F.max("_nc") - F.count(F.lit(1))).cast("bigint").alias("n_dropped"),
-        )
+    return _reassemble_spans(keep, id_col)
+
+
+def remove_frequent_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_words: int = 20,
+    max_count: int = 2,
+) -> DataFrame:
+    """Corpus-level frequent-span removal, the CCNet / RefinedWeb line-dedup
+    policy (Wenzek et al. 2020, arXiv:1911.00359 §3.1; Penedo et al. 2023,
+    arXiv:2306.01116 §4.2): any span occurring MORE than ``max_count``
+    times corpus-wide is boilerplate (headers, navigation, license
+    blurbs) and is stripped from EVERY document — unlike
+    :func:`paragraph_dedup`, no first occurrence survives. Documents are
+    reassembled from their remaining spans; a document whose every span
+    is boilerplate disappears. Our synthetic corpus has no newlines, so
+    "line" is the same non-overlapping ``chunk_words``-word span unit the
+    paragraph pass uses.
+
+    Returns ``(id_col, text, n_kept, n_dropped)``.
+
+    Scale (100 TB): identical data movement to :func:`paragraph_dedup` —
+    one span-keyed shuffle (bounded key ≈ 150 bytes) for the frequency
+    count, one id-keyed shuffle for reassembly. The count is a plain
+    ``groupBy(span).count()`` so a span duplicated millions of times
+    partial-aggregates map-side to one row per task before the exchange
+    (skew-immune); the surviving-span filter is a window-free join of the
+    chunk stream against the small frequent-span list, done as LEFT ANTI
+    against ``HAVING count > max_count`` — the frequent side is the
+    *small* side by construction (boilerplate diversity ≪ corpus size),
+    so Spark broadcasts it and the chunk stream never reshuffles for the
+    filter.
+    """
+    chunks = _word_chunks(df, id_col, text_col, chunk_words)
+    frequent = (
+        chunks.groupBy("para")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > max_count)
+        .select("para")
     )
+    keep = chunks.join(F.broadcast(frequent), on="para", how="left_anti")
+    return _reassemble_spans(keep, id_col)
 
 
 def semantic_dedup(

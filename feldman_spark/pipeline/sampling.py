@@ -24,6 +24,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["hash_variate", "hash_sample", "hash_split", "weighted_mix",
+           "dsir_weights",
            "temperature_mix", "cap_per_group", "epoch_shuffle"]
 
 _PREFIX_LEN = 8  # 16^8 ~ 4.3e9 granularity
@@ -145,6 +146,95 @@ def temperature_mix(
                          for lit in (F.lit(s), F.lit(_threshold(frac[s])))])
     v = hash_variate(F.col(key_col), seed=seed)
     return df.filter(v < thr[F.col(source_col)])
+
+
+def dsir_weights(
+    df: DataFrame,
+    target_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    alpha: float = 1.0,
+    buckets: "int | None" = None,
+    digits: int = 6,
+) -> DataFrame:
+    """Data Selection with Importance Resampling weights (DSIR, Xie et
+    al. 2023, arXiv:2302.03169): score every raw document by how much
+    more likely its word ``n``-gram features are under the TARGET
+    distribution (rows where ``target_col`` is true — the trusted
+    high-quality slice) than under the raw corpus — the published recipe
+    for "select pretraining data that looks like the domain you care
+    about". Each side is a Laplace-``alpha``-smoothed unigram model over
+    gram features; a raw document's weight is its summed per-occurrence
+    log-likelihood ratio, rounded to ``digits``. Resample by taking the
+    top-k (deterministic; the paper adds Gumbel noise for a stochastic
+    draw — inject it on top of the returned weights if wanted).
+
+    Returns ``(id_col, weight)`` for raw (non-target) documents with at
+    least one gram; documents shorter than ``n`` words have no features
+    and are omitted.
+
+    Scale (100 TB): the corpus scans once into a codegen gram stream
+    (explode + slice/concat_ws — grams are ≤ ``n`` words, the text never
+    moves). With ``buckets=None`` the model table is gram-keyed: one
+    gram shuffle for the two count models (map-side partial sums), one
+    gram-keyed join of the raw stream against the per-gram log-ratio
+    (AQE broadcasts it while the vocabulary is small), one id-keyed sum.
+    The paper's production form is ``buckets=K`` (it uses 10k): grams
+    hash into K fixed buckets, so the model table is EXACTLY K rows —
+    it always broadcasts and the join shuffle disappears, leaving two
+    corpus scans and the id-keyed sum regardless of vocabulary growth.
+    The value oracle runs the raw-gram form (engine-portable); bucketed
+    weights differ from raw-gram weights only by hash-collision noise,
+    which is the published approximation."""
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    stream = (
+        df.select(F.col(id_col), F.col(target_col).alias("_tgt"),
+                  words.alias("_w"))
+        .filter(F.size("_w") >= n)
+        .select(
+            id_col,
+            "_tgt",
+            F.explode(F.sequence(F.lit(1), F.size("_w") - (n - 1))).alias("_i"),
+            "_w",
+        )
+        .select(
+            id_col,
+            "_tgt",
+            F.concat_ws(" ", F.slice("_w", F.col("_i"), n)).alias("_g"),
+        )
+    )
+    feat = (
+        stream.withColumn(
+            "_f", F.pmod(F.xxhash64("_g"), F.lit(buckets)).cast("string"))
+        .drop("_g") if buckets else stream.withColumnRenamed("_g", "_f")
+    )
+    model = feat.groupBy("_f").agg(
+        F.sum(F.when(F.col("_tgt"), 1).otherwise(0)).alias("_ct"),
+        F.sum(F.when(F.col("_tgt"), 0).otherwise(1)).alias("_cr"),
+    )
+    # smoothing vocabulary: the FIXED bucket count when bucketed (empty
+    # buckets are part of the model), the observed vocabulary otherwise
+    totals = model.agg(
+        F.sum("_ct").alias("_t"),
+        F.sum("_cr").alias("_r"),
+        (F.lit(int(buckets)) if buckets
+         else F.count(F.lit(1))).cast("bigint").alias("_v"),
+    )
+    a = float(alpha)
+    ratio = model.crossJoin(F.broadcast(totals)).select(
+        "_f",
+        (
+            F.log((F.col("_ct") + a) / (F.col("_t") + a * F.col("_v")))
+            - F.log((F.col("_cr") + a) / (F.col("_r") + a * F.col("_v")))
+        ).alias("_lr"),
+    )
+    return (
+        feat.filter(~F.col("_tgt"))
+        .join(ratio, on="_f")
+        .groupBy(id_col)
+        .agg(F.bround(F.sum("_lr"), digits).alias("weight"))
+    )
 
 
 def cap_per_group(

@@ -328,3 +328,76 @@ def test_time_gapfill_emits_zero_rows(spark):
     assert out[("2024-01-01 01:00:00", "a")] == 0
     assert out[("2024-01-01 02:00:00", "b")] == 0
     assert out[("2024-01-01 01:00:00", "b")] == 1
+
+
+def test_binned_range_join_matches_naive(spark):
+    """Binned equi-join + residual == the naive theta join, including
+    negative values and boundary-inclusive matches."""
+    import random
+
+    from feldman_spark.ops.joins import binned_range_join
+
+    rng = random.Random(7)
+    pts = spark.createDataFrame(
+        [(i, round(rng.uniform(-100, 100), 2)) for i in range(300)],
+        ["pid", "v"],
+    )
+    ivs = spark.createDataFrame(
+        [
+            (j, lo := round(rng.uniform(-110, 90), 2), round(lo + rng.uniform(0, 30), 2))
+            for j in range(40)
+        ],
+        ["iid", "lo", "hi"],
+    )
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in binned_range_join(pts, ivs, "v", "lo", "hi", bin_width=10.0).collect()
+    )
+    want = sorted(
+        (r["pid"], r["iid"])
+        for r in pts.crossJoin(ivs)
+        .filter(F.col("v").between(F.col("lo"), F.col("hi")))
+        .collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_binned_range_join_exactly_once_across_bins(spark):
+    """An interval spanning many bins still matches a contained point
+    exactly once (pairs meet only in the point's own bin)."""
+    from feldman_spark.ops.joins import binned_range_join
+
+    pts = spark.createDataFrame([(1, 55.0), (2, 5.0), (3, 95.0)], ["pid", "v"])
+    ivs = spark.createDataFrame([(10, 0.0, 100.0)], ["iid", "lo", "hi"])
+    out = binned_range_join(pts, ivs, "v", "lo", "hi", bin_width=10.0).collect()
+    assert sorted((r["pid"], r["iid"]) for r in out) == [(1, 10), (2, 10), (3, 10)]
+
+
+def test_binned_range_join_plan_is_equi_join(spark):
+    """The point of the operator: a shuffled/broadcast HASH join on the
+    bin id — never the BroadcastNestedLoopJoin a raw range predicate
+    would plan."""
+    from feldman_spark.ops.joins import binned_range_join
+
+    pts = spark.range(1000).select(F.col("id").alias("pid"),
+                                   (F.col("id") % 97).cast("double").alias("v"))
+    ivs = spark.range(50).select(F.col("id").alias("iid"),
+                                 (F.col("id") * 2.0).alias("lo"),
+                                 (F.col("id") * 2.0 + 5.0).alias("hi"))
+    out = binned_range_join(pts, ivs, "v", "lo", "hi", bin_width=5.0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+    assert out.count() > 0
+
+
+def test_binned_range_join_rejects_column_overlap(spark):
+    from feldman_spark.ops.joins import binned_range_join
+
+    pts = spark.createDataFrame([(1, 1.0)], ["pid", "v"])
+    ivs = spark.createDataFrame([(2, 0.0, 2.0)], ["pid", "lo", "hi"])
+    try:
+        binned_range_join(pts, ivs, "v", "lo", "hi", bin_width=1.0)
+        assert False, "expected ValueError"
+    except ValueError as e:
+        assert "pid" in str(e)

@@ -663,6 +663,48 @@ def test_temperature_mix_upweights_small_sources(spark):
     assert temperature_mix(d, alpha=1.0).count() == 1000
 
 
+def test_dsir_weights_prefers_target_like_docs(spark):
+    """Raw docs built from the target's vocabulary outscore raw docs
+    built from raw-only vocabulary (same length, so smoothing constants
+    cancel in the comparison); sub-n-word docs are omitted."""
+    from feldman_spark.pipeline.sampling import dsir_weights
+
+    tgt_text = "alpha beta gamma delta " * 10
+    raw_text = "noise junk spam filler " * 10
+    rows = (
+        [(i, tgt_text.strip(), True) for i in range(10)]
+        + [(100, tgt_text.strip(), False)]        # target-like raw doc
+        + [(101 + j, raw_text.strip(), False) for j in range(10)]
+        + [(200, "x", False)]                     # < n words: no features
+    )
+    d = spark.createDataFrame(rows, "doc_id long, text string, is_tgt boolean")
+    w = {r["doc_id"]: r["weight"]
+         for r in dsir_weights(d, "is_tgt", n=2).collect()}
+    assert 200 not in w and set(w) == {100, *range(101, 111)}
+    assert w[100] > max(w[j] for j in range(101, 111))
+
+
+def test_dsir_weights_bucketed_broadcasts_model(spark):
+    """buckets=K: the model table is fixed-size, the ratio join is a
+    broadcast (no shuffle exchange feeding the join on the stream side
+    beyond the id aggregate), weights stay finite and deterministic."""
+    from feldman_spark.pipeline.sampling import dsir_weights
+
+    d = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("w"), (F.col("id") % 7).cast("string"),
+                 F.lit(" common words here and there tail "),
+                 F.col("id").cast("string")).alias("text"),
+        (F.col("id") % 4 == 0).alias("is_tgt"),
+    )
+    out = dsir_weights(d, "is_tgt", n=2, buckets=4096)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    rows = out.collect()
+    assert len(rows) == 150  # every raw doc scored
+    assert rows == dsir_weights(d, "is_tgt", n=2, buckets=4096).collect()
+
+
 def test_connected_components_max_iter(spark):
     from feldman_spark.pipeline.graph import connected_components
 
@@ -867,6 +909,64 @@ def test_paragraph_dedup_partial_tail_chunk(spark):
     # doc 1 keeps both chunks ("a b c d", tail "e"); doc 2 keeps none
     assert out[1]["n_kept"] == 2 and out[1]["text"] == "a b c d e"
     assert 2 not in out
+
+
+def test_remove_frequent_spans_policy(spark):
+    """CCNet-style: spans above max_count vanish from EVERY document (no
+    first-occurrence survivor), rarer spans are untouched."""
+    from feldman_spark.pipeline.dedup import remove_frequent_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),   # "a b c d" x3 corpus-wide, "e f g h" x2
+            (2, "a b c d i j k l"),
+            (3, "a b c d e f g h"),
+            (4, "q r s t"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in
+           remove_frequent_spans(docs, chunk_words=4, max_count=2).collect()}
+    # "a b c d" (3 occurrences > 2) dropped everywhere, incl. its first
+    assert out[1]["text"] == "e f g h"
+    assert out[1]["n_kept"] == 1 and out[1]["n_dropped"] == 1
+    assert out[2]["text"] == "i j k l"
+    assert out[3]["text"] == "e f g h"   # both copies keep it (2 <= max)
+    assert out[4]["text"] == "q r s t"
+
+
+def test_remove_frequent_spans_all_boilerplate_doc_vanishes(spark):
+    from feldman_spark.pipeline.dedup import remove_frequent_spans
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d"), (3, "a b c d"), (4, "x y z w")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in
+           remove_frequent_spans(docs, chunk_words=4, max_count=2).collect()}
+    assert set(out) == {4}  # docs made solely of boilerplate disappear
+
+
+def test_remove_frequent_spans_hot_span_map_side_combine(spark):
+    """The frequency count must partial-aggregate map-side: plan shows a
+    partial count before the exchange, and a 100k-hot span clears in one
+    aggregate (no per-copy window scan)."""
+    from feldman_spark.pipeline.dedup import remove_frequent_spans
+
+    n = 100_000
+    docs = spark.range(n).select(
+        F.col("id").cast("int").alias("doc_id"),
+        F.concat(F.lit("all rights reserved legal notice tail "),
+                 F.col("id").cast("string")).alias("text"),
+    )
+    out = remove_frequent_spans(docs, chunk_words=4, max_count=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" in plan or "partial count" in plan.lower()
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert len(rows) == n
+    # boilerplate span stripped from every doc, unique tails survive
+    assert rows[0]["text"] == "notice tail 0"
+    assert rows[0]["n_kept"] == 1 and rows[0]["n_dropped"] == 1
 
 
 def test_epoch_shuffle_deterministic_and_epoch_independent(spark):

@@ -21,6 +21,20 @@ COMMENTARY = {
         "a BroadcastHashJoin (splice-side tables are tiny), zero SortMergeJoin/"
         "Exchange on the measurement side, ReadSchema pruned to referenced "
         "columns."),
+    "j11_binned_range_join": (
+        "Keyless large×large range join via domain binning: a plain shuffled/"
+        "broadcast HASH join on the bin id with the BETWEEN residual after — "
+        "wanted: NO BroadcastNestedLoopJoin anywhere, intervals exploded "
+        "through a codegen sequence(), points binned row-locally."),
+    "dedup_frequent_spans": (
+        "Corpus-wide boilerplate strip: wanted partial_count before the span "
+        "exchange (hot spans collapse map-side) and the frequent-span filter "
+        "as a BroadcastHashJoin LeftAnti — the chunk stream must not "
+        "reshuffle for the filter."),
+    "sample_dsir": (
+        "DSIR scoring: gram model is one partial-aggregating hash aggregate; "
+        "wanted: the ratio join on the gram key broadcast (AQE) or shuffled "
+        "hash — never nested-loop — and the final per-doc sum id-keyed."),
     "j1_containment_join": (
         "Interval-containment join (lineitem in order windows): equi key into "
         "the hash join, range residual as post-join filter; shuffled hash "
@@ -96,6 +110,9 @@ def main() -> None:
     plans["dedup_semantic"] = qs["dedup_semantic"](spark, sf)
     plans["text_gopher_quality"] = qs["text_gopher_quality"](spark, sf)
     plans["w7_time_gapfill"] = qs["w7_time_gapfill"](spark, sf)
+    plans["j11_binned_range_join"] = qs["j11_binned_range_join"](spark, sf)
+    plans["dedup_frequent_spans"] = qs["dedup_frequent_spans"](spark, sf)
+    plans["sample_dsir"] = qs["sample_dsir"](spark, sf)
 
     from feldman_spark.ops.filters import conjunctive_filter, range_filter
     li = spark.read.parquet(f"{sf}/lineitem.parquet")
