@@ -2596,6 +2596,25 @@ def decontaminate_corpus(spark, sf_dir):
     return decontaminate(corpus, ev, n=5).select("doc_id").orderBy("doc_id")
 
 
+def decontaminate_semantic_q(spark, sf_dir):
+    """Semantic (embedding-space) decontamination: corpus vectors with
+    cosine >= 0.95 to any eval vector are dropped — catches reworded
+    eval leakage that shares no n-gram with the benchmark. Exact copies
+    of the eval slice are injected (vec_id+100000) so the drop
+    verifiably fires; the eval matrix ships in the mapInPandas closure
+    and the corpus is one scan, zero shuffles
+    (feldman_spark/pipeline/dedup.py::decontaminate_semantic)."""
+    from feldman_spark.pipeline.dedup import decontaminate_semantic
+
+    e = _t(spark, sf_dir, "embeddings")
+    ev = e.filter(F.col("vec_id") % 50 == 0)
+    contaminated = ev.select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label")
+    corpus = e.filter(F.col("vec_id") % 50 != 0).unionByName(contaminated)
+    out = decontaminate_semantic(corpus, ev, threshold=0.95)
+    return out.select("vec_id").orderBy("vec_id")
+
+
 def pivot_returnflag(spark, sf_dir):
     """Beyond-reference reshape: groupBy().pivot() — wide conditional
     aggregation with explicit pivot values (no extra pass to discover
@@ -2965,13 +2984,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # files touched this round (sampling/training/text), then
     # q2/q4/q7/q8. The nine remaining r4-green TPC-H keys (q13-q22
     # minus the bench-covered ones) lead the r7 queue, along with
-    # a7_percentiles, a8_rollup and q2_min_cost_supplier (all r4-green),
-    # displaced from this window by the three operators newest in this
-    # round: frequent-span removal, the binned range join, and DSIR
-    # importance weighting.
+    # pivot_returnflag, a7_percentiles, a8_rollup and
+    # q2_min_cost_supplier (all r4-green), displaced from this window by
+    # the four operators newest in this round: frequent-span removal,
+    # the binned range join, DSIR importance weighting, and semantic
+    # decontamination.
         "dedup_frequent_spans": dedup_frequent_spans,
         "j11_binned_range_join": j11_binned_range_join,
         "sample_dsir": sample_dsir,
+        "decontaminate_semantic": decontaminate_semantic_q,
         "w1_splice_scan_grouped": w1_splice_scan_grouped,
         "dedup_survivors_quality": dedup_survivors_quality,
         "dedup_near_incremental": dedup_near_incremental,
@@ -3513,6 +3534,24 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": _components_oracle_sql(),
         "dedup_survivors_quality": _survivors_quality_oracle_sql(),
         "dedup_near_incremental": _near_inc_oracle_sql(),
+        "decontaminate_semantic": """
+            WITH ev AS (
+              SELECT CAST(embedding AS DOUBLE[]) AS e
+              FROM embeddings WHERE vec_id % 50 = 0
+            ),
+            corpus AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings WHERE vec_id % 50 <> 0
+              UNION ALL
+              SELECT vec_id + 100000, CAST(embedding AS DOUBLE[])
+              FROM embeddings WHERE vec_id % 50 = 0
+            )
+            SELECT vec_id FROM corpus c
+            WHERE NOT EXISTS (
+              SELECT 1 FROM ev
+              WHERE round(list_cosine_similarity(c.v, ev.e), 6) >= 0.95)
+            ORDER BY vec_id
+        """,
         "sample_dsir": """
             WITH toks AS (
               SELECT doc_id, source = 'src0' AS tgt,

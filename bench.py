@@ -68,6 +68,7 @@ HEADLINE = [
     "dedup_frequent_spans",
     "j11_binned_range_join",
     "sample_dsir",
+    "decontaminate_semantic",
 ]
 
 # slack for the regression gate: sub-second queries jitter by whole

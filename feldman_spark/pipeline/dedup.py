@@ -37,6 +37,7 @@ __all__ = [
     "embedding_cosine_pairs",
     "embedding_cosine_pairs_lsh",
     "decontaminate",
+    "decontaminate_semantic",
     "paragraph_dedup",
     "remove_frequent_spans",
     "semantic_dedup",
@@ -805,6 +806,57 @@ def decontaminate(
         # corpus. See the docstring for when to disable this.
         contaminated = F.broadcast(contaminated)
     return corpus.join(contaminated, id_col, "left_anti")
+
+
+def decontaminate_semantic(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    digits: int = 6,
+) -> DataFrame:
+    """Semantic benchmark decontamination: drop every corpus item whose
+    embedding has cosine ≥ ``threshold`` to ANY evaluation embedding —
+    the paraphrase-robust complement to n-gram :func:`decontaminate`
+    (an eval answer reworded shares no 8-gram but still sits next to its
+    source in embedding space; cf. the contamination analyses of Brown
+    et al. 2020 appx. C / Touvron et al. 2023).
+
+    Scale (100 TB): the eval matrix (benchmarks — thousands of vectors,
+    bounded by construction, NOT corpus-sized) collects once and ships
+    to executors inside the ``mapInPandas`` closure; the corpus side is
+    ONE scan with zero shuffles — each Arrow batch computes its
+    max-cosine against the normalized eval matrix as a single BLAS
+    matmul (the vectorized form semantic_dedup's prune uses; a
+    relational cross-join through ``aggregate``/``zip_with`` lambdas
+    would be CodegenFallback, interpreted per pair). Cosines round to
+    ``digits`` before the threshold test so BLAS-vs-fold summation ulp
+    can't flip a survivor across engines.
+    """
+    import numpy as np
+
+    erows = eval_df.select(vec_col).collect()
+    if not erows:
+        return corpus
+    emat = np.asarray([list(r[0]) for r in erows], dtype=np.float64)
+    emat = emat / np.maximum(
+        np.linalg.norm(emat, axis=1, keepdims=True), 1e-300)
+    thr = float(threshold)
+
+    def keep(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf
+                continue
+            v = np.asarray(
+                [list(x) for x in pdf[vec_col]], dtype=np.float64)
+            v = v / np.maximum(
+                np.linalg.norm(v, axis=1, keepdims=True), 1e-300)
+            mx = np.round((v @ emat.T).max(axis=1), digits)
+            yield pdf[mx < thr]
+
+    return corpus.mapInPandas(keep, schema=corpus.schema)
 
 
 def embedding_cosine_pairs(

@@ -663,6 +663,28 @@ def test_temperature_mix_upweights_small_sources(spark):
     assert temperature_mix(d, alpha=1.0).count() == 1000
 
 
+def test_decontaminate_semantic_drops_near_copies(spark):
+    """A slightly perturbed copy of an eval vector (cosine ~0.999) is
+    dropped; orthogonal and merely-similar-below-threshold vectors
+    survive; empty eval set is a no-op."""
+    from feldman_spark.pipeline.dedup import decontaminate_semantic
+
+    ev = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0])], "vec_id long, embedding array<double>")
+    corpus = spark.createDataFrame(
+        [
+            (1, [10.0, 0.1, 0.0, 0.0]),   # near-copy (scaled+perturbed): drop
+            (2, [0.0, 1.0, 0.0, 0.0]),    # orthogonal: keep
+            (3, [1.0, 1.0, 0.0, 0.0]),    # cos ~0.707 < 0.95: keep
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = decontaminate_semantic(corpus, ev, threshold=0.95)
+    assert sorted(r["vec_id"] for r in out.collect()) == [2, 3]
+    empty = ev.filter(F.col("vec_id") < 0)
+    assert decontaminate_semantic(corpus, empty).count() == 3
+
+
 def test_dsir_weights_prefers_target_like_docs(spark):
     """Raw docs built from the target's vocabulary outscore raw docs
     built from raw-only vocabulary (same length, so smoothing constants
