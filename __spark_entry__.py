@@ -2779,6 +2779,27 @@ def text_scrub_pii(spark, sf_dir):
     )
 
 
+def text_strip_html(spark, sf_dir):
+    """Crawl-ingestion HTML→text: each document wrapped in an HTML
+    template (script/style blocks, tags, entities) and recovered by the
+    pure-column-expression extractor — the WARC payload cleanup step,
+    engine-portable regex cascade
+    (feldman_spark/pipeline/text.py::strip_html; source:
+    feldman_spark/io/warc.py::read_warc)."""
+    from feldman_spark.pipeline.text import strip_html
+
+    d = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit('<html><head><script type="text/javascript">var t = 1 < 2;'
+              '</script><style>p { color: red; }</style><title>'),
+        F.col("source"),
+        F.lit("</title></head><body><h1>Doc &amp; more</h1><p>"),
+        F.col("text"),
+        F.lit("</p>&nbsp;<br/>fin</body></html>"),
+    )
+    return d.select("doc_id", strip_html(html).alias("text"))
+
+
 def events_json_props(spark, sf_dir):
     """Semi-structured handling: parse the events JSON props column
     (from_json with an explicit schema — no inference pass at scale) and
@@ -2984,15 +3005,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # files touched this round (sampling/training/text), then
     # q2/q4/q7/q8. The nine remaining r4-green TPC-H keys (q13-q22
     # minus the bench-covered ones) lead the r7 queue, along with
-    # pivot_returnflag, a7_percentiles, a8_rollup and
+    # events_json_props, pivot_returnflag, a7_percentiles, a8_rollup and
     # q2_min_cost_supplier (all r4-green), displaced from this window by
-    # the four operators newest in this round: frequent-span removal,
-    # the binned range join, DSIR importance weighting, and semantic
-    # decontamination.
+    # the five operators newest in this round: frequent-span removal,
+    # the binned range join, DSIR importance weighting, semantic
+    # decontamination, and the HTML→text extractor.
         "dedup_frequent_spans": dedup_frequent_spans,
         "j11_binned_range_join": j11_binned_range_join,
         "sample_dsir": sample_dsir,
         "decontaminate_semantic": decontaminate_semantic_q,
+        "text_strip_html": text_strip_html,
         "w1_splice_scan_grouped": w1_splice_scan_grouped,
         "dedup_survivors_quality": dedup_survivors_quality,
         "dedup_near_incremental": dedup_near_incremental,
@@ -3534,6 +3556,31 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": _components_oracle_sql(),
         "dedup_survivors_quality": _survivors_quality_oracle_sql(),
         "dedup_near_incremental": _near_inc_oracle_sql(),
+        "text_strip_html": """
+            WITH h AS (
+              SELECT doc_id,
+                     '<html><head><script type="text/javascript">var t = 1 < 2;'
+                     || '</script><style>p { color: red; }</style><title>'
+                     || source
+                     || '</title></head><body><h1>Doc &amp; more</h1><p>'
+                     || text
+                     || '</p>&nbsp;<br/>fin</body></html>' AS html
+              FROM documents
+            )
+            SELECT doc_id,
+                   trim(regexp_replace(
+                     replace(replace(replace(replace(replace(replace(
+                       regexp_replace(
+                         regexp_replace(
+                           regexp_replace(html,
+                             '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                           '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                         '(?s)<[^>]+>', ' ', 'g'),
+                       '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                       '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+                     '\\s+', ' ', 'g')) AS text
+            FROM h
+        """,
         "decontaminate_semantic": """
             WITH ev AS (
               SELECT CAST(embedding AS DOUBLE[]) AS e

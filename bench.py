@@ -69,6 +69,7 @@ HEADLINE = [
     "j11_binned_range_join",
     "sample_dsir",
     "decontaminate_semantic",
+    "text_strip_html",
 ]
 
 # slack for the regression gate: sub-second queries jitter by whole

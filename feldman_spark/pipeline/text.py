@@ -23,6 +23,7 @@ __all__ = [
     "gopher_rules",
     "gopher_quality",
     "scrub_pii",
+    "strip_html",
     "lang_scores",
     "lang_id",
     "fingerprint",
@@ -371,6 +372,33 @@ def scrub_pii(text: Column, replacement: str = "<PII>") -> Dict[str, Column]:
         scrubbed = F.regexp_replace(scrubbed, pat, replacement)
     out["scrubbed"] = scrubbed
     return out
+
+
+# Entity map applied after tag stripping; &amp; last so freshly produced
+# ampersands are not double-decoded differently across engines.
+_HTML_ENTITIES = [
+    ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+    ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&"),
+]
+
+
+def strip_html(html: Column) -> Column:
+    """Crude HTML → text for crawl ingestion: drop ``<script>``/``<style>``
+    blocks, strip every remaining tag, decode the common entities, and
+    collapse whitespace. Pure ``regexp_replace``/``replace`` column
+    expressions — one codegen pass, no UDF, no parser library. Patterns
+    are kept to constructs with identical semantics in Java regex
+    (Spark) and RE2 (DuckDB) — no backreferences — so the result is
+    engine-portable and oracle-checkable. A production extractor adds
+    DOM-aware boilerplate removal (readability/trafilatura class); the
+    operator shape — binary/raw payload in, clean text column out, all
+    row-local — is the same."""
+    out = F.regexp_replace(html, r"(?is)<script[^>]*>.*?</script>", " ")
+    out = F.regexp_replace(out, r"(?is)<style[^>]*>.*?</style>", " ")
+    out = F.regexp_replace(out, r"(?s)<[^>]+>", " ")
+    for ent, rep in _HTML_ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(out, r"\s+", " "))
 
 
 def lang_scores(text: Column) -> Dict[str, Column]:

@@ -122,3 +122,94 @@ def test_jsonl_export_roundtrip(spark, tmp_out):
     got = sorted(map(tuple, r.clean.select("doc_id", "text", "w").collect()))
     want = sorted(map(tuple, d.collect()))
     assert got == want
+
+
+def _warc_record(uri, body, rtype="response", http=True, date="2024-01-02T03:04:05Z"):
+    if http and rtype == "response":
+        payload = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n"
+                   b"Server: t\r\n\r\n" + body)
+    else:
+        payload = body
+    head = (f"WARC/1.0\r\nWARC-Type: {rtype}\r\n"
+            f"WARC-Target-URI: {uri}\r\nWARC-Date: {date}\r\n"
+            f"Content-Length: {len(payload)}\r\n\r\n").encode()
+    return head + payload + b"\r\n\r\n"
+
+
+def test_read_warc_plain_and_gzip(spark, tmp_out):
+    """Responses parse with HTTP split (status + content-type + body);
+    request records filter out; gzip (incl. concatenated members, the
+    Common Crawl layout) reads identically."""
+    import gzip as _gz
+
+    from feldman_spark.io.warc import read_warc
+
+    r1 = _warc_record("http://a.example/x", b"<html>hello A</html>")
+    r2 = _warc_record("http://a.example/x", b"GET /x HTTP/1.1", rtype="request",
+                      http=False)
+    r3 = _warc_record("http://b.example/y", b"hello B plain", http=True)
+    plain = f"{tmp_out}/w1.warc"
+    with open(plain, "wb") as f:
+        f.write(r1 + r2 + r3)
+    # concatenated gzip members, one per record (CC layout)
+    gz = f"{tmp_out}/w2.warc.gz"
+    with open(gz, "wb") as f:
+        for r in (r1, r2, r3):
+            f.write(_gz.compress(r))
+
+    for path in (plain, gz):
+        rows = {r["target_uri"]: r
+                for r in read_warc(spark, [path]).collect()}
+        assert set(rows) == {"http://a.example/x", "http://b.example/y"}
+        a = rows["http://a.example/x"]
+        assert a["http_status"] == 200
+        assert a["content_type"].startswith("text/html")
+        assert bytes(a["payload"]) == b"<html>hello A</html>"
+        assert a["record_type"] == "response"
+        assert a["warc_date"] == "2024-01-02T03:04:05Z"
+        assert not a["truncated"]
+
+
+def test_read_warc_truncation_and_bad_records(spark, tmp_out):
+    """Payloads above the limit cut + flagged; a record with an
+    unparseable Content-Length is skipped without killing the job;
+    record_types=None keeps requests too."""
+    from feldman_spark.io.warc import read_warc
+
+    big = _warc_record("http://c.example/big", b"B" * 1000)
+    bad = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+           b"WARC-Target-URI: http://bad.example\r\n"
+           b"Content-Length: oops\r\n\r\n")
+    req = _warc_record("http://c.example/req", b"GET / HTTP/1.1",
+                       rtype="request", http=False)
+    path = f"{tmp_out}/w3.warc"
+    with open(path, "wb") as f:
+        f.write(big + bad + req)
+    out = read_warc(spark, [path], record_types=None, payload_limit=100)
+    rows = {r["target_uri"]: r for r in out.collect()}
+    assert "http://bad.example" not in rows
+    b = rows["http://c.example/big"]
+    assert b["truncated"] and len(bytes(b["payload"])) == 100
+    assert rows["http://c.example/req"]["record_type"] == "request"
+
+
+def test_read_warc_pipeline_integration(spark, tmp_out):
+    """WARC -> strip_html -> quality features: the crawl front half of
+    the curation pipeline runs end to end on the parsed payloads."""
+    from feldman_spark.io.warc import read_warc
+    from feldman_spark.pipeline.text import strip_html
+
+    body = (b"<html><head><script>var x = 1;</script><title>T</title></head>"
+            b"<body><p>clean crawl text &amp; more</p></body></html>")
+    path = f"{tmp_out}/w4.warc"
+    with open(path, "wb") as f:
+        f.write(_warc_record("http://d.example/p", body))
+    from pyspark.sql import functions as F
+
+    docs = (
+        read_warc(spark, [path])
+        .select("target_uri",
+                strip_html(F.col("payload").cast("string")).alias("text"))
+    )
+    got = docs.collect()[0]
+    assert got["text"] == "T clean crawl text & more"
