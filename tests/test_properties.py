@@ -350,3 +350,33 @@ def test_temperature_mix_properties(spark, alpha, n_sources):
              temperature_mix(d.repartition(7), alpha=float(alpha))
              .groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert got == again
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    pts=st.lists(st.floats(-50, 50, allow_nan=False), min_size=1, max_size=30),
+    ivs=st.lists(
+        st.tuples(st.floats(-60, 60, allow_nan=False), st.floats(0, 25, allow_nan=False)),
+        min_size=1, max_size=12),
+    width=st.sampled_from([0.7, 3.0, 10.0, 100.0]),
+)
+def test_binned_range_join_matches_model(spark, pts, ivs, width):
+    """For arbitrary points, intervals, and bin widths (including widths
+    far smaller and far larger than the interval spans), the binned join
+    equals the O(N*M) python model exactly — no duplicate or missing
+    pairs at bin boundaries."""
+    from feldman_spark.ops.joins import binned_range_join
+
+    pdf = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(pts)], "pid long, v double")
+    idf = spark.createDataFrame(
+        [(j, float(lo), float(lo + span)) for j, (lo, span) in enumerate(ivs)],
+        "iid long, lo double, hi double")
+    got = sorted((r["pid"], r["iid"]) for r in
+                 binned_range_join(pdf, idf, "v", "lo", "hi", width).collect())
+    want = sorted(
+        (i, j)
+        for i, v in enumerate(pts)
+        for j, (lo, span) in enumerate(ivs)
+        if lo <= v <= lo + span)
+    assert got == want
