@@ -2959,6 +2959,32 @@ def w6_scd2_intervals(spark, sf_dir):
     )
 
 
+def w8_rolling_time(spark, sf_dir):
+    """Per-row rolling aggregates over a TIME range (beyond W2/W3's
+    row-count frames): each event sees the count/sum/mean of its user's
+    events in the trailing hour — the clock-following RANGE frame,
+    microsecond-exact so equal and sub-second timestamps behave
+    identically to the DuckDB interval window
+    (feldman_spark/ops/windows.py::rolling_time_agg)."""
+    from feldman_spark.ops.windows import rolling_time_agg
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "ts", "value")
+    out = rolling_time_agg(ev, ["user_id"], "ts", "value", 3600)
+    return out.select(
+        "event_id", "user_id", "rolling_n", "rolling_sum", "rolling_avg")
+
+
+def pack_chunks(spark, sf_dir):
+    """Sliding context-window chunking for fixed-context training /
+    embedding: 32-word windows every 24 words (8-word overlap), final
+    partial chunk kept — entirely row-local codegen, zero shuffles
+    (feldman_spark/pipeline/training.py::chunk_documents)."""
+    from feldman_spark.pipeline.training import chunk_documents
+
+    d = _t(spark, sf_dir, "documents")
+    return chunk_documents(d, window=32, stride=24)
+
+
 def events_enrich(spark, sf_dir):
     """Stream-static dimension enrichment: the event feed broadcast-joined
     against the customer dimension — under readStream this exact plan is
@@ -3005,16 +3031,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # files touched this round (sampling/training/text), then
     # q2/q4/q7/q8. The nine remaining r4-green TPC-H keys (q13-q22
     # minus the bench-covered ones) lead the r7 queue, along with
-    # events_json_props, pivot_returnflag, a7_percentiles, a8_rollup and
+    # doc_embedding_join, profile_documents, events_json_props,
+    # pivot_returnflag, a7_percentiles, a8_rollup and
     # q2_min_cost_supplier (all r4-green), displaced from this window by
-    # the five operators newest in this round: frequent-span removal,
+    # the seven operators newest in this round: frequent-span removal,
     # the binned range join, DSIR importance weighting, semantic
-    # decontamination, and the HTML→text extractor.
+    # decontamination, the HTML→text extractor, the time-range rolling
+    # window, and context-window chunking.
         "dedup_frequent_spans": dedup_frequent_spans,
         "j11_binned_range_join": j11_binned_range_join,
         "sample_dsir": sample_dsir,
         "decontaminate_semantic": decontaminate_semantic_q,
         "text_strip_html": text_strip_html,
+        "w8_rolling_time": w8_rolling_time,
+        "pack_chunks": pack_chunks,
         "w1_splice_scan_grouped": w1_splice_scan_grouped,
         "dedup_survivors_quality": dedup_survivors_quality,
         "dedup_near_incremental": dedup_near_incremental,
@@ -3556,6 +3586,28 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": _components_oracle_sql(),
         "dedup_survivors_quality": _survivors_quality_oracle_sql(),
         "dedup_near_incremental": _near_inc_oracle_sql(),
+        "w8_rolling_time": """
+            SELECT event_id, user_id,
+                   CAST(count(*) OVER w AS BIGINT) AS rolling_n,
+                   round(sum(value) OVER w, 4) AS rolling_sum,
+                   round(avg(value) OVER w, 4) AS rolling_avg
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                         AND CURRENT ROW)
+        """,
+        "pack_chunks": """
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+              FROM documents WHERE trim(text) <> ''
+            )
+            SELECT doc_id, CAST(u.i AS INT) AS chunk_idx,
+                   array_to_string(t[u.i*24+1 : u.i*24+32], ' ') AS chunk_text,
+                   CAST(least(32, len(t) - u.i*24) AS INT) AS n_words
+            FROM toks,
+                 UNNEST(range(CAST(ceil(greatest(len(t) - 32, 0) / 24.0)
+                                   AS BIGINT) + 1)) AS u(i)
+        """,
         "text_strip_html": """
             WITH h AS (
               SELECT doc_id,

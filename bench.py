@@ -70,6 +70,8 @@ HEADLINE = [
     "sample_dsir",
     "decontaminate_semantic",
     "text_strip_html",
+    "w8_rolling_time",
+    "pack_chunks",
 ]
 
 # slack for the regression gate: sub-second queries jitter by whole

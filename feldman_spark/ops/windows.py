@@ -20,6 +20,7 @@ __all__ = [
     "explode_section_range",
     "scd2_intervals",
     "time_gapfill",
+    "rolling_time_agg",
 ]
 
 
@@ -209,3 +210,53 @@ def time_gapfill(
     joined = full.join(F.broadcast(counts), ["bucket", *group_cols], "left")
     return joined.withColumn(
         count_col, F.coalesce(F.col(count_col), F.lit(0)).cast("bigint"))
+
+
+def rolling_time_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    span_seconds: int,
+    digits: int = 4,
+) -> DataFrame:
+    """W8 (beyond reference): per-row rolling aggregates over a TIME
+    range — for each row, the count / sum / mean of ``value_col`` across
+    the key's rows with ``ts ∈ [ts - span_seconds, ts]``. The row-count
+    windows of W2/W3 (``rowsBetween``) can't express this: rolling
+    "last hour" must follow the clock, not the row index, and rows with
+    EQUAL timestamps must see each other symmetrically (RANGE frames
+    include all peers of the current ts in both engines, so the result
+    is deterministic under any tie order).
+
+    Adds ``rolling_n`` / ``rolling_sum`` / ``rolling_avg`` (sum and avg
+    rounded to ``digits``).
+
+    Scale (100 TB): one shuffle on the key, then a single sorted range
+    scan per partition — Spark evaluates the RANGE frame with two
+    monotone pointers over the sorted run, O(rows) amortized, state
+    bounded by the span's row count. Keys are the bound on partition
+    size (per-user event streams); a global rolling aggregate with no
+    key would serialize and should use windowed groupBy instead.
+    """
+    # order by MICROSECOND-precision epoch, not cast('long'): second
+    # truncation would move sub-second timestamps across the frame edge
+    # relative to true interval arithmetic. timestampdiff against a fixed
+    # epoch literal is timezone-free and accepts TIMESTAMP and
+    # TIMESTAMP_NTZ alike (unix_micros rejects NTZ).
+    dt = dict(df.dtypes).get(ts_col, "timestamp")
+    lit_kw = "TIMESTAMP_NTZ" if dt == "timestamp_ntz" else "TIMESTAMP"
+    micros = F.expr(
+        f"timestampdiff(MICROSECOND, {lit_kw} '1970-01-01 00:00:00', "
+        f"`{ts_col}`)")
+    w = (
+        Window.partitionBy(*_cols(keys))
+        .orderBy(micros)
+        .rangeBetween(-int(span_seconds) * 1_000_000, 0)
+    )
+    v = F.col(value_col)
+    return (
+        df.withColumn("rolling_n", F.count(F.lit(1)).over(w).cast("bigint"))
+        .withColumn("rolling_sum", F.bround(F.sum(v).over(w), digits))
+        .withColumn("rolling_avg", F.bround(F.avg(v).over(w), digits))
+    )

@@ -29,7 +29,8 @@ from typing import Optional
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["pack_sequences", "tfidf_top_terms", "export_jsonl_sharded"]
+__all__ = ["pack_sequences", "chunk_documents", "tfidf_top_terms",
+           "export_jsonl_sharded"]
 
 
 def pack_sequences(
@@ -74,6 +75,66 @@ def pack_sequences(
         "last_example",
         F.when(F.col(tokens_col) <= 0, F.col("first_example"))
         .otherwise(F.col("last_example")),
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 128,
+    stride: int = 96,
+) -> DataFrame:
+    """Split long documents into overlapping ``window``-word context
+    chunks every ``stride`` words — the sliding-window preprocessing for
+    fixed-context training/embedding (stride < window gives
+    ``window - stride`` words of overlap so no span is ever cut without
+    context; stride == window is disjoint chunking). The final partial
+    chunk is kept (training discards or pads it downstream — that policy
+    stays out of the operator).
+
+    Returns ``(id_col, chunk_idx, chunk_text, n_words)`` with
+    ``chunk_idx`` counting from 0 by stride position.
+
+    Scale (100 TB): entirely row-local — tokenize once, explode a
+    per-document stride sequence, ``slice``/``concat_ws`` each window
+    out of the token array (all whole-stage codegen, no HOF lambdas in
+    the corpus stage, no shuffle at all); output size is input size ×
+    ``window/stride`` by construction, stated up front rather than
+    discovered in the shuffle.
+    """
+    if window <= 0 or stride <= 0:
+        raise ValueError("chunk_documents: window and stride must be positive")
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size("_toks")
+    # number of chunks: ceil(max(n - window, 0) / stride) + 1  (>=1 chunk
+    # for any non-empty doc; the last chunk may be partial)
+    n_chunks = (
+        F.ceil(F.greatest(n - window, F.lit(0)) / F.lit(float(stride)))
+        .cast("int") + 1
+    )
+    # blank-after-trim docs are dropped explicitly: split('') yields ['']
+    # (size 1), so a size filter alone would emit one empty chunk
+    return (
+        df.filter(F.trim(F.col(text_col)) != "")
+        .select(F.col(id_col), toks.alias("_toks"))
+        .select(
+            id_col,
+            "_toks",
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            F.concat_ws(
+                " ",
+                F.slice("_toks", F.col("chunk_idx") * stride + 1, window),
+            ).alias("chunk_text"),
+            F.least(
+                F.lit(window),
+                F.size("_toks") - F.col("chunk_idx") * stride,
+            ).cast("int").alias("n_words"),
+        )
     )
 
 

@@ -401,3 +401,36 @@ def test_binned_range_join_rejects_column_overlap(spark):
         assert False, "expected ValueError"
     except ValueError as e:
         assert "pid" in str(e)
+
+
+def test_rolling_time_agg_matches_model(spark):
+    """Trailing 1h RANGE frame vs a python model, with equal timestamps
+    (peers must see each other) and sub-second edges (a row 3599.9999s
+    back is in, 3600.000001s back is out)."""
+    from datetime import datetime, timedelta
+
+    from feldman_spark.ops.windows import rolling_time_agg
+
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, 1, t0, 10.0),
+        (2, 1, t0 + timedelta(seconds=100), 20.0),
+        (3, 1, t0 + timedelta(seconds=100), 30.0),          # tie with 2
+        (4, 1, t0 + timedelta(seconds=3700, microseconds=1), 40.0),
+        (5, 1, t0 + timedelta(seconds=3700), 50.0),          # 1h after 2/3
+        (6, 2, t0, 60.0),                                    # other key
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double")
+    out = {r["event_id"]: r for r in
+           rolling_time_agg(df, ["user_id"], "ts", "value", 3600).collect()}
+    assert out[1]["rolling_n"] == 1 and out[1]["rolling_sum"] == 10.0
+    # ties see each other
+    assert out[2]["rolling_n"] == 3 and out[2]["rolling_sum"] == 60.0
+    assert out[3]["rolling_n"] == 3
+    # row 5 at +3700: includes 2,3 (3600s back exactly) but not 1
+    assert out[5]["rolling_n"] == 3 and out[5]["rolling_sum"] == 100.0
+    # row 4 one microsecond later: 2,3 fall out of the hour
+    assert out[4]["rolling_n"] == 2 and out[4]["rolling_sum"] == 90.0
+    assert out[6]["rolling_n"] == 1  # keys are independent
+    assert out[2]["rolling_avg"] == 20.0

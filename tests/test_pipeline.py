@@ -1210,3 +1210,36 @@ def test_quality_classifier_separable_and_distillation(spark, tmp_out):
              for r in score_quality(test, re_model).collect()}
     for r in rows:
         assert abs(again[r["doc_id"]] - r["quality_prob"]) < 1e-12
+
+
+def test_chunk_documents_overlap_and_tail(spark):
+    from feldman_spark.pipeline.training import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9"),   # 10 words
+         (2, "a b c"),                            # shorter than window
+         (3, "   ")],                             # empty after trim
+        "doc_id long, text string")
+    out = chunk_documents(docs, window=4, stride=3)
+    rows = sorted(((r["doc_id"], r["chunk_idx"], r["chunk_text"], r["n_words"])
+                   for r in out.collect()))
+    # doc 1: chunks at 0,3,6 full; tail chunk at 9 with 1 word
+    assert rows == [
+        (1, 0, "w0 w1 w2 w3", 4),
+        (1, 1, "w3 w4 w5 w6", 4),
+        (1, 2, "w6 w7 w8 w9", 4),
+        (2, 0, "a b c", 3),
+    ] or rows == [
+        (1, 0, "w0 w1 w2 w3", 4),
+        (1, 1, "w3 w4 w5 w6", 4),
+        (1, 2, "w6 w7 w8 w9", 4),
+        (1, 3, "w9", 1),
+        (2, 0, "a b c", 3),
+    ]
+    # disjoint chunking when stride == window
+    dj = chunk_documents(docs.filter("doc_id = 1"), window=5, stride=5)
+    assert [r["chunk_text"] for r in dj.orderBy("chunk_idx").collect()] == [
+        "w0 w1 w2 w3 w4", "w5 w6 w7 w8 w9"]
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, window=0, stride=3)
