@@ -2974,6 +2974,18 @@ def w8_rolling_time(spark, sf_dir):
         "event_id", "user_id", "rolling_n", "rolling_sum", "rolling_avg")
 
 
+def f8_winsorize(spark, sf_dir):
+    """Percentile winsorization of a heavy-tailed signal: document
+    length clamped to its exact interpolated [p01, p99] — one
+    partial-aggregating percentile pass broadcast back as a one-row
+    bound pair, row-local clamp, no rows dropped
+    (feldman_spark/ops/filters.py::winsorize)."""
+    from feldman_spark.ops.filters import winsorize
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return winsorize(d, "n_chars", lower=0.01, upper=0.99)
+
+
 def pack_chunks(spark, sf_dir):
     """Sliding context-window chunking for fixed-context training /
     embedding: 32-word windows every 24 words (8-word overlap), final
@@ -3031,13 +3043,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # files touched this round (sampling/training/text), then
     # q2/q4/q7/q8. The nine remaining r4-green TPC-H keys (q13-q22
     # minus the bench-covered ones) lead the r7 queue, along with
-    # doc_embedding_join, profile_documents, events_json_props,
-    # pivot_returnflag, a7_percentiles, a8_rollup and
+    # text_tfidf_terms, doc_embedding_join, profile_documents,
+    # events_json_props, pivot_returnflag, a7_percentiles, a8_rollup and
     # q2_min_cost_supplier (all r4-green), displaced from this window by
-    # the seven operators newest in this round: frequent-span removal,
+    # the eight operators newest in this round: frequent-span removal,
     # the binned range join, DSIR importance weighting, semantic
     # decontamination, the HTML→text extractor, the time-range rolling
-    # window, and context-window chunking.
+    # window, context-window chunking, and percentile winsorization.
         "dedup_frequent_spans": dedup_frequent_spans,
         "j11_binned_range_join": j11_binned_range_join,
         "sample_dsir": sample_dsir,
@@ -3045,6 +3057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_strip_html": text_strip_html,
         "w8_rolling_time": w8_rolling_time,
         "pack_chunks": pack_chunks,
+        "f8_winsorize": f8_winsorize,
         "w1_splice_scan_grouped": w1_splice_scan_grouped,
         "dedup_survivors_quality": dedup_survivors_quality,
         "dedup_near_incremental": dedup_near_incremental,
@@ -3586,6 +3599,16 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": _components_oracle_sql(),
         "dedup_survivors_quality": _survivors_quality_oracle_sql(),
         "dedup_near_incremental": _near_inc_oracle_sql(),
+        "f8_winsorize": """
+            WITH b AS (
+              SELECT quantile_cont(n_chars, 0.01) AS lo,
+                     quantile_cont(n_chars, 0.99) AS hi
+              FROM documents
+            )
+            SELECT doc_id, n_chars,
+                   round(least(greatest(n_chars, lo), hi), 4) AS n_chars_w
+            FROM documents, b
+        """,
         "w8_rolling_time": """
             SELECT event_id, user_id,
                    CAST(count(*) OVER w AS BIGINT) AS rolling_n,

@@ -20,6 +20,7 @@ __all__ = [
     "in_filter",
     "point_in_interval",
     "valid_section_column",
+    "winsorize",
 ]
 
 
@@ -69,3 +70,48 @@ def valid_section_column(df: DataFrame, colname: str) -> bool:
     col = F.col(f"`{colname}`")
     bad = df.filter(~(col.rlike(r"^-?\d+$") | (col == "CC"))).limit(1).count()
     return bad == 0
+
+
+def winsorize(
+    df: DataFrame,
+    column: str,
+    lower: float = 0.01,
+    upper: float = 0.99,
+    out: "str | None" = None,
+    digits: int = 4,
+) -> DataFrame:
+    """F8 (beyond reference): clamp ``column`` to its [``lower``,
+    ``upper``] exact interpolated percentiles — the outlier-winsorization
+    step quality pipelines apply to heavy-tailed signals (document
+    length, token counts, scores) before thresholding or normalizing,
+    so a handful of pathological rows can't drag a cutoff.
+
+    Adds ``out`` (default ``{column}_w``) with the clamped value rounded
+    to ``digits``; rows are never dropped (clamping, not filtering).
+
+    Scale (100 TB): one exact-percentile aggregate over the corpus (a
+    single partial-aggregating pass; ``percentile()`` and DuckDB
+    ``quantile_cont`` share the linear-interpolation definition, which
+    is what makes the value oracle exact), broadcast back as a
+    one-row bound pair; the clamp itself is a row-local expression. For
+    standing jobs at extreme cardinality swap the exact percentile for
+    ``approx_percentile`` — same shape, sketch-sized state.
+    """
+    if not (0.0 <= lower < upper <= 1.0):
+        raise ValueError(
+            f"winsorize: need 0 <= lower < upper <= 1, got ({lower}, {upper})")
+    c = F.col(f"`{column}`")
+    bounds = df.agg(
+        F.expr(f"percentile(`{column}`, {float(lower)})").alias("_w_lo"),
+        F.expr(f"percentile(`{column}`, {float(upper)})").alias("_w_hi"),
+    )
+    out_col = out or f"{column}_w"
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            out_col,
+            F.bround(F.least(F.greatest(c, F.col("_w_lo")), F.col("_w_hi")),
+                     digits),
+        )
+        .drop("_w_lo", "_w_hi")
+    )

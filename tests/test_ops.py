@@ -434,3 +434,21 @@ def test_rolling_time_agg_matches_model(spark):
     assert out[4]["rolling_n"] == 2 and out[4]["rolling_sum"] == 90.0
     assert out[6]["rolling_n"] == 1  # keys are independent
     assert out[2]["rolling_avg"] == 20.0
+
+
+def test_winsorize_clamps_tails_only(spark):
+    from feldman_spark.ops.filters import winsorize
+
+    # 1..100 plus two absurd outliers; p01/p99 of the 102 values
+    vals = list(range(1, 101)) + [10_000, -10_000]
+    df = spark.createDataFrame([(i, float(v)) for i, v in enumerate(vals)],
+                               "id long, v double")
+    out = {r["id"]: r["v_w"] for r in winsorize(df, "v").collect()}
+    # outliers clamped to the interpolated bounds, interior untouched
+    assert out[100] < 10_000 and out[101] > -10_000
+    assert out[49] == 50.0
+    assert min(out.values()) == out[101] and max(out.values()) == out[100]
+    assert winsorize(df, "v").count() == 102  # clamping, not filtering
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        winsorize(df, "v", lower=0.9, upper=0.1)
