@@ -3012,6 +3012,157 @@ def events_enrich(spark, sf_dir):
     return out.select("event_id", "user_id", "c_name", "c_nationkey", "value")
 
 
+def w9_merge_upsert(spark, sf_dir):
+    """CDC merge / MERGE INTO: a snapshot (latest per-user state from the
+    first half of the event log) updated by the second half replayed as
+    a change batch — 'error' events delete the key, everything else
+    upserts, highest event_id per key wins. Join-free: union + ONE
+    max_by aggregate over a (is-change, seq) priority struct, so hot
+    keys partial-aggregate map-side
+    (feldman_spark/ops/merge.py::merge_upsert)."""
+    from feldman_spark.ops.merge import merge_upsert
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.filter(F.col("event_id") < 5000)
+    snap = (
+        base.groupBy("user_id")
+        .agg(F.max_by(F.struct("value", "event_type"), "event_id").alias("s"))
+        .select("user_id", F.col("s.value").alias("value"),
+                F.col("s.event_type").alias("event_type"))
+    )
+    chg = ev.filter(F.col("event_id") >= 5000).select(
+        "user_id", "value", "event_type", "event_id",
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("upsert")).alias("op"),
+    )
+    return merge_upsert(snap, chg, keys=["user_id"], seq_col="event_id")
+
+
+def j12_bloom_semi_join(spark, sf_dir):
+    """Bloom-prefiltered EXACT semi-join: lineitem restricted to
+    high-value orders — the keys side hashes into a broadcast bitset
+    that filters the fact table on its scan side (no false negatives),
+    then a real left-semi join removes the ~1% false positives, so only
+    matching rows reach the shuffle. The scale move when both join
+    sides are too large to broadcast raw
+    (feldman_spark/ops/joins.py::bloom_semi_join)."""
+    from feldman_spark.ops.joins import bloom_semi_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    keys = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 150000)
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    matched = bloom_semi_join(li, keys, on=["l_orderkey"], fpp=0.01)
+    return matched.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        _r2(F.sum("l_quantity")).alias("sum_qty"),
+    )
+
+
+def sample_stratified(spark, sf_dir):
+    """Per-stratum deterministic sampling (reproducible sampleBy):
+    rebalance a language-skewed corpus by keeping 50% of en, 20% of de,
+    5% of everything else — membership decided by a per-stratum hash
+    variate, stable under reruns, repartitioning, and corpus growth.
+    Zero shuffles: the threshold is a literal CASE chain
+    (feldman_spark/pipeline/sampling.py::stratified_sample)."""
+    from feldman_spark.pipeline.sampling import stratified_sample
+
+    d = _t(spark, sf_dir, "documents")
+    out = stratified_sample(
+        d, "lang", {"en": 0.5, "de": 0.2}, key_col="doc_id",
+        seed="strata", default_fraction=0.05,
+    )
+    return out.select("doc_id", "lang", "source")
+
+
+def web_url_normalize(spark, sf_dir):
+    """URL canonicalization for crawl curation: scheme/host lowercased,
+    fragment + userinfo + default ports + tracking params stripped,
+    surviving query params sorted — the key under which a crawl's
+    re-visits of one page collapse. Row-local regexp/array codegen, zero
+    shuffles; the URL mix (ports, userinfo, utm params, fragments) is
+    synthesized deterministically from doc_id so Spark and the oracle
+    parse byte-identical inputs
+    (feldman_spark/pipeline/web.py::normalize_url/url_parts)."""
+    from feldman_spark.pipeline.web import normalize_url, url_parts
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    u = d.withColumn("url", F.expr(_URL_CASE_SQL))
+    return url_parts(normalize_url(u)).select(
+        "doc_id", "url_norm", "scheme", "host", "domain", "path")
+
+
+def a11_approx_quantiles(spark, sf_dir):
+    """Sketch percentiles next to a7's exact ones: approx_percentile
+    (KLL-style mergeable sketch — one pass, partitioning-independent
+    error bound, the only option when a 100 TB column can't sort). The
+    checked values are the EXACT percentiles; the flags pin the sketch
+    inside its documented accuracy envelope in-query, the same contract
+    a9 uses for HLL."""
+    li = _t(spark, sf_dir, "lineitem")
+    acc = 10000  # 1/acc relative-rank error
+    agg = li.agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("ex50"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("ex95"),
+        F.expr(f"approx_percentile(l_extendedprice, 0.5, {acc})").alias("ap50"),
+        F.expr(f"approx_percentile(l_extendedprice, 0.95, {acc})").alias("ap95"),
+        F.min("l_extendedprice").alias("lo"),
+        F.max("l_extendedprice").alias("hi"),
+    )
+    # rank-error bound -> value bound via the observed range is loose but
+    # engine-agnostic: |approx - exact| <= 2% of the column's span here
+    return agg.select(
+        _r2(F.col("ex50")).alias("p50"),
+        _r2(F.col("ex95")).alias("p95"),
+        (F.abs(F.col("ap50") - F.col("ex50"))
+         <= (F.col("hi") - F.col("lo")) * 0.02).alias("p50_in_bound"),
+        (F.abs(F.col("ap95") - F.col("ex95"))
+         <= (F.col("hi") - F.col("lo")) * 0.02).alias("p95_in_bound"),
+    )
+
+
+def o2_zorder_key(spark, sf_dir):
+    """Morton (Z-order) clustering key: the low 8 bits of two join keys
+    interleaved — sorting/range-partitioning by this key keeps file and
+    row-group min-max ranges tight on BOTH dimensions at once, so a
+    filter on either prunes the scan (the layout + manifest pruning
+    itself is exercised in test_parquet_layout.py; this query
+    value-checks the key bit-for-bit). Pure codegen bit arithmetic
+    (feldman_spark/io/parquet.py::zorder_key)."""
+    from feldman_spark.io.parquet import zorder_key
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_linenumber",
+        (F.col("l_orderkey") % 256).alias("zx"),
+        (F.col("l_partkey") % 256).alias("zy"),
+    )
+    out = li.withColumn("zkey", zorder_key(["zx", "zy"], bits=8))
+    return (
+        out.orderBy("zkey", "l_orderkey", "l_linenumber")
+        .limit(50)
+        .select("l_orderkey", "l_partkey", "l_linenumber", "zkey")
+    )
+
+
+# shared Spark/DuckDB SQL for web_url_normalize's synthetic URL mix —
+# one text, two engines, so the parse inputs are byte-identical
+_URL_CASE_SQL = """
+    CASE CAST(doc_id % 5 AS INT)
+      WHEN 0 THEN 'HTTP://WWW.' || source || '.Example.COM:80/Path/' || doc_id
+                  || '?utm_source=feed&b=2&a=1#frag'
+      WHEN 1 THEN 'https://' || source || '.example.com:8443/p/' || doc_id
+      WHEN 2 THEN 'https://sub.' || source || '.EXAMPLE.com:443/p/' || doc_id
+                  || '?z=9&gclid=abc&y=8'
+      WHEN 3 THEN 'http://user' || doc_id || '@' || source || '.example.com'
+      ELSE 'https://' || source || '.example.com/A%20b/' || doc_id
+           || '?a=1&a=0&ref=x'
+    END
+"""
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -3050,6 +3201,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the binned range join, DSIR importance weighting, semantic
     # decontamination, the HTML→text extractor, the time-range rolling
     # window, context-window chunking, and percentile winsorization.
+    # Late-round additions (CDC merge, bloom semi-join, stratified
+    # sampling, URL normalization, sketch percentiles, the Z-order key)
+    # lead the window as the newest code; they displace six r4-green
+    # keys (sample_mix, pack_examples, dedup_exact, feldman_e2_export —
+    # also bench-covered every round — text_fingerprint, text_scrub_pii)
+    # into the mirror-only tail for r7.
+        "w9_merge_upsert": w9_merge_upsert,
+        "j12_bloom_semi_join": j12_bloom_semi_join,
+        "sample_stratified": sample_stratified,
+        "web_url_normalize": web_url_normalize,
+        "a11_approx_quantiles": a11_approx_quantiles,
+        "o2_zorder_key": o2_zorder_key,
         "dedup_frequent_spans": dedup_frequent_spans,
         "j11_binned_range_join": j11_binned_range_join,
         "sample_dsir": sample_dsir,
@@ -3168,8 +3331,111 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _zkey_sql(bits: int = 8) -> str:
+    """The Morton-interleave bit expression in portable SQL — must stay
+    bit-for-bit the twin of feldman_spark/io/parquet.py::zorder_key."""
+    terms = []
+    for b in range(bits):
+        terms.append(f"(((zx >> {b}) & 1) << {2 * b})")
+        terms.append(f"(((zy >> {b}) & 1) << {2 * b + 1})")
+    return " | ".join(terms)
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "w9_merge_upsert": """
+            WITH snap AS (
+              SELECT user_id, arg_max(value, event_id) AS value,
+                     arg_max(event_type, event_id) AS event_type
+              FROM events WHERE event_id < 5000 GROUP BY user_id
+            ), chg AS (
+              SELECT user_id, value, event_type, event_id AS seq,
+                     CASE WHEN event_type = 'error' THEN 'delete'
+                          ELSE 'upsert' END AS op
+              FROM events WHERE event_id >= 5000
+            ), u AS (
+              SELECT user_id, value, event_type,
+                     CAST(NULL AS BIGINT) AS seq, 'upsert' AS op, 0 AS pri
+              FROM snap
+              UNION ALL
+              SELECT user_id, value, event_type, seq, op, 1 AS pri FROM chg
+            ), w AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY user_id
+                ORDER BY pri DESC, seq DESC NULLS LAST) AS rn
+              FROM u
+            )
+            SELECT user_id, value, event_type
+            FROM w WHERE rn = 1 AND op <> 'delete'
+        """,
+        "j12_bloom_semi_join": """
+            SELECT l_returnflag, count(*) AS n,
+                   round(sum(l_quantity), 2) AS sum_qty
+            FROM lineitem
+            WHERE EXISTS (SELECT 1 FROM orders
+                          WHERE o_orderkey = l_orderkey
+                            AND o_totalprice > 150000)
+            GROUP BY l_returnflag
+        """,
+        "sample_stratified": """
+            SELECT doc_id, lang, source FROM documents
+            WHERE substr(md5(doc_id::VARCHAR || '#strata:' || lang), 1, 8)
+                  < CASE lang WHEN 'de' THEN '33333333'
+                              WHEN 'en' THEN '80000000'
+                              ELSE '0ccccccc' END
+        """,
+        "web_url_normalize": f"""
+            WITH raw AS (
+              SELECT doc_id, ({_URL_CASE_SQL}) AS url FROM documents
+            ), p AS (
+              SELECT doc_id, url,
+                regexp_replace(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://', '') AS rest,
+                lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+                regexp_extract(url, '\\?([^#]*)', 1) AS query
+              FROM raw
+            ), q AS (
+              SELECT doc_id, scheme,
+                lower(regexp_extract(rest, '^(?:[^/@?#]*@)?([^/:?#]+)', 1)) AS host,
+                regexp_extract(rest, '^(?:[^/@?#]*@)?[^/:?#]*:(\\d+)', 1) AS port,
+                regexp_extract(rest, '^(?:[^/@?#]*@)?[^/?#]*(/[^?#]*)', 1) AS path,
+                -- coalesce: DuckDB's array_to_string([]) is NULL, Spark's
+                -- array_join([]) is '' — the empty-query case must agree
+                coalesce(array_to_string(list_sort(list_filter(string_split(query, '&'),
+                    x -> x <> '' AND NOT regexp_matches(x,
+                        '^(utm_[a-z]+|fbclid|gclid|msclkid|ref)='))), '&'), '') AS qnorm
+              FROM p
+            )
+            SELECT doc_id,
+              scheme || '://' || host ||
+              CASE WHEN port <> '' AND NOT ((scheme = 'http' AND port = '80')
+                                         OR (scheme = 'https' AND port = '443'))
+                   THEN ':' || port ELSE '' END ||
+              CASE WHEN path = '' THEN '/' ELSE path END ||
+              CASE WHEN qnorm = '' THEN '' ELSE '?' || qnorm END AS url_norm,
+              scheme, host,
+              regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS domain,
+              path
+            FROM q
+        """,
+        "a11_approx_quantiles": """
+            -- the exact percentiles are the checked values; the flags pin
+            -- the approx_percentile sketch inside its accuracy envelope
+            -- in-query on the Spark side (a9's HLL contract)
+            SELECT round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+                   round(quantile_cont(l_extendedprice, 0.95), 2) AS p95,
+                   TRUE AS p50_in_bound, TRUE AS p95_in_bound
+            FROM lineitem
+        """,
+        "o2_zorder_key": f"""
+            WITH z AS (
+              SELECT l_orderkey, l_partkey, l_linenumber,
+                     (l_orderkey % 256) AS zx, (l_partkey % 256) AS zy
+              FROM lineitem
+            )
+            SELECT l_orderkey, l_partkey, l_linenumber,
+                   ({_zkey_sql(8)}) AS zkey
+            FROM z ORDER BY zkey, l_orderkey, l_linenumber LIMIT 50
+        """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,

@@ -24,6 +24,8 @@ __all__ = [
     "nearest_join",
     "nearest_value_join",
     "asof_join",
+    "bloom_might_contain",
+    "bloom_semi_join",
 ]
 
 
@@ -357,3 +359,109 @@ def asof_join(
             c: F.when(stale, F.lit(None)).otherwise(F.col(c)) for c in carried
         })
     return out
+
+
+def _bloom_params(n: int, fpp: float) -> tuple:
+    """Optimal Bloom sizing: m = -n*ln(p)/ln(2)^2 bits, k = (m/n)*ln(2)
+    hash functions."""
+    import math
+
+    n = max(int(n), 1)
+    p = min(max(float(fpp), 1e-9), 0.5)
+    m = int(math.ceil(-n * math.log(p) / (math.log(2) ** 2)))
+    m = max(m, 64)
+    k = max(int(round(m / n * math.log(2))), 1)
+    return m, k
+
+
+def _bloom_pos_sql(cols: Sequence[str], m: int, i: int) -> str:
+    """SQL text for probe i's bit position: pmod(xxhash64(i, key...), m).
+    Text (not Column objects) so the same expression can sit inside
+    variable-shift bit tests, which the SQL function surface allows but
+    the PySpark wrappers (int-only shift amounts) do not."""
+    keys = ", ".join(f"`{c}`" for c in cols)
+    return f"pmod(xxhash64({i}, {keys}), CAST({m} AS BIGINT))"
+
+
+def bloom_might_contain(
+    big: DataFrame,
+    keys: DataFrame,
+    on: Sequence[str],
+    fpp: float = 0.01,
+    expected_keys: Optional[int] = None,
+    bitset_col: str = "_bloom",
+) -> DataFrame:
+    """Approximate membership prefilter: keep ``big`` rows whose key
+    MIGHT appear in ``keys`` — no false negatives, false positives at
+    ~``fpp``. Beyond reference: explicit runtime row-level filtering,
+    the scale move when the filter side is too large to broadcast raw
+    but its BITSET is not (1%% fpp ≈ 1.2 MB per million keys — three
+    orders of magnitude under the keys themselves for wide keys).
+
+    Scale shape: one pass over the keys side builds the bitset (explode
+    k probe positions → (word, bit) → ``bit_or`` aggregate — partial-
+    aggregating, m/64 result rows; plus one ``distinct().count()`` when
+    ``expected_keys`` is not supplied), the m/64-long array collects
+    once and rides a one-row broadcast onto the big side, and each probe
+    is an ``element_at`` + variable-shift bit test in whole-stage
+    codegen — the big table is filtered ON ITS SCAN SIDE, before any
+    shuffle, and never moves for keys that cannot match.
+    """
+    cols = list(on)
+    spark = big.sparkSession
+    if expected_keys is None:
+        expected_keys = keys.select(*cols).distinct().count()
+    m, k = _bloom_params(expected_keys, fpp)
+    nwords = (m + 63) // 64
+
+    pos_exprs = [F.expr(_bloom_pos_sql(cols, m, i)) for i in range(k)]
+    words = (
+        keys.select(F.explode(F.array(*pos_exprs)).alias("pos"))
+        .select(
+            F.shiftright(F.col("pos"), 6).alias("word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias("bit"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("bit").alias("bits"))
+        .collect()
+    )
+    bitset = [0] * nwords
+    for r in words:
+        bitset[int(r["word"])] = int(r["bits"])
+
+    carrier = spark.createDataFrame([(bitset,)], f"{bitset_col} array<bigint>")
+    tests = []
+    for i in range(k):
+        pos = _bloom_pos_sql(cols, m, i)
+        tests.append(
+            f"(element_at(`{bitset_col}`, CAST(shiftright({pos}, 6) AS INT) + 1)"
+            f" & shiftleft(CAST(1 AS BIGINT), CAST({pos} % 64 AS INT))) != 0"
+        )
+    return (
+        big.crossJoin(F.broadcast(carrier))
+        .filter(F.expr(" AND ".join(tests)))
+        .drop(bitset_col)
+    )
+
+
+def bloom_semi_join(
+    big: DataFrame,
+    keys: DataFrame,
+    on: Sequence[str],
+    fpp: float = 0.01,
+    expected_keys: Optional[int] = None,
+) -> DataFrame:
+    """EXACT semi-join accelerated by a Bloom prefilter: the bitset
+    eliminates big-side rows that cannot match before the shuffle, then
+    a real ``left_semi`` join over the survivors removes the false
+    positives — output is exactly :func:`semi_join`'s, but only
+    (true matches + ~fpp of the rest) of the big side reaches the
+    exchange. Use when BOTH sides are too large to broadcast: the big
+    side's shuffle shrinks to its selectivity, which is the entire cost
+    of a large semi-join at corpus scale.
+    """
+    cols = list(on)
+    filtered = bloom_might_contain(
+        big, keys, cols, fpp=fpp, expected_keys=expected_keys
+    )
+    return filtered.join(keys.select(*cols).distinct(), on=cols, how="left_semi")

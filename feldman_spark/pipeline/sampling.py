@@ -25,7 +25,8 @@ from pyspark.sql import functions as F
 
 __all__ = ["hash_variate", "hash_sample", "hash_split", "weighted_mix",
            "dsir_weights",
-           "temperature_mix", "cap_per_group", "epoch_shuffle"]
+           "temperature_mix", "cap_per_group", "epoch_shuffle",
+           "stratified_sample"]
 
 _PREFIX_LEN = 8  # 16^8 ~ 4.3e9 granularity
 
@@ -309,3 +310,33 @@ def epoch_shuffle(
     prefix16 = F.conv(F.substring(v, 1, 4), 16, 10).cast("int")
     return df.withColumn(sort_col, v).withColumn(
         shard_col, (prefix16 % num_shards).cast("int"))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: Dict[str, float],
+    key_col: str = "doc_id",
+    seed: str = "strata",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling — ``sampleBy`` made
+    reproducible: each stratum keeps its own fraction of rows, chosen by
+    the hash variate rather than an RNG, so membership is stable across
+    runs, partitionings, engines, and corpus growth (rebalancing a
+    skewed-language corpus never resamples history). Strata absent from
+    ``fractions`` keep ``default_fraction``.
+
+    Scale shape: zero shuffles — the per-stratum threshold is a literal
+    CASE chain over the (small, enumerated) strata and the keep test is
+    one row-local string compare; the variate is seeded per stratum so
+    co-keyed rows in different strata draw independently.
+    """
+    thr = F.lit(_threshold(default_fraction))
+    for name, frac in sorted(fractions.items()):
+        thr = F.when(F.col(strata_col) == F.lit(name),
+                     F.lit(_threshold(frac))).otherwise(thr)
+    v = F.substring(
+        F.md5(F.concat(F.col(key_col).cast("string"), F.lit(f"#{seed}:"),
+                       F.col(strata_col).cast("string"))), 1, _PREFIX_LEN)
+    return df.filter(v < thr)

@@ -452,3 +452,57 @@ def test_winsorize_clamps_tails_only(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         winsorize(df, "v", lower=0.9, upper=0.1)
+
+
+def test_merge_upsert_semantics(spark):
+    from feldman_spark.ops.merge import merge_upsert
+
+    snap = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "id int, name string, v double")
+    chg = spark.createDataFrame(
+        [(2, "b2", 21.0, 100, "upsert"),   # superseded by seq 101
+         (2, "b3", 22.0, 101, "upsert"),
+         (3, None, 0.0, 100, "delete"),    # key removed
+         (4, "d", 40.0, 100, "upsert"),    # fresh insert
+         (5, "e", 50.0, 100, "delete")],   # delete of an absent key: no-op
+        "id int, name string, v double, seq int, op string")
+    out = {r["id"]: r for r in merge_upsert(snap, chg, ["id"], "seq").collect()}
+    assert set(out) == {1, 2, 4}
+    assert out[1]["name"] == "a"            # untouched snapshot row carries
+    assert out[2]["name"] == "b3" and out[2]["v"] == 22.0  # latest seq wins
+    assert out[4]["name"] == "d"
+    # a delete then a later re-insert of the same key survives
+    chg2 = spark.createDataFrame(
+        [(3, "x", 1.0, 100, "delete"), (3, "c2", 31.0, 101, "upsert")],
+        "id int, name string, v double, seq int, op string")
+    out2 = {r["id"]: r for r in merge_upsert(snap, chg2, ["id"], "seq").collect()}
+    assert out2[3]["name"] == "c2"
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        merge_upsert(snap, chg.drop("op"), ["id"], "seq")
+
+
+def test_bloom_semi_join_exact_and_bounded_fp(spark):
+    from feldman_spark.ops.joins import (bloom_might_contain,
+                                         bloom_semi_join, semi_join)
+
+    big = spark.range(0, 30000).select(
+        F.col("id").alias("k"), (F.col("id") % 13).alias("x"))
+    keys = spark.range(0, 30000, 3).select(F.col("id").alias("k"))
+    exact = semi_join(big, keys, ["k"])
+    got = bloom_semi_join(big, keys, ["k"], fpp=0.01)
+    assert got.count() == exact.count() == 10000
+    assert got.exceptAll(exact).count() == 0
+    # prefilter alone: ALL true matches survive (no false negatives),
+    # false positives bounded near the design fpp
+    pref = bloom_might_contain(big, keys, ["k"], fpp=0.01)
+    surv = pref.count()
+    assert surv >= 10000                       # zero false negatives
+    fp_rate = (surv - 10000) / 20000
+    assert fp_rate < 0.03                      # 3x design fpp headroom
+    # disjoint key sets: survivors are pure false positives, still bounded
+    alien = spark.range(100000, 130000).select(F.col("id").alias("k"))
+    fp_only = bloom_might_contain(alien, keys, ["k"], fpp=0.01).count()
+    assert fp_only / 30000 < 0.03
+    assert bloom_semi_join(alien, keys, ["k"], fpp=0.01).count() == 0

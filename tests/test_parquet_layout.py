@@ -1,5 +1,6 @@
 """Partitioned parquet layout: partition pruning must show in the plan."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from feldman_spark.engine import load_measurement
@@ -77,3 +78,45 @@ def test_ivf_incremental_append(spark, tmp_out):
     want = [(r["vec_id"], r["cosine"])
             for r in cosine_topk(corpus.unionByName(fresh), q, k=5).collect()]
     assert [(r["vec_id"], r["cosine"]) for r in got.collect()] == want
+
+
+def test_zorder_clustered_manifest_pruning(spark, tmp_out):
+    from feldman_spark.io.parquet import read_pruned, write_clustered, zorder_key
+
+    df = spark.range(0, 40000).select(
+        (F.col("id") % 200).alias("x"),
+        (F.col("id") / 200).cast("bigint").alias("y"),
+        F.col("id").alias("id"))
+    path = f"{tmp_out}/zorder_demo"
+    write_clustered(df, path, zorder_key(["x", "y"], bits=8),
+                    stats_cols=["x", "y"], num_files=16)
+
+    full = spark.read.parquet(path)
+    assert len(full.inputFiles()) == 16
+
+    # a box filter on BOTH interleaved dims opens a small corner of the
+    # files — that's the point of the Z-layout vs a single-key sort
+    pruned = read_pruned(spark, path, {"x": (10, 20), "y": (10, 20)})
+    want = full.filter(F.col("x").between(10, 20) & F.col("y").between(10, 20))
+    assert pruned.count() == want.count() > 0
+    assert pruned.exceptAll(want).count() == 0
+    assert len(pruned.inputFiles()) <= 4
+
+    # each dim alone also prunes (z-interleave keeps both selective)
+    for dim in ("x", "y"):
+        p1 = read_pruned(spark, path, {dim: (0, 15)})
+        assert p1.count() == full.filter(F.col(dim).between(0, 15)).count()
+        assert len(p1.inputFiles()) < 16
+
+    # empty intersection short-circuits to an empty frame, schema intact
+    none = read_pruned(spark, path, {"x": (500, 600)})
+    assert none.count() == 0 and set(none.columns) == {"x", "y", "id"}
+
+
+def test_zorder_key_validation(spark):
+    from feldman_spark.io.parquet import zorder_key
+
+    with pytest.raises(ValueError):
+        zorder_key([], bits=8)
+    with pytest.raises(ValueError):
+        zorder_key(["a", "b"], bits=32)  # 64 bits overflows a signed long

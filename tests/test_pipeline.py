@@ -1243,3 +1243,57 @@ def test_chunk_documents_overlap_and_tail(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         chunk_documents(docs, window=0, stride=3)
+
+
+def test_url_parts_and_normalize(spark):
+    from feldman_spark.pipeline.web import normalize_url, url_parts
+
+    cases = [
+        # (raw, norm) — default port drops, tracking params drop, params
+        # sort, fragment/userinfo strip, empty path -> '/'
+        ("HTTP://WWW.Foo.Example.COM:80/Path/1?utm_source=f&b=2&a=1#frag",
+         "http://www.foo.example.com/Path/1?a=1&b=2"),
+        ("https://bar.example.com:8443/p/2",
+         "https://bar.example.com:8443/p/2"),
+        ("http://USER@baz.example.com",
+         "http://baz.example.com/"),
+        ("https://qux.example.com/p%20q/4?a=1&gclid=zz&A=0",
+         "https://qux.example.com/p%20q/4?A=0&a=1"),
+        ("https://sub.host.EXAMPLE.com:443/x?ref=r",
+         "https://sub.host.example.com/x"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = {r["url"]: r for r in normalize_url(url_parts(df)).collect()}
+    for raw, want in cases:
+        assert got[raw]["url_norm"] == want, raw
+    r0 = got[cases[0][0]]
+    assert r0["scheme"] == "http" and r0["host"] == "www.foo.example.com"
+    assert r0["domain"] == "example.com" and r0["path"] == "/Path/1"
+    # userinfo never leaks into host/path
+    r2 = got[cases[2][0]]
+    assert r2["host"] == "baz.example.com" and r2["path"] == ""
+
+
+def test_stratified_sample_fractions_and_determinism(spark):
+    from feldman_spark.pipeline.sampling import stratified_sample
+
+    rows = [(i, ["en", "de", "fr"][i % 3]) for i in range(6000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    frac = {"en": 0.5, "de": 0.1}
+    out = stratified_sample(df, "lang", frac, key_col="doc_id",
+                            default_fraction=0.02)
+    counts = {r["lang"]: r["n"] for r in
+              out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert abs(counts["en"] / 2000 - 0.5) < 0.06
+    assert abs(counts["de"] / 2000 - 0.1) < 0.04
+    assert counts.get("fr", 0) / 2000 < 0.05          # default fraction
+    # deterministic: the same rows, not just the same counts
+    again = stratified_sample(df, "lang", frac, key_col="doc_id",
+                              default_fraction=0.02)
+    assert out.exceptAll(again).count() == 0 and out.count() == again.count()
+    # growth-stable: adding rows never evicts prior members
+    bigger = spark.createDataFrame(
+        rows + [(i, "en") for i in range(6000, 8000)], "doc_id long, lang string")
+    grown = stratified_sample(bigger, "lang", frac, key_col="doc_id",
+                              default_fraction=0.02)
+    assert out.join(grown, ["doc_id"], "left_anti").count() == 0
