@@ -3147,6 +3147,57 @@ def o2_zorder_key(spark, sf_dir):
     )
 
 
+def u3_table_diff(spark, sf_dir):
+    """Snapshot diff between two corpus versions: every doc_id classified
+    added / removed / changed / unchanged (null-safe payload compare).
+    Join-free: both snapshots union with a side tag and ONE key-grouped
+    aggregate gathers each side's payload struct via conditional max —
+    map-side partial aggregation, no join hash tables; the two versions
+    here are deterministic slices of documents with a synthetic edit
+    (feldman_spark/ops/diff.py::table_diff)."""
+    from feldman_spark.ops.diff import table_diff
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars")
+    old = d.filter(F.col("doc_id") % 11 != 0)
+    new = d.filter(F.col("doc_id") % 13 != 0).withColumn(
+        "n_chars",
+        F.col("n_chars")
+        + F.when(F.col("doc_id") % 7 == 0, F.lit(1)).otherwise(F.lit(0)),
+    )
+    return table_diff(old, new, keys=["doc_id"])
+
+
+def a12_heavy_hitters(spark, sf_dir):
+    """Exact frequent-key profile via sketch-then-verify: a one-pass
+    freqItems sketch yields a small candidate superset, the exact count
+    runs only over candidate rows — the aggregate shuffles hot-key
+    partial counts instead of one row per distinct key. Output feeds
+    salted_join's hot_keys at corpus scale
+    (feldman_spark/ops/skew.py::heavy_hitters)."""
+    from feldman_spark.ops.skew import heavy_hitters
+
+    ev = _t(spark, sf_dir, "events")
+    return heavy_hitters(ev, ["user_id"], min_count=80)
+
+
+def web_domain_cap(spark, sf_dir):
+    """Crawl-style per-host cap over parsed URLs: normalize + parse the
+    synthetic URL mix, keep at most 20 docs per host (variate-ordered —
+    stable under reruns and corpus growth), count survivors per host.
+    The URL ops are row-local codegen; the cap is one shuffle on the
+    host key (feldman_spark/pipeline/web.py +
+    pipeline/sampling.py::cap_per_group)."""
+    from feldman_spark.pipeline.sampling import cap_per_group
+    from feldman_spark.pipeline.web import url_parts
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    u = d.withColumn("url", F.expr(_URL_CASE_SQL))
+    parts = url_parts(u)
+    capped = cap_per_group(parts, "host", cap=20, key_col="doc_id")
+    return capped.groupBy("host").agg(F.count("*").alias("n"))
+
+
 # shared Spark/DuckDB SQL for web_url_normalize's synthetic URL mix —
 # one text, two engines, so the parse inputs are byte-identical
 _URL_CASE_SQL = """
@@ -3202,17 +3253,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # decontamination, the HTML→text extractor, the time-range rolling
     # window, context-window chunking, and percentile winsorization.
     # Late-round additions (CDC merge, bloom semi-join, stratified
-    # sampling, URL normalization, sketch percentiles, the Z-order key)
-    # lead the window as the newest code; they displace six r4-green
-    # keys (sample_mix, pack_examples, dedup_exact, feldman_e2_export —
-    # also bench-covered every round — text_fingerprint, text_scrub_pii)
-    # into the mirror-only tail for r7.
+    # sampling, URL normalization + the host-cap composite, sketch
+    # percentiles, the Z-order key, snapshot diff, heavy hitters) lead
+    # the window as the newest code; they displace nine previously-green
+    # keys (knn_ivf — r5-green — plus r4-green sample_split,
+    # sample_fraction, sample_mix, pack_examples, dedup_exact,
+    # feldman_e2_export — also bench-covered every round —
+    # text_fingerprint, text_scrub_pii) into the mirror-only tail; all
+    # nine lead the r7 queue.
         "w9_merge_upsert": w9_merge_upsert,
         "j12_bloom_semi_join": j12_bloom_semi_join,
         "sample_stratified": sample_stratified,
         "web_url_normalize": web_url_normalize,
         "a11_approx_quantiles": a11_approx_quantiles,
         "o2_zorder_key": o2_zorder_key,
+        "u3_table_diff": u3_table_diff,
+        "a12_heavy_hitters": a12_heavy_hitters,
+        "web_domain_cap": web_domain_cap,
         "dedup_frequent_spans": dedup_frequent_spans,
         "j11_binned_range_join": j11_binned_range_join,
         "sample_dsir": sample_dsir,
@@ -3416,6 +3473,47 @@ def oracle_sql() -> dict[str, str]:
               regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS domain,
               path
             FROM q
+        """,
+        "u3_table_diff": """
+            WITH old_v AS (
+              SELECT doc_id, lang, source, n_chars FROM documents
+              WHERE doc_id % 11 <> 0
+            ), new_v AS (
+              SELECT doc_id, lang, source,
+                     n_chars + CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS n_chars
+              FROM documents WHERE doc_id % 13 <> 0
+            )
+            SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+                   CASE WHEN o.doc_id IS NULL THEN 'added'
+                        WHEN n.doc_id IS NULL THEN 'removed'
+                        WHEN o.lang IS NOT DISTINCT FROM n.lang
+                         AND o.source IS NOT DISTINCT FROM n.source
+                         AND o.n_chars IS NOT DISTINCT FROM n.n_chars
+                        THEN 'unchanged'
+                        ELSE 'changed' END AS diff_status
+            FROM old_v o FULL OUTER JOIN new_v n ON o.doc_id = n.doc_id
+        """,
+        "a12_heavy_hitters": """
+            SELECT user_id, count(*) AS n FROM events
+            GROUP BY user_id HAVING count(*) >= 80
+        """,
+        "web_domain_cap": f"""
+            WITH raw AS (
+              SELECT doc_id, ({_URL_CASE_SQL}) AS url FROM documents
+            ), p AS (
+              SELECT doc_id,
+                lower(regexp_extract(
+                  regexp_replace(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://', ''),
+                  '^(?:[^/@?#]*@)?([^/:?#]+)', 1)) AS host
+              FROM raw
+            ), r AS (
+              SELECT host, row_number() OVER (
+                PARTITION BY host
+                ORDER BY substr(md5(doc_id::VARCHAR || '#cap'), 1, 8),
+                         doc_id) AS rk
+              FROM p
+            )
+            SELECT host, count(*) AS n FROM r WHERE rk <= 20 GROUP BY host
         """,
         "a11_approx_quantiles": """
             -- the exact percentiles are the checked values; the flags pin

@@ -24,7 +24,7 @@ from typing import Optional, Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["salted_join"]
+__all__ = ["salted_join", "heavy_hitters"]
 
 SALT = "_salt"
 
@@ -94,3 +94,57 @@ def salted_join(
     hot_joined = _salt_all(left_hot, right_hot)
     cold_joined = left_cold.join(right_cold, on, how)
     return hot_joined.unionByName(cold_joined)
+
+
+def heavy_hitters(
+    df: DataFrame,
+    cols: Sequence[str],
+    min_count: int,
+    support: Optional[float] = None,
+    count_col: str = "n",
+) -> DataFrame:
+    """EXACT frequent keys — every distinct value of ``cols`` appearing at
+    least ``min_count`` times, with its exact count — found at a fraction
+    of a full group-by's shuffle (beyond reference; the profiling pass
+    that feeds :func:`salted_join`'s ``hot_keys``).
+
+    Sketch-then-verify, the same contract as ``bloom_semi_join`` and the
+    ngram candidate guard: a one-pass Karp–Papadimitriou–Shenker sketch
+    (``DataFrame.stat.freqItems``) yields a SUPERSET of everything above
+    ``support`` (driver-side list, ≤ 1/support items by construction),
+    then the exact count runs only over rows matching those candidates —
+    so the aggregate's shuffle carries the hot keys' partial counts
+    instead of one row per DISTINCT key. At corpus scale (billions of
+    distinct user ids / URLs, a handful hot) the distinct-key shuffle is
+    the entire cost of naive profiling; this replaces it with
+    (candidates × partitions) partial rows. False candidates are removed
+    by the exact HAVING; false negatives cannot occur while ``support``
+    ≤ min_count/N (caller guarantees — pass the corpus-size-derived
+    value, or the conservative default below for unknown N).
+
+    ``support`` defaults to ``1e-4`` (freqItems' floor), i.e. exactness
+    holds for any corpus where ``min_count``/N ≥ 1e-4; tighten it when N
+    is known to shrink the candidate list.
+    """
+    ks = list(cols)
+    if support is None:
+        support = 1e-4
+    if not 0 < support < 1:
+        raise ValueError(f"support must be in (0, 1), got {support}")
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+
+    # freqItems sketches each column independently; for compound keys the
+    # candidate set is the cross of per-column candidates — still a
+    # superset (a frequent tuple needs every component frequent)
+    fi = df.stat.freqItems(ks, support=support).first()
+    cand = {c: list(fi[f"{c}_freqItems"]) for c in ks}
+    pred = F.lit(True)
+    for c in ks:
+        pred = pred & F.col(c).isin(cand[c])
+    return (
+        df.filter(pred)
+        .groupBy(*ks)
+        .agg(F.count("*").alias(count_col))
+        .filter(F.col(count_col) >= F.lit(int(min_count)))
+    )

@@ -506,3 +506,51 @@ def test_bloom_semi_join_exact_and_bounded_fp(spark):
     fp_only = bloom_might_contain(alien, keys, ["k"], fpp=0.01).count()
     assert fp_only / 30000 < 0.03
     assert bloom_semi_join(alien, keys, ["k"], fpp=0.01).count() == 0
+
+
+def test_table_diff_classification(spark):
+    from feldman_spark.ops.diff import table_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", None), (3, "c", 3.0), (5, "e", 5.0)],
+        "id int, name string, v double")
+    new = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", None), (3, "cX", 3.0), (4, "d", 4.0)],
+        "id int, name string, v double")
+    got = {r["id"]: r["diff_status"]
+           for r in table_diff(old, new, ["id"]).collect()}
+    assert got == {1: "unchanged", 2: "unchanged",  # NULL == NULL (null-safe)
+                   3: "changed", 4: "added", 5: "removed"}
+    # null -> value flips are 'changed', not 'unchanged'
+    new2 = new.withColumn("v", F.when(F.col("id") == 2, 9.0)
+                          .otherwise(F.col("v")))
+    assert {r["id"]: r["diff_status"]
+            for r in table_diff(old, new2, ["id"]).collect()}[2] == "changed"
+    # compare_cols restricts the payload: name-only diff ignores v changes
+    sub = table_diff(old, new2, ["id"], compare_cols=["name"])
+    assert {r["id"]: r["diff_status"] for r in sub.collect()}[2] == "unchanged"
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        table_diff(old, new, ["id"], compare_cols=["missing"])
+
+
+def test_heavy_hitters_exact_over_sketch(spark):
+    from feldman_spark.ops.skew import heavy_hitters
+
+    # 3 hot keys (1000/500/200 rows) in a sea of 5000 singletons: the
+    # exact output must equal the full group-by, however the sketch
+    # candidates fall
+    rows = ([("hot1",)] * 1000 + [("hot2",)] * 500 + [("hot3",)] * 200
+            + [(f"cold{i}",) for i in range(5000)])
+    df = spark.createDataFrame(rows, "k string").repartition(8)
+    got = {r["k"]: r["n"]
+           for r in heavy_hitters(df, ["k"], min_count=200).collect()}
+    assert got == {"hot1": 1000, "hot2": 500, "hot3": 200}
+    # threshold excludes borderline keys exactly
+    got2 = heavy_hitters(df, ["k"], min_count=201)
+    assert {r["k"] for r in got2.collect()} == {"hot1", "hot2"}
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        heavy_hitters(df, ["k"], min_count=0)
+    with _pytest.raises(ValueError):
+        heavy_hitters(df, ["k"], min_count=10, support=1.5)
