@@ -3198,6 +3198,31 @@ def web_domain_cap(spark, sf_dir):
     return capped.groupBy("host").agg(F.count("*").alias("n"))
 
 
+def o3_grouped_topk(spark, sf_dir):
+    """Exact top-3 documents per language by length, at corpus shape: a
+    per-partition mapInPandas pre-reduction keeps each partition's local
+    top-k per group (state: groups × k), so the final ranking window
+    shuffles candidates — k × partitions rows per group — instead of the
+    corpus; a hot group never serializes through one reducer until the
+    candidate stage (feldman_spark/ops/windows.py::grouped_topk)."""
+    from feldman_spark.ops.windows import grouped_topk
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return grouped_topk(d, ["lang"], "n_chars", k=3, tiebreak_cols=["doc_id"])
+
+
+def profile_histogram_q(spark, sf_dir):
+    """Equi-width histogram of a revenue column (16 buckets) — the
+    distribution profile behind skew diagnosis and drift monitors. Two
+    partial-aggregating passes: a (min, max) bound pair broadcast back,
+    then one group-by on the row-local bucket id
+    (feldman_spark/pipeline/profile.py::profile_histogram)."""
+    from feldman_spark.pipeline.profile import profile_histogram
+
+    li = _t(spark, sf_dir, "lineitem")
+    return profile_histogram(li, "l_extendedprice", buckets=16)
+
+
 # shared Spark/DuckDB SQL for web_url_normalize's synthetic URL mix —
 # one text, two engines, so the parse inputs are byte-identical
 _URL_CASE_SQL = """
@@ -3254,13 +3279,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # window, context-window chunking, and percentile winsorization.
     # Late-round additions (CDC merge, bloom semi-join, stratified
     # sampling, URL normalization + the host-cap composite, sketch
-    # percentiles, the Z-order key, snapshot diff, heavy hitters) lead
-    # the window as the newest code; they displace nine previously-green
-    # keys (knn_ivf — r5-green — plus r4-green sample_split,
+    # percentiles, the Z-order key, snapshot diff, heavy hitters,
+    # grouped top-k, the histogram profiler) lead the window as the
+    # newest code — a brand-new query outranks every re-verification.
+    # To keep the never-driver-green knn exact twins inside the 50, the
+    # r4-green events_running_totals / events_stream_dedup moved below
+    # them. Displaced into the mirror-only tail (all with prior driver
+    # rows; they lead the r7 queue): events_running_totals,
+    # events_stream_dedup, knn_ivf (r5-green), sample_split,
     # sample_fraction, sample_mix, pack_examples, dedup_exact,
-    # feldman_e2_export — also bench-covered every round —
-    # text_fingerprint, text_scrub_pii) into the mirror-only tail; all
-    # nine lead the r7 queue.
+    # feldman_e2_export (also bench-covered every round),
+    # text_fingerprint, text_scrub_pii.
         "w9_merge_upsert": w9_merge_upsert,
         "j12_bloom_semi_join": j12_bloom_semi_join,
         "sample_stratified": sample_stratified,
@@ -3270,6 +3299,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u3_table_diff": u3_table_diff,
         "a12_heavy_hitters": a12_heavy_hitters,
         "web_domain_cap": web_domain_cap,
+        "o3_grouped_topk": o3_grouped_topk,
+        "profile_histogram": profile_histogram_q,
         "dedup_frequent_spans": dedup_frequent_spans,
         "j11_binned_range_join": j11_binned_range_join,
         "sample_dsir": sample_dsir,
@@ -3305,12 +3336,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_curate_corpus": pipeline_curate_corpus,
         "sample_cap_per_source": sample_cap_per_source,
         "events_sessionize_native": events_sessionize_native,
-        "events_running_totals": events_running_totals,
-        "events_stream_dedup": events_stream_dedup,
         "j9_asof_join": j9_asof_join,
         "pipeline_fuzzy_dedup": pipeline_fuzzy_dedup,
         "knn_lsh_exact": knn_lsh_exact,
         "knn_ivf_exact": knn_ivf_exact,
+        "events_running_totals": events_running_totals,
+        "events_stream_dedup": events_stream_dedup,
         "knn_ivf": knn_ivf,
         "sample_split": sample_split,
         "sample_fraction": sample_fraction,
@@ -3473,6 +3504,33 @@ def oracle_sql() -> dict[str, str]:
               regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS domain,
               path
             FROM q
+        """,
+        "o3_grouped_topk": """
+            SELECT doc_id, lang, n_chars FROM (
+              SELECT doc_id, lang, n_chars,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY n_chars DESC, doc_id) AS rk
+              FROM documents WHERE n_chars IS NOT NULL)
+            WHERE rk <= 3
+        """,
+        "profile_histogram": """
+            WITH s AS (
+              SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem
+              WHERE l_extendedprice IS NOT NULL
+            ), b AS (
+              SELECT min(x) AS mn, max(x) AS mx FROM s
+            ), z AS (
+              SELECT CASE WHEN mx = mn THEN 0
+                          ELSE CAST(least(floor((x - mn) / ((mx - mn) / 16)),
+                                    15) AS BIGINT) END AS bucket,
+                     mn, mx
+              FROM s, b
+            )
+            SELECT bucket,
+                   round(min(mn + bucket * ((mx - mn) / 16)), 4) AS lo,
+                   round(min(mn + (bucket + 1) * ((mx - mn) / 16)), 4) AS hi,
+                   count(*) AS n
+            FROM z GROUP BY bucket
         """,
         "u3_table_diff": """
             WITH old_v AS (

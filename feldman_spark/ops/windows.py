@@ -21,6 +21,7 @@ __all__ = [
     "scd2_intervals",
     "time_gapfill",
     "rolling_time_agg",
+    "grouped_topk",
 ]
 
 
@@ -259,4 +260,72 @@ def rolling_time_agg(
         df.withColumn("rolling_n", F.count(F.lit(1)).over(w).cast("bigint"))
         .withColumn("rolling_sum", F.bround(F.sum(v).over(w), digits))
         .withColumn("rolling_avg", F.bround(F.avg(v).over(w), digits))
+    )
+
+
+def grouped_topk(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_col: str,
+    k: int,
+    tiebreak_cols: Sequence[str] = (),
+    descending: bool = True,
+    partial: bool = True,
+) -> DataFrame:
+    """EXACT top-``k`` rows per group by ``order_col`` (beyond reference —
+    "best k documents per language/domain" over a corpus).
+
+    The textbook ``row_number`` window shuffles EVERY row to its group's
+    reducer and sorts the whole group — at corpus scale a hot group
+    (one language with billions of docs) serializes on one task. Here a
+    per-partition pre-reduction (``mapInPandas``, state bounded by
+    groups-in-partition × k) keeps each partition's local top-k per
+    group first: any row in the global top-k is necessarily in its
+    partition's local top-k, so the window then runs over at most
+    k × num_partitions rows per group — the shuffle carries candidates,
+    not the corpus, and hot groups stay parallel until the final
+    (tiny) ranking. Set ``partial=False`` to get the plain window form
+    (the oracle twin).
+
+    Rows with a NULL ``order_col`` are excluded (top-k of a metric).
+    Ties on ``order_col`` break by ``tiebreak_cols`` ascending — pass a
+    unique key there for a fully deterministic result; with no tiebreak
+    and duplicate order values the kept rows are arbitrary.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    gks = list(group_cols)
+    tbs = list(tiebreak_cols)
+    src = df.filter(F.col(order_col).isNotNull())
+
+    order_exprs = (
+        [F.col(order_col).desc() if descending else F.col(order_col).asc()]
+        + [F.col(c).asc() for c in tbs]
+    )
+
+    pre = src
+    if partial:
+        schema = src.schema
+        sort_cols = [order_col] + tbs
+        sort_asc = [not descending] + [True] * len(tbs)
+
+        def local_topk(batches):
+            import pandas as pd
+
+            acc = None
+            for pdf in batches:
+                cur = pdf if acc is None else pd.concat((acc, pdf))
+                cur = cur.sort_values(sort_cols, ascending=sort_asc,
+                                      kind="stable")
+                acc = cur.groupby(gks, sort=False, dropna=False).head(k)
+            if acc is not None:
+                yield acc
+
+        pre = src.mapInPandas(local_topk, schema=schema)
+
+    w = Window.partitionBy(*_cols(gks)).orderBy(*order_exprs)
+    return (
+        pre.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
     )

@@ -17,7 +17,7 @@ from typing import Optional, Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["profile_table"]
+__all__ = ["profile_table", "profile_histogram"]
 
 
 def profile_table(
@@ -51,3 +51,41 @@ def profile_table(
         for c in cols
     ]
     return wide.select(F.explode(F.array(*per_col)).alias("s")).select("s.*")
+
+
+def profile_histogram(
+    df: DataFrame, column: str, buckets: int = 16,
+) -> DataFrame:
+    """Equi-width histogram of a numeric column:
+    ``(bucket, lo, hi, n)`` — the distribution profile behind skew
+    diagnosis, bucket-size planning, and drift monitors.
+
+    Two passes, both partial-aggregating: one (min, max) aggregate
+    (broadcast back as a one-row cross join — dimension-sized by
+    construction), then one group-by on the row-local bucket id. NULLs
+    are excluded; the max value lands in the last bucket (half-open
+    bins, closed on top); a constant column degenerates to one bucket.
+    ``lo``/``hi`` round to 4 digits for cross-engine hash stability.
+    """
+    if buckets < 1:
+        raise ValueError(f"buckets must be >= 1, got {buckets}")
+    src = df.select(F.col(column).cast("double").alias("_x")).filter(
+        F.col("_x").isNotNull())
+    bounds = src.agg(F.min("_x").alias("_lo"), F.max("_x").alias("_hi"))
+    joined = src.crossJoin(F.broadcast(bounds))
+    width = (F.col("_hi") - F.col("_lo")) / F.lit(float(buckets))
+    bucket = F.when(F.col("_hi") == F.col("_lo"), F.lit(0).cast("bigint")).otherwise(
+        F.least(
+            F.floor((F.col("_x") - F.col("_lo")) / width),
+            F.lit(buckets - 1).cast("bigint"),
+        )
+    )
+    return (
+        joined.withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.round(F.min(F.col("_lo") + F.col("bucket") * width), 4).alias("lo"),
+            F.round(F.min(F.col("_lo") + (F.col("bucket") + 1) * width), 4).alias("hi"),
+            F.count("*").alias("n"),
+        )
+    )

@@ -554,3 +554,34 @@ def test_heavy_hitters_exact_over_sketch(spark):
         heavy_hitters(df, ["k"], min_count=0)
     with _pytest.raises(ValueError):
         heavy_hitters(df, ["k"], min_count=10, support=1.5)
+
+
+def test_grouped_topk_matches_window_twin(spark):
+    from feldman_spark.ops.windows import grouped_topk
+
+    # skewed: one hot group with 5000 rows, many singleton groups;
+    # duplicate order values exercised with a unique tiebreak
+    rows = [(i, "hot", float(i % 97)) for i in range(5000)]
+    rows += [(10000 + g, f"g{g}", float(g)) for g in range(200)]
+    df = spark.createDataFrame(rows, "id long, grp string, score double")
+    df = df.unionByName(spark.createDataFrame(
+        [(99999, "hot", None)], "id long, grp string, score double"))
+
+    fast = grouped_topk(df, ["grp"], "score", 4, tiebreak_cols=["id"])
+    slow = grouped_topk(df, ["grp"], "score", 4, tiebreak_cols=["id"],
+                        partial=False)
+    assert fast.exceptAll(slow).count() == 0
+    assert slow.exceptAll(fast).count() == 0
+    got = fast.filter(F.col("grp") == "hot").orderBy("id").collect()
+    # top score 96 appears many times; lowest ids win the tiebreak
+    assert [r["id"] for r in got] == [96, 193, 290, 387]
+    # null scores excluded, singleton groups keep their row
+    assert fast.filter(F.col("id") == 99999).count() == 0
+    assert fast.filter(F.col("grp") == "g7").count() == 1
+    # ascending order flips the winners
+    asc = grouped_topk(df, ["grp"], "score", 1, tiebreak_cols=["id"],
+                       descending=False)
+    assert asc.filter(F.col("grp") == "hot").first()["score"] == 0.0
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        grouped_topk(df, ["grp"], "score", 0)

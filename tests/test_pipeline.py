@@ -1297,3 +1297,23 @@ def test_stratified_sample_fractions_and_determinism(spark):
     grown = stratified_sample(bigger, "lang", frac, key_col="doc_id",
                               default_fraction=0.02)
     assert out.join(grown, ["doc_id"], "left_anti").count() == 0
+
+
+def test_profile_histogram_buckets(spark):
+    from feldman_spark.pipeline.profile import profile_histogram
+
+    df = spark.createDataFrame([(float(i),) for i in range(100)], "x double")
+    h = {r["bucket"]: r for r in profile_histogram(df, "x", 10).collect()}
+    assert len(h) == 10
+    assert sum(r["n"] for r in h.values()) == 100
+    assert all(r["n"] == 10 for r in h.values())      # uniform data
+    assert h[0]["lo"] == 0.0 and h[9]["hi"] == 99.0   # closed-top last bin
+    # max value lands in the last bucket, not an 11th
+    assert max(h) == 9
+    # constant column: one bucket, all rows
+    const = spark.createDataFrame([(5.0,), (5.0,), (None,)], "x double")
+    hc = profile_histogram(const, "x", 8).collect()
+    assert len(hc) == 1 and hc[0]["n"] == 2           # NULL excluded
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        profile_histogram(df, "x", 0)
