@@ -3223,6 +3223,129 @@ def profile_histogram_q(spark, sf_dir):
     return profile_histogram(li, "l_extendedprice", buckets=16)
 
 
+def text_bm25(spark, sf_dir):
+    """Okapi BM25 top-10 retrieval over the documents corpus
+    (feldman_spark/pipeline/search.py::bm25_topk). The corpus text
+    never shuffles: document length is row-local, the exploded token
+    stream is filtered to the 4-term query vocabulary inside the scan's
+    codegen pipeline, corpus stats and per-term document frequencies
+    are tiny broadcast aggregates, and top-k is TakeOrdered. Scores
+    round to 4 before ranking so ordering is float-order stable."""
+    from feldman_spark.pipeline.search import bm25_topk
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return bm25_topk(d, "spark join window filter", k=10)
+
+
+def j13_interval_overlap(spark, sf_dir):
+    """J13: keyless large×large interval-OVERLAP join (the
+    interval×interval sibling of j11's point-in-interval) — both sides
+    replicate into fixed-width bins, meet in ONE shuffled equi-join on
+    the bin id, and pair multiplicity is repaired exactly by keeping
+    only the overlap-start bin (a bin both sides provably replicated
+    into) — no DISTINCT pass. Intervals derive from event_id so the
+    pair count stays output-linear as the corpus grows
+    (feldman_spark/ops/joins.py::interval_overlap_join)."""
+    from feldman_spark.ops.joins import interval_overlap_join
+
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("a_id"),
+        F.col("event_id").alias("a_lo"),
+        (F.col("event_id") + F.lit(50)).alias("a_hi"))
+    b = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("b_id"),
+        F.col("event_id").alias("b_lo"),
+        (F.col("event_id") + F.lit(20)).alias("b_hi"))
+    pairs = interval_overlap_join(a, b, "a_lo", "a_hi", "b_lo", "b_hi",
+                                  bin_width=64.0)
+    return (
+        pairs.groupBy((F.col("a_id") % 16).alias("bucket"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(
+                F.least(F.col("a_hi"), F.col("b_hi"))
+                - F.greatest(F.col("a_lo"), F.col("b_lo"))
+            ).alias("total_overlap"),
+        )
+    )
+
+
+def j14_fuzzy_link(spark, sf_dir):
+    """J14: blocked fuzzy entity linkage — probe names with a synthetic
+    deletion typo link back to the part catalog via a name-prefix block
+    join + length-band prune + JVM-codegen levenshtein, best match per
+    probe by a skew-immune min(struct(distance, key)) aggregate
+    (feldman_spark/ops/linkage.py::fuzzy_link). All-pairs O(N·M) never
+    materializes; both sides shuffle once on the block key."""
+    from feldman_spark.ops.linkage import fuzzy_link
+
+    part = _t(spark, sf_dir, "part")
+    catalog = part.select("p_partkey", "p_name")
+    probes = part.filter(F.col("p_partkey") % 17 == 3).select(
+        F.col("p_partkey").alias("probe_key"),
+        F.concat(
+            F.substring(F.col("p_name"), 1, 5),
+            F.substring(F.col("p_name"), 7, 2147483647),
+        ).alias("probe_name"),
+    )
+    return fuzzy_link(
+        probes, catalog, "probe_key", "probe_name", "p_partkey", "p_name",
+        block_len=4, max_distance=2,
+    )
+
+
+def sample_weighted(spark, sf_dir):
+    """Weighted reservoir sampling without replacement: 5 docs per
+    language with inclusion probability proportional to length — the
+    deterministic Efraimidis–Spirakis A-ES scheme (rank by ln(u)/w on
+    an md5 variate), run through the partition-pre-reduced grouped
+    top-k so hot groups shuffle candidates, not the corpus
+    (feldman_spark/pipeline/sampling.py::weighted_sample_per_group)."""
+    from feldman_spark.pipeline.sampling import weighted_sample_per_group
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return weighted_sample_per_group(d, "lang", "n_chars", k=5)
+
+
+def events_funnel(spark, sf_dir):
+    """Ordered funnel over the event stream: signup → view → click →
+    purchase, each step's time the earliest qualifying event at-or-after
+    the previous step. ONE exchange: every step is an unordered
+    min(when) window over the same partitionBy(user) spec, the per-user
+    collapse reuses that partitioning, and the step counts are one tiny
+    aggregate (feldman_spark/ops/windows.py::funnel_steps)."""
+    from feldman_spark.ops.windows import funnel_steps
+
+    ev = _t(spark, sf_dir, "events")
+    steps = [
+        ("signup", F.col("event_type") == "signup"),
+        ("view", F.col("event_type") == "view"),
+        ("click", F.col("event_type") == "click"),
+        ("purchase", F.col("event_type") == "purchase"),
+    ]
+    return funnel_steps(ev, "user_id", "ts", steps)
+
+
+def graph_pagerank(spark, sf_dir):
+    """Fixed-iteration PageRank (3 rounds, d=0.85) over a deterministic
+    user-interaction edge list derived from events — the link-authority
+    score crawl pipelines use for fetch priority and source weighting.
+    Each iteration is one join of the two-column rank vector against
+    the degree-annotated edge list plus one aggregate — both linear in
+    |E|; the degree join is hoisted out of the loop
+    (feldman_spark/pipeline/graph.py::pagerank)."""
+    from feldman_spark.pipeline.graph import pagerank
+
+    ev = _t(spark, sf_dir, "events")
+    edges = ev.select(
+        F.col("user_id").alias("src"),
+        ((F.col("user_id") + F.floor(F.col("value")).cast("bigint")) % 150
+         ).alias("dst"),
+    )
+    return pagerank(edges, iters=3, damping=0.85, round_digits=8)
+
+
 # shared Spark/DuckDB SQL for web_url_normalize's synthetic URL mix —
 # one text, two engines, so the parse inputs are byte-identical
 _URL_CASE_SQL = """
@@ -3289,7 +3412,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # events_stream_dedup, knn_ivf (r5-green), sample_split,
     # sample_fraction, sample_mix, pack_examples, dedup_exact,
     # feldman_e2_export (also bench-covered every round),
-    # text_fingerprint, text_scrub_pii.
+    # text_fingerprint, text_scrub_pii. Final round-6 additions (BM25
+    # retrieval, the interval-overlap join, fuzzy entity linkage,
+    # weighted reservoir sampling, the event funnel, PageRank) lead as
+    # the newest code; that pushes sample_cap_per_source,
+    # events_sessionize_native, j9_asof_join, pipeline_fuzzy_dedup and
+    # the two knn exact twins (all with prior driver rows — the twins
+    # went green in r5) below the 50-key line; they join the r7 queue.
+        "text_bm25": text_bm25,
+        "j13_interval_overlap": j13_interval_overlap,
+        "j14_fuzzy_link": j14_fuzzy_link,
+        "sample_weighted": sample_weighted,
+        "events_funnel": events_funnel,
+        "graph_pagerank": graph_pagerank,
         "w9_merge_upsert": w9_merge_upsert,
         "j12_bloom_semi_join": j12_bloom_semi_join,
         "sample_stratified": sample_stratified,
@@ -3431,6 +3566,180 @@ def _zkey_sql(bits: int = 8) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "text_bm25": """
+            WITH base AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\\s+') AS toks,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(string_split_regex(lower(trim(text)),
+                                                      '\\s+')) END AS dl
+              FROM documents
+            ), stats AS (
+              SELECT count(*)::DOUBLE AS n_docs, avg(dl)::DOUBLE AS avgdl
+              FROM base
+            ), hits AS (
+              SELECT doc_id, dl, u.term
+              FROM base, unnest(toks) AS u(term)
+              WHERE u.term IN ('spark', 'join', 'window', 'filter')
+            ), tf AS (
+              SELECT doc_id, dl, term, count(*)::DOUBLE AS tf
+              FROM hits GROUP BY 1, 2, 3
+            ), dfreq AS (
+              SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1
+            ), scored AS (
+              SELECT doc_id,
+                     round(sum(
+                       ln(1.0::DOUBLE + (n_docs - df + 0.5::DOUBLE)
+                                        / (df + 0.5::DOUBLE))
+                       * tf * 2.2::DOUBLE
+                       / (tf + 1.2::DOUBLE
+                          * (0.25::DOUBLE + 0.75::DOUBLE * dl / avgdl))
+                     ), 4) AS score
+              FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+              GROUP BY doc_id
+            ), topk AS (
+              SELECT doc_id, score FROM scored
+              ORDER BY score DESC, doc_id LIMIT 10
+            )
+            SELECT doc_id, score,
+                   CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                        AS INT) AS rank
+            FROM topk
+        """,
+        "j13_interval_overlap": """
+            WITH a AS (
+              SELECT event_id AS a_id, event_id AS a_lo,
+                     event_id + 50 AS a_hi
+              FROM events WHERE event_type = 'view'
+            ), b AS (
+              SELECT event_id AS b_id, event_id AS b_lo,
+                     event_id + 20 AS b_hi
+              FROM events WHERE event_type = 'click'
+            )
+            SELECT a_id % 16 AS bucket, count(*) AS n_pairs,
+                   CAST(sum(least(a_hi, b_hi) - greatest(a_lo, b_lo))
+                        AS BIGINT) AS total_overlap
+            FROM a JOIN b ON a_lo <= b_hi AND b_lo <= a_hi
+            GROUP BY 1
+        """,
+        "j14_fuzzy_link": """
+            WITH probes AS (
+              SELECT p_partkey AS probe_key,
+                     substr(p_name, 1, 5) || substr(p_name, 7)
+                       AS probe_name
+              FROM part WHERE p_partkey % 17 = 3
+            ), cand AS (
+              SELECT probe_key, probe_name, p_partkey, p_name,
+                     levenshtein(lower(probe_name), lower(p_name)) AS dist
+              FROM probes JOIN part
+                ON substr(lower(probe_name), 1, 4)
+                   = substr(lower(p_name), 1, 4)
+               AND abs(len(probe_name) - len(p_name)) <= 2
+              WHERE levenshtein(lower(probe_name), lower(p_name)) <= 2
+            ), best AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY probe_key
+                ORDER BY dist, p_partkey, p_name) AS rn
+              FROM cand
+            )
+            SELECT probe_key, probe_name, p_partkey, p_name,
+                   CAST(dist AS INT) AS distance
+            FROM best WHERE rn = 1
+        """,
+        "sample_weighted": """
+            WITH keyed AS (
+              SELECT doc_id, lang, n_chars,
+                     ln((('0x' || substr(md5(doc_id::VARCHAR || '#wsample'),
+                                         1, 8))::BIGINT + 0.5::DOUBLE)
+                        / 4294967296.0::DOUBLE)
+                       / n_chars::DOUBLE AS es
+              FROM documents
+              WHERE n_chars IS NOT NULL AND n_chars > 0
+            ), ranked AS (
+              SELECT doc_id, lang, n_chars, row_number() OVER (
+                PARTITION BY lang ORDER BY es DESC, doc_id) AS rn
+              FROM keyed
+            )
+            SELECT doc_id, lang, n_chars FROM ranked WHERE rn <= 5
+        """,
+        "events_funnel": """
+            WITH s0 AS (
+              SELECT user_id,
+                     min(ts) FILTER (event_type = 'signup') AS t0
+              FROM events GROUP BY 1
+            ), s1 AS (
+              SELECT e.user_id,
+                     min(e.ts) FILTER (e.event_type = 'view'
+                                       AND e.ts >= s0.t0) AS t1
+              FROM events e JOIN s0 USING (user_id) GROUP BY 1
+            ), s2 AS (
+              SELECT e.user_id,
+                     min(e.ts) FILTER (e.event_type = 'click'
+                                       AND e.ts >= s1.t1) AS t2
+              FROM events e JOIN s1 USING (user_id) GROUP BY 1
+            ), s3 AS (
+              SELECT e.user_id,
+                     min(e.ts) FILTER (e.event_type = 'purchase'
+                                       AND e.ts >= s2.t2) AS t3
+              FROM events e JOIN s2 USING (user_id) GROUP BY 1
+            ), c AS (
+              SELECT (SELECT count(t0) FROM s0) AS n0,
+                     (SELECT count(t1) FROM s1) AS n1,
+                     (SELECT count(t2) FROM s2) AS n2,
+                     (SELECT count(t3) FROM s3) AS n3
+            )
+            SELECT 0 AS step_idx, 'signup' AS step, n0 AS users,
+                   round(n0 / nullif(n0, 0), 4) AS conv_rate FROM c
+            UNION ALL SELECT 1, 'view', n1,
+                   round(n1 / nullif(n0, 0), 4) FROM c
+            UNION ALL SELECT 2, 'click', n2,
+                   round(n2 / nullif(n0, 0), 4) FROM c
+            UNION ALL SELECT 3, 'purchase', n3,
+                   round(n3 / nullif(n0, 0), 4) FROM c
+        """,
+        "graph_pagerank": """
+            WITH e AS (
+              SELECT DISTINCT user_id AS src,
+                     (user_id + CAST(floor(value) AS BIGINT)) % 150 AS dst
+              FROM events
+            ), nodes AS (
+              SELECT src AS node FROM e UNION SELECT dst FROM e
+            ), nn AS (
+              SELECT count(*)::DOUBLE AS n FROM nodes
+            ), deg AS (
+              SELECT src, count(*)::DOUBLE AS deg FROM e GROUP BY 1
+            ), r0 AS (
+              SELECT node, (1.0::DOUBLE / nn.n) AS rank FROM nodes, nn
+            ), r1 AS (
+              SELECT nd.node,
+                     (1.0::DOUBLE - 0.85::DOUBLE) / (SELECT n FROM nn)
+                     + 0.85::DOUBLE * coalesce(c.s, 0.0::DOUBLE) AS rank
+              FROM nodes nd LEFT JOIN (
+                SELECT e.dst AS node, sum(r.rank / deg.deg) AS s
+                FROM e JOIN r0 r ON e.src = r.node
+                       JOIN deg ON e.src = deg.src
+                GROUP BY 1) c ON nd.node = c.node
+            ), r2 AS (
+              SELECT nd.node,
+                     (1.0::DOUBLE - 0.85::DOUBLE) / (SELECT n FROM nn)
+                     + 0.85::DOUBLE * coalesce(c.s, 0.0::DOUBLE) AS rank
+              FROM nodes nd LEFT JOIN (
+                SELECT e.dst AS node, sum(r.rank / deg.deg) AS s
+                FROM e JOIN r1 r ON e.src = r.node
+                       JOIN deg ON e.src = deg.src
+                GROUP BY 1) c ON nd.node = c.node
+            ), r3 AS (
+              SELECT nd.node,
+                     (1.0::DOUBLE - 0.85::DOUBLE) / (SELECT n FROM nn)
+                     + 0.85::DOUBLE * coalesce(c.s, 0.0::DOUBLE) AS rank
+              FROM nodes nd LEFT JOIN (
+                SELECT e.dst AS node, sum(r.rank / deg.deg) AS s
+                FROM e JOIN r2 r ON e.src = r.node
+                       JOIN deg ON e.src = deg.src
+                GROUP BY 1) c ON nd.node = c.node
+            )
+            SELECT node, round(rank, 8) AS rank FROM r3
+        """,
         "w9_merge_upsert": """
             WITH snap AS (
               SELECT user_id, arg_max(value, event_id) AS value,

@@ -21,6 +21,7 @@ __all__ = [
     "anti_join",
     "containment_join",
     "binned_range_join",
+    "interval_overlap_join",
     "nearest_join",
     "nearest_value_join",
     "asof_join",
@@ -131,6 +132,72 @@ def binned_range_join(
         pb.join(ib, on="_bin", how="inner")
         .filter(F.col(f"`{point_col}`").between(F.col(f"`{lo_col}`"), F.col(f"`{hi_col}`")))
         .drop("_bin")
+    )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_lo: str,
+    l_hi: str,
+    r_lo: str,
+    r_hi: str,
+    bin_width: float,
+) -> DataFrame:
+    """J13: large × large interval-OVERLAP join with no equi key — the
+    interval×interval sibling of :func:`binned_range_join` (which joins
+    points to intervals). Emits every (left, right) pair whose closed
+    intervals intersect: ``l_lo <= r_hi AND r_lo <= l_hi``.
+
+    Both sides replicate into every ``bin_width`` bin they touch
+    (``explode(sequence(...))``) and meet in a shuffled equi-join on the
+    bin id. A qualifying pair co-occurs in every bin both intervals
+    touch, so multiplicity is repaired *exactly* (no DISTINCT pass) by
+    keeping only the bin containing the overlap's start,
+    ``floor(greatest(l_lo, r_lo) / w)`` — a point that lies in both
+    intervals by definition, hence a bin both sides replicated into.
+
+    Column names must be disjoint between the two sides (checked).
+
+    Scale (100 TB): one shuffle per side on the bin id; replication is
+    ``span/bin_width + 1`` per row, so set ``bin_width`` near the
+    typical interval span. Output is bounded by the true pair count —
+    the operator is output-linear, and the per-bin cross product stays
+    small exactly when intervals are sparse relative to ``bin_width``
+    (the regime the binning presumes; for dense hot bins, AQE skew
+    splitting or :mod:`feldman_spark.ops.skew` salting on ``_bin``).
+    """
+    overlap = set(left.columns) & set(right.columns)
+    if overlap:
+        raise ValueError(
+            f"interval_overlap_join: overlapping column names "
+            f"{sorted(overlap)}; rename one side first")
+    w = float(bin_width)
+
+    def binned(df: DataFrame, lo: str, hi: str) -> DataFrame:
+        return df.withColumn(
+            "_bin",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(f"`{lo}`") / F.lit(w)).cast("bigint"),
+                    F.floor(F.col(f"`{hi}`") / F.lit(w)).cast("bigint"),
+                )
+            ),
+        )
+
+    lb = binned(left, l_lo, l_hi)
+    rb = binned(right, r_lo, r_hi).withColumnRenamed("_bin", "_rbin")
+    start_bin = F.floor(
+        F.greatest(F.col(f"`{l_lo}`"), F.col(f"`{r_lo}`")) / F.lit(w)
+    ).cast("bigint")
+    return (
+        lb.join(rb, lb["_bin"] == rb["_rbin"], "inner")
+        .filter(
+            (F.col(f"`{l_lo}`") <= F.col(f"`{r_hi}`"))
+            & (F.col(f"`{r_lo}`") <= F.col(f"`{l_hi}`"))
+            & (F.col("_bin") == start_bin)
+        )
+        .drop("_bin", "_rbin")
     )
 
 

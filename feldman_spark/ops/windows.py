@@ -22,6 +22,7 @@ __all__ = [
     "time_gapfill",
     "rolling_time_agg",
     "grouped_topk",
+    "funnel_steps",
 ]
 
 
@@ -329,3 +330,59 @@ def grouped_topk(
         .filter(F.col("_rk") <= k)
         .drop("_rk")
     )
+
+
+def funnel_steps(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    steps: Sequence[tuple],
+) -> DataFrame:
+    """Ordered-funnel analysis (beyond reference — product-analytics
+    staple): for each user, step ``i`` is reached at the earliest event
+    satisfying its predicate AT OR AFTER the time step ``i-1`` was
+    reached (step 0 unconditionally first). Returns one row per step:
+    ``(step_idx, step, users, conv_rate)`` where ``conv_rate`` is the
+    fraction of step-0 reachers who got this far (rounded to 4).
+
+    ``steps`` is a sequence of ``(name, predicate_column)`` pairs.
+
+    Scale shape: ONE shuffle — every step's time is an unordered
+    ``min(when(...))`` window aggregate over the same
+    ``partitionBy(user)`` spec, so Catalyst plans a single exchange and
+    evaluates the k window passes in memory (no sort: the frames are
+    whole-partition). The per-user collapse that follows reuses the
+    same partitioning (no second exchange), and the final step counts
+    are one tiny aggregate. No event text/props move; a hot user is
+    bounded by that user's event count, not the corpus.
+    """
+    if not steps:
+        raise ValueError("funnel_steps: need at least one step")
+    w = Window.partitionBy(F.col(f"`{user_col}`"))
+    cur = df
+    prev = None
+    for i, (_, pred) in enumerate(steps):
+        cond = pred if prev is None else (
+            pred & prev.isNotNull() & (F.col(f"`{ts_col}`") >= prev))
+        cur = cur.withColumn(
+            f"_t{i}", F.min(F.when(cond, F.col(f"`{ts_col}`"))).over(w))
+        prev = F.col(f"_t{i}")
+    per_user = cur.groupBy(user_col).agg(
+        *[F.max(f"_t{i}").alias(f"_t{i}") for i in range(len(steps))])
+    counts = per_user.agg(
+        *[F.count(f"_t{i}").alias(f"_n{i}") for i in range(len(steps))])
+    # one row per step via explode of a literal struct array — a UNION of
+    # per-step selects would re-evaluate the whole funnel per branch
+    entries = [
+        F.struct(
+            F.lit(i).alias("step_idx"),
+            F.lit(name).alias("step"),
+            F.col(f"_n{i}").cast("bigint").alias("users"),
+            F.round(
+                F.col(f"_n{i}") / F.when(F.col("_n0") > 0, F.col("_n0")), 4
+            ).alias("conv_rate"),
+        )
+        for i, (name, _) in enumerate(steps)
+    ]
+    return counts.select(F.explode(F.array(*entries)).alias("_s")).select(
+        "_s.*")

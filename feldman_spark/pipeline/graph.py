@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 __all__ = ["connected_components", "dedup_survivors",
-           "dedup_survivors_best"]
+           "dedup_survivors_best", "pagerank"]
 
 
 def connected_components(
@@ -168,3 +168,75 @@ def dedup_survivors_best(
         .select(id_col)
     )
     return df.join(victims, id_col, "left_anti")
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = 3,
+    damping: float = 0.85,
+    round_digits: int = 8,
+) -> DataFrame:
+    """Fixed-iteration PageRank (Page et al. 1999) over a directed edge
+    list — the classic link-authority score crawl pipelines use to
+    prioritize fetch order and weight training documents by source
+    quality. Returns ``(node, rank)`` with ranks rounded to
+    ``round_digits`` (so results are stable across float summation
+    orders and engines).
+
+    Semantics: ``r_0 = 1/N`` for the N distinct nodes (either
+    endpoint); each iteration
+    ``r = (1-d)/N + d * sum_{u -> v} r_u / outdeg_u``. Duplicate edges
+    are collapsed first (an edge either exists or not). Mass from
+    dangling nodes (no out-edges) is NOT redistributed — ranks then sum
+    to < 1, the standard "PageRank without dangling patch" variant;
+    callers wanting a probability vector can renormalize the output.
+    This keeps every iteration to exactly one join + one aggregate.
+
+    Scale shape: per iteration the rank vector (two scalar columns)
+    joins the deduplicated edge list on ``src`` and aggregates on
+    ``dst`` — both shuffles linear in |E|, nothing document-sized
+    moves, and the driver holds only loop control. For many iterations
+    interpose ``localCheckpoint`` every few rounds to cut lineage (the
+    connected-components operator above does the same).
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    e = edges.select(
+        F.col(f"`{src_col}`").alias("src"), F.col(f"`{dst_col}`").alias("dst")
+    ).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    # N is one broadcast scalar; the degree-annotated edge list is
+    # loop-invariant — join degrees ONCE, not once per iteration
+    n_total = nodes.agg(F.count("*").alias("_n"))
+    deg = e.groupBy("src").agg(F.count("*").alias("_deg"))
+    e_deg = e.join(deg, "src")
+    ranks = nodes.crossJoin(F.broadcast(n_total)).select(
+        "node", (F.lit(1.0) / F.col("_n")).alias("rank"), "_n"
+    )
+    for _ in range(iters):
+        contrib = (
+            e_deg.join(ranks.withColumnRenamed("node", "src"), "src")
+            .select("dst", (F.col("rank") / F.col("_deg")).alias("_c"), "_n")
+        )
+        inbound = contrib.groupBy("dst", "_n").agg(F.sum("_c").alias("_in"))
+        ranks = (
+            ranks.select("node", "_n")
+            .join(inbound.withColumnRenamed("dst", "node"), ["node", "_n"],
+                  "left")
+            .select(
+                "node",
+                (
+                    (F.lit(1.0) - F.lit(damping)) / F.col("_n")
+                    + F.lit(damping) * F.coalesce(F.col("_in"), F.lit(0.0))
+                ).alias("rank"),
+                "_n",
+            )
+        )
+    return ranks.select(
+        "node", F.round("rank", round_digits).alias("rank"))

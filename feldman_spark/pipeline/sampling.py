@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 __all__ = ["hash_variate", "hash_sample", "hash_split", "weighted_mix",
            "dsir_weights",
            "temperature_mix", "cap_per_group", "epoch_shuffle",
-           "stratified_sample"]
+           "stratified_sample", "weighted_sample_per_group"]
 
 _PREFIX_LEN = 8  # 16^8 ~ 4.3e9 granularity
 
@@ -340,3 +340,43 @@ def stratified_sample(
         F.md5(F.concat(F.col(key_col).cast("string"), F.lit(f"#{seed}:"),
                        F.col(strata_col).cast("string"))), 1, _PREFIX_LEN)
     return df.filter(v < thr)
+
+
+def weighted_sample_per_group(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+    k: int,
+    key_col: str = "doc_id",
+    seed: str = "wsample",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement: ``k`` rows per group,
+    each row's inclusion probability proportional to ``weight_col`` —
+    the Efraimidis–Spirakis A-ES reservoir scheme (Inf. Process. Lett.
+    97(5), 2006) made deterministic: rank by ``u^(1/w)`` descending
+    (equivalently ``ln(u)/w``, computed that way to avoid overflow)
+    where ``u`` is the row's md5 hash variate mapped into (0, 1).
+    Membership is reproducible across runs, engines, partitionings, and
+    corpus growth — a kept row is only displaced by a better-keyed
+    newcomer, never resampled.
+
+    Rows with NULL or non-positive weight are excluded. The ranking
+    key is row-local; the top-k runs through
+    :func:`feldman_spark.ops.windows.grouped_topk`, so a hot group
+    pre-reduces per partition (candidates, not the corpus, shuffle).
+    """
+    from feldman_spark.ops.windows import grouped_topk
+
+    # u in (0,1): (hex_prefix + 0.5) / 16^8 — never 0 (ln) or 1
+    hx = F.conv(hash_variate(F.col(key_col), seed), 16, 10).cast("double")
+    u = (hx + F.lit(0.5)) / F.lit(float(16 ** _PREFIX_LEN))
+    es_key = F.log(u) / F.col(weight_col).cast("double")
+    keyed = (
+        df.filter(F.col(weight_col).isNotNull()
+                  & (F.col(weight_col).cast("double") > 0))
+        .withColumn("_es", es_key)
+    )
+    return grouped_topk(
+        keyed, [group_col], "_es", k, tiebreak_cols=[key_col],
+        descending=True,
+    ).drop("_es")

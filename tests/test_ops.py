@@ -585,3 +585,141 @@ def test_grouped_topk_matches_window_twin(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         grouped_topk(df, ["grp"], "score", 0)
+
+
+# ---------------------------------------------------------------------------
+# J13 interval-overlap join
+# ---------------------------------------------------------------------------
+
+def test_interval_overlap_join_matches_brute_force(spark):
+    """Binned overlap join == the theta-join model, each pair exactly
+    once, including intervals spanning many bins and exact-touch
+    endpoints (closed-interval semantics)."""
+    from feldman_spark.ops.joins import interval_overlap_join
+
+    a_rows = [(1, 0.0, 100.0), (2, 10.0, 12.0), (3, 50.0, 50.0),
+              (4, 200.0, 210.0)]
+    b_rows = [(10, 5.0, 11.0), (11, 12.0, 49.0), (12, 50.0, 60.0),
+              (13, 150.0, 199.0), (14, 210.0, 300.0)]
+    a = spark.createDataFrame(a_rows, ["aid", "alo", "ahi"])
+    b = spark.createDataFrame(b_rows, ["bid", "blo", "bhi"])
+    got = sorted(
+        (r["aid"], r["bid"])
+        for r in interval_overlap_join(
+            a, b, "alo", "ahi", "blo", "bhi", bin_width=7.0).collect())
+    want = sorted(
+        (ai, bi)
+        for ai, lo1, hi1 in a_rows for bi, lo2, hi2 in b_rows
+        if lo1 <= hi2 and lo2 <= hi1)
+    assert got == want
+
+
+def test_interval_overlap_join_plan_is_equi_join(spark):
+    from feldman_spark.ops.joins import interval_overlap_join
+
+    a = spark.range(500).select(
+        F.col("id").alias("aid"),
+        (F.col("id") * 2.0).alias("alo"),
+        (F.col("id") * 2.0 + 9.0).alias("ahi"))
+    b = spark.range(300).select(
+        F.col("id").alias("bid"),
+        (F.col("id") * 3.0).alias("blo"),
+        (F.col("id") * 3.0 + 4.0).alias("bhi"))
+    out = interval_overlap_join(a, b, "alo", "ahi", "blo", "bhi",
+                                bin_width=8.0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+    assert out.count() > 0
+
+
+def test_interval_overlap_join_rejects_column_overlap(spark):
+    from feldman_spark.ops.joins import interval_overlap_join
+
+    a = spark.createDataFrame([(1, 0.0, 1.0)], ["x", "lo", "hi"])
+    b = spark.createDataFrame([(2, 0.0, 1.0)], ["x", "l2", "h2"])
+    with pytest.raises(ValueError, match="x"):
+        interval_overlap_join(a, b, "lo", "hi", "l2", "h2", bin_width=1.0)
+
+
+# ---------------------------------------------------------------------------
+# J14 fuzzy entity linkage
+# ---------------------------------------------------------------------------
+
+def test_fuzzy_link_finds_best_match_and_caps_distance(spark):
+    from feldman_spark.ops.linkage import fuzzy_link
+
+    catalog = spark.createDataFrame(
+        [(1, "blue widget"), (2, "blue widgets"), (3, "blue bolt"),
+         (4, "red gear")],
+        ["cid", "cname"])
+    probes = spark.createDataFrame(
+        [(100, "blue widgft"),   # 1 sub from "blue widget"
+         (101, "bluf bolt"),     # 1 sub from "blue bolt" (block survives)
+         (102, "zzzz nothing")], # no block match
+        ["pid", "pname"])
+    out = {r["pid"]: (r["cid"], r["distance"])
+           for r in fuzzy_link(probes, catalog, "pid", "pname",
+                               "cid", "cname",
+                               block_len=3, max_distance=2).collect()}
+    assert out[100] == (1, 1)     # widgets would be dist 2; widget wins
+    assert out[101] == (3, 1)
+    assert 102 not in out
+
+
+def test_fuzzy_link_tiebreak_on_catalog_id(spark):
+    from feldman_spark.ops.linkage import fuzzy_link
+
+    catalog = spark.createDataFrame(
+        [(7, "abcx"), (5, "abcy")], ["cid", "cname"])
+    probes = spark.createDataFrame([(1, "abcz")], ["pid", "pname"])
+    out = fuzzy_link(probes, catalog, "pid", "pname", "cid", "cname",
+                     block_len=3, max_distance=2).collect()
+    assert len(out) == 1 and out[0]["cid"] == 5  # dist ties -> min cid
+
+
+# ---------------------------------------------------------------------------
+# funnel
+# ---------------------------------------------------------------------------
+
+def test_funnel_steps_ordering_semantics(spark):
+    """Step i counts only users whose step-i event is at-or-after their
+    step-(i-1) time: u1 completes A->B->C, u2 has B before A (B never
+    reached), u3 stops after A."""
+    from feldman_spark.ops.windows import funnel_steps
+    import datetime as dt
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    rows = [
+        (1, t(1), "A"), (1, t(2), "B"), (1, t(3), "C"),
+        (2, t(5), "B"), (2, t(6), "A"),
+        (3, t(1), "A"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "etype"])
+    steps = [("A", F.col("etype") == "A"),
+             ("B", F.col("etype") == "B"),
+             ("C", F.col("etype") == "C")]
+    out = {r["step"]: (r["users"], r["conv_rate"])
+           for r in funnel_steps(df, "user_id", "ts", steps).collect()}
+    assert out["A"] == (3, 1.0)
+    assert out["B"] == (1, round(1 / 3, 4))
+    assert out["C"] == (1, round(1 / 3, 4))
+
+
+def test_funnel_steps_single_exchange(spark):
+    """All step windows share one partitionBy(user) spec: the physical
+    plan carries exactly one shuffle exchange for the window stage (plus
+    the final single-partition aggregate)."""
+    from feldman_spark.ops.windows import funnel_steps
+
+    df = spark.range(100).select(
+        (F.col("id") % 10).alias("user_id"),
+        F.timestamp_seconds(F.col("id") + 1700000000).alias("ts"),
+        F.concat(F.lit("t"), (F.col("id") % 3)).alias("etype"))
+    steps = [("s0", F.col("etype") == "t0"),
+             ("s1", F.col("etype") == "t1"),
+             ("s2", F.col("etype") == "t2")]
+    out = funnel_steps(df, "user_id", "ts", steps)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # windows + per-user collapse reuse one hash-partitioning on user_id
+    assert plan.count("hashpartitioning(user_id") <= 1

@@ -1317,3 +1317,143 @@ def test_profile_histogram_buckets(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         profile_histogram(df, "x", 0)
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval
+# ---------------------------------------------------------------------------
+
+def test_bm25_matches_python_model(spark):
+    """Spark BM25 == a from-scratch Python recomputation on a tiny
+    corpus (idf form, length normalization, rounding-before-ranking)."""
+    import math
+
+    from feldman_spark.pipeline.search import bm25_topk
+
+    docs = [
+        (1, "spark join spark filter"),
+        (2, "window filter window window"),
+        (3, "spark spark spark spark"),
+        (4, "pandas numpy arrow"),
+        (5, "join"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = [(r["doc_id"], r["score"], r["rank"])
+           for r in bm25_topk(df, "spark window", k=3).collect()]
+
+    # model
+    k1, b = 1.2, 0.75
+    toks = {i: t.split() for i, t in docs}
+    n = len(docs)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    scores = {}
+    for term in ["spark", "window"]:
+        dfreq = sum(1 for v in toks.values() if term in v)
+        if not dfreq:
+            continue
+        idf = math.log(1 + (n - dfreq + 0.5) / (dfreq + 0.5))
+        for i, v in toks.items():
+            tf = v.count(term)
+            if tf:
+                scores[i] = scores.get(i, 0.0) + idf * tf * (k1 + 1) / (
+                    tf + k1 * (1 - b + b * len(v) / avgdl))
+    ranked = sorted(((round(s, 4), -i) for i, s in scores.items()),
+                    reverse=True)[:3]
+    want = [(-mi, s, r + 1) for r, (s, mi) in enumerate(ranked)]
+    assert got == want
+
+
+def test_bm25_empty_query_raises(spark):
+    from feldman_spark.pipeline.search import bm25_topk
+
+    df = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        bm25_topk(df, "   ")
+
+
+def test_bm25_text_never_shuffles(spark):
+    """No exchange in the plan carries the text/token column: only the
+    filtered query-term hits (three scalar columns) reach a shuffle."""
+    from feldman_spark.pipeline.search import bm25_topk
+
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("w"), (F.col("id") % 7)).alias("text"))
+    plan = bm25_topk(df, "w1 w3", k=5)._jdf.queryExecution() \
+        .executedPlan().toString()
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "_toks" not in line and "text" not in line
+
+
+# ---------------------------------------------------------------------------
+# weighted reservoir sampling
+# ---------------------------------------------------------------------------
+
+def test_weighted_sample_deterministic_and_weight_biased(spark):
+    from feldman_spark.pipeline.sampling import weighted_sample_per_group
+
+    # one group: 100 light rows (w=1) + 10 heavy rows (w=1000)
+    rows = [(i, "g", 1.0) for i in range(100)] + \
+           [(1000 + i, "g", 1000.0) for i in range(10)]
+    df = spark.createDataFrame(rows, ["doc_id", "grp", "w"])
+    got1 = sorted(r["doc_id"] for r in weighted_sample_per_group(
+        df, "grp", "w", k=5).collect())
+    got2 = sorted(r["doc_id"] for r in weighted_sample_per_group(
+        df, "grp", "w", k=5).collect())
+    assert got1 == got2 and len(got1) == 5           # deterministic, k rows
+    heavy = sum(1 for d in got1 if d >= 1000)
+    assert heavy >= 4  # heavy rows ~100x likelier; P(light in top5) tiny
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    from feldman_spark.pipeline.sampling import weighted_sample_per_group
+
+    df = spark.createDataFrame(
+        [(1, "g", 5.0), (2, "g", 0.0), (3, "g", -1.0), (4, "g", None)],
+        ["doc_id", "grp", "w"])
+    got = [r["doc_id"] for r in weighted_sample_per_group(
+        df, "grp", "w", k=10).collect()]
+    assert got == [1]
+
+
+# ---------------------------------------------------------------------------
+# PageRank
+# ---------------------------------------------------------------------------
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    import numpy as np
+
+    from feldman_spark.pipeline.graph import pagerank
+
+    edges = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (0, 1)]  # dup edge
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: r["rank"]
+           for r in pagerank(df, iters=3, damping=0.85).collect()}
+
+    uniq = sorted(set(edges))
+    nodes = sorted({u for e in uniq for u in e})
+    n = len(nodes)
+    deg = {u: sum(1 for a, _ in uniq if a == u) for u in nodes}
+    r = {u: 1.0 / n for u in nodes}
+    for _ in range(3):
+        contrib = {u: 0.0 for u in nodes}
+        for a, b in uniq:
+            contrib[b] += r[a] / deg[a]
+        r = {u: (1 - 0.85) / n + 0.85 * contrib[u] for u in nodes}
+    assert set(got) == set(nodes)
+    for u in nodes:
+        assert got[u] == pytest.approx(round(r[u], 8), abs=1e-8)
+
+
+def test_pagerank_dangling_node_keeps_base_rank(spark):
+    from feldman_spark.pipeline.graph import pagerank
+
+    # 3 is a sink: appears only as dst, contributes nothing onward
+    df = spark.createDataFrame([(1, 3), (2, 3)], ["src", "dst"])
+    got = {r["node"]: r["rank"]
+           for r in pagerank(df, iters=2, damping=0.85).collect()}
+    assert set(got) == {1, 2, 3}
+    base = round((1 - 0.85) / 3, 8)
+    assert got[1] == base and got[2] == base
+    assert got[3] > got[1]
