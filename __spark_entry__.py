@@ -3346,6 +3346,109 @@ def graph_pagerank(spark, sf_dir):
     return pagerank(edges, iters=3, damping=0.85, round_digits=8)
 
 
+def graph_triangles(spark, sf_dir):
+    """Exact triangle count + global clustering coefficient over the
+    events interaction graph. Edges are degree-ORIENTED first (low
+    (degree, id) endpoint → high), so every wedge is enumerated once at
+    its lowest-rank corner — per-node work bounded by out-degree²,
+    O(m^1.5) total regardless of hubs, each triangle counted exactly
+    once with no DISTINCT pass; only id pairs ever shuffle
+    (feldman_spark/pipeline/graph.py::triangle_stats)."""
+    from feldman_spark.pipeline.graph import triangle_stats
+
+    ev = _t(spark, sf_dir, "events")
+    edges = ev.select(
+        F.col("user_id").alias("src"),
+        ((F.col("user_id") + F.floor(F.col("value")).cast("bigint")) % 150
+         ).alias("dst"),
+    )
+    return triangle_stats(edges)
+
+
+def web_cooccurrence(spark, sf_dir):
+    """Item co-occurrence counts over (user, item) interactions with
+    the production hot-basket guard: each user's distinct item set is
+    capped at 20 by the deterministic hash-variate sampler BEFORE the
+    pair self-join, bounding every user's contribution at C(20,2)
+    pairs no matter how hot the basket. The pair join reuses the
+    group-key shuffle; counts aggregate map-side
+    (feldman_spark/pipeline/graph.py::cooccurrence_pairs)."""
+    from feldman_spark.pipeline.graph import cooccurrence_pairs
+
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select(
+        "user_id",
+        (F.floor(F.col("value")).cast("bigint") % 50).alias("item"))
+    return cooccurrence_pairs(d, "user_id", "item", cap=20, min_count=3)
+
+
+def text_bpe_pairs(spark, sf_dir):
+    """One BPE tokenizer-training iteration: top-20 adjacent character
+    pairs weighted by word frequency (Sennrich 2016). The corpus first
+    collapses to its VOCABULARY (word → count, map-side combining),
+    then only distinct words explode into pairs — pair counting costs
+    O(vocab · word length), not O(corpus); all codegen, no Python
+    (feldman_spark/pipeline/text.py::bpe_pair_counts)."""
+    from feldman_spark.pipeline.text import bpe_pair_counts
+
+    d = _t(spark, sf_dir, "documents").select("text")
+    return bpe_pair_counts(d, "text", k=20)
+
+
+def dedup_corpus_overlap(spark, sf_dir):
+    """Dataset-level content overlap between two corpus slices (the
+    "is this crawl snapshot worth ingesting" statistic): both sides
+    reduce to distinct normalized fingerprints inside their own scans,
+    the intersection is one digest semi-join, and the answer is one row
+    of set sizes + Jaccard + containment
+    (feldman_spark/pipeline/dedup.py::corpus_overlap)."""
+    from feldman_spark.pipeline.dedup import corpus_overlap
+
+    d = _t(spark, sf_dir, "documents")
+    return corpus_overlap(
+        d.filter(F.col("doc_id") % 2 == 0),
+        d.filter(F.col("doc_id") % 3 == 0),
+        "text",
+    )
+
+
+def f9_zscore_groups(spark, sf_dir):
+    """F9: within-group standardization — every lineitem priced against
+    its (returnflag, linestatus) group via one dimension-sized
+    (group, mean, stddev_pop) aggregate broadcast back onto the fact
+    table (no fact shuffle), then per-group tail mass + extreme z —
+    the per-source outlier-triage shape
+    (feldman_spark/ops/filters.py::with_group_zscore)."""
+    from feldman_spark.ops.filters import with_group_zscore
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_extendedprice")
+    z = with_group_zscore(
+        li, ["l_returnflag", "l_linestatus"], "l_extendedprice")
+    return (
+        z.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.abs(F.col("z")) > 1.5, 1).otherwise(0))
+            .cast("bigint").alias("n_tail"),
+            F.max("z").alias("max_z"),
+            F.min("z").alias("min_z"),
+        )
+    )
+
+
+def profile_skew_q(spark, sf_dir):
+    """Key-skew diagnosis for a prospective shuffle key (events by
+    user): the fact table reduces to a (key, count) table in one
+    partial-aggregating pass, then exact percentiles / max / argmax
+    over that key-sized table answer "should I salt this join?" in one
+    row (feldman_spark/pipeline/profile.py::profile_skew)."""
+    from feldman_spark.pipeline.profile import profile_skew
+
+    ev = _t(spark, sf_dir, "events")
+    return profile_skew(ev, ["user_id"])
+
+
 # shared Spark/DuckDB SQL for web_url_normalize's synthetic URL mix —
 # one text, two engines, so the parse inputs are byte-identical
 _URL_CASE_SQL = """
@@ -3419,6 +3522,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # events_sessionize_native, j9_asof_join, pipeline_fuzzy_dedup and
     # the two knn exact twins (all with prior driver rows — the twins
     # went green in r5) below the 50-key line; they join the r7 queue.
+    # Continuation batch (triangle census, capped co-occurrence, BPE
+    # pair counts, corpus overlap, group z-score, the skew profiler)
+    # likewise leads; it pushes w9_merge_upsert, j12_bloom_semi_join,
+    # sample_stratified, web_url_normalize, a11_approx_quantiles and
+    # o2_zorder_key (all driver-green earlier in r6) into the r7 queue.
+        "graph_triangles": graph_triangles,
+        "web_cooccurrence": web_cooccurrence,
+        "text_bpe_pairs": text_bpe_pairs,
+        "dedup_corpus_overlap": dedup_corpus_overlap,
+        "f9_zscore_groups": f9_zscore_groups,
+        "profile_skew": profile_skew_q,
         "text_bm25": text_bm25,
         "j13_interval_overlap": j13_interval_overlap,
         "j14_fuzzy_link": j14_fuzzy_link,
@@ -3566,6 +3680,138 @@ def _zkey_sql(bits: int = 8) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "graph_triangles": """
+            WITH raw AS (
+              SELECT user_id AS s,
+                     (user_id + CAST(floor(value) AS BIGINT)) % 150 AS d
+              FROM events
+            ), e AS (
+              SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+              FROM raw
+              WHERE s <> d AND s IS NOT NULL AND d IS NOT NULL
+            ), deg AS (
+              SELECT node, count(*) AS dg FROM (
+                SELECT a AS node FROM e UNION ALL SELECT b FROM e
+              ) GROUP BY 1
+            ), tri AS (
+              SELECT count(*) AS n_triangles
+              FROM e e1
+              JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+              JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+            ), tot AS (
+              SELECT count(*) AS n_nodes,
+                     CAST(sum(dg) / 2 AS BIGINT) AS n_edges,
+                     CAST(sum(dg * (dg - 1) / 2) AS BIGINT) AS n_wedges
+              FROM deg
+            )
+            SELECT n_nodes, n_edges, n_wedges,
+                   CAST(n_triangles AS BIGINT) AS n_triangles,
+                   round(CASE WHEN n_wedges > 0
+                         THEN 3.0 * n_triangles / n_wedges
+                         ELSE 0.0 END, 6) AS global_clustering
+            FROM tot, tri
+        """,
+        "web_cooccurrence": """
+            WITH base AS (
+              SELECT DISTINCT user_id AS g,
+                     CAST(floor(value) AS BIGINT) % 50 AS i
+              FROM events
+              WHERE user_id IS NOT NULL AND value IS NOT NULL
+            ), capped AS (
+              SELECT g, i FROM (
+                SELECT g, i, row_number() OVER (
+                  PARTITION BY g
+                  ORDER BY substr(md5(CAST(i AS VARCHAR) || '#coocc'),
+                                  1, 8) ASC, i ASC) AS rk
+                FROM base
+              ) WHERE rk <= 20
+            )
+            SELECT a.i AS item_a, b.i AS item_b, count(*) AS n_groups
+            FROM capped a JOIN capped b ON a.g = b.g AND a.i < b.i
+            GROUP BY 1, 2
+            HAVING count(*) >= 3
+        """,
+        "text_bpe_pairs": """
+            WITH words AS (
+              SELECT unnest(string_split_regex(lower(trim(text)), '\\s+'))
+                       AS w
+              FROM documents
+            ), wc AS (
+              SELECT w, count(*) AS n FROM words WHERE w <> '' GROUP BY 1
+            ), idx AS (
+              SELECT w, n, unnest(range(1, length(w))) AS i
+              FROM wc WHERE length(w) >= 2
+            )
+            SELECT substr(w, CAST(i AS INT), 2) AS pair,
+                   CAST(sum(n) AS BIGINT) AS n
+            FROM idx
+            GROUP BY 1
+            ORDER BY n DESC, pair
+            LIMIT 20
+        """,
+        "dedup_corpus_overlap": """
+            WITH da AS (
+              SELECT DISTINCT md5(trim(array_to_string(
+                regexp_split_to_array(lower(text), '[^a-z0-9]+'), ' ')))
+                AS dg
+              FROM documents WHERE doc_id % 2 = 0
+            ), db AS (
+              SELECT DISTINCT md5(trim(array_to_string(
+                regexp_split_to_array(lower(text), '[^a-z0-9]+'), ' ')))
+                AS dg
+              FROM documents WHERE doc_id % 3 = 0
+            ), ca AS (
+              SELECT count(*) AS n_a FROM da WHERE dg IS NOT NULL
+            ), cb AS (
+              SELECT count(*) AS n_b FROM db WHERE dg IS NOT NULL
+            ), cc AS (
+              SELECT count(*) AS n_common FROM da
+              WHERE dg IS NOT NULL AND dg IN (SELECT dg FROM db)
+            )
+            SELECT n_a, n_b, n_common,
+                   round(CASE WHEN n_a + n_b - n_common > 0
+                         THEN n_common / (n_a + n_b - n_common)
+                         ELSE 0.0 END, 6) AS jaccard,
+                   round(CASE WHEN n_a > 0 THEN n_common / n_a
+                         ELSE 0.0 END, 6) AS containment_a
+            FROM ca, cb, cc
+        """,
+        "f9_zscore_groups": """
+            WITH stats AS (
+              SELECT l_returnflag, l_linestatus,
+                     avg(l_extendedprice) AS mu,
+                     stddev_pop(l_extendedprice) AS sd
+              FROM lineitem GROUP BY 1, 2
+            ), z AS (
+              SELECT l.l_returnflag, l.l_linestatus,
+                     CASE WHEN sd > 0
+                          THEN round((l_extendedprice - mu) / sd, 4)
+                     END AS z
+              FROM lineitem l
+              JOIN stats USING (l_returnflag, l_linestatus)
+            )
+            SELECT l_returnflag, l_linestatus, count(*) AS n,
+                   CAST(sum(CASE WHEN abs(z) > 1.5 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_tail,
+                   max(z) AS max_z, min(z) AS min_z
+            FROM z GROUP BY 1, 2
+        """,
+        "profile_skew": """
+            WITH counts AS (
+              SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS n
+              FROM events GROUP BY 1
+            )
+            SELECT count(*) AS n_keys,
+                   CAST(sum(n) AS BIGINT) AS n_rows,
+                   CAST(max(n) AS BIGINT) AS max_n,
+                   round(avg(n), 4) AS avg_n,
+                   round(quantile_cont(n, 0.5), 4) AS p50_n,
+                   round(quantile_cont(n, 0.99), 4) AS p99_n,
+                   round(max(n) / avg(n), 4) AS skew_ratio,
+                   (SELECT key FROM counts ORDER BY n DESC, key LIMIT 1)
+                     AS top_key
+            FROM counts
+        """,
         "text_bm25": """
             WITH base AS (
               SELECT doc_id,

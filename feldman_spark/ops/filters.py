@@ -21,6 +21,8 @@ __all__ = [
     "point_in_interval",
     "valid_section_column",
     "winsorize",
+    "with_group_zscore",
+    "zscore_outliers",
 ]
 
 
@@ -115,3 +117,55 @@ def winsorize(
         )
         .drop("_w_lo", "_w_hi")
     )
+
+
+def with_group_zscore(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    out: str = "z",
+    digits: int = 4,
+) -> DataFrame:
+    """F9 (beyond reference): annotate every row with its z-score
+    *within its group* — ``(x - mean_g) / stddev_pop_g``, rounded to
+    ``digits``. NULL where the value is NULL or the group's deviation
+    is 0 (a constant group has no meaningful z). The standardization
+    step behind per-source outlier triage, drift alerts, and
+    cross-group score comparability.
+
+    Uses the POPULATION standard deviation (``stddev_pop``), which is
+    also what the DuckDB oracle computes — the sample/population choice
+    changes every z, so it is part of the contract, not a detail.
+
+    Scale (100 TB): one partial-aggregating group pass produces the
+    (group, mean, std) table — dimension-sized by construction (one row
+    per group) — broadcast back onto the fact table; the z itself is a
+    row-local expression. No fact-table shuffle anywhere.
+    """
+    gks = [f"`{c}`" for c in group_cols]
+    v = F.col(f"`{value_col}`").cast("double")
+    stats = df.groupBy(*[F.col(g) for g in gks]).agg(
+        F.avg(v).alias("_mu"), F.stddev_pop(v).alias("_sd"))
+    return (
+        df.join(F.broadcast(stats), list(group_cols), "left")
+        .withColumn(
+            out,
+            F.when(F.col("_sd") > 0,
+                   F.round((v - F.col("_mu")) / F.col("_sd"), digits)),
+        )
+        .drop("_mu", "_sd")
+    )
+
+
+def zscore_outliers(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    threshold: float = 3.0,
+    out: str = "z",
+) -> DataFrame:
+    """Rows whose within-group |z| exceeds ``threshold`` — the
+    filter form of :func:`with_group_zscore` (same annotation, then a
+    row-local predicate Catalyst can evaluate in the joined stage)."""
+    return with_group_zscore(df, group_cols, value_col, out=out).filter(
+        F.abs(F.col(out)) > F.lit(threshold))

@@ -44,6 +44,7 @@ __all__ = [
     "exact_dedup_incremental",
     "minhash_band_rows",
     "minhash_dedup_incremental",
+    "corpus_overlap",
 ]
 
 HEX_HIGH = "89abcdef"  # hex digits whose high bit is set
@@ -1525,3 +1526,57 @@ def minhash_dedup_incremental(
     out_bands = bands_all.join(
         batch_kept.select(id_col), id_col, "left_semi")
     return batch_kept, out_bands
+
+
+def corpus_overlap(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    text_col: str = "text",
+    normalized: bool = True,
+) -> DataFrame:
+    """Exact content overlap between two corpora (snapshots, crawls,
+    train vs. eval shards): ONE row ``(n_a, n_b, n_common, jaccard,
+    containment_a)`` over distinct document digests —
+    ``jaccard = |A∩B| / |A∪B|``, ``containment_a = |A∩B| / |A|``
+    (both rounded to 6; 0 when the denominator is empty). The
+    dataset-level companion to row-level :func:`decontaminate`:
+    "how much of snapshot A is already in B" decides whether an
+    incremental crawl is worth ingesting at all.
+
+    ``normalized=True`` digests via :func:`feldman_spark.pipeline.
+    text.fingerprint` (case/punct/whitespace-invariant — re-crawl
+    noise doesn't break the match); ``False`` uses the raw md5.
+
+    Scale (100 TB each side): texts reduce to 16-byte digests inside
+    their own scans; each side's distinct is one digest-keyed shuffle
+    with map-side combine, and the intersection is a digest equi-join —
+    nothing document-sized ever moves, and the output is one row.
+    """
+    from feldman_spark.pipeline.text import fingerprint
+
+    def digests(df: DataFrame) -> DataFrame:
+        t = F.col(f"`{text_col}`")
+        d = fingerprint(t) if normalized else F.md5(t)
+        return df.select(d.alias("_dg")).filter(
+            F.col("_dg").isNotNull()).distinct()
+
+    da, db = digests(df_a), digests(df_b)
+    n_a = da.agg(F.count("*").alias("n_a"))
+    n_b = db.agg(F.count("*").alias("n_b"))
+    n_c = da.join(db, "_dg", "left_semi").agg(
+        F.count("*").alias("n_common"))
+    return (
+        n_a.crossJoin(F.broadcast(n_b)).crossJoin(F.broadcast(n_c))
+        .select(
+            "n_a", "n_b", "n_common",
+            F.round(
+                F.when(F.col("n_a") + F.col("n_b") - F.col("n_common") > 0,
+                       F.col("n_common") /
+                       (F.col("n_a") + F.col("n_b") - F.col("n_common")))
+                .otherwise(F.lit(0.0)), 6).alias("jaccard"),
+            F.round(
+                F.when(F.col("n_a") > 0,
+                       F.col("n_common") / F.col("n_a"))
+                .otherwise(F.lit(0.0)), 6).alias("containment_a"),
+        )
+    )

@@ -30,7 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 __all__ = ["connected_components", "dedup_survivors",
-           "dedup_survivors_best", "pagerank"]
+           "dedup_survivors_best", "pagerank", "triangle_stats",
+           "cooccurrence_pairs"]
 
 
 def connected_components(
@@ -240,3 +241,144 @@ def pagerank(
         )
     return ranks.select(
         "node", F.round("rank", round_digits).alias("rank"))
+
+
+def triangle_stats(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Exact triangle count + global clustering coefficient over an
+    undirected graph given as a (possibly directed, possibly duplicated)
+    edge list — the graph-shape statistic behind community detection,
+    spam-host scoring, and link-farm triage in crawl pipelines.
+
+    Returns ONE row: ``(n_nodes, n_edges, n_wedges, n_triangles,
+    global_clustering)`` where ``n_wedges = sum_v deg(v)*(deg(v)-1)/2``
+    and ``global_clustering = 3 * triangles / wedges`` (0 when the graph
+    has no wedge; rounded to 6).
+
+    The textbook 3-way self-join counts every triangle 6 times and lets
+    a hub node explode the intermediate. Here edges are **oriented by
+    degree** first (low-(degree, id) endpoint → high), the standard
+    Ortmann/Schank refinement: every wedge is enumerated only at its
+    lowest-rank corner, so per-node wedge work is bounded by
+    *out*-degree² — O(m^1.5) total regardless of hubs (a celebrity node
+    has huge in-degree but tiny out-degree under this orientation), and
+    each triangle is counted exactly once with no DISTINCT pass.
+
+    Scale (100 TB): canonicalize + degree are linear shuffles on node
+    ids; the wedge join and the closing semi-join shuffle id pairs only
+    — no payload columns ride along. Skewed residual wedges (after
+    orientation the out-degree cap is ~sqrt(m)) split fine under AQE.
+    """
+    a, b = F.col(f"`{src_col}`"), F.col(f"`{dst_col}`")
+    e = (
+        edges.select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    ed = (
+        e.join(deg.withColumnRenamed("node", "a")
+                .withColumnRenamed("deg", "_da"), "a")
+        .join(deg.withColumnRenamed("node", "b")
+                .withColumnRenamed("deg", "_db"), "b")
+    )
+    # rank = (degree, id): a total order; orient low -> high
+    ra = F.struct(F.col("_da").alias("d"), F.col("a").alias("n"))
+    rb = F.struct(F.col("_db").alias("d"), F.col("b").alias("n"))
+    lt = ra < rb
+    oriented = ed.select(
+        F.when(lt, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lt, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(lt, rb).otherwise(ra).alias("rv"),
+    )
+    o1 = oriented.select(
+        F.col("u"), F.col("v").alias("x"), F.col("rv").alias("rx"))
+    o2 = oriented.select(
+        F.col("u"), F.col("v").alias("y"), F.col("rv").alias("ry"))
+    wedges = o1.join(o2, "u").filter(F.col("rx") < F.col("ry")).select(
+        F.col("x"), F.col("y"))
+    # the closing edge (x, y) with rank(x) < rank(y) is oriented x -> y
+    closing = oriented.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    tri = wedges.join(closing, ["x", "y"], "left_semi").agg(
+        F.count("*").alias("n_triangles"))
+    totals = deg.agg(
+        F.count("*").alias("n_nodes"),
+        (F.sum("deg") / F.lit(2)).cast("bigint").alias("n_edges"),
+        F.sum(F.col("deg") * (F.col("deg") - 1) / F.lit(2))
+        .cast("bigint").alias("n_wedges"),
+    )
+    return (
+        totals.crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes", "n_edges", "n_wedges",
+            F.col("n_triangles").cast("bigint").alias("n_triangles"),
+            F.round(
+                F.when(F.col("n_wedges") > 0,
+                       F.lit(3.0) * F.col("n_triangles")
+                       / F.col("n_wedges")).otherwise(F.lit(0.0)),
+                6,
+            ).alias("global_clustering"),
+        )
+    )
+
+
+def cooccurrence_pairs(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    cap: int = 50,
+    min_count: int = 2,
+    seed: str = "coocc",
+) -> DataFrame:
+    """Item co-occurrence counts: for every unordered item pair, in how
+    many groups (baskets / users / documents) do both appear — the
+    association signal behind related-items, query suggestion, and
+    co-citation graphs.
+
+    Returns ``(item_a, item_b, n_groups)`` with ``item_a < item_b`` and
+    ``n_groups >= min_count``.
+
+    The raw self-join is quadratic in basket size: ONE group with 10M
+    distinct items contributes 5·10^13 pairs. The standard production
+    guard is applied first — each group's item set is **capped** at
+    ``cap`` via the deterministic hash-variate sampler
+    (:func:`feldman_spark.pipeline.sampling.cap_per_group`), bounding
+    every group's contribution at ``cap·(cap-1)/2`` pairs, so the join
+    output is ≤ ``n_groups · cap²/2`` no matter how pathological the
+    hot basket. Which items survive a capped basket is variate-decided
+    — stable across runs, partitionings, and corpus growth.
+
+    Scale (100 TB): dedup + cap shuffle once on the group key; the
+    pair join reuses that same key (co-partitioned self-join, no extra
+    exchange of the big side); the final count aggregates map-side on
+    the pair key. Only (group, item) id pairs move — never payloads.
+    """
+    from feldman_spark.pipeline.sampling import cap_per_group
+
+    if cap < 2:
+        raise ValueError(f"cap must be >= 2, got {cap}")
+    base = (
+        df.select(F.col(f"`{group_col}`").alias("_g"),
+                  F.col(f"`{item_col}`").alias("_i"))
+        .filter(F.col("_g").isNotNull() & F.col("_i").isNotNull())
+        .distinct()
+    )
+    capped = cap_per_group(base, "_g", cap, key_col="_i", seed=seed)
+    l = capped.select("_g", F.col("_i").alias("item_a"))
+    r = capped.select("_g", F.col("_i").alias("item_b"))
+    return (
+        l.join(r, "_g")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").alias("n_groups"))
+        .filter(F.col("n_groups") >= min_count)
+    )

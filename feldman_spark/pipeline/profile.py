@@ -89,3 +89,42 @@ def profile_histogram(
             F.count("*").alias("n"),
         )
     )
+
+
+def profile_skew(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    digits: int = 4,
+) -> DataFrame:
+    """Key-skew diagnosis for a prospective shuffle key: ONE row
+    ``(n_keys, n_rows, max_n, avg_n, p50_n, p99_n, skew_ratio,
+    top_key)`` where ``skew_ratio = max_n / avg_n`` (the straggler
+    multiplier a groupBy/join on this key would suffer) and ``top_key``
+    is the hottest key rendered as a string (ties: lexicographically
+    smallest rendering). The "should I salt this join?" question as an
+    operator — feed its output to :mod:`feldman_spark.ops.skew`.
+
+    Scale (100 TB): the fact table reduces to a (key, count) table in
+    one partial-aggregating pass — ironically itself skew-immune, since
+    count partials combine map-side before the exchange. The statistics
+    (exact interpolated percentiles over per-key counts, max, argmax)
+    run over that key-sized table, and the result is one row.
+    """
+    gks = [F.col(f"`{c}`") for c in key_cols]
+    counts = df.groupBy(*gks).agg(F.count("*").alias("_n")).select(
+        F.concat_ws("|", *[g.cast("string") for g in gks]).alias("_key"),
+        "_n",
+    )
+    stats = counts.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("_n").cast("bigint").alias("n_rows"),
+        F.max("_n").cast("bigint").alias("max_n"),
+        F.round(F.avg("_n"), digits).alias("avg_n"),
+        F.round(F.expr("percentile(_n, 0.5)"), digits).alias("p50_n"),
+        F.round(F.expr("percentile(_n, 0.99)"), digits).alias("p99_n"),
+        F.round(F.max("_n") / F.avg("_n"), digits).alias("skew_ratio"),
+        # argmax with a deterministic tie-break: min (−count, key) struct
+        F.min(F.struct((-F.col("_n")).alias("neg"),
+                       F.col("_key").alias("k")))["k"].alias("top_key"),
+    )
+    return stats

@@ -27,6 +27,7 @@ __all__ = [
     "lang_scores",
     "lang_id",
     "fingerprint",
+    "bpe_pair_counts",
     "STOPWORDS",
 ]
 
@@ -446,3 +447,50 @@ def fingerprint(text: Column) -> Column:
     pipeline_dedup_stats budget)."""
     norm = F.trim(F.array_join(F.split(F.lower(text), "[^a-z0-9]+"), " "))
     return F.md5(norm)
+
+
+def bpe_pair_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 20,
+) -> DataFrame:
+    """One iteration of byte-pair-encoding tokenizer training: the
+    ``k`` most frequent ADJACENT character pairs over the corpus,
+    weighted by word frequency (Sennrich et al. 2016 — each BPE merge
+    step picks exactly this argmax, re-counts, repeats). Returns
+    ``(pair, n)`` ordered by ``n`` desc, ``pair`` asc.
+
+    The scale trick is the order of operations: the corpus first
+    collapses to its **vocabulary** (word → count, one shuffle keyed by
+    word with map-side combine — a 100 TB corpus has a few tens of
+    millions of distinct words, i.e. ~0.01% of its tokens), and only
+    then does each *distinct* word explode into its adjacent pairs,
+    pre-weighted by its count. Pair counting therefore costs
+    O(vocabulary · word-length), not O(corpus); the final pair
+    aggregate and TakeOrdered(k) move a few million short strings.
+    Everything is codegen column expressions — no Python in the plan.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    words = (
+        df.select(F.explode(
+            F.split(F.trim(F.lower(F.col(f"`{text_col}`"))), r"\s+")
+        ).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    wc = words.groupBy("w").agg(F.count("*").alias("_n"))
+    pairs = (
+        wc.filter(F.length("w") >= 2)
+        .select(
+            F.explode(F.expr(
+                "transform(sequence(1, char_length(w) - 1), "
+                "i -> substring(w, i, 2))")).alias("pair"),
+            "_n",
+        )
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("_n").cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair").asc())
+        .limit(k)
+    )

@@ -723,3 +723,37 @@ def test_funnel_steps_single_exchange(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     # windows + per-user collapse reuse one hash-partitioning on user_id
     assert plan.count("hashpartitioning(user_id") <= 1
+
+
+def test_with_group_zscore_values_and_constant_group(spark):
+    from feldman_spark.ops.filters import with_group_zscore, zscore_outliers
+    from pyspark.sql import functions as F
+
+    rows = [("g1", 1.0), ("g1", 2.0), ("g1", 3.0),
+            ("g2", 5.0), ("g2", 5.0)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    got = {(r["g"], r["v"]): r["z"]
+           for r in with_group_zscore(df, ["g"], "v").collect()}
+    # g1: mu=2, sd_pop=sqrt(2/3)=0.8165 -> z = +-1.2247, 0
+    assert got[("g1", 1.0)] == -1.2247
+    assert got[("g1", 2.0)] == 0.0
+    assert got[("g1", 3.0)] == 1.2247
+    # constant group: sd=0 -> z NULL, never a division error
+    assert got[("g2", 5.0)] is None
+
+    out = zscore_outliers(df, ["g"], "v", threshold=1.0).collect()
+    assert sorted((r["g"], r["v"]) for r in out) == [
+        ("g1", 1.0), ("g1", 3.0)]
+
+
+def test_profile_skew_stats(spark):
+    from feldman_spark.pipeline.profile import profile_skew
+
+    # key a x6, b x2, c x2 -> n_keys 3, max 6, avg 10/3, ratio 1.8
+    rows = [("a",)] * 6 + [("b",)] * 2 + [("c",)] * 2
+    row = profile_skew(spark.createDataFrame(rows, ["k"]), ["k"]).collect()[0]
+    assert row["n_keys"] == 3 and row["n_rows"] == 10
+    assert row["max_n"] == 6 and row["avg_n"] == 3.3333
+    assert row["p50_n"] == 2.0
+    assert row["skew_ratio"] == 1.8
+    assert row["top_key"] == "a"

@@ -1457,3 +1457,84 @@ def test_pagerank_dangling_node_keeps_base_rank(spark):
     base = round((1 - 0.85) / 3, 8)
     assert got[1] == base and got[2] == base
     assert got[3] > got[1]
+
+
+def test_triangle_stats_known_graphs(spark):
+    from feldman_spark.pipeline.graph import triangle_stats
+
+    # K4: 4 triangles, 6 edges, 12 wedges, clustering 1.0 — edges given
+    # directed/duplicated/reversed to exercise canonicalization
+    k4 = [(a, b) for a in range(4) for b in range(4) if a != b]
+    row = triangle_stats(
+        spark.createDataFrame(k4, ["src", "dst"])).collect()[0]
+    assert (row["n_nodes"], row["n_edges"], row["n_wedges"],
+            row["n_triangles"]) == (4, 6, 12, 4)
+    assert row["global_clustering"] == 1.0
+
+    # star: hub with 5 leaves — wedges but zero triangles
+    star = [(0, i) for i in range(1, 6)]
+    row = triangle_stats(
+        spark.createDataFrame(star, ["src", "dst"])).collect()[0]
+    assert row["n_triangles"] == 0 and row["n_wedges"] == 10
+    assert row["global_clustering"] == 0.0
+
+    # triangle + pendant edge: 1 triangle counted exactly once
+    g = [(1, 2), (2, 3), (3, 1), (3, 4)]
+    row = triangle_stats(
+        spark.createDataFrame(g, ["src", "dst"])).collect()[0]
+    assert row["n_triangles"] == 1
+
+
+def test_cooccurrence_pairs_counts_and_cap(spark):
+    from feldman_spark.pipeline.graph import cooccurrence_pairs
+
+    # groups: u1 {a,b,c}, u2 {a,b}, u3 {a,b} (duplicate events collapse)
+    rows = [("u1", "a"), ("u1", "b"), ("u1", "c"), ("u1", "a"),
+            ("u2", "a"), ("u2", "b"), ("u3", "a"), ("u3", "b")]
+    got = {(r["item_a"], r["item_b"]): r["n_groups"]
+           for r in cooccurrence_pairs(
+               spark.createDataFrame(rows, ["g", "i"]), "g", "i",
+               cap=10, min_count=2).collect()}
+    assert got == {("a", "b"): 3}  # (a,c)/(b,c) appear once -> filtered
+
+    # hot basket: one group with 30 items, cap=5 -> at most C(5,2) pairs
+    hot = [("hot", f"i{k:02d}") for k in range(30)]
+    pairs = cooccurrence_pairs(
+        spark.createDataFrame(hot, ["g", "i"]), "g", "i",
+        cap=5, min_count=1).collect()
+    assert len(pairs) == 10
+    # deterministic: same survivors on a rerun
+    again = cooccurrence_pairs(
+        spark.createDataFrame(hot, ["g", "i"]), "g", "i",
+        cap=5, min_count=1).collect()
+    assert sorted(map(tuple, pairs)) == sorted(map(tuple, again))
+
+
+def test_bpe_pair_counts_manual(spark):
+    from feldman_spark.pipeline.text import bpe_pair_counts
+
+    # vocab: "abab" x2 (pairs ab,ba,ab), "ab" x1, "x" (too short)
+    df = spark.createDataFrame(
+        [("abab ab x",), ("abab",)], ["text"])
+    got = {r["pair"]: r["n"] for r in
+           bpe_pair_counts(df, "text", k=10).collect()}
+    # "abab": ab=2, ba=1 per occurrence, word count 2 -> ab 4, ba 2;
+    # "ab": ab +1 -> ab 5
+    assert got == {"ab": 5, "ba": 2}
+
+
+def test_corpus_overlap_normalization_and_counts(spark):
+    from feldman_spark.pipeline.dedup import corpus_overlap
+
+    a = spark.createDataFrame(
+        [("Hello, World!",), ("unique to a",)], ["text"])
+    b = spark.createDataFrame(
+        [("hello   world",), ("only in b",), ("second b",)], ["text"])
+    row = corpus_overlap(a, b, "text").collect()[0]
+    # normalized fingerprint matches across case/punct/whitespace noise
+    assert (row["n_a"], row["n_b"], row["n_common"]) == (2, 3, 1)
+    assert row["jaccard"] == 0.25
+    assert row["containment_a"] == 0.5
+
+    raw = corpus_overlap(a, b, "text", normalized=False).collect()[0]
+    assert raw["n_common"] == 0 and raw["jaccard"] == 0.0
