@@ -3449,6 +3449,51 @@ def profile_skew_q(spark, sf_dir):
     return profile_skew(ev, ["user_id"])
 
 
+def profile_join_cardinality(spark, sf_dir):
+    """Exact join-output-size pre-flight for lineitem ⋈ orders on the
+    order key — computed WITHOUT running the join: each side reduces to
+    a (key, count) table in one partial-aggregating pass, the key
+    tables meet in one equi-join, and the answer (total join rows plus
+    the hottest key's contribution — the salting decision) is one row
+    (feldman_spark/pipeline/profile.py::join_cardinality)."""
+    from feldman_spark.pipeline.profile import join_cardinality
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    return join_cardinality(li, o, "l_orderkey", "o_orderkey")
+
+
+def profile_psi_drift(spark, sf_dir):
+    """Population Stability Index between the value distributions of
+    two event cohorts: equi-width buckets fixed by the REFERENCE
+    min/max (one broadcast bounds row), per-side bucket counts
+    partial-aggregate map-side, Laplace-smoothed proportions make empty
+    buckets finite deterministically — sum(contrib) is the PSI
+    (feldman_spark/pipeline/profile.py::psi_drift)."""
+    from feldman_spark.pipeline.profile import psi_drift
+
+    ev = _t(spark, sf_dir, "events")
+    return psi_drift(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "click"),
+        "value", buckets=10,
+    )
+
+
+def events_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    streams (ordered by ts with the unique event id as tiebreak): one
+    window exchange computes the lag, pair counts partial-aggregate
+    into a state²-sized table, and row normalization joins a
+    states-sized aggregate — payloads never move
+    (feldman_spark/ops/windows.py::event_transitions)."""
+    from feldman_spark.ops.windows import event_transitions
+
+    ev = _t(spark, sf_dir, "events")
+    return event_transitions(
+        ev, "user_id", "event_type", ["ts", "event_id"])
+
+
 # shared Spark/DuckDB SQL for web_url_normalize's synthetic URL mix —
 # one text, two engines, so the parse inputs are byte-identical
 _URL_CASE_SQL = """
@@ -3527,6 +3572,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # likewise leads; it pushes w9_merge_upsert, j12_bloom_semi_join,
     # sample_stratified, web_url_normalize, a11_approx_quantiles and
     # o2_zorder_key (all driver-green earlier in r6) into the r7 queue.
+    # …then the planning/drift trio (join-cardinality pre-flight, PSI
+    # drift, Markov transitions), which pushes u3_table_diff,
+    # a12_heavy_hitters and web_domain_cap (driver-green earlier in r6)
+    # into the r7 queue as well.
+        "profile_join_cardinality": profile_join_cardinality,
+        "profile_psi_drift": profile_psi_drift,
+        "events_transitions": events_transitions,
         "graph_triangles": graph_triangles,
         "web_cooccurrence": web_cooccurrence,
         "text_bpe_pairs": text_bpe_pairs,
@@ -3680,6 +3732,94 @@ def _zkey_sql(bits: int = 8) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "profile_join_cardinality": """
+            WITH lc AS (
+              SELECT l_orderkey AS k, count(*) AS cl
+              FROM lineitem GROUP BY 1
+            ), rc AS (
+              SELECT o_orderkey AS k, count(*) AS cr
+              FROM orders GROUP BY 1
+            ), tl AS (
+              SELECT CAST(sum(cl) AS BIGINT) AS n_left,
+                     count(*) AS n_left_keys FROM lc
+            ), tr AS (
+              SELECT CAST(sum(cr) AS BIGINT) AS n_right,
+                     count(*) AS n_right_keys FROM rc
+            ), c AS (
+              SELECT count(*) AS n_common_keys,
+                     CAST(coalesce(sum(cl * cr), 0) AS BIGINT)
+                       AS join_rows,
+                     CAST(coalesce(max(cl * cr), 0) AS BIGINT)
+                       AS max_key_rows
+              FROM lc JOIN rc USING (k)
+            )
+            SELECT n_left, n_right, n_left_keys, n_right_keys,
+                   n_common_keys, join_rows, max_key_rows
+            FROM tl, tr, c
+        """,
+        "profile_psi_drift": """
+            WITH rv AS (
+              SELECT value AS x FROM events
+              WHERE event_type = 'view' AND value IS NOT NULL
+            ), cv AS (
+              SELECT value AS x FROM events
+              WHERE event_type = 'click' AND value IS NOT NULL
+            ), b AS (
+              SELECT min(x) AS lo, max(x) AS hi FROM rv
+            ), grid AS (
+              SELECT unnest(range(0, 10)) AS bucket
+            ), rcount AS (
+              SELECT CASE WHEN hi = lo THEN 0
+                     ELSE least(greatest(CAST(floor(
+                            (x - lo) / ((hi - lo) / 10.0)) AS BIGINT),
+                          0), 9) END AS bucket,
+                     count(*) AS n
+              FROM rv, b GROUP BY 1
+            ), ccount AS (
+              SELECT CASE WHEN hi = lo THEN 0
+                     ELSE least(greatest(CAST(floor(
+                            (x - lo) / ((hi - lo) / 10.0)) AS BIGINT),
+                          0), 9) END AS bucket,
+                     count(*) AS n
+              FROM cv, b GROUP BY 1
+            ), both_sides AS (
+              SELECT g.bucket,
+                     CAST(coalesce(r.n, 0) AS BIGINT) AS n_ref,
+                     CAST(coalesce(c.n, 0) AS BIGINT) AS n_cur
+              FROM grid g
+              LEFT JOIN rcount r USING (bucket)
+              LEFT JOIN ccount c USING (bucket)
+            ), tot AS (
+              SELECT sum(n_ref) AS t_r, sum(n_cur) AS t_c
+              FROM both_sides
+            )
+            SELECT bucket, n_ref, n_cur,
+                   round((n_ref + 0.5) / (t_r + 5.0), 6) AS p_ref,
+                   round((n_cur + 0.5) / (t_c + 5.0), 6) AS p_cur,
+                   round(((n_cur + 0.5) / (t_c + 5.0)
+                          - (n_ref + 0.5) / (t_r + 5.0))
+                         * ln(((n_cur + 0.5) / (t_c + 5.0))
+                              / ((n_ref + 0.5) / (t_r + 5.0))), 6)
+                     AS contrib
+            FROM both_sides, tot
+        """,
+        "events_transitions": """
+            WITH ordered AS (
+              SELECT user_id, event_type AS state,
+                     lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id)
+                       AS prev_state
+              FROM events
+            ), counts AS (
+              SELECT prev_state, state, count(*) AS n
+              FROM ordered WHERE prev_state IS NOT NULL GROUP BY 1, 2
+            ), outdeg AS (
+              SELECT prev_state, sum(n) AS tot FROM counts GROUP BY 1
+            )
+            SELECT c.prev_state, c.state, c.n,
+                   round(c.n / o.tot, 6) AS prob
+            FROM counts c JOIN outdeg o USING (prev_state)
+        """,
         "graph_triangles": """
             WITH raw AS (
               SELECT user_id AS s,

@@ -23,6 +23,7 @@ __all__ = [
     "rolling_time_agg",
     "grouped_topk",
     "funnel_steps",
+    "event_transitions",
 ]
 
 
@@ -386,3 +387,52 @@ def funnel_steps(
     ]
     return counts.select(F.explode(F.array(*entries)).alias("_s")).select(
         "_s.*")
+
+
+def event_transitions(
+    df: DataFrame,
+    key_col: str,
+    state_col: str,
+    order_cols: Sequence[str],
+    digits: int = 6,
+) -> DataFrame:
+    """First-order Markov transition counts over per-key ordered event
+    streams: ``(prev_state, state, n, prob)`` where ``prob`` is the
+    row-normalized transition probability out of ``prev_state``
+    (rounded to ``digits``) — the session-model behind next-action
+    prediction, funnel diagnosis, and bot detection (a scraper's
+    transition matrix is nearly deterministic; a human's is not).
+
+    ``order_cols`` must define a TOTAL order within each key (pass a
+    unique id as the last column) — ties would otherwise make ``lag``
+    nondeterministic. Each key's first event has no predecessor and is
+    excluded.
+
+    Scale (100 TB): one exchange — the ``lag`` window partitions by
+    key and sort-orders locally; the (prev, state) pair counts that
+    follow partial-aggregate map-side into a state²-sized table, and
+    the row normalization joins against a states-sized aggregate.
+    Event payloads never move: only the key/state/order columns enter
+    the window.
+    """
+    ocols = [F.col(f"`{c}`") for c in order_cols]
+    w = Window.partitionBy(F.col(f"`{key_col}`")).orderBy(*ocols)
+    pairs = (
+        df.select(
+            F.col(f"`{key_col}`"),
+            F.col(f"`{state_col}`").alias("state"),
+            *ocols,
+        )
+        .withColumn("prev_state", F.lag("state").over(w))
+        .filter(F.col("prev_state").isNotNull())
+    )
+    counts = pairs.groupBy("prev_state", "state").agg(
+        F.count("*").alias("n"))
+    outdeg = counts.groupBy("prev_state").agg(F.sum("n").alias("_tot"))
+    return (
+        counts.join(F.broadcast(outdeg), "prev_state")
+        .select(
+            "prev_state", "state", "n",
+            F.round(F.col("n") / F.col("_tot"), digits).alias("prob"),
+        )
+    )

@@ -17,7 +17,8 @@ from typing import Optional, Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["profile_table", "profile_histogram"]
+__all__ = ["profile_table", "profile_histogram", "profile_skew",
+           "join_cardinality", "psi_drift"]
 
 
 def profile_table(
@@ -128,3 +129,135 @@ def profile_skew(
                        F.col("_key").alias("k")))["k"].alias("top_key"),
     )
     return stats
+
+
+def join_cardinality(
+    left: DataFrame,
+    right: DataFrame,
+    l_key: str,
+    r_key: str,
+) -> DataFrame:
+    """EXACT inner-equi-join output size — without running the join.
+    ONE row: ``(n_left, n_right, n_left_keys, n_right_keys,
+    n_common_keys, join_rows, max_key_rows)`` where ``join_rows =
+    Σ_{k∈common} cl(k)·cr(k)`` (what ``left JOIN right`` would emit)
+    and ``max_key_rows = max_k cl(k)·cr(k)`` — the single hottest key's
+    contribution, i.e. the straggler a shuffled hash join would
+    serialize on (feed :mod:`feldman_spark.ops.skew` when it
+    dominates). The "will this join explode?" pre-flight every
+    large-scale pipeline should run before an unfamiliar key.
+
+    Scale (100 TB per side): each side reduces to its (key, count)
+    table in one partial-aggregating pass; those key-sized tables meet
+    in one equi-join, and the result is one row. The fact tables are
+    scanned once each (key column only — columnar pruning) and never
+    shuffled in full.
+    """
+    lc = (
+        left.select(F.col(f"`{l_key}`").alias("_k"))
+        .groupBy("_k").agg(F.count("*").alias("_cl"))
+    )
+    rc = (
+        right.select(F.col(f"`{r_key}`").alias("_k"))
+        .groupBy("_k").agg(F.count("*").alias("_cr"))
+    )
+    tl = lc.agg(F.sum("_cl").cast("bigint").alias("n_left"),
+                F.count("*").alias("n_left_keys"))
+    tr = rc.agg(F.sum("_cr").cast("bigint").alias("n_right"),
+                F.count("*").alias("n_right_keys"))
+    common = lc.join(rc, "_k").agg(
+        F.count("*").alias("n_common_keys"),
+        F.coalesce(F.sum(F.col("_cl") * F.col("_cr")), F.lit(0))
+        .cast("bigint").alias("join_rows"),
+        F.coalesce(F.max(F.col("_cl") * F.col("_cr")), F.lit(0))
+        .cast("bigint").alias("max_key_rows"),
+    )
+    return (
+        tl.crossJoin(F.broadcast(tr)).crossJoin(F.broadcast(common))
+        .select("n_left", "n_right", "n_left_keys", "n_right_keys",
+                "n_common_keys", "join_rows", "max_key_rows")
+    )
+
+
+def psi_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    buckets: int = 10,
+    digits: int = 6,
+) -> DataFrame:
+    """Population Stability Index between a reference and a current
+    distribution of ``value_col`` — the standard drift alarm on model
+    inputs/scores (PSI < 0.1 stable, 0.1-0.25 moderate, > 0.25 shifted).
+    Returns one row per bucket: ``(bucket, n_ref, n_cur, p_ref, p_cur,
+    contrib)`` with ``contrib = (p_cur - p_ref) · ln(p_cur / p_ref)``;
+    ``sum(contrib)`` is the PSI.
+
+    Buckets are equi-width over the REFERENCE min/max (the industry
+    convention: the monitor is fixed by the baseline); current values
+    outside that range clamp into the edge buckets, so a shifted tail
+    shows up as edge-bucket mass rather than silently vanishing.
+    Proportions are Laplace-smoothed — ``p = (n + 0.5) / (N + 0.5·B)``
+    — so an empty bucket cannot produce ±inf, deterministically (no
+    epsilon guesswork), and every bucket 0..B-1 is emitted even when
+    both sides are empty there.
+
+    Scale (100 TB): one (min, max) aggregate over the reference,
+    broadcast to both sides; each side then partial-aggregates its
+    row-local bucket id. Only two B-row count tables ever shuffle.
+    NULLs are excluded on both sides.
+    """
+    if buckets < 1:
+        raise ValueError(f"buckets must be >= 1, got {buckets}")
+    spark = ref.sparkSession
+
+    def vals(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(f"`{value_col}`").cast("double").alias("_x")
+        ).filter(F.col("_x").isNotNull())
+
+    rv, cv = vals(ref), vals(cur)
+    bounds = rv.agg(F.min("_x").alias("_lo"), F.max("_x").alias("_hi"))
+
+    def counts(df: DataFrame, name: str) -> DataFrame:
+        width = (F.col("_hi") - F.col("_lo")) / F.lit(float(buckets))
+        bucket = F.when(
+            F.col("_hi") == F.col("_lo"), F.lit(0).cast("bigint")
+        ).otherwise(
+            F.least(
+                F.greatest(
+                    F.floor((F.col("_x") - F.col("_lo")) / width),
+                    F.lit(0).cast("bigint")),
+                F.lit(buckets - 1).cast("bigint"),
+            )
+        )
+        return (
+            df.crossJoin(F.broadcast(bounds))
+            .select(bucket.alias("bucket"))
+            .groupBy("bucket").agg(F.count("*").alias(name))
+        )
+
+    grid = spark.range(buckets).select(F.col("id").alias("bucket"))
+    both = (
+        grid.join(counts(rv, "_nr"), "bucket", "left")
+        .join(counts(cv, "_nc"), "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("_nr", F.lit(0)).cast("bigint").alias("n_ref"),
+            F.coalesce("_nc", F.lit(0)).cast("bigint").alias("n_cur"),
+        )
+    )
+    tot = both.agg(F.sum("n_ref").alias("_tr"), F.sum("n_cur").alias("_tc"))
+    smooth_denom = 0.5 * buckets
+    p_ref = (F.col("n_ref") + 0.5) / (F.col("_tr") + F.lit(smooth_denom))
+    p_cur = (F.col("n_cur") + 0.5) / (F.col("_tc") + F.lit(smooth_denom))
+    return (
+        both.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket", "n_ref", "n_cur",
+            F.round(p_ref, digits).alias("p_ref"),
+            F.round(p_cur, digits).alias("p_cur"),
+            F.round((p_cur - p_ref) * F.log(p_cur / p_ref), digits)
+            .alias("contrib"),
+        )
+    )

@@ -757,3 +757,57 @@ def test_profile_skew_stats(spark):
     assert row["p50_n"] == 2.0
     assert row["skew_ratio"] == 1.8
     assert row["top_key"] == "a"
+
+
+def test_join_cardinality_exact_and_hot_key(spark):
+    from feldman_spark.pipeline.profile import join_cardinality
+
+    l = spark.createDataFrame(
+        [("a",)] * 3 + [("b",)] * 2 + [("x",)], ["k"])
+    r = spark.createDataFrame(
+        [("a",)] * 4 + [("b",)] * 1 + [("y",)] * 2, ["k"])
+    row = join_cardinality(l, r, "k", "k").collect()[0]
+    assert (row["n_left"], row["n_right"]) == (6, 7)
+    assert (row["n_left_keys"], row["n_right_keys"]) == (3, 3)
+    assert row["n_common_keys"] == 2
+    assert row["join_rows"] == 3 * 4 + 2 * 1  # == actual join size
+    assert row["max_key_rows"] == 12
+    assert l.join(r, "k").count() == row["join_rows"]
+
+    # disjoint keys: zero join rows, no null leakage
+    row = join_cardinality(
+        l, spark.createDataFrame([("z",)], ["k"]), "k", "k").collect()[0]
+    assert row["join_rows"] == 0 and row["max_key_rows"] == 0
+
+
+def test_psi_drift_identical_and_shifted(spark):
+    from feldman_spark.pipeline.profile import psi_drift
+    import math
+
+    ref = spark.createDataFrame([(float(i),) for i in range(100)], ["v"])
+    out = psi_drift(ref, ref, "v", buckets=5).collect()
+    assert len(out) == 5 and all(r["contrib"] == 0.0 for r in out)
+    assert all(r["n_ref"] == r["n_cur"] == 20 for r in out)
+
+    # current shifted far right: clamps into the top bucket
+    cur = spark.createDataFrame([(1000.0,)] * 50, ["v"])
+    rows = {r["bucket"]: r for r in
+            psi_drift(ref, cur, "v", buckets=5).collect()}
+    assert rows[4]["n_cur"] == 50
+    psi = sum(r["contrib"] for r in rows.values())
+    assert psi > 0.25  # "shifted" on the standard PSI scale
+    assert all(math.isfinite(r["contrib"]) for r in rows.values())
+
+
+def test_event_transitions_counts_and_probs(spark):
+    from feldman_spark.ops.windows import event_transitions
+
+    rows = [
+        ("u1", 1, "a"), ("u1", 2, "b"), ("u1", 3, "a"), ("u1", 4, "b"),
+        ("u2", 1, "a"), ("u2", 2, "b"),
+    ]
+    df = spark.createDataFrame(rows, ["u", "t", "s"])
+    got = {(r["prev_state"], r["state"]): (r["n"], r["prob"])
+           for r in event_transitions(df, "u", "s", ["t"]).collect()}
+    # a->b x3 (prob 1.0 out of a), b->a x1 (prob 1.0 out of b)
+    assert got == {("a", "b"): (3, 1.0), ("b", "a"): (1, 1.0)}
