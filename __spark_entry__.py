@@ -3449,6 +3449,35 @@ def profile_skew_q(spark, sf_dir):
     return profile_skew(ev, ["user_id"])
 
 
+def sample_rebalance(spark, sf_dir):
+    """Rebalance the corpus to a target language distribution (25% each
+    of en/de/fr/es; zh absent → dropped) by deletion only: one
+    per-group count aggregate finds the binding group (the one that
+    survives whole), every other group thins by its deterministic hash
+    variate against a broadcast per-group threshold — row-local filter,
+    no fact-table shuffle
+    (feldman_spark/pipeline/sampling.py::rebalance_to_target)."""
+    from feldman_spark.pipeline.sampling import rebalance_to_target
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return rebalance_to_target(
+        d, "lang", {"en": 0.25, "de": 0.25, "fr": 0.25, "es": 0.25})
+
+
+def knn_group_centroids(spark, sf_dir):
+    """Per-label mean embedding (class prototypes): posexplode the
+    vectors into a (group, position, value) scalar stream that
+    partial-aggregates map-side — the exchange carries groups × dim
+    running partials, independent of corpus size, and a hot label
+    parallelizes across all input partitions instead of collect_list
+    funnelling its vectors to one reducer
+    (feldman_spark/pipeline/similarity.py::group_centroids)."""
+    from feldman_spark.pipeline.similarity import group_centroids
+
+    e = _t(spark, sf_dir, "embeddings")
+    return group_centroids(e, "label")
+
+
 def profile_join_cardinality(spark, sf_dir):
     """Exact join-output-size pre-flight for lineitem ⋈ orders on the
     order key — computed WITHOUT running the join: each side reduces to
@@ -3576,6 +3605,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # drift, Markov transitions), which pushes u3_table_diff,
     # a12_heavy_hitters and web_domain_cap (driver-green earlier in r6)
     # into the r7 queue as well.
+        "sample_rebalance": sample_rebalance,
+        "knn_group_centroids": knn_group_centroids,
         "profile_join_cardinality": profile_join_cardinality,
         "profile_psi_drift": profile_psi_drift,
         "events_transitions": events_transitions,
@@ -3732,6 +3763,51 @@ def _zkey_sql(bits: int = 8) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "sample_rebalance": """
+            WITH sizes AS (
+              SELECT lang, CAST(count(*) AS DOUBLE) AS n
+              FROM documents GROUP BY 1
+            ), t AS (
+              SELECT lang, n,
+                     CASE lang WHEN 'en' THEN 0.25 WHEN 'de' THEN 0.25
+                               WHEN 'fr' THEN 0.25 WHEN 'es' THEN 0.25
+                     END AS tg
+              FROM sizes
+            ), bound AS (
+              SELECT min(n / tg) AS big_t FROM t
+              WHERE tg IS NOT NULL AND tg > 0
+            ), fr AS (
+              SELECT lang,
+                     CASE WHEN tg IS NOT NULL AND tg > 0 AND n > 0
+                          THEN round(least(1.0, tg * big_t / n), 6)
+                          ELSE 0.0 END AS keep
+              FROM t, bound
+            ), thr AS (
+              SELECT lang,
+                     CASE WHEN keep >= 1.0 THEN 'gggggggg'
+                          ELSE printf('%08x',
+                               CAST(floor(keep * 4294967296.0) AS BIGINT))
+                     END AS th
+              FROM fr
+            )
+            SELECT d.doc_id, d.lang, d.n_chars
+            FROM documents d JOIN thr USING (lang)
+            WHERE substr(md5(CAST(doc_id AS VARCHAR) || '#rebalance'),
+                         1, 8) < th
+        """,
+        "knn_group_centroids": """
+            WITH ex AS (
+              SELECT label, unnest(embedding) AS val,
+                     unnest(range(1, len(embedding) + 1)) AS pos
+              FROM embeddings WHERE embedding IS NOT NULL
+            ), agg AS (
+              SELECT label, pos, avg(val) AS m, count(*) AS n
+              FROM ex GROUP BY 1, 2
+            )
+            SELECT label, CAST(max(n) AS BIGINT) AS n_vectors,
+                   list(round(m, 6) ORDER BY pos) AS centroid
+            FROM agg GROUP BY label
+        """,
         "profile_join_cardinality": """
             WITH lc AS (
               SELECT l_orderkey AS k, count(*) AS cl

@@ -26,7 +26,8 @@ from pyspark.sql import functions as F
 __all__ = ["hash_variate", "hash_sample", "hash_split", "weighted_mix",
            "dsir_weights",
            "temperature_mix", "cap_per_group", "epoch_shuffle",
-           "stratified_sample", "weighted_sample_per_group"]
+           "stratified_sample", "weighted_sample_per_group",
+           "rebalance_to_target"]
 
 _PREFIX_LEN = 8  # 16^8 ~ 4.3e9 granularity
 
@@ -380,3 +381,63 @@ def weighted_sample_per_group(
         keyed, [group_col], "_es", k, tiebreak_cols=[key_col],
         descending=True,
     ).drop("_es")
+
+
+def rebalance_to_target(
+    df: DataFrame,
+    group_col: str,
+    targets: "dict[str, float]",
+    key_col: str = "doc_id",
+    seed: str = "rebalance",
+) -> DataFrame:
+    """Downsample groups so the surviving corpus MATCHES a target
+    group distribution (the DoReMi/data-mixing move: "make web 60%,
+    code 25%, books 15%" out of whatever the crawl produced) — by
+    deletion only, never duplication, so no example repeats.
+
+    Let ``n_g`` be actual group sizes and ``t_g`` the (normalized)
+    targets. The largest corpus satisfying the targets exactly keeps
+    ``T = min_g n_g / t_g`` total rows, i.e. ``keep_g = t_g · T`` per
+    group — the group(s) attaining the min survive whole (the binding
+    constraint), every other group thins by its deterministic hash
+    variate (:func:`hash_variate` of ``key_col``: stable under reruns,
+    partitioning, and corpus growth). Groups absent from ``targets``
+    are dropped (target share 0). Zero-target or empty groups never
+    divide by zero.
+
+    The per-group keep FRACTION (not count, 6-digit-rounded so the
+    DuckDB oracle reproduces the threshold digit-for-digit) is applied
+    as a variate threshold, so survival is row-local: expected sizes
+    hit the target with binomial-order error (~1/√n per group) — the
+    price of not running a per-group exact-count pass; at
+    training-corpus scale the deviation is negligible.
+
+    Like :func:`temperature_mix`, the per-group counts are collected —
+    |groups| rows, dimension-sized by contract (a group distribution a
+    human writes targets for has at most thousands of entries); the
+    corpus itself is scanned once for the counts and once for the
+    row-local filter against the broadcast literal threshold map. A
+    tiny self-joined-aggregate alternative exists but trips Spark's
+    self-join column-resolution ambiguity; the collect is both safer
+    and the established house style for |sources|-sized stats.
+    """
+    total_t = float(sum(targets.values()))
+    if total_t <= 0:
+        raise ValueError("rebalance_to_target: targets must sum > 0")
+    norm = {k: v / total_t for k, v in targets.items()}
+    counts = {
+        r["_g"]: r["_n"]
+        for r in df.groupBy(F.col(f"`{group_col}`").alias("_g"))
+        .agg(F.count("*").alias("_n")).collect()
+    }
+    targeted = [(g, n) for g, n in sorted(counts.items())
+                if norm.get(g, 0.0) > 0 and n > 0]
+    if not targeted:
+        return df.filter(F.lit(False))
+    cap = min(n / norm[g] for g, n in targeted)
+    thr = {g: _threshold(round(min(1.0, norm[g] * cap / n), 6))
+           for g, n in targeted}
+    tmap = F.create_map(
+        *[lit for g in sorted(thr) for lit in (F.lit(g), F.lit(thr[g]))])
+    v = hash_variate(F.col(f"`{key_col}`"), seed)
+    return df.filter(v < tmap[F.col(f"`{group_col}`")])

@@ -38,6 +38,7 @@ __all__ = [
     "ivf_read",
     "quantize_embeddings",
     "dequantize_embeddings",
+    "group_centroids",
 ]
 
 
@@ -487,4 +488,53 @@ def dequantize_embeddings(
     return df.withColumn(
         out_col,
         F.transform(F.col(q_col), lambda q: q.cast("double") * F.col(scale_col)),
+    )
+
+
+def group_centroids(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+    digits: int = 6,
+) -> DataFrame:
+    """Per-group mean embedding — the class prototype behind semantic
+    routing, centroid-seeded clustering, per-domain drift monitors, and
+    nearest-class-mean classification. Returns ``(group_col, n_vectors,
+    centroid)`` with every element rounded to ``digits``.
+
+    The scale-correct shape is **posexplode + partial aggregation**,
+    NOT ``collect_list`` of vectors per group: the exploded (group,
+    position, value) scalar stream partial-aggregates map-side, so the
+    exchange carries only ``groups × dim`` running (sum, count) partials
+    — independent of corpus size — and a hot group (one label owning a
+    billion vectors) parallelizes across every input partition instead
+    of funnelling its vectors to one reducer. The centroid array is
+    reassembled from the dimension partials with an ``array_sort`` over
+    ``dim``-sized struct lists — group-count-sized state, never
+    corpus-sized.
+
+    NULL vectors are excluded; ragged inputs surface as centroids whose
+    trailing positions average only the longer vectors (callers wanting
+    strictness should validate dimensions upstream — e.g. with
+    ``F.size`` + :func:`feldman_spark.pipeline.profile.profile_table`).
+    """
+    g = F.col(f"`{group_col}`")
+    ex = (
+        df.filter(F.col(f"`{vec_col}`").isNotNull())
+        .select(g, F.posexplode(F.col(f"`{vec_col}`"))
+                .alias("_pos", "_val"))
+    )
+    agg = ex.groupBy(group_col, "_pos").agg(
+        F.avg(F.col("_val").cast("double")).alias("_m"),
+        F.count("*").alias("_n"),
+    )
+    return (
+        agg.groupBy(group_col)
+        .agg(
+            F.max("_n").cast("bigint").alias("n_vectors"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_m"))),
+                lambda s: F.round(s["_m"], digits),
+            ).alias("centroid"),
+        )
     )

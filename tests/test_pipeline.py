@@ -1538,3 +1538,43 @@ def test_corpus_overlap_normalization_and_counts(spark):
 
     raw = corpus_overlap(a, b, "text", normalized=False).collect()[0]
     assert raw["n_common"] == 0 and raw["jaccard"] == 0.0
+
+
+def test_rebalance_to_target_binding_group_and_drops(spark):
+    from feldman_spark.pipeline.sampling import rebalance_to_target
+
+    rows = ([("en", i) for i in range(400)]
+            + [("de", 1000 + i) for i in range(100)]
+            + [("zh", 2000 + i) for i in range(50)])
+    df = spark.createDataFrame(rows, ["lang", "doc_id"])
+    out = rebalance_to_target(
+        df, "lang", {"en": 0.5, "de": 0.5}, key_col="doc_id")
+    by = {r["lang"]: r["n"] for r in
+          out.groupBy("lang").agg(__import__("pyspark").sql.functions
+                                  .count("*").alias("n")).collect()}
+    # de is binding (100/0.5=200 < 400/0.5=800): survives WHOLE,
+    # including variate 'ffffffff' rows; en thins toward ~100
+    assert by["de"] == 100
+    assert 70 <= by["en"] <= 130  # binomial around 100
+    assert "zh" not in by  # absent from targets -> dropped
+
+    # deterministic: identical survivors on a rerun
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(r["doc_id"] for r in rebalance_to_target(
+        df, "lang", {"en": 0.5, "de": 0.5}, key_col="doc_id").collect())
+    assert a == b
+
+
+def test_group_centroids_exact_means(spark):
+    from feldman_spark.pipeline.similarity import group_centroids
+
+    rows = [
+        ("a", [1.0, 2.0]), ("a", [3.0, 6.0]),
+        ("b", [5.0, 5.0]),
+        ("c", None),  # NULL vector excluded entirely
+        ("b", [7.0, 9.0]),
+    ]
+    df = spark.createDataFrame(rows, ["g", "embedding"])
+    got = {r["g"]: (r["n_vectors"], r["centroid"])
+           for r in group_centroids(df, "g").collect()}
+    assert got == {"a": (2, [2.0, 4.0]), "b": (2, [6.0, 7.0])}
