@@ -3449,6 +3449,31 @@ def profile_skew_q(spark, sf_dir):
     return profile_skew(ev, ["user_id"])
 
 
+def events_retention(spark, sf_dir):
+    """Weekly cohort retention over the event stream: events collapse
+    to DISTINCT (user, week) in one user-keyed shuffle, per-user first
+    week is an aggregate over that reduced table (same partitioning),
+    and the (cohort, offset) rollup is calendar-sized — payloads never
+    move (feldman_spark/ops/windows.py::retention_cohorts)."""
+    from feldman_spark.ops.windows import retention_cohorts
+
+    ev = _t(spark, sf_dir, "events")
+    return retention_cohorts(ev, "user_id", "ts", unit="week")
+
+
+def text_lm_score(spark, sf_dir):
+    """Corpus-bigram LM score per document (the CCNet-style perplexity
+    quality signal): one codegen bigram stream builds the smoothed
+    model AND scores against it — model/context/vocab are aggregates of
+    the reduced (doc, bigram, k) table, the scoring join is gram-keyed,
+    and each doc ends as one mean (feldman_spark/pipeline/text.py::
+    lm_score)."""
+    from feldman_spark.pipeline.text import lm_score
+
+    d = _t(spark, sf_dir, "documents")
+    return lm_score(d)
+
+
 def sample_rebalance(spark, sf_dir):
     """Rebalance the corpus to a target language distribution (25% each
     of en/de/fr/es; zh absent → dropped) by deletion only: one
@@ -3604,7 +3629,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # …then the planning/drift trio (join-cardinality pre-flight, PSI
     # drift, Markov transitions), which pushes u3_table_diff,
     # a12_heavy_hitters and web_domain_cap (driver-green earlier in r6)
-    # into the r7 queue as well.
+    # into the r7 queue as well; and finally cohort retention, the
+    # bigram-LM quality score, target-mix rebalancing and group
+    # centroids, displacing o3_grouped_topk, profile_histogram,
+    # dedup_frequent_spans and j11_binned_range_join (r6-green) to r7.
+        "events_retention": events_retention,
+        "text_lm_score": text_lm_score,
         "sample_rebalance": sample_rebalance,
         "knn_group_centroids": knn_group_centroids,
         "profile_join_cardinality": profile_join_cardinality,
@@ -3763,6 +3793,62 @@ def _zkey_sql(bits: int = 8) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "events_retention": """
+            WITH active AS (
+              SELECT DISTINCT user_id AS u,
+                     CAST(date_trunc('week', ts) AS DATE) AS p
+              FROM events
+              WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            ), cohorts AS (
+              SELECT u, min(p) AS cohort FROM active GROUP BY 1
+            ), sizes AS (
+              SELECT cohort, count(*) AS cs FROM cohorts GROUP BY 1
+            ), joined AS (
+              SELECT c.cohort,
+                     CAST(datediff('day', c.cohort, a.p) / 7 AS BIGINT)
+                       AS "offset"
+              FROM active a JOIN cohorts c USING (u)
+            ), agg AS (
+              SELECT cohort, "offset", count(*) AS active_users
+              FROM joined GROUP BY 1, 2
+            )
+            SELECT agg.cohort, agg."offset", active_users,
+                   round(active_users / cs, 6) AS retention
+            FROM agg JOIN sizes USING (cohort)
+        """,
+        "text_lm_score": """
+            WITH base AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\\s+') AS t
+              FROM documents
+              WHERE len(string_split_regex(lower(trim(text)), '\\s+')) >= 2
+                AND string_split_regex(lower(trim(text)), '\\s+')[1] <> ''
+            ), idx AS (
+              SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM base
+            ), bg AS (
+              SELECT doc_id, t[CAST(i AS INT)] AS w1,
+                     t[CAST(i AS INT) + 1] AS w2
+              FROM idx
+            ), doc_bg AS (
+              SELECT doc_id, w1, w2, count(*) AS k
+              FROM bg GROUP BY 1, 2, 3
+            ), model AS (
+              SELECT w1, w2, sum(k) AS c12 FROM doc_bg GROUP BY 1, 2
+            ), ctx AS (
+              SELECT w1, sum(c12) AS c1 FROM model GROUP BY 1
+            ), vocab AS (
+              SELECT count(*) AS v FROM (
+                SELECT w1 AS w FROM model UNION SELECT w2 FROM model)
+            )
+            SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
+                   round(sum(k * ln((c12 + 0.1) / (c1 + 0.1 * v)))
+                         / sum(k), 6) AS lm_logprob
+            FROM doc_bg
+            JOIN model USING (w1, w2)
+            JOIN ctx USING (w1)
+            CROSS JOIN vocab
+            GROUP BY doc_id
+        """,
         "sample_rebalance": """
             WITH sizes AS (
               SELECT lang, CAST(count(*) AS DOUBLE) AS n

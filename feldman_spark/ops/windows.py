@@ -24,6 +24,7 @@ __all__ = [
     "grouped_topk",
     "funnel_steps",
     "event_transitions",
+    "retention_cohorts",
 ]
 
 
@@ -434,5 +435,63 @@ def event_transitions(
         .select(
             "prev_state", "state", "n",
             F.round(F.col("n") / F.col("_tot"), digits).alias("prob"),
+        )
+    )
+
+
+def retention_cohorts(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    unit: str = "week",
+    digits: int = 6,
+) -> DataFrame:
+    """Cohort retention analysis: users are cohorted by the period of
+    their FIRST event; each later period they are active again counts
+    toward that cohort's retention. Returns one row per (cohort,
+    offset): ``(cohort, offset, active_users, retention)`` where
+    ``offset`` counts periods since the cohort period (0 = the cohort
+    period itself, retention 1.0 by construction) and ``retention =
+    active_users / cohort_size`` rounded to ``digits``.
+
+    ``unit`` is any ``date_trunc`` unit whose buckets are uniform in
+    days (``week``/``day``); offsets divide the day difference by the
+    period length, exact because both ends are truncated.
+
+    Scale (100 TB of events): the stream first collapses to DISTINCT
+    (user, period) — one user-keyed shuffle with map-side combine; the
+    per-user first period is an aggregate over that same reduced table
+    (reusing the user partitioning, no second fact exchange), joined
+    back user-to-user (co-partitioned). The final (cohort, offset)
+    aggregate is calendar-sized. Event payloads never move.
+    """
+    days = {"day": 1, "week": 7}.get(unit)
+    if days is None:
+        raise ValueError(
+            f"retention_cohorts: unit must be day|week, got {unit!r}")
+    u = F.col(f"`{user_col}`")
+    period = F.date_trunc(unit, F.col(f"`{ts_col}`")).cast("date")
+    active = (
+        df.select(u.alias("_u"), period.alias("_p"))
+        .filter(F.col("_u").isNotNull() & F.col("_p").isNotNull())
+        .distinct()
+    )
+    cohorts = active.groupBy("_u").agg(F.min("_p").alias("cohort"))
+    sizes = cohorts.groupBy("cohort").agg(
+        F.count("*").alias("_cohort_size"))
+    return (
+        active.join(cohorts, "_u")
+        .select(
+            "_u", "cohort",
+            (F.datediff(F.col("_p"), F.col("cohort")) / F.lit(days))
+            .cast("bigint").alias("offset"),
+        )
+        .groupBy("cohort", "offset")
+        .agg(F.count("*").alias("active_users"))
+        .join(F.broadcast(sizes), "cohort")
+        .select(
+            "cohort", "offset", "active_users",
+            F.round(F.col("active_users") / F.col("_cohort_size"),
+                    digits).alias("retention"),
         )
     )

@@ -28,6 +28,7 @@ __all__ = [
     "lang_id",
     "fingerprint",
     "bpe_pair_counts",
+    "lm_score",
     "STOPWORDS",
 ]
 
@@ -493,4 +494,74 @@ def bpe_pair_counts(
         .agg(F.sum("_n").cast("bigint").alias("n"))
         .orderBy(F.col("n").desc(), F.col("pair").asc())
         .limit(k)
+    )
+
+
+def lm_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.1,
+    digits: int = 6,
+) -> DataFrame:
+    """Corpus-bigram language-model score per document: the mean
+    Laplace-smoothed log-probability of the document's word bigrams
+    under a model fit on the WHOLE corpus — the CCNet-style
+    "perplexity filter" signal (Wenzek et al. 2020 score against a
+    KenLM model; here the model is the corpus itself, so the score
+    flags documents whose word sequences are atypical for the corpus:
+    gibberish, boilerplate soups, wrong-language fragments score low).
+    Higher = more typical. Returns ``(id_col, n_bigrams, lm_logprob)``
+    (mean log-prob rounded to ``digits``); documents with fewer than 2
+    tokens have no bigrams and are omitted.
+
+    ``P(w2|w1) = (C(w1,w2) + α) / (C(w1) + α·V)`` with ``V`` the
+    corpus vocabulary size — additive smoothing keeps unseen-in-context
+    pairs finite without a backoff table.
+
+    Scale (100 TB): the corpus scans once into a codegen bigram stream
+    (explode over zipped token slices — two words per row, the text
+    never moves). The model IS that stream aggregated: bigram counts
+    (one gram-keyed shuffle, map-side combine), context counts and V
+    derived from it (reusing the reduced table). Scoring joins the
+    per-doc bigram multiplicities against the bigram model on the gram
+    key — co-partitioned with the model build — then one doc-keyed
+    mean. Nothing document-sized shuffles.
+    """
+    toks = F.split(F.trim(F.lower(F.col(f"`{text_col}`"))), r"\s+")
+    base = df.select(F.col(f"`{id_col}`"), toks.alias("_t")).filter(
+        (F.size("_t") >= 2) & (F.element_at("_t", 1) != ""))
+    bigrams = base.select(
+        F.col(f"`{id_col}`"),
+        F.explode(F.expr(
+            "transform(sequence(1, size(_t) - 1), "
+            "i -> struct(_t[i-1] AS w1, _t[i] AS w2))")).alias("_b"),
+    ).select(F.col(f"`{id_col}`"), F.col("_b.w1").alias("_w1"),
+             F.col("_b.w2").alias("_w2"))
+
+    # per-doc multiplicities: the scoring join moves one row per
+    # DISTINCT (doc, bigram), not one per token
+    doc_bg = bigrams.groupBy(id_col, "_w1", "_w2").agg(
+        F.count("*").alias("_k"))
+    model = doc_bg.groupBy("_w1", "_w2").agg(F.sum("_k").alias("_c12"))
+    ctx = model.groupBy("_w1").agg(F.sum("_c12").alias("_c1"))
+    vocab = (
+        model.select(F.col("_w1").alias("_w"))
+        .unionByName(model.select(F.col("_w2").alias("_w")))
+        .distinct().agg(F.count("*").alias("_v"))
+    )
+    logp = F.log(
+        (F.col("_c12") + F.lit(alpha))
+        / (F.col("_c1") + F.lit(alpha) * F.col("_v")))
+    return (
+        doc_bg.join(model, ["_w1", "_w2"])
+        .join(ctx, "_w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(
+            F.sum("_k").cast("bigint").alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("_k") * logp) / F.sum("_k"), digits
+            ).alias("lm_logprob"),
+        )
     )

@@ -811,3 +811,40 @@ def test_event_transitions_counts_and_probs(spark):
            for r in event_transitions(df, "u", "s", ["t"]).collect()}
     # a->b x3 (prob 1.0 out of a), b->a x1 (prob 1.0 out of b)
     assert got == {("a", "b"): (3, 1.0), ("b", "a"): (1, 1.0)}
+
+
+def test_retention_cohorts_two_cohorts(spark):
+    import datetime as dt
+    from feldman_spark.ops.windows import retention_cohorts
+
+    d = dt.datetime
+    rows = [
+        # u1, u2 first seen week of Mon 2024-01-01; u1 returns next week
+        ("u1", d(2024, 1, 2, 10)), ("u2", d(2024, 1, 3, 9)),
+        ("u1", d(2024, 1, 9, 8)),
+        # u3 first seen the following week
+        ("u3", d(2024, 1, 10, 12)),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    got = {(str(r["cohort"]), r["offset"]): (r["active_users"], r["retention"])
+           for r in retention_cohorts(df, "user_id", "ts").collect()}
+    assert got == {
+        ("2024-01-01", 0): (2, 1.0),
+        ("2024-01-01", 1): (1, 0.5),
+        ("2024-01-08", 0): (1, 1.0),
+    }
+
+
+def test_lm_score_prefers_typical_sequences(spark):
+    from feldman_spark.pipeline.text import lm_score
+
+    # corpus dominated by "the cat sat"; doc 4 is an atypical sequence
+    rows = [(1, "the cat sat"), (2, "the cat sat"), (3, "the cat sat"),
+            (4, "sat the tac"), (5, "x")]  # doc 5: <2 tokens, omitted
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: (r["n_bigrams"], r["lm_logprob"])
+           for r in lm_score(df).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    assert got[1] == got[2] == got[3]
+    assert got[1][0] == 2 and got[4][0] == 2
+    assert got[1][1] > got[4][1]
