@@ -3272,12 +3272,17 @@ def j13_interval_overlap(spark, sf_dir):
 
 
 def j14_fuzzy_link(spark, sf_dir):
-    """J14: blocked fuzzy entity linkage — probe names with a synthetic
-    deletion typo link back to the part catalog via a name-prefix block
-    join + length-band prune + JVM-codegen levenshtein, best match per
-    probe by a skew-immune min(struct(distance, key)) aggregate
-    (feldman_spark/ops/linkage.py::fuzzy_link). All-pairs O(N·M) never
-    materializes; both sides shuffle once on the block key."""
+    """J14: fuzzy entity linkage — probe names with a synthetic
+    deletion typo link back to the part catalog. Candidates come from
+    PassJoin segment blocking (PVLDB 5(3) 2011: pigeonhole — any pair
+    within distance τ shares one of τ+1 catalog segments exactly, at a
+    start shifted ≤ τ), so recall is COMPLETE and the oracle is the
+    pure predicate; best match per probe is a skew-immune
+    min(struct(distance, key)) aggregate
+    (feldman_spark/ops/linkage.py::fuzzy_link). Prefix blocking on
+    this catalog (every name starts with one of ~100 color words) was
+    measured quadratic — 117 s at a 200k-row catalog vs ~2 s for the
+    segment form; all-pairs O(N·M) never materializes either way."""
     from feldman_spark.ops.linkage import fuzzy_link
 
     part = _t(spark, sf_dir, "part")
@@ -3291,7 +3296,7 @@ def j14_fuzzy_link(spark, sf_dir):
     )
     return fuzzy_link(
         probes, catalog, "probe_key", "probe_name", "p_partkey", "p_name",
-        block_len=4, max_distance=2,
+        max_distance=2,
     )
 
 
@@ -4171,6 +4176,8 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
         """,
         "j14_fuzzy_link": """
+            -- pure predicate: the Spark side's PassJoin blocking has
+            -- complete recall, so brute force IS the oracle at sf0.01
             WITH probes AS (
               SELECT p_partkey AS probe_key,
                      substr(p_name, 1, 5) || substr(p_name, 7)
@@ -4179,11 +4186,9 @@ def oracle_sql() -> dict[str, str]:
             ), cand AS (
               SELECT probe_key, probe_name, p_partkey, p_name,
                      levenshtein(lower(probe_name), lower(p_name)) AS dist
-              FROM probes JOIN part
-                ON substr(lower(probe_name), 1, 4)
-                   = substr(lower(p_name), 1, 4)
-               AND abs(len(probe_name) - len(p_name)) <= 2
-              WHERE levenshtein(lower(probe_name), lower(p_name)) <= 2
+              FROM probes CROSS JOIN part
+              WHERE abs(len(probe_name) - len(p_name)) <= 2
+                AND levenshtein(lower(probe_name), lower(p_name)) <= 2
             ), best AS (
               SELECT *, row_number() OVER (
                 PARTITION BY probe_key

@@ -655,13 +655,12 @@ def test_fuzzy_link_finds_best_match_and_caps_distance(spark):
         ["cid", "cname"])
     probes = spark.createDataFrame(
         [(100, "blue widgft"),   # 1 sub from "blue widget"
-         (101, "bluf bolt"),     # 1 sub from "blue bolt" (block survives)
-         (102, "zzzz nothing")], # no block match
+         (101, "bluf bolt"),     # 1 sub from "blue bolt"
+         (102, "zzzz nothing")], # nothing within distance 2
         ["pid", "pname"])
     out = {r["pid"]: (r["cid"], r["distance"])
            for r in fuzzy_link(probes, catalog, "pid", "pname",
-                               "cid", "cname",
-                               block_len=3, max_distance=2).collect()}
+                               "cid", "cname", max_distance=2).collect()}
     assert out[100] == (1, 1)     # widgets would be dist 2; widget wins
     assert out[101] == (3, 1)
     assert 102 not in out
@@ -674,8 +673,50 @@ def test_fuzzy_link_tiebreak_on_catalog_id(spark):
         [(7, "abcx"), (5, "abcy")], ["cid", "cname"])
     probes = spark.createDataFrame([(1, "abcz")], ["pid", "pname"])
     out = fuzzy_link(probes, catalog, "pid", "pname", "cid", "cname",
-                     block_len=3, max_distance=2).collect()
+                     max_distance=2).collect()
     assert len(out) == 1 and out[0]["cid"] == 5  # dist ties -> min cid
+
+
+def test_fuzzy_link_recall_is_complete(spark):
+    """PassJoin pigeonhole guarantee: EVERY pair within max_distance is
+    found — brute-force python levenshtein as the oracle, including
+    corruptions that destroy the leading characters (the case prefix
+    blocking misses) and short strings (< tau+1 chars, side path)."""
+    from feldman_spark.ops.linkage import fuzzy_link
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    catalog = [(i, n) for i, n in enumerate(
+        ["olive green metal", "olive green steel", "xlive green metal",
+         "navy blue metal", "ab", "a", "zebra stripe paint"])]
+    probes = [(100 + i, n) for i, n in enumerate(
+        ["Xlive green metal",   # head corruption: prefix block would miss
+         "olive green metaXY",  # 2 appends
+         "navy blue meta",      # 1 deletion
+         "b", "abc",            # short-string side path
+         "totally unrelated"])]
+    got = {r["pid"]: (r["cid"], r["distance"])
+           for r in fuzzy_link(
+               spark.createDataFrame(probes, ["pid", "pname"]),
+               spark.createDataFrame(catalog, ["cid", "cname"]),
+               "pid", "pname", "cid", "cname", max_distance=2).collect()}
+    for pid, pname in probes:
+        best = min(((lev(pname.lower(), cname.lower()), cid, cname)
+                    for cid, cname in catalog), key=lambda t: (t[0], t[1]))
+        if best[0] <= 2:
+            assert got[pid] == (best[1], best[0]), (pid, pname, best)
+        else:
+            assert pid not in got, (pid, pname)
 
 
 # ---------------------------------------------------------------------------
