@@ -3104,13 +3104,21 @@ def a11_approx_quantiles(spark, sf_dir):
     a9 uses for HLL."""
     li = _t(spark, sf_dir, "lineitem")
     acc = 10000  # 1/acc relative-rank error
+    # array forms: ONE exact-percentile buffer and ONE sketch serve both
+    # quantiles (four independent single-quantile aggregates each built
+    # their own 6M-value state — measured 27 s vs 10 s at sf1)
     agg = li.agg(
-        F.expr("percentile(l_extendedprice, 0.5)").alias("ex50"),
-        F.expr("percentile(l_extendedprice, 0.95)").alias("ex95"),
-        F.expr(f"approx_percentile(l_extendedprice, 0.5, {acc})").alias("ap50"),
-        F.expr(f"approx_percentile(l_extendedprice, 0.95, {acc})").alias("ap95"),
+        F.expr("percentile(l_extendedprice, array(0.5, 0.95))").alias("ex"),
+        F.expr(f"approx_percentile(l_extendedprice, array(0.5, 0.95), "
+               f"{acc})").alias("ap"),
         F.min("l_extendedprice").alias("lo"),
         F.max("l_extendedprice").alias("hi"),
+    ).select(
+        F.element_at("ex", 1).alias("ex50"),
+        F.element_at("ex", 2).alias("ex95"),
+        F.element_at("ap", 1).alias("ap50"),
+        F.element_at("ap", 2).alias("ap95"),
+        "lo", "hi",
     )
     # rank-error bound -> value bound via the observed range is loose but
     # engine-agnostic: |approx - exact| <= 2% of the column's span here
