@@ -540,10 +540,17 @@ def lm_score(
              F.col("_b.w2").alias("_w2"))
 
     # per-doc multiplicities: the scoring join moves one row per
-    # DISTINCT (doc, bigram), not one per token
+    # DISTINCT (doc, bigram), not one per token. PERSISTED: this
+    # reduced table feeds both the model build and the scoring join,
+    # and the model feeds context counts and the vocabulary — without
+    # the persists Catalyst re-derives the explode+aggregate lineage
+    # once per consumer (measured 2× the whole operator at the sf5
+    # corpus). MEMORY_AND_DISK by default; the persisted rows are the
+    # post-aggregation gram tables, never raw text.
     doc_bg = bigrams.groupBy(id_col, "_w1", "_w2").agg(
-        F.count("*").alias("_k"))
-    model = doc_bg.groupBy("_w1", "_w2").agg(F.sum("_k").alias("_c12"))
+        F.count("*").alias("_k")).persist()
+    model = doc_bg.groupBy("_w1", "_w2").agg(
+        F.sum("_k").alias("_c12")).persist()
     ctx = model.groupBy("_w1").agg(F.sum("_c12").alias("_c1"))
     vocab = (
         model.select(F.col("_w1").alias("_w"))
