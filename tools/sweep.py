@@ -58,6 +58,14 @@ def run_sweep(sf_dir: str, cpus: str, out_path: str, reps: int) -> int:
             errors[name] = f"{type(e).__name__}: {e}"
             print(f"[{i+1}/{len(qs)}] {name}: ERROR {e}", file=sys.stderr)
             traceback.print_exc(limit=3)
+        finally:
+            # several operators persist reduced intermediates by design
+            # (lm_score gram tables, ngram rankings); across a 144-query
+            # sequential session those caches accumulate and the memory
+            # pressure poisons LATER queries' timings (measured 0.8 s →
+            # 18 s on text_fingerprint purely by sweep position). Each
+            # query is measured against a clean cache instead.
+            spark.catalog.clearCache()
     out = {
         "sf_dir": sf_dir, "cpus": int(cpus), "reps": reps,
         "n_queries": len(qs), "n_errors": len(errors),
