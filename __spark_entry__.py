@@ -3509,11 +3509,20 @@ def knn_group_centroids(spark, sf_dir):
     running partials, independent of corpus size, and a hot label
     parallelizes across all input partitions instead of collect_list
     funnelling its vectors to one reducer
-    (feldman_spark/pipeline/similarity.py::group_centroids)."""
+    (feldman_spark/pipeline/similarity.py::group_centroids).
+
+    Registered in long form (label, n_vectors, pos, m) — scalar columns
+    only, because the driver's canonicalizer sorts by every output
+    column and cannot sort array cells (the r6 `err`); the library
+    function still returns the assembled array column."""
     from feldman_spark.pipeline.similarity import group_centroids
 
     e = _t(spark, sf_dir, "embeddings")
-    return group_centroids(e, "label")
+    c = group_centroids(e, "label")
+    return c.select(
+        "label", "n_vectors",
+        F.posexplode("centroid").alias("pos", "m"),
+    )
 
 
 def profile_join_cardinality(spark, sf_dir):
@@ -3906,15 +3915,18 @@ def oracle_sql() -> dict[str, str]:
         "knn_group_centroids": """
             WITH ex AS (
               SELECT label, unnest(embedding) AS val,
-                     unnest(range(1, len(embedding) + 1)) AS pos
+                     unnest(range(0, len(embedding))) AS pos
               FROM embeddings WHERE embedding IS NOT NULL
             ), agg AS (
-              SELECT label, pos, avg(val) AS m, count(*) AS n
+              SELECT label, CAST(pos AS INT) AS pos,
+                     round(avg(val), 6) AS m, count(*) AS n
               FROM ex GROUP BY 1, 2
+            ), nv AS (
+              SELECT label, CAST(max(n) AS BIGINT) AS n_vectors
+              FROM agg GROUP BY 1
             )
-            SELECT label, CAST(max(n) AS BIGINT) AS n_vectors,
-                   list(round(m, 6) ORDER BY pos) AS centroid
-            FROM agg GROUP BY label
+            SELECT agg.label, n_vectors, pos, m
+            FROM agg JOIN nv USING (label)
         """,
         "profile_join_cardinality": """
             WITH lc AS (
