@@ -81,13 +81,54 @@ def containment_join(
     return fact.join(right, on=list(equi_on), how="inner").filter(residual)
 
 
+def _auto_bin_width(
+    sides: Sequence[tuple[DataFrame, str, str]],
+) -> float:
+    """Pick a bin width for the keyless range joins from interval-span
+    statistics — the same philosophy as the auto-sized hyperplane count
+    in :mod:`feldman_spark.pipeline.dedup` (hand-picked constants are the
+    thing that silently goes quadratic at 100 TB). The median span keeps
+    interval replication ≈ 2× per row by construction; degenerate inputs
+    (all point-intervals) fall back to 1/1024 of the observed domain so
+    a bin never covers the whole axis. One tiny aggregate action per
+    side (three scalars), priced like the LSH sizing seed pass.
+    """
+    med = hi = lo = None
+    for df, lo_col, hi_col in sides:
+        row = df.agg(
+            F.expr(f"approx_percentile(`{hi_col}` - `{lo_col}`, 0.5)"),
+            F.max(F.col(f"`{hi_col}`").cast("double")),
+            F.min(F.col(f"`{lo_col}`").cast("double")),
+        ).first()
+        if row[0] is not None:
+            med = row[0] if med is None else max(med, float(row[0]))
+        if row[1] is not None:
+            hi = row[1] if hi is None else max(hi, float(row[1]))
+        if row[2] is not None:
+            lo = row[2] if lo is None else min(lo, float(row[2]))
+    if med is not None and med > 0:
+        return float(med)
+    if hi is not None and lo is not None and hi > lo:
+        return (hi - lo) / 1024.0
+    return 1.0
+
+
+def _check_bin_width(name: str, bin_width) -> None:
+    if bin_width is not None and not float(bin_width) > 0:
+        # floor(x / 0) is Long.MaxValue for every row — one degenerate
+        # bin, i.e. a silent full cross product. Fail fast instead.
+        raise ValueError(
+            f"{name}: bin_width must be > 0 (got {bin_width}); "
+            "pass None to auto-size from interval-span statistics")
+
+
 def binned_range_join(
     points: DataFrame,
     intervals: DataFrame,
     point_col: str,
     lo_col: str,
     hi_col: str,
-    bin_width: float,
+    bin_width: Optional[float] = None,
 ) -> DataFrame:
     """J11: large × large interval-containment join with NO equi key —
     the case :func:`containment_join` cannot handle at scale (no key to
@@ -106,16 +147,22 @@ def binned_range_join(
     side inflates by ``span/bin_width + 1`` copies per row, so pick
     ``bin_width`` near the typical interval span (replication ≈ 2×) —
     much smaller and replication explodes, much larger and each bin
-    degenerates toward the per-bin cross product. Hot bins (many points
-    AND many intervals in one range) are a skew risk like any equi-join
-    key: AQE's skew-join split handles moderate cases; for pathological
-    ones wrap the bin key with :mod:`feldman_spark.ops.skew` salting.
+    degenerates toward the per-bin cross product. ``bin_width=None``
+    (the default) auto-sizes to the MEDIAN interval span from one tiny
+    aggregate, which yields exactly that ≈ 2× replication regime without
+    a hand-picked constant. Hot bins (many points AND many intervals in
+    one range) are a skew risk like any equi-join key: AQE's skew-join
+    split handles moderate cases; for pathological ones wrap the bin key
+    with :mod:`feldman_spark.ops.skew` salting.
     """
     overlap = set(points.columns) & set(intervals.columns)
     if overlap:
         raise ValueError(
             f"binned_range_join: overlapping column names {sorted(overlap)}; "
             "rename one side first")
+    _check_bin_width("binned_range_join", bin_width)
+    if bin_width is None:
+        bin_width = _auto_bin_width([(intervals, lo_col, hi_col)])
     w = float(bin_width)
     pb = points.withColumn(
         "_bin", F.floor(F.col(f"`{point_col}`") / F.lit(w)).cast("bigint"))
@@ -142,7 +189,7 @@ def interval_overlap_join(
     l_hi: str,
     r_lo: str,
     r_hi: str,
-    bin_width: float,
+    bin_width: Optional[float] = None,
 ) -> DataFrame:
     """J13: large × large interval-OVERLAP join with no equi key — the
     interval×interval sibling of :func:`binned_range_join` (which joins
@@ -161,7 +208,9 @@ def interval_overlap_join(
 
     Scale (100 TB): one shuffle per side on the bin id; replication is
     ``span/bin_width + 1`` per row, so set ``bin_width`` near the
-    typical interval span. Output is bounded by the true pair count —
+    typical interval span (``None``, the default, auto-sizes to the
+    larger median span of the two sides — ≈ 2× replication with no
+    hand-picked constant). Output is bounded by the true pair count —
     the operator is output-linear, and the per-bin cross product stays
     small exactly when intervals are sparse relative to ``bin_width``
     (the regime the binning presumes; for dense hot bins, AQE skew
@@ -172,6 +221,10 @@ def interval_overlap_join(
         raise ValueError(
             f"interval_overlap_join: overlapping column names "
             f"{sorted(overlap)}; rename one side first")
+    _check_bin_width("interval_overlap_join", bin_width)
+    if bin_width is None:
+        bin_width = _auto_bin_width(
+            [(left, l_lo, l_hi), (right, r_lo, r_hi)])
     w = float(bin_width)
 
     def binned(df: DataFrame, lo: str, hi: str) -> DataFrame:

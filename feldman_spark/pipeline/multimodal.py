@@ -2,11 +2,14 @@
 with typed metadata.
 
 Beyond-reference capability. The Spark-side machinery — schema, batch
-iteration, partition sizing, UDF signatures — is real and tested; the
-actual media decoding is STUBBED (``NotImplementedError``) because media
-libraries are not available in this environment. A deployment swaps
-``_decode_image_stub`` for a PIL/ffmpeg call without touching the
-dataflow.
+iteration, partition sizing, UDF signatures — is real and tested. Actual
+decoding: PNG, uncompressed BMP and PCM WAV decode for real via the
+pure-stdlib :mod:`feldman_spark.pipeline.codecs`; formats that genuinely
+need PIL/ffmpeg (JPEG, MP3, video containers) raise
+``NotImplementedError`` at the documented swap point — a deployment
+swaps ``codecs.decode_image_bytes`` / the frame extractor for library
+calls without touching the dataflow. ``fake=True`` keeps the
+deterministic md5 twin used by the pinned oracle.
 
 Design for 100 TB of media:
 
@@ -36,6 +39,7 @@ __all__ = [
     "MEDIA_SCHEMA",
     "media_table",
     "decode_image",
+    "decode_audio",
     "resize_image",
     "extract_features",
     "frame_sample",
@@ -58,19 +62,22 @@ def media_table(spark, rows) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
-def _decode_image_stub(data: bytes, fake: bool) -> bytes:
-    """Decode stub: the real implementation would return raw pixels via an
-    image library. ``fake=True`` produces a deterministic stand-in (the
-    payload itself) so the surrounding dataflow is testable."""
-    if not fake:
-        raise NotImplementedError(
-            "image decoding requires an image library not present in this "
-            "environment; pass fake=True to exercise the dataflow")
-    return data
+def _decode_image_real(data: bytes) -> bytes:
+    """Real pixel decode for the natively-supported formats (PNG, BMP) —
+    see :func:`feldman_spark.pipeline.codecs.decode_image_bytes`, the
+    single swap point for a PIL-backed deployment."""
+    from feldman_spark.pipeline import codecs
+
+    _w, _h, _ch, pixels = codecs.decode_image_bytes(bytes(data))
+    return pixels
 
 
 def decode_image(df: DataFrame, fake: bool = False) -> DataFrame:
-    """Decode the payload of image rows into a ``pixels`` binary column.
+    """Decode the payload of image rows into a ``pixels`` binary column
+    (raw row-major RGB(A)/gray samples). PNG and uncompressed BMP decode
+    for real via the stdlib codecs; other formats raise
+    ``NotImplementedError`` naming the PIL swap point. ``fake=True``
+    passes the payload through as the deterministic oracle twin.
     Arrow-batched ``mapInPandas``; non-image rows pass through with null
     pixels. Batch shape: one pandas DataFrame per Arrow batch."""
     schema = StructType(list(df.schema.fields) + [StructField("pixels", BinaryType(), True)])
@@ -79,10 +86,52 @@ def decode_image(df: DataFrame, fake: bool = False) -> DataFrame:
         for pdf in batches:
             out = pdf.copy()
             out["pixels"] = [
-                _decode_image_stub(d, fake) if k == "image" and d is not None else None
+                (bytes(d) if fake else _decode_image_real(d))
+                if k == "image" and d is not None else None
                 for k, d in zip(pdf["kind"], pdf["data"])
             ]
             yield out
+
+    return df.mapInPandas(run, schema=schema)
+
+
+def decode_audio(df: DataFrame) -> DataFrame:
+    """Decode PCM WAV payloads of audio rows into per-item stats:
+    ``(media_id, sample_rate, n_channels, duration_ms, n_frames,
+    rms)`` — the audio analog of :func:`decode_image`, real bytes in,
+    typed scalars out (RMS over int16 samples as the level probe).
+    Non-audio / undecodable rows are dropped (same contract as
+    :func:`frame_sample` for non-video). Compressed codecs raise
+    ``NotImplementedError`` at the ffmpeg swap point inside
+    :mod:`feldman_spark.pipeline.codecs`."""
+    from feldman_spark.pipeline import codecs
+
+    schema = StructType([
+        StructField("media_id", LongType(), False),
+        StructField("sample_rate", LongType(), True),
+        StructField("n_channels", LongType(), True),
+        StructField("duration_ms", LongType(), True),
+        StructField("n_frames", LongType(), True),
+        StructField("rms", DoubleType(), True),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid, kind, data in zip(
+                    pdf["media_id"], pdf["kind"], pdf["data"]):
+                if kind != "audio" or data is None:
+                    continue
+                rate, ch, dur, samples = codecs.decode_wav(bytes(data))
+                rms = float(np.sqrt(np.mean(
+                    samples.astype(np.float64) ** 2))) if samples.size else 0.0
+                rows.append((int(mid), rate, ch, dur,
+                             int(samples.shape[0]), round(rms, 6)))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "sample_rate", "n_channels",
+                               "duration_ms", "n_frames", "rms"])
 
     return df.mapInPandas(run, schema=schema)
 

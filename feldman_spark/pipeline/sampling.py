@@ -430,8 +430,10 @@ def rebalance_to_target(
         for r in df.groupBy(F.col(f"`{group_col}`").alias("_g"))
         .agg(F.count("*").alias("_n")).collect()
     }
-    targeted = [(g, n) for g, n in sorted(counts.items())
-                if norm.get(g, 0.0) > 0 and n > 0]
+    # filter BEFORE sorting: a NULL group in the data would otherwise hit
+    # the None-vs-str comparison inside sorted() and raise TypeError
+    targeted = sorted((g, n) for g, n in counts.items()
+                      if g is not None and norm.get(g, 0.0) > 0 and n > 0)
     if not targeted:
         return df.filter(F.lit(False))
     cap = min(n / norm[g] for g, n in targeted)

@@ -527,6 +527,15 @@ def lm_score(
     per-doc bigram multiplicities against the bigram model on the gram
     key — co-partitioned with the model build — then one doc-keyed
     mean. Nothing document-sized shuffles.
+
+    Caching contract: the reduced gram tables are ``persist()``-ed
+    (MEMORY_AND_DISK) because two consumers each would otherwise
+    re-derive the explode+aggregate lineage (measured 2× the operator
+    at sf5). They stay cached for the session so repeated scoring runs
+    reuse the model; long-lived sessions interleaving MANY different
+    heavy operators should ``spark.catalog.clearCache()`` between them
+    (the bench/sweep harnesses do exactly this) or unpersist the
+    returned plan's sources explicitly.
     """
     toks = F.split(F.trim(F.lower(F.col(f"`{text_col}`"))), r"\s+")
     base = df.select(F.col(f"`{id_col}`"), toks.alias("_t")).filter(

@@ -19,6 +19,7 @@ def get_spark(
     app_name: str = "feldman-spark",
     master: Optional[str] = None,
     shuffle_partitions: Optional[int] = None,
+    extra_conf: Optional[dict] = None,
 ) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
@@ -55,6 +56,8 @@ def get_spark(
         .config("spark.sql.warehouse.dir",
                 os.environ.get("SPARK_WAREHOUSE_DIR", "/tmp/feldman-spark-warehouse"))
     )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     return builder.getOrCreate()
 
 

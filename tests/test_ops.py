@@ -403,6 +403,85 @@ def test_binned_range_join_rejects_column_overlap(spark):
         assert "pid" in str(e)
 
 
+def test_range_joins_reject_nonpositive_bin_width(spark):
+    """bin_width=0 would floor every value into one Long.MaxValue bin —
+    a silent full cross product; both operators must fail fast."""
+    import pytest
+
+    from feldman_spark.ops.joins import (binned_range_join,
+                                         interval_overlap_join)
+
+    pts = spark.createDataFrame([(1, 1.0)], ["pid", "v"])
+    ivs = spark.createDataFrame([(2, 0.0, 2.0)], ["iid", "lo", "hi"])
+    for bad in (0, 0.0, -1.5):
+        with pytest.raises(ValueError, match="bin_width"):
+            binned_range_join(pts, ivs, "v", "lo", "hi", bin_width=bad)
+        with pytest.raises(ValueError, match="bin_width"):
+            interval_overlap_join(
+                pts.select("pid", F.col("v").alias("alo"),
+                           (F.col("v") + 1).alias("ahi")),
+                ivs, "alo", "ahi", "lo", "hi", bin_width=bad)
+
+
+def test_binned_range_join_auto_bin_width_matches_explicit(spark):
+    """bin_width=None auto-sizes from the median interval span and must
+    produce the identical pair set (binning never changes semantics)."""
+    import random
+
+    from feldman_spark.ops.joins import binned_range_join
+
+    rng = random.Random(11)
+    pts = spark.createDataFrame(
+        [(i, round(rng.uniform(-50, 150), 2)) for i in range(200)],
+        ["pid", "v"])
+    ivs = spark.createDataFrame(
+        [(j, lo := round(rng.uniform(-60, 140), 2),
+          round(lo + rng.uniform(0, 25), 2)) for j in range(30)],
+        ["iid", "lo", "hi"])
+    auto = sorted((r["pid"], r["iid"]) for r in
+                  binned_range_join(pts, ivs, "v", "lo", "hi").collect())
+    manual = sorted((r["pid"], r["iid"]) for r in
+                    binned_range_join(pts, ivs, "v", "lo", "hi",
+                                      bin_width=10.0).collect())
+    assert auto == manual and len(auto) > 0
+
+
+def test_interval_overlap_join_auto_bin_width_matches_explicit(spark):
+    import random
+
+    from feldman_spark.ops.joins import interval_overlap_join
+
+    rng = random.Random(13)
+    a = spark.createDataFrame(
+        [(i, lo := round(rng.uniform(0, 200), 2),
+          round(lo + rng.uniform(0, 15), 2)) for i in range(120)],
+        ["aid", "alo", "ahi"])
+    b = spark.createDataFrame(
+        [(j, lo := round(rng.uniform(0, 200), 2),
+          round(lo + rng.uniform(0, 30), 2)) for j in range(80)],
+        ["bid", "blo", "bhi"])
+    auto = sorted((r["aid"], r["bid"]) for r in interval_overlap_join(
+        a, b, "alo", "ahi", "blo", "bhi").collect())
+    manual = sorted((r["aid"], r["bid"]) for r in interval_overlap_join(
+        a, b, "alo", "ahi", "blo", "bhi", bin_width=12.0).collect())
+    assert auto == manual and len(auto) > 0
+
+
+def test_auto_bin_width_degenerate_point_intervals(spark):
+    """All intervals zero-span: auto sizing must still pick a positive
+    width (domain/1024 fallback) and match the brute-force pairs."""
+    from feldman_spark.ops.joins import binned_range_join
+
+    pts = spark.createDataFrame(
+        [(i, float(i)) for i in range(50)], ["pid", "v"])
+    ivs = spark.createDataFrame(
+        [(j, float(j * 7), float(j * 7)) for j in range(8)],
+        ["iid", "lo", "hi"])
+    out = sorted((r["pid"], r["iid"]) for r in
+                 binned_range_join(pts, ivs, "v", "lo", "hi").collect())
+    assert out == [(j * 7, j) for j in range(8)]
+
+
 def test_rolling_time_agg_matches_model(spark):
     """Trailing 1h RANGE frame vs a python model, with equal timestamps
     (peers must see each other) and sub-second edges (a row 3599.9999s

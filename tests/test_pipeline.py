@@ -1565,6 +1565,23 @@ def test_rebalance_to_target_binding_group_and_drops(spark):
     assert a == b
 
 
+def test_rebalance_to_target_null_group_dropped(spark):
+    """A NULL group value must behave like any non-targeted group
+    (dropped), not crash the |groups|-sized sort with a None-vs-str
+    TypeError."""
+    from feldman_spark.pipeline.sampling import rebalance_to_target
+
+    rows = ([("en", i) for i in range(60)]
+            + [("de", 100 + i) for i in range(30)]
+            + [(None, 200 + i) for i in range(10)])
+    df = spark.createDataFrame(rows, "lang string, doc_id long")
+    out = rebalance_to_target(
+        df, "lang", {"en": 0.5, "de": 0.5}, key_col="doc_id")
+    langs = {r["lang"] for r in out.select("lang").distinct().collect()}
+    assert None not in langs and langs <= {"en", "de"}
+    assert out.filter(F.col("lang") == "de").count() == 30  # binding
+
+
 def test_group_centroids_exact_means(spark):
     from feldman_spark.pipeline.similarity import group_centroids
 
