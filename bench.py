@@ -72,6 +72,11 @@ HEADLINE = [
     "text_strip_html",
     "w8_rolling_time",
     "pack_chunks",
+    # round-7 additions: sequence-level contamination audit, CCNet
+    # perplexity buckets, retrieve-then-rerank
+    "dedup_contamination_13g",
+    "text_ppl_buckets",
+    "text_bm25_rerank",
 ]
 
 # slack for the regression gate: sub-second queries jitter by whole

@@ -472,7 +472,16 @@ def asof_join(
     )
 
     if tolerance_seconds is not None:
-        lt, rt = F.col(left_ts).cast("double"), F.col(rts_out).cast("double")
+        def _secs(name: str) -> Column:
+            # TIMESTAMP_NTZ has no direct double cast in Spark 4; going
+            # through TIMESTAMP (session tz is UTC) yields epoch seconds.
+            # Numeric event-time columns cast directly.
+            c = F.col(name)
+            if dict(out.dtypes)[name] == "timestamp_ntz":
+                c = c.cast("timestamp")
+            return c.cast("double")
+
+        lt, rt = _secs(left_ts), _secs(rts_out)
         age = lt - rt if direction == "backward" else rt - lt
         stale = F.col(rts_out).isNotNull() & (age > float(tolerance_seconds))
         out = out.withColumns({

@@ -37,6 +37,7 @@ __all__ = [
     "embedding_cosine_pairs",
     "embedding_cosine_pairs_lsh",
     "decontaminate",
+    "contamination_overlap",
     "decontaminate_semantic",
     "paragraph_dedup",
     "remove_frequent_spans",
@@ -807,6 +808,69 @@ def decontaminate(
         # corpus. See the docstring for when to disable this.
         contaminated = F.broadcast(contaminated)
     return corpus.join(contaminated, id_col, "left_anti")
+
+
+def contamination_overlap(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+    broadcast_eval: bool = True,
+    digits: int = 6,
+) -> DataFrame:
+    """Sequence-level contamination STATISTICS, GPT-3 appendix-C style
+    (Brown et al. 2020 used 13-gram overlap): for every corpus document,
+    the fraction of its n-word shingle positions that also occur in the
+    evaluation set. Where :func:`decontaminate` implements the any-hit
+    DROP policy, this returns the measurement — ``(id_col, n_grams,
+    n_contaminated, overlap_frac)`` for every corpus doc (docs shorter
+    than n words report zeros) — so callers can apply thresholded
+    policies (GPT-3 flagged "dirty" at any overlap but ANALYZED degrees)
+    or report benchmark-leakage audits without committing to removal.
+
+    Scale shape (100 TB corpus, constant-size eval set): the eval side
+    collapses to a distinct xxhash64 shingle set and broadcasts with a
+    hit marker; the corpus side is ONE codegen shingle-stream scan into
+    a broadcast left join + per-doc partial aggregate — the exchange
+    carries one slim (id, counts) row per document, text never moves.
+    Gram positions count with multiplicity (a doc repeating a leaked
+    13-gram five times reports 5), matching the "how much of this doc
+    is benchmark text" reading of the fraction.
+    """
+    ev = (_shingle_stream(
+        eval_df.select(F.lit(0).alias("_eid"), F.col(text_col)),
+        text_col, "_eid", n, hashed=True)
+        .select(F.col("_g").alias("_evg")).distinct()
+        .withColumn("_hit", F.lit(1)))
+    if broadcast_eval:
+        ev = F.broadcast(ev)
+    grams = _shingle_stream(corpus, text_col, id_col, n, hashed=True)
+    agg = (
+        grams.join(ev, grams["_g"] == ev["_evg"], "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).cast("bigint")
+            .alias("n_contaminated"),
+        )
+    )
+    return (
+        corpus.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).cast("bigint").alias("n_grams"),
+            F.coalesce("n_contaminated", F.lit(0)).cast("bigint")
+            .alias("n_contaminated"),
+            F.when(
+                F.coalesce("n_grams", F.lit(0)) > 0,
+                F.round(
+                    F.col("n_contaminated").cast("double")
+                    / F.col("n_grams"), digits),
+            ).otherwise(F.lit(0.0)).alias("overlap_frac"),
+        )
+    )
 
 
 def decontaminate_semantic(

@@ -17,7 +17,7 @@ from typing import Optional, Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["profile_table", "profile_histogram", "profile_skew",
+__all__ = ["profile_table", "profile_histogram", "profile_skew", "calibration_bins",
            "join_cardinality", "psi_drift"]
 
 
@@ -259,5 +259,59 @@ def psi_drift(
             F.round(p_cur, digits).alias("p_cur"),
             F.round((p_cur - p_ref) * F.log(p_cur / p_ref), digits)
             .alias("contrib"),
+        )
+    )
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    buckets: int = 10,
+    digits: int = 6,
+) -> DataFrame:
+    """Reliability diagram + expected calibration error (ECE) inputs for
+    a [0,1] classifier score against a boolean label — the standard
+    audit before a quality/toxicity classifier's scores gate a corpus
+    (Guo et al. 2017's binned ECE): equal-WIDTH score bins, per bin the
+    count, mean score (confidence) and positive rate (accuracy), plus
+    each bin's ECE contribution ``n_b/N · |acc_b − conf_b|`` — their sum
+    IS the ECE, kept per-bin so the diagram and the scalar come from one
+    pass.
+
+    Scale: bucket ids are row-local (``score=1.0`` clamps into the top
+    bin), per-bin stats partial-aggregate map-side into ``buckets``
+    rows, and the total joins back as one broadcast row — the corpus
+    scans once, nothing document-sized shuffles. NULL scores/labels are
+    excluded (count them upstream via :func:`profile_table`).
+    """
+    if buckets < 1:
+        raise ValueError(f"calibration_bins: buckets must be >= 1 (got {buckets})")
+    s = F.col(f"`{score_col}`").cast("double")
+    y = F.col(f"`{label_col}`").cast("int")
+    binned = (
+        df.filter(s.isNotNull() & y.isNotNull())
+        .select(
+            F.least(F.floor(s * buckets), F.lit(buckets - 1))
+            .cast("int").alias("bucket"),
+            s.alias("_s"), y.alias("_y"),
+        )
+    )
+    per = binned.groupBy("bucket").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.avg("_s").alias("_conf"),
+        F.avg("_y").alias("_acc"),
+    )
+    tot = per.agg(F.sum("n").alias("_tot"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket", "n",
+            F.round("_conf", digits).alias("confidence"),
+            F.round("_acc", digits).alias("accuracy"),
+            F.round(
+                F.col("n") / F.col("_tot")
+                * F.abs(F.col("_acc") - F.col("_conf")), digits)
+            .alias("ece_contrib"),
         )
     )

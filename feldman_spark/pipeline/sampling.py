@@ -25,7 +25,8 @@ from pyspark.sql import functions as F
 
 __all__ = ["hash_variate", "hash_sample", "hash_split", "weighted_mix",
            "dsir_weights",
-           "temperature_mix", "cap_per_group", "epoch_shuffle",
+           "temperature_mix",
+    "budget_mix", "cap_per_group", "epoch_shuffle",
            "stratified_sample", "weighted_sample_per_group",
            "rebalance_to_target"]
 
@@ -443,3 +444,50 @@ def rebalance_to_target(
         *[lit for g in sorted(thr) for lit in (F.lit(g), F.lit(thr[g]))])
     v = hash_variate(F.col(f"`{key_col}`"), seed)
     return df.filter(v < tmap[F.col(f"`{group_col}`")])
+
+
+def budget_mix(
+    df: DataFrame,
+    budgets: Dict[str, float],
+    group_col: str = "source",
+    weight_col: str = "n_tokens",
+    key_col: str = "doc_id",
+    seed: str = "budget",
+) -> DataFrame:
+    """Thin each group to a target total WEIGHT — the production mixing
+    knob is token (or byte) budgets per source, not document counts
+    (\"200B tokens of web, 30B of code, ...\"), which
+    :func:`rebalance_to_target`'s row-count fractions can't express when
+    per-doc length differs across sources. Each group keeps the
+    deterministic hash-variate fraction ``min(1, budget_g / weight_g)``
+    of its documents, so the kept weight is the budget in expectation
+    (exact-knapsack selection would need a per-group ordered scan;
+    variate thinning is the growth-stable form — a row's fate never
+    changes as the corpus grows, and re-runs are reproducible). Groups
+    absent from ``budgets`` (and NULL groups) drop entirely, matching
+    rebalance_to_target.
+
+    One tiny aggregate (per-group weight sums, |groups| rows to the
+    driver — the temperature_mix pattern), then a pure row-local filter
+    against a broadcast group→threshold map: one corpus scan, zero
+    shuffles.
+    """
+    if not budgets or any(b < 0 for b in budgets.values()):
+        raise ValueError("budget_mix: budgets must be non-negative, non-empty")
+    sums = {
+        r["_g"]: r["_w"]
+        for r in df.groupBy(F.col(f"`{group_col}`").alias("_g"))
+        .agg(F.sum(F.col(f"`{weight_col}`")).alias("_w")).collect()
+    }
+    frac = {
+        g: min(1.0, round(float(budgets[g]) / w, 6))
+        for g, w in sums.items()
+        if g is not None and g in budgets and w is not None and w > 0
+           and budgets[g] > 0
+    }
+    if not frac:
+        return df.filter(F.lit(False))
+    thr = F.create_map(*[lit for g in sorted(frac)
+                         for lit in (F.lit(g), F.lit(_threshold(frac[g])))])
+    v = hash_variate(F.col(f"`{key_col}`"), seed)
+    return df.filter(v < thr[F.col(f"`{group_col}`")])

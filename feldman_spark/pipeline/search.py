@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["bm25_topk", "tokenize_query"]
+__all__ = ["bm25_topk", "bm25_rerank", "tokenize_query"]
 
 
 def tokenize_query(query: str) -> List[str]:
@@ -136,5 +136,89 @@ def bm25_topk(
         "score",
         F.row_number()
         .over(Window.orderBy(F.col("score").desc(), F.col(id_col)))
+        .alias("rank"),
+    )
+
+
+def bm25_rerank(
+    df: DataFrame,
+    query: str,
+    k: int = 10,
+    n_candidates: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    weights: tuple = (0.5, 0.2, 0.3),
+    round_digits: int = 4,
+) -> DataFrame:
+    """Retrieve-then-rerank: BM25 selects ``n_candidates`` documents
+    cheaply, then a RICHER relevance function rescsores only those
+    candidates — the two-stage shape of every production search stack
+    (a cross-encoder or LLM judge slots in exactly where the feature
+    formula sits; this deterministic stand-in keeps the stage
+    value-oracle-checkable). The second-stage features go beyond the
+    bag-of-words BM25 can see:
+
+    * ``coverage`` — fraction of distinct query terms present (AND-ness);
+    * ``phrase_hits`` — count of adjacent query-term bigrams appearing
+      adjacently in the document (proximity);
+    * ``first_pos`` — earliest match position (title/lead bias).
+
+    ``rerank = bm25 + w0·coverage + w1·ln(1+phrase_hits) + w2/first_pos``
+    rounded to ``round_digits`` before ordering; ties break on id.
+    Returns ``(id_col, score, rerank_score, rank)``.
+
+    Scale (100 TB): stage 1 is :func:`bm25_topk`'s one-scan shape; stage
+    2 joins the BROADCAST candidate list back to the corpus (a base-table
+    broadcast-hash-join probe — at scale this is where a doc-store point
+    lookup or Z-ordered id index slots in; see io/parquet.py::read_pruned)
+    and evaluates features on ``n_candidates`` rows only. The HOF lambdas
+    here are fine precisely because they run on the candidate set, never
+    the corpus.
+    """
+    terms = tokenize_query(query)
+    bigrams = list(zip(terms, terms[1:]))
+    w0, w1, w2 = weights
+    cands = bm25_topk(df, query, k=n_candidates, id_col=id_col,
+                      text_col=text_col, k1=k1, b=b,
+                      round_digits=round_digits).drop("rank")
+    docs = df.select(id_col, text_col).join(F.broadcast(cands), id_col)
+
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    coverage = (
+        F.size(F.array_intersect(F.array_distinct(toks),
+                                 F.array(*[F.lit(t) for t in terms])))
+        .cast("double") / F.lit(float(len(terms))))
+    phrase_hits = F.lit(0).cast("bigint")
+    if bigrams:
+        heads = F.slice(toks, 1, F.size(toks) - 1)
+        tails = F.slice(toks, 2, F.size(toks) - 1)
+        for a, bg in bigrams:
+            phrase_hits = phrase_hits + F.when(
+                F.size(toks) >= 2,
+                F.size(F.filter(
+                    F.zip_with(heads, tails,
+                               lambda x, y: (x == a) & (y == bg)),
+                    lambda v: v))).otherwise(F.lit(0)).cast("bigint")
+    positions = F.array(*[F.array_position(toks, t) for t in terms])
+    first_pos = F.array_min(F.filter(positions, lambda p: p > 0))
+
+    scored = docs.select(
+        id_col,
+        "score",
+        F.round(
+            F.col("score")
+            + F.lit(w0) * coverage
+            + F.lit(w1) * F.log(F.lit(1.0) + phrase_hits)
+            + F.lit(w2) / first_pos.cast("double"),
+            round_digits,
+        ).alias("rerank_score"),
+    )
+    topk = scored.orderBy(F.col("rerank_score").desc(), F.col(id_col)).limit(k)
+    return topk.select(
+        id_col, "score", "rerank_score",
+        F.row_number()
+        .over(Window.orderBy(F.col("rerank_score").desc(), F.col(id_col)))
         .alias("rank"),
     )

@@ -29,6 +29,7 @@ __all__ = [
     "fingerprint",
     "bpe_pair_counts",
     "lm_score",
+    "ppl_buckets",
     "STOPWORDS",
 ]
 
@@ -579,5 +580,53 @@ def lm_score(
             F.round(
                 F.sum(F.col("_k") * logp) / F.sum("_k"), digits
             ).alias("lm_logprob"),
+        )
+    )
+
+
+def ppl_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.1,
+    digits: int = 6,
+    cuts: Sequence[float] = (1 / 3, 2 / 3),
+    exact: bool = True,
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3): score
+    every document against the corpus bigram LM (:func:`lm_score`), cut
+    the corpus at the ``cuts`` quantiles of the score, and label each
+    document ``head`` / ``middle`` / ``tail`` — head = highest mean
+    log-probability = lowest perplexity = most fluent-for-this-corpus.
+    CCNet trains on head+middle and drops or down-weights tail; the
+    bucket column is the knob. Returns ``(id_col, n_bigrams,
+    lm_logprob, bucket)``; documents with fewer than 2 tokens have no
+    bigrams and are omitted (as in :func:`lm_score`).
+
+    Scale: the LM and scoring are :func:`lm_score`'s shuffle-slim
+    shapes; the thresholds are ONE aggregate over the score column
+    broadcast back as a single row, and the bucket label is a row-local
+    comparison — no rank/ntile global sort (an ntile over 1e9 docs
+    funnels the corpus through one reducer; two threshold comparisons
+    don't). ``exact=True`` uses the exact ``percentile`` aggregate —
+    engine-portable for the value-oracle gate but it buffers the score
+    column per partition; at true corpus scale pass ``exact=False`` for
+    the mergeable ``approx_percentile`` sketch at the same call site
+    (a11's documented exact/sketch pairing).
+    """
+    lo, hi = float(cuts[0]), float(cuts[1])
+    scored = lm_score(df, id_col, text_col, alpha, digits)
+    fn = "percentile" if exact else "approx_percentile"
+    th = scored.agg(
+        F.expr(f"{fn}(lm_logprob, array({lo!r}, {hi!r}))").alias("_th"))
+    return (
+        scored.crossJoin(F.broadcast(th))
+        .select(
+            id_col, "n_bigrams", "lm_logprob",
+            F.when(F.col("lm_logprob") >= F.element_at("_th", 2),
+                   F.lit("head"))
+            .when(F.col("lm_logprob") >= F.element_at("_th", 1),
+                  F.lit("middle"))
+            .otherwise(F.lit("tail")).alias("bucket"),
         )
     )

@@ -1386,6 +1386,79 @@ def test_bm25_text_never_shuffles(spark):
             assert "_toks" not in line and "text" not in line
 
 
+def test_bm25_rerank_phrase_and_position_break_bm25_ties(spark):
+    """Two docs with identical bags of words (same BM25): the one with
+    the query terms ADJACENT and EARLY must rerank first."""
+    from feldman_spark.pipeline.search import bm25_rerank
+
+    docs = [
+        (1, "filler filler spark join more words here"),     # adjacent, late-ish
+        (2, "spark filler filler join more words here"),     # scattered, early
+        (3, "pad pad pad pad pad pad pad"),                   # no terms
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = bm25_rerank(df, "spark join", k=3, n_candidates=3).collect()
+    ids = [r["doc_id"] for r in out]
+    assert ids[0] == 1 or ids[0] == 2
+    by = {r["doc_id"]: r for r in out}
+    # identical token bags -> identical BM25 stage-1 scores
+    assert by[1]["score"] == by[2]["score"]
+    # doc 2 gets the position bonus (first_pos=1 vs 3), doc 1 the phrase
+    # bonus (one adjacent bigram): 0.2*ln(2)=0.139 + 0.3/3=0.1 vs 0.3/1
+    assert by[2]["rerank_score"] > by[1]["rerank_score"]
+    assert 3 not in by  # no query term -> not a candidate
+
+
+def test_bm25_rerank_rank_is_dense_and_k_bounded(spark):
+    from feldman_spark.pipeline.search import bm25_rerank
+
+    df = spark.createDataFrame(
+        [(i, f"spark join w{i}") for i in range(20)], ["doc_id", "text"])
+    out = bm25_rerank(df, "spark join", k=5, n_candidates=10).collect()
+    assert [r["rank"] for r in out] == [1, 2, 3, 4, 5]
+
+
+def test_contamination_overlap_counts_and_zeros(spark):
+    from feldman_spark.pipeline.dedup import contamination_overlap
+
+    ev = spark.createDataFrame([(100, "a b c d")], ["doc_id", "text"])
+    corpus = spark.createDataFrame([
+        (1, "x a b c d y"),        # grams: "x a b", ... wait n=3 below
+        (2, "a b c d a b c d"),    # repeated leaked grams count each time
+        (3, "no overlap at all here"),
+        (4, "tiny"),               # < n words -> zeros
+    ], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           contamination_overlap(corpus, ev, n=3).collect()}
+    # eval 3-grams: "a b c", "b c d"
+    assert out[1]["n_grams"] == 4 and out[1]["n_contaminated"] == 2
+    assert out[1]["overlap_frac"] == 0.5
+    # positions: [a b c]* [b c d]* [c d a] [d a b] [a b c]* [b c d]*
+    assert out[2]["n_grams"] == 6 and out[2]["n_contaminated"] == 4
+    assert out[3]["n_contaminated"] == 0 and out[3]["overlap_frac"] == 0.0
+    assert out[4]["n_grams"] == 0 and out[4]["overlap_frac"] == 0.0
+    assert len(out) == 4  # every corpus doc reported
+
+
+def test_ppl_buckets_thirds_and_ordering(spark):
+    """Bucket assignment must follow the lm_logprob order: every head
+    doc scores >= every middle doc >= every tail doc, and with 9 docs
+    of distinct scores the split is 3/3/3."""
+    from feldman_spark.pipeline.text import ppl_buckets
+
+    # nine docs with increasingly atypical bigrams: doc i repeats a
+    # common phrase (high prob) vs unique gibberish (low prob)
+    rows = [(i, ("the cat sat " * (9 - i) + f"zq{i} xw{i} vv{i} " * i).strip())
+            for i in range(9)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = ppl_buckets(df).collect()
+    assert len(out) == 9
+    lo = {b: [r["lm_logprob"] for r in out if r["bucket"] == b]
+          for b in ("head", "middle", "tail")}
+    assert len(lo["head"]) == 3 and len(lo["middle"]) == 3 and len(lo["tail"]) == 3
+    assert min(lo["head"]) >= max(lo["middle"]) >= max(lo["tail"])
+
+
 # ---------------------------------------------------------------------------
 # weighted reservoir sampling
 # ---------------------------------------------------------------------------
@@ -1580,6 +1653,82 @@ def test_rebalance_to_target_null_group_dropped(spark):
     langs = {r["lang"] for r in out.select("lang").distinct().collect()}
     assert None not in langs and langs <= {"en", "de"}
     assert out.filter(F.col("lang") == "de").count() == 30  # binding
+
+
+def test_budget_mix_weights_and_drops(spark):
+    """Kept weight per group lands near its budget; groups without a
+    budget (and NULL groups) drop; whole-group keep when budget exceeds
+    the sum; determinism across runs."""
+    from feldman_spark.pipeline.sampling import budget_mix
+
+    rows = ([("a", i, 100) for i in range(200)]          # sum 20_000
+            + [("b", 1000 + i, 50) for i in range(40)]   # sum 2_000
+            + [("c", 2000 + i, 10) for i in range(10)]
+            + [(None, 3000, 10)])
+    df = spark.createDataFrame(rows, "grp string, doc_id long, w long")
+    out = budget_mix(df, {"a": 5000.0, "b": 1.0e9},
+                     group_col="grp", weight_col="w", key_col="doc_id")
+    got = out.groupBy("grp").agg(F.sum("w").alias("kept")).collect()
+    by = {r["grp"]: r["kept"] for r in got}
+    assert "c" not in by and None not in by       # no budget -> dropped
+    assert by["b"] == 2000                         # budget > sum -> whole
+    assert 3000 <= by["a"] <= 7000                 # ~5000 in expectation
+    a2 = budget_mix(df, {"a": 5000.0, "b": 1.0e9}, group_col="grp",
+                    weight_col="w", key_col="doc_id")
+    assert sorted(r["doc_id"] for r in out.collect()) == \
+           sorted(r["doc_id"] for r in a2.collect())
+    with pytest.raises(ValueError):
+        budget_mix(df, {}, group_col="grp", weight_col="w")
+    with pytest.raises(ValueError):
+        budget_mix(df, {"a": -1.0}, group_col="grp", weight_col="w")
+
+
+def test_calibration_bins_known_values(spark):
+    """Hand-computable reliability bins: scores cluster in two buckets
+    with known positive rates; ECE contributions follow n_b/N·|acc-conf|;
+    score=1.0 clamps into the top bucket."""
+    from feldman_spark.pipeline.profile import calibration_bins
+
+    rows = ([(0.25, 1)] * 3 + [(0.25, 0)] * 1      # bucket 2: conf .25, acc .75
+            + [(0.95, 1)] * 1 + [(0.95, 0)] * 3    # bucket 9: conf .95, acc .25
+            + [(1.0, 1)]                            # clamps into bucket 9
+            + [(None, 1), (0.5, None)])             # excluded
+    df = spark.createDataFrame(rows, "score double, label int")
+    out = {r["bucket"]: r for r in
+           calibration_bins(df, "score", "label", buckets=10).collect()}
+    assert set(out) == {2, 9}
+    b2, b9 = out[2], out[9]
+    assert b2["n"] == 4 and b2["confidence"] == 0.25 and b2["accuracy"] == 0.75
+    assert b9["n"] == 5
+    assert abs(b9["confidence"] - 0.96) < 1e-9     # (4*.95 + 1.0)/5
+    assert abs(b9["accuracy"] - 0.4) < 1e-9        # 2 of 5 positive
+    assert abs(b2["ece_contrib"] - round(4 / 9 * 0.5, 6)) < 1e-9
+    assert abs(b9["ece_contrib"] - round(5 / 9 * 0.56, 6)) < 1e-9
+    with pytest.raises(ValueError):
+        calibration_bins(df, "score", "label", buckets=0)
+
+
+def test_asof_join_tolerance_on_ntz_timestamps(spark):
+    """tolerance_seconds must work on TIMESTAMP_NTZ event time (Spark 4
+    has no direct NTZ→double cast): in-window match kept, stale match
+    nulled."""
+    from datetime import datetime
+
+    from feldman_spark.ops.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, datetime(2024, 1, 2, 12, 0, 0)),
+         (2, datetime(2024, 1, 5, 12, 0, 0))],
+        "k int, ts timestamp_ntz")
+    right = spark.createDataFrame(
+        [(1, datetime(2024, 1, 2, 11, 0, 0), 10.0),
+         (2, datetime(2024, 1, 1, 12, 0, 0), 20.0)],
+        "k int, ts timestamp_ntz, v double")
+    out = {r["k"]: r for r in asof_join(
+        left, right, on=["k"], right_cols=["v"],
+        tolerance_seconds=86400.0).collect()}
+    assert out[1]["v_r"] == 10.0                  # 1h old: kept
+    assert out[2]["v_r"] is None                  # 4d old: nulled
 
 
 def test_group_centroids_exact_means(spark):
