@@ -838,6 +838,8 @@ def contamination_overlap(
     13-gram five times reports 5), matching the "how much of this doc
     is benchmark text" reading of the fraction.
     """
+    if n < 1:
+        raise ValueError(f"contamination_overlap: n must be >= 1 (got {n})")
     ev = (_shingle_stream(
         eval_df.select(F.lit(0).alias("_eid"), F.col(text_col)),
         text_col, "_eid", n, hashed=True)

@@ -177,6 +177,10 @@ def bm25_rerank(
     here are fine precisely because they run on the candidate set, never
     the corpus.
     """
+    if k < 1 or n_candidates < k:
+        raise ValueError(
+            f"bm25_rerank: need 1 <= k <= n_candidates (got k={k}, "
+            f"n_candidates={n_candidates})")
     terms = tokenize_query(query)
     bigrams = list(zip(terms, terms[1:]))
     w0, w1, w2 = weights

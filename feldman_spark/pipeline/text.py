@@ -615,6 +615,9 @@ def ppl_buckets(
     (a11's documented exact/sketch pairing).
     """
     lo, hi = float(cuts[0]), float(cuts[1])
+    if not (0.0 < lo < hi < 1.0):
+        raise ValueError(
+            f"ppl_buckets: cuts must satisfy 0 < lo < hi < 1 (got {cuts})")
     scored = lm_score(df, id_col, text_col, alpha, digits)
     fn = "percentile" if exact else "approx_percentile"
     th = scored.agg(

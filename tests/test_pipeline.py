@@ -1708,6 +1708,20 @@ def test_calibration_bins_known_values(spark):
         calibration_bins(df, "score", "label", buckets=0)
 
 
+def test_new_operator_argument_validation(spark):
+    from feldman_spark.pipeline.dedup import contamination_overlap
+    from feldman_spark.pipeline.search import bm25_rerank
+    from feldman_spark.pipeline.text import ppl_buckets
+
+    d = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="n must be"):
+        contamination_overlap(d, d, n=0)
+    with pytest.raises(ValueError, match="cuts"):
+        ppl_buckets(d, cuts=(0.7, 0.3))
+    with pytest.raises(ValueError, match="n_candidates"):
+        bm25_rerank(d, "a b", k=10, n_candidates=5)
+
+
 def test_asof_join_tolerance_on_ntz_timestamps(spark):
     """tolerance_seconds must work on TIMESTAMP_NTZ event time (Spark 4
     has no direct NTZ→double cast): in-window match kept, stale match
