@@ -10,8 +10,10 @@ set -e
 cd "$(dirname "$0")/.."
 TAG="${1:?usage: ladder.sh rN}"
 
+# sf0.1 rung named _sf0.1 so it can't collide with the driver's own
+# BENCH_${TAG}.json artifact
 echo "== bench sf0.1 ==" >&2
-python bench.py > "BENCH_${TAG}.json"
+python bench.py > "BENCH_${TAG}_sf0.1.json"
 for SF in 1 5 20; do
   DIR=".tmp/sf${SF}"
   [ -d "$DIR" ] || { echo "missing $DIR (run tools/make_sf.py --target $SF)" >&2; exit 1; }
@@ -24,7 +26,7 @@ for SF in 1 5; do
 done
 python tools/sweep.py --compare "SWEEP_${TAG}_sf1.json" "SWEEP_${TAG}_sf5.json" --factor 5 > "SWEEP_${TAG}_compare.txt" || true
 echo "== ladder done ==" >&2
-for f in BENCH_${TAG}.json BENCH_${TAG}_sf1.json BENCH_${TAG}_sf5.json BENCH_${TAG}_sf20.json; do
+for f in BENCH_${TAG}_sf0.1.json BENCH_${TAG}_sf1.json BENCH_${TAG}_sf5.json BENCH_${TAG}_sf20.json; do
   python - "$f" <<'EOF'
 import json, sys
 d = json.load(open(sys.argv[1]))
