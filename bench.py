@@ -135,9 +135,11 @@ def _filtered_reexec() -> None:
         if in_tb:
             buf.append(line)
             if line[:1] not in (" ", "\t") and line.strip():
-                # block complete: drop iff it's the daemon broken pipe
+                # block complete: drop iff it's a daemon teardown race
+                # (broken pipe / peer reset — both harmless, rc stays 0)
                 block = "\n".join(buf)
-                if not ("BrokenPipeError" in block
+                if not (("BrokenPipeError" in block
+                         or "ConnectionResetError" in block)
                         and "pyspark/daemon.py" in block):
                     print(block, file=sys.stderr)
                 in_tb, buf = False, []
