@@ -214,3 +214,41 @@ def test_decode_audio_through_spark(spark):
     assert r["duration_ms"] == 1000 and r["n_frames"] == 16000
     # RMS of a 10000-amplitude sine ~ 10000/sqrt(2)
     assert abs(r["rms"] - 10000 / np.sqrt(2)) < 50
+
+
+# ---------------------------------------------------------------------------
+# property: random shapes / channels / filter sequences round-trip
+# ---------------------------------------------------------------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(1, 12),
+        h=st.integers(1, 10),
+        ch=st.sampled_from([1, 2, 3, 4]),
+        seed=st.integers(0, 2**31 - 1),
+        data=st.data(),
+    )
+    def test_png_roundtrip_property(w, h, ch, seed, data):
+        filters = data.draw(
+            st.lists(st.integers(0, 4), min_size=h, max_size=h))
+        rng = np.random.RandomState(seed)
+        pixels = rng.randint(0, 256, size=(h, w, ch), dtype=np.uint8)
+        gw, gh, gch, out = codecs.decode_png(_encode_png(pixels, filters))
+        assert (gw, gh, gch) == (w, h, ch)
+        assert out == pixels.tobytes()
+
+    @settings(max_examples=25, deadline=None)
+    @given(w=st.integers(1, 9), h=st.integers(1, 7),
+           seed=st.integers(0, 2**31 - 1))
+    def test_bmp_roundtrip_property(w, h, seed):
+        rng = np.random.RandomState(seed)
+        pixels = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        gw, gh, gch, out = codecs.decode_bmp(_encode_bmp24(pixels))
+        assert (gw, gh, gch) == (w, h, 3)
+        assert out == pixels.tobytes()
+except ImportError:  # pragma: no cover - hypothesis is baked in
+    pass
