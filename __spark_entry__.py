@@ -615,6 +615,27 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e
 
 
+_STAGED: dict[str, str] = {}
+
+
+def _stage_events(spark, sf_dir, cols, tag, n_files=2):
+    """Stage selected event columns as an ``n_files`` parquet dir to feed
+    a file readStream source (which needs a DIRECTORY; n_files=2 +
+    maxFilesPerTrigger=1 makes every run genuinely multi-micro-batch).
+    Staged ONCE per (sf_dir, tag) per process — the inputs are
+    deterministic per sf_dir, so repeated bench/sweep runs of the
+    streaming queries skip the rewrite and measure the stream itself."""
+    key = f"{tag}:{sf_dir}:{','.join(cols)}"
+    path = _STAGED.get(key)
+    if path is None:
+        safe = sf_dir.rstrip("/").replace("/", "_").replace(".", "_")
+        path = f"/root/repo/.tmp/stage_{tag}_{safe}"
+        (_events(spark, sf_dir).select(*cols)
+         .repartition(n_files).write.mode("overwrite").parquet(path))
+        _STAGED[key] = path
+    return path
+
+
 def _docs_with_dups(spark, sf_dir):
     """documents plus injected exact duplicates (doc_id+100000 for the first
     50 docs) so dedup pipelines verifiably fire on synthetic word-salad."""
@@ -2824,12 +2845,7 @@ def events_running_totals(spark, sf_dir):
     from feldman_spark.streaming.events import run_stream_to_memory
     from feldman_spark.streaming.stateful import streaming_running_totals
 
-    # the file stream source needs a DIRECTORY of files; stage the two
-    # needed columns as 2 parquet files so the run is genuinely
-    # multi-micro-batch (maxFilesPerTrigger=1 → 2 state updates per key)
-    e = _events(spark, sf_dir)
-    staging = "/root/repo/.tmp/events_running_totals_src"
-    e.select("user_id", "value").repartition(2).write.mode("overwrite").parquet(staging)
+    staging = _stage_events(spark, sf_dir, ["user_id", "value"], "run_tot")
     schema = spark.read.parquet(staging).schema
     stream = (
         spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
@@ -2854,6 +2870,40 @@ def events_running_totals(spark, sf_dir):
         .filter(F.col("_rn") == 1)
         .select("user_id", "n_events",
                 F.col("value_sum").cast("double").alias("value_sum"))
+    )
+
+
+def events_running_totals_native(spark, sf_dir):
+    """Per-key running totals as a NATIVE update-mode streaming
+    aggregation (streaming/events.py::running_totals_native): the same
+    real multi-micro-batch readStream as the applyInPandasWithState twin
+    above, but state lives in the JVM state store and keys never touch
+    Python — the unbounded-key scale path (the dedup_native precedent:
+    per-key Python measured 380 s vs ~4 s native at sf1's key count).
+    Final per-key emission must equal the batch groupBy oracle."""
+    from feldman_spark.streaming.events import (
+        run_stream_to_memory, running_totals_native)
+
+    staging = _stage_events(spark, sf_dir, ["user_id", "value"], "run_tot")
+    schema = spark.read.parquet(staging).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        run_stream_to_memory(running_totals_native(stream),
+                             "events_running_totals_native_sink",
+                             output_mode="update")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    upd = spark.table("events_running_totals_native_sink")
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        upd.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "n_events", "value_sum")
     )
 
 
@@ -2918,6 +2968,37 @@ def j11_binned_range_join(spark, sf_dir):
         (F.col("s_acctbal") + 500.0).alias("hi"),
     )
     out = binned_range_join(cust, supp, "c_acctbal", "lo", "hi", bin_width=500.0)
+    return (
+        out.groupBy("s_suppkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cust"),
+            F.bround(F.sum("c_acctbal"), 2).alias("sum_bal"),
+        )
+    )
+
+
+def j11_range_join_bounded(spark, sf_dir):
+    """The OUTPUT-BOUNDED ladder twin of j11: same keyless range join,
+    but the band width shrinks inversely with the supplier count
+    (width = 50000 / |supplier|, = j11's 500 at the sf0.01 gate), so the
+    expected matches PER INTERVAL stay constant as SF grows and total
+    output scales ~linearly with the data — the workload that measures
+    the OPERATOR's scaling. j11 keeps its fixed 500 band as the
+    quadratic-pairs throughput demo (docs/SCALING.md attribution:
+    j11's sf20 growth is 25x TRUE output pairs, not operator cost).
+    The width is one count() over the small side — catalog-stat cheap
+    at any scale (feldman_spark/ops/joins.py::binned_range_join)."""
+    from feldman_spark.ops.joins import binned_range_join
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    supp = _t(spark, sf_dir, "supplier")
+    bw = 50000.0 / supp.count()
+    bands = supp.select(
+        "s_suppkey",
+        F.col("s_acctbal").alias("lo"),
+        (F.col("s_acctbal") + F.lit(bw)).alias("hi"),
+    )
+    out = binned_range_join(cust, bands, "c_acctbal", "lo", "hi", bin_width=bw)
     return (
         out.groupBy("s_suppkey")
         .agg(
@@ -3408,6 +3489,56 @@ def text_bpe_pairs(spark, sf_dir):
     return bpe_pair_counts(d, "text", k=20)
 
 
+def text_bpe_encode(spark, sf_dir):
+    """The full (small) BPE tokenizer story: LEARN the first 6 merges
+    over the corpus (iterative argmax of adjacent-pair counts — each
+    iteration one vocabulary-sized aggregate + a 1-row collect), then
+    ENCODE with them (row-local chained literal replaces) and return the
+    top-20 vocabulary words with their segmentation and token count.
+    Training never touches the token stream (vocab-collapse first, the
+    bpe_pair_counts trick); encoding a 100 TB corpus with the learned
+    merges is one codegen pass
+    (feldman_spark/pipeline/text.py::bpe_train_merges/bpe_apply_merges)."""
+    from feldman_spark.pipeline.text import (
+        _bpe_vocab, bpe_apply_merges, bpe_train_merges)
+
+    d = _t(spark, sf_dir, "documents").select("text")
+    merges = bpe_train_merges(d, "text", n_merges=6)
+    vocab = _bpe_vocab(d, "text")
+    top = (
+        vocab.orderBy(F.col("_n").desc(), F.col("w").asc()).limit(20)
+        .withColumn("bpe", bpe_apply_merges(F.col("w"), merges))
+    )
+    return top.select(
+        F.col("w").alias("word"),
+        F.col("_n").cast("bigint").alias("n"),
+        "bpe",
+        F.size(F.split("bpe", " ")).cast("bigint").alias("n_tokens"),
+    )
+
+
+def web_blocklist_filter(spark, sf_dir):
+    """Domain-blocklist filtering over parsed crawl URLs: drop every doc
+    whose host IS a blocked domain or a SUBDOMAIN of one. The host
+    explodes into its dot-suffix chain (≤ labels rows) and equality-joins
+    the broadcast blocklist — suffix semantics at hash-join speed, never
+    a LIKE scan; survivors anti-join on doc_id. Counted per host so the
+    output stays small at every SF
+    (feldman_spark/pipeline/web.py::blocklist_filter/host_suffixes)."""
+    from feldman_spark.pipeline.web import blocklist_filter, url_parts
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    u = url_parts(d.withColumn("url", F.expr(_URL_CASE_SQL)))
+    blocked = spark.createDataFrame(
+        [("src1.example.com",), ("sub.src2.example.com",),
+         ("src3.example.com",), ("nosuch.example.org",)],
+        "domain string")
+    kept = blocklist_filter(u, blocked, host_col="host", id_col="doc_id")
+    return kept.groupBy("host").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.min("doc_id").alias("min_doc"))
+
+
 def dedup_corpus_overlap(spark, sf_dir):
     """Dataset-level content overlap between two corpus slices (the
     "is this crawl snapshot worth ingesting" statistic): both sides
@@ -3718,108 +3849,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # FIRST 50 keys only; the prefix rotates per round so every query
     # eventually carries a driver-green row (the mirror gate,
     # tools/check_oracle.py, still runs ALL keys every round, so queries
-    # outside the window cannot silently rot). Round-7 window, in
-    # priority order: (a) the six queries registered this round
-    # (contamination overlap, perplexity buckets, BM25 rerank,
-    # budget mixing, last-touch attribution, calibration bins — no
-    # driver row can exist yet); (b) knn_group_centroids, re-registered
-    # in long scalar form after the r6 canonicalizer err and the only
-    # never-driver-green key; (c) the r3-stale pair o1_topk /
-    # u1_union_all the r6 verdict queued first; (d) all r4-green keys —
-    # the oldest remaining rows — except feldman_e2_export, which is
-    # smoke-checked by entry() and plan-pinned + floor-gated by
-    # bench.py every round and therefore yields its slot to keys with
-    # no other per-round signal. That fills exactly 50. Three r6-green
-    # keys whose call sites changed inertly this round
-    # (sample_rebalance's NULL-group fix — no NULL langs in the gate
-    # data; j11/j13's bin_width validation — their registered calls
-    # pass explicit widths) lead the tail instead of displacing
-    # never/oldest keys: pytest covers the new branches
-    # (test_range_joins_reject_nonpositive_bin_width,
-    # test_rebalance_to_target_null_group_dropped) and the mirror gate
-    # still value-checks all three every round. The tail then holds
-    # feldman_e2_export and every r5/r6-green key; r5 keys lead the r8
-    # re-verification queue, oldest first.
-        "dedup_contamination_13g": dedup_contamination_13g,
-        "text_ppl_buckets": text_ppl_buckets,
-        "text_bm25_rerank": text_bm25_rerank,
-        "sample_budget_mix": sample_budget_mix,
-        "events_attribution": events_attribution,
-        "profile_calibration": profile_calibration,
-        "knn_group_centroids": knn_group_centroids,
-        "o1_topk": o1_topk,
-        "u1_union_all": u1_union_all,
-        "dedup_simhash": dedup_simhash,
-        "dedup_embedding_cosine": dedup_embedding_cosine,
-        "w1_splice_scan": w1_splice_scan,
-        "pipeline_curate_corpus": pipeline_curate_corpus,
-        "sample_cap_per_source": sample_cap_per_source,
-        "events_sessionize_native": events_sessionize_native,
-        "j9_asof_join": j9_asof_join,
-        "pipeline_fuzzy_dedup": pipeline_fuzzy_dedup,
-        "knn_lsh_exact": knn_lsh_exact,
-        "knn_ivf_exact": knn_ivf_exact,
-        "events_running_totals": events_running_totals,
-        "events_stream_dedup": events_stream_dedup,
-        "sample_split": sample_split,
-        "sample_fraction": sample_fraction,
-        "sample_mix": sample_mix,
-        "pack_examples": pack_examples,
-        "dedup_exact": dedup_exact,
-        "text_fingerprint": text_fingerprint,
-        "text_scrub_pii": text_scrub_pii,
-        "text_tfidf_terms": text_tfidf_terms,
-        "doc_embedding_join": doc_embedding_join,
-        "profile_documents": profile_documents,
-        "events_json_props": events_json_props,
-        "pivot_returnflag": pivot_returnflag,
-        "a7_percentiles": a7_percentiles,
-        "a8_rollup": a8_rollup,
-        "q2_min_cost_supplier": q2_min_cost_supplier,
-        "q4_order_priority": q4_order_priority,
-        "q7_volume_shipping": q7_volume_shipping,
-        "q8_market_share": q8_market_share,
-        "q9_product_profit": q9_product_profit,
-        "q11_important_stock": q11_important_stock,
-        "q13_customer_distribution": q13_customer_distribution,
-        "q15_top_supplier": q15_top_supplier,
-        "q16_supplier_cnt": q16_supplier_cnt,
-        "q17_avg_subquery": q17_avg_subquery,
-        "q18_large_volume": q18_large_volume,
-        "q19_disjunctive": q19_disjunctive,
-        "q20_potential_promotion": q20_potential_promotion,
-        "q21_waiting_supplier": q21_waiting_supplier,
-        "q22_global_sales": q22_global_sales,
-    # ^ the 50-key driver window ends here --- tail below is mirror-checked every round ---
-        "sample_rebalance": sample_rebalance,
-        "j11_binned_range_join": j11_binned_range_join,
-        "j13_interval_overlap": j13_interval_overlap,
+    # outside the window cannot silently rot). Round-8 window, in
+    # priority order: (a) the four queries registered this round (native
+    # update-mode running totals, output-bounded j11 twin, BPE
+    # train+encode, domain-blocklist filter — no driver row can exist
+    # yet); (b) feldman_e2_export, whose last hard driver row is r4 —
+    # the r7 verdict's #1 item: entry()-smoke + bench plan-pin are real
+    # but the flagship must not be the only key violating the ≤3-round
+    # invariant; (c) 45 of the 50 r5-green keys — the oldest remaining
+    # rows. The five r5 keys that defer to the r9 queue head are the
+    # ones with the strongest INDEPENDENT per-round signal, so their
+    # driver-row age costs the least evidence: media_features (pinned
+    # oracle + codec round-trip property tests), events_tumbling /
+    # events_sliding (streaming pytest twins of one-groupBy window
+    # shapes), knn_brute_force / knn_lsh (pytest recall floors, and
+    # their *_exact variants went green r7). They lead the tail below,
+    # then the r6-green keys, then the r7-green keys — the r9 window
+    # should lead with those five plus the oldest r6 rows.
+        "events_running_totals_native": events_running_totals_native,
+        "j11_range_join_bounded": j11_range_join_bounded,
+        "text_bpe_encode": text_bpe_encode,
+        "web_blocklist_filter": web_blocklist_filter,
         "feldman_e2_export": feldman_e2_export,
-        "dedup_paragraphs": dedup_paragraphs,
-        "dedup_semantic": dedup_semantic,
-        "dedup_ngram_jaccard": dedup_ngram_jaccard,
-        "dedup_minhash_lsh": dedup_minhash_lsh,
-        "dedup_clusters": dedup_clusters,
-        "sample_shuffle": sample_shuffle,
-        "w7_time_gapfill": w7_time_gapfill,
-        "knn_ivf": knn_ivf,
-        "w6_scd2_intervals": w6_scd2_intervals,
-        "events_enrich": events_enrich,
-        "events_stream_dedup_native": events_stream_dedup_native,
-        "dedup_incremental": dedup_incremental,
-        "a10_cube": a10_cube,
-        "sample_curriculum": sample_curriculum,
-        "text_quality": text_quality,
-        "text_lang_id": text_lang_id,
-        "text_gopher_quality": text_gopher_quality,
-        "pipeline_dedup_stats": pipeline_dedup_stats,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
         "q5_local_supplier_volume": q5_local_supplier_volume,
         "q6_revenue_forecast": q6_revenue_forecast,
         "q10_returned_items": q10_returned_items,
-        "q12_shipmode": q12_shipmode,
-        "q14_promo_effect": q14_promo_effect,
         "f1_conjunctive_eq": f1_conjunctive_eq,
         "a1_group_minmax": a1_group_minmax,
         "a4_argmin": a4_argmin,
@@ -3835,18 +3891,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p6_regex_extract": p6_regex_extract,
         "p7_parse_section_id": p7_parse_section_id,
         "c10_concat_ids": c10_concat_ids,
+        "dedup_minhash_lsh": dedup_minhash_lsh,
+        "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "dedup_paragraphs": dedup_paragraphs,
+        "dedup_semantic": dedup_semantic,
+        "dedup_clusters": dedup_clusters,
+        "dedup_incremental": dedup_incremental,
+        "decontaminate_corpus": decontaminate_corpus,
+        "pipeline_dedup_stats": pipeline_dedup_stats,
+        "text_quality": text_quality,
+        "text_lang_id": text_lang_id,
         "text_tokens": text_tokens,
+        "text_gopher_quality": text_gopher_quality,
+        "sample_shuffle": sample_shuffle,
+        "sample_curriculum": sample_curriculum,
+        "events_sessionize": events_sessionize,
+        "events_enrich": events_enrich,
+        "events_stream_dedup_native": events_stream_dedup_native,
+        "events_interval_join": events_interval_join,
+        "w6_scd2_intervals": w6_scd2_intervals,
+        "w7_time_gapfill": w7_time_gapfill,
+        "knn_ivf": knn_ivf,
+        "j10_salted_join": j10_salted_join,
+        "a10_cube": a10_cube,
+        "q12_shipmode": q12_shipmode,
+        "q14_promo_effect": q14_promo_effect,
+    # ^ the 50-key driver window ends here --- tail below is mirror-checked every round ---
+        "media_features": media_features,
         "events_tumbling": events_tumbling,
         "events_sliding": events_sliding,
-        "events_sessionize": events_sessionize,
         "knn_brute_force": knn_brute_force,
         "knn_lsh": knn_lsh,
-        "media_features": media_features,
-        "j10_salted_join": j10_salted_join,
-        "events_interval_join": events_interval_join,
-        "decontaminate_corpus": decontaminate_corpus,
+        "f2_range_between": f2_range_between,
+        "f3_in_list": f3_in_list,
+        "f7_domain_validation": f7_domain_validation,
+        "a2_distinct": a2_distinct,
+        "w4_first_seen": w4_first_seen,
+        "w5_explode_sequence": w5_explode_sequence,
         "events_retention": events_retention,
         "text_lm_score": text_lm_score,
+        "sample_rebalance": sample_rebalance,
         "profile_join_cardinality": profile_join_cardinality,
         "profile_psi_drift": profile_psi_drift,
         "events_transitions": events_transitions,
@@ -3857,6 +3941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f9_zscore_groups": f9_zscore_groups,
         "profile_skew": profile_skew_q,
         "text_bm25": text_bm25,
+        "j13_interval_overlap": j13_interval_overlap,
         "j14_fuzzy_link": j14_fuzzy_link,
         "sample_weighted": sample_weighted,
         "events_funnel": events_funnel,
@@ -3885,13 +3970,93 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_temperature": sample_temperature,
         "a9_sketch_distinct": a9_sketch_distinct,
         "u2_unpivot": u2_unpivot,
-        "f2_range_between": f2_range_between,
-        "f3_in_list": f3_in_list,
-        "f7_domain_validation": f7_domain_validation,
-        "a2_distinct": a2_distinct,
-        "w4_first_seen": w4_first_seen,
-        "w5_explode_sequence": w5_explode_sequence,
+        "j11_binned_range_join": j11_binned_range_join,
+        "o1_topk": o1_topk,
+        "u1_union_all": u1_union_all,
+        "dedup_exact": dedup_exact,
+        "dedup_simhash": dedup_simhash,
+        "dedup_embedding_cosine": dedup_embedding_cosine,
+        "text_fingerprint": text_fingerprint,
+        "q2_min_cost_supplier": q2_min_cost_supplier,
+        "q4_order_priority": q4_order_priority,
+        "q7_volume_shipping": q7_volume_shipping,
+        "q8_market_share": q8_market_share,
+        "q9_product_profit": q9_product_profit,
+        "q11_important_stock": q11_important_stock,
+        "q13_customer_distribution": q13_customer_distribution,
+        "q15_top_supplier": q15_top_supplier,
+        "q16_supplier_cnt": q16_supplier_cnt,
+        "q17_avg_subquery": q17_avg_subquery,
+        "q18_large_volume": q18_large_volume,
+        "q19_disjunctive": q19_disjunctive,
+        "q20_potential_promotion": q20_potential_promotion,
+        "q21_waiting_supplier": q21_waiting_supplier,
+        "q22_global_sales": q22_global_sales,
+        "a7_percentiles": a7_percentiles,
+        "a8_rollup": a8_rollup,
+        "pivot_returnflag": pivot_returnflag,
+        "sample_split": sample_split,
+        "sample_fraction": sample_fraction,
+        "sample_mix": sample_mix,
+        "sample_cap_per_source": sample_cap_per_source,
+        "sample_budget_mix": sample_budget_mix,
+        "pack_examples": pack_examples,
+        "text_scrub_pii": text_scrub_pii,
+        "text_tfidf_terms": text_tfidf_terms,
+        "text_ppl_buckets": text_ppl_buckets,
+        "text_bm25_rerank": text_bm25_rerank,
+        "doc_embedding_join": doc_embedding_join,
+        "profile_documents": profile_documents,
+        "profile_calibration": profile_calibration,
+        "events_json_props": events_json_props,
+        "events_running_totals": events_running_totals,
+        "events_stream_dedup": events_stream_dedup,
+        "events_sessionize_native": events_sessionize_native,
+        "events_attribution": events_attribution,
+        "j9_asof_join": j9_asof_join,
+        "pipeline_fuzzy_dedup": pipeline_fuzzy_dedup,
+        "pipeline_curate_corpus": pipeline_curate_corpus,
+        "knn_lsh_exact": knn_lsh_exact,
+        "knn_ivf_exact": knn_ivf_exact,
+        "knn_group_centroids": knn_group_centroids,
+        "dedup_contamination_13g": dedup_contamination_13g,
+        "w1_splice_scan": w1_splice_scan,
     }
+
+
+def _bpe_encode_oracle_sql(n_merges: int = 6, k: int = 20) -> str:
+    """DuckDB twin of text_bpe_encode: the same iterative merge argmax,
+    one (m_i, v_i) CTE pair per merge — m_i picks the most frequent
+    adjacent symbol pair of state v_{i-1} (count desc, pair asc), v_i
+    replays the merge via space-padded literal replace (leftmost
+    non-overlapping, exactly BPE's order)."""
+    stages = ["""v0 AS (
+              SELECT w, n,
+                     trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS s
+              FROM (
+                SELECT w, count(*) AS n FROM (
+                  SELECT unnest(string_split_regex(lower(trim(text)),
+                                                   '\\s+')) AS w
+                  FROM documents)
+                WHERE w <> '' GROUP BY 1)
+            )"""]
+    for i in range(1, n_merges + 1):
+        stages.append(f"""m{i} AS (
+              SELECT arr[u.i] || ' ' || arr[u.i+1] AS p
+              FROM (SELECT string_split(s, ' ') AS arr, n FROM v{i - 1}) t,
+                   UNNEST(range(1, len(arr))) AS u(i)
+              GROUP BY 1 ORDER BY sum(n) DESC, p LIMIT 1
+            )""")
+        stages.append(f"""v{i} AS (
+              SELECT w, n, trim(replace(' ' || s || ' ',
+                  ' ' || (SELECT p FROM m{i}) || ' ',
+                  ' ' || replace((SELECT p FROM m{i}), ' ', '') || ' ')) AS s
+              FROM v{i - 1}
+            )""")
+    return ("WITH " + ",\n".join(stages) + f"""
+            SELECT w AS word, CAST(n AS BIGINT) AS n, s AS bpe,
+                   CAST(len(string_split(s, ' ')) AS BIGINT) AS n_tokens
+            FROM v{n_merges} ORDER BY n DESC, word LIMIT {k}""")
 
 
 def _zkey_sql(bits: int = 8) -> str:
@@ -4395,6 +4560,37 @@ def oracle_sql() -> dict[str, str]:
             FROM capped a JOIN capped b ON a.g = b.g AND a.i < b.i
             GROUP BY 1, 2
             HAVING count(*) >= 3
+        """,
+        "text_bpe_encode": _bpe_encode_oracle_sql(n_merges=6, k=20),
+        "web_blocklist_filter": f"""
+            WITH raw AS (
+              SELECT doc_id, ({_URL_CASE_SQL}) AS url FROM documents
+            ), p AS (
+              SELECT doc_id,
+                lower(regexp_extract(
+                  regexp_replace(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://', ''),
+                  '^(?:[^/@?#]*@)?([^/:?#]+)', 1)) AS host
+              FROM raw
+            ), bl AS (
+              SELECT * FROM (VALUES ('src1.example.com'),
+                                    ('sub.src2.example.com'),
+                                    ('src3.example.com'),
+                                    ('nosuch.example.org')) b(suf)
+            ), hits AS (
+              SELECT DISTINCT doc_id FROM (
+                SELECT q.doc_id,
+                       array_to_string(q.labels[u.i:len(q.labels)], '.')
+                         AS suf
+                FROM (SELECT doc_id, string_split(host, '.') AS labels
+                      FROM p) q,
+                     UNNEST(range(1, len(q.labels) + 1)) AS u(i)
+              ) s JOIN bl USING (suf)
+            )
+            SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
+                   min(doc_id) AS min_doc
+            FROM p
+            WHERE doc_id NOT IN (SELECT doc_id FROM hits)
+            GROUP BY host
         """,
         "text_bpe_pairs": """
             WITH words AS (
@@ -5228,6 +5424,11 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 2) AS value_sum
             FROM events GROUP BY user_id
         """,
+        "events_running_totals_native": """
+            SELECT user_id, count(*) AS n_events,
+                   round(sum(value), 2) AS value_sum
+            FROM events GROUP BY user_id
+        """,
         "a7_percentiles": """
             SELECT l_returnflag,
                    round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
@@ -5417,6 +5618,16 @@ def oracle_sql() -> dict[str, str]:
             FROM supplier
             JOIN customer
               ON c_acctbal BETWEEN s_acctbal AND s_acctbal + 500.0
+            GROUP BY s_suppkey
+        """,
+        "j11_range_join_bounded": """
+            WITH w AS (SELECT 50000.0 / count(*) AS bw FROM supplier)
+            SELECT s_suppkey,
+                   CAST(count(*) AS BIGINT) AS n_cust,
+                   round(sum(c_acctbal), 2) AS sum_bal
+            FROM supplier CROSS JOIN w
+            JOIN customer
+              ON c_acctbal BETWEEN s_acctbal AND s_acctbal + w.bw
             GROUP BY s_suppkey
         """,
         "dedup_paragraphs": """

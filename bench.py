@@ -276,6 +276,7 @@ def main() -> None:
     # read as 40 phantom plan regressions.
     calibration = _calibrate(spark)
     regressions = {}
+    retried = {}
     host_ratio = 1.0
     floor_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "bench_floor.json")
@@ -292,14 +293,30 @@ def main() -> None:
         # the median of 40. Floors stay best-known; the gate flags what
         # is slow RELATIVE TO THIS RUN'S OWN BASELINE.
         calib_ref = floor_doc.get("calibration_ref")
+        probe_ratio = 1.0
         if calib_ref:
-            host_ratio = min(3.0, max(1.0, calibration / float(calib_ref)))
-        ratios = sorted(
-            t / floors[n] for n, t in timings.items()
-            if floors.get(n))
+            probe_ratio = min(3.0, max(1.0, calibration / float(calib_ref)))
+        host_ratio = probe_ratio
+        ratios = [t / floors[n] for n, t in timings.items()
+                  if floors.get(n)]
         if ratios:
-            med = ratios[len(ratios) // 2]
-            host_ratio = min(3.0, max(host_ratio, med))
+            med = statistics.median(ratios)
+            if med > host_ratio:
+                # The probe is the PRIMARY host signal; the timing median
+                # exists because steal bursts hit mid-bench while the probe
+                # runs at the end. But a genuine many-query code/config
+                # regression moves the median the same way a burst does and
+                # would silently loosen every limit — so when the median
+                # (not the probe) raises host_ratio meaningfully, say so
+                # loudly and leave the evidence in the artifact.
+                if med > max(1.2, probe_ratio):
+                    print(f"WARNING: timing-median sets host_ratio "
+                          f"{min(3.0, med):.2f} (CPU probe says "
+                          f"{probe_ratio:.2f}) — either a mid-bench host "
+                          f"burst or a MANY-QUERY regression; the gate "
+                          f"cannot tell them apart, inspect per-query "
+                          f"deltas", file=sys.stderr)
+                host_ratio = min(3.0, med)
         for name, t in timings.items():
             fl = floors.get(name)
             if fl is not None and t > _limit(fl, host_ratio):
@@ -307,6 +324,37 @@ def main() -> None:
                 print(f"REGRESSION: {name} {t}s > limit "
                       f"{_limit(fl, host_ratio):.2f}s (floor {fl}s, "
                       f"host_ratio {host_ratio:.2f})", file=sys.stderr)
+        # Self-defending retry: a flag on this hypervisor is usually a
+        # bursty steal-time artifact (identical code measured 2-6x apart
+        # minutes apart). Re-run each flagged query ONCE, in-session, and
+        # record BOTH timings in the artifact — a genuine plan regression
+        # reproduces on retry; a burst doesn't. The retry replaces
+        # README-level attribution with in-artifact evidence.
+        for name in list(regressions):
+            fn = qs.get(name)
+            if fn is None:
+                continue
+            t0 = time.time()
+            if name == "knn_ivf":
+                df = fn(spark, sf_dir, index=ivf_index)
+            else:
+                df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            t2 = round(time.time() - t0, 3)
+            spark.catalog.clearCache()
+            fl = floors[name]
+            cleared = t2 <= _limit(fl, host_ratio)
+            retried[name] = {"first": regressions[name]["now"],
+                             "retry": t2, "cleared": cleared}
+            if cleared:
+                print(f"RETRY CLEARED: {name} retried at {t2}s <= limit "
+                      f"{_limit(fl, host_ratio):.2f}s — first run was a "
+                      f"host burst, not a regression", file=sys.stderr)
+                del regressions[name]
+            else:
+                print(f"RETRY CONFIRMED: {name} retried at {t2}s, still "
+                      f"over limit {_limit(fl, host_ratio):.2f}s",
+                      file=sys.stderr)
     try:
         sf_val = float(sf_name)
     except ValueError:
@@ -323,6 +371,8 @@ def main() -> None:
     }
     if regressions:
         out["regressions"] = regressions
+    if retried:
+        out["retry"] = retried
     print(json.dumps(out))
     if regressions and os.environ.get("BENCH_ENFORCE") == "1":
         sys.exit(1)

@@ -64,19 +64,23 @@ def _png_unfilter(raw: bytes, width: int, height: int, bpp: int) -> bytes:
         pos += 1
         row = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos).copy()
         pos += stride
+        # scalar accumulation below runs in Python ints — adding two numpy
+        # uint8 scalars is correct mod 256 but emits per-add overflow
+        # RuntimeWarnings, noisy per worker and fatal under
+        # warnings-as-errors
         if ftype == 0:                         # None
             cur = row
         elif ftype == 1:                       # Sub
             cur = row
             for x in range(bpp, stride):
-                cur[x] = (cur[x] + cur[x - bpp]) & 0xFF
+                cur[x] = (int(cur[x]) + int(cur[x - bpp])) & 0xFF
         elif ftype == 2:                       # Up
-            cur = (row + prev).astype(np.uint8)
+            cur = ((row.astype(np.uint16) + prev) & 0xFF).astype(np.uint8)
         elif ftype == 3:                       # Average
             cur = row
             for x in range(stride):
                 left = int(cur[x - bpp]) if x >= bpp else 0
-                cur[x] = (cur[x] + ((left + int(prev[x])) >> 1)) & 0xFF
+                cur[x] = (int(cur[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
         elif ftype == 4:                       # Paeth
             cur = row
             for x in range(stride):
@@ -86,7 +90,7 @@ def _png_unfilter(raw: bytes, width: int, height: int, bpp: int) -> bytes:
                 p = a + b - c
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                 pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                cur[x] = (cur[x] + pred) & 0xFF
+                cur[x] = (int(cur[x]) + pred) & 0xFF
         else:
             raise ValueError(f"PNG: unknown filter type {ftype} in row {y}")
         out[y] = cur
@@ -98,10 +102,12 @@ def decode_png(data: bytes) -> Tuple[int, int, int, bytes]:
     """Decode an 8-bit non-interlaced PNG.
 
     Returns ``(width, height, channels, pixels)`` with ``pixels`` the
-    raw row-major samples (RGB / RGBA / gray / gray+alpha). Raises
-    ``ValueError`` on malformed bytes and ``NotImplementedError`` for
-    the PNG features a real library should handle (16-bit, palette,
-    interlacing).
+    raw row-major samples (RGB / RGBA / gray / gray+alpha). Palette
+    images (color type 3, PLTE chunk, RFC 2083 §4.1.2) decode to
+    expanded RGB — or RGBA when a tRNS chunk supplies per-entry alpha.
+    Raises ``ValueError`` on malformed bytes and ``NotImplementedError``
+    for the PNG features a real library should handle (16-bit and
+    sub-byte depths, interlacing).
     """
     data = bytes(data)
     if not data.startswith(_PNG_SIG):
@@ -109,6 +115,7 @@ def decode_png(data: bytes) -> Tuple[int, int, int, bytes]:
     pos, width = len(_PNG_SIG), None
     height = depth = ctype = None
     idat = bytearray()
+    plte = trns = None
     while pos + 8 <= len(data):
         (length,), ctag = struct.unpack(">I", data[pos:pos + 4]), data[pos + 4:pos + 8]
         chunk = data[pos + 8:pos + 8 + length]
@@ -118,24 +125,48 @@ def decode_png(data: bytes) -> Tuple[int, int, int, bytes]:
                 ">IIBBBBB", chunk)
             if depth != 8:
                 raise NotImplementedError(f"PNG: bit depth {depth} needs a real library")
-            if ctype not in _PNG_CHANNELS:
-                raise NotImplementedError(f"PNG: color type {ctype} (palette?) needs a real library")
+            if ctype not in _PNG_CHANNELS and ctype != 3:
+                raise NotImplementedError(f"PNG: color type {ctype} needs a real library")
             if interlace:
                 raise NotImplementedError("PNG: Adam7 interlacing needs a real library")
             if comp or filt:
                 raise ValueError("PNG: nonzero compression/filter method")
+        elif ctag == b"PLTE":
+            if length == 0 or length % 3 or length > 768:
+                raise ValueError(f"PNG: bad PLTE length {length}")
+            plte = np.frombuffer(chunk, dtype=np.uint8).reshape(-1, 3)
+        elif ctag == b"tRNS":
+            trns = np.frombuffer(chunk, dtype=np.uint8)
         elif ctag == b"IDAT":
             idat += chunk
         elif ctag == b"IEND":
             break
     if width is None or not idat:
         raise ValueError("PNG: missing IHDR or IDAT")
-    ch = _PNG_CHANNELS[ctype]
+    # palette pixels are 1-byte indices on the wire; they unfilter like a
+    # 1-channel image, then expand through the PLTE lookup table
+    ch = 1 if ctype == 3 else _PNG_CHANNELS[ctype]
     raw = zlib.decompress(bytes(idat))
     expect = height * (1 + width * ch)
     if len(raw) != expect:
         raise ValueError(f"PNG: decompressed {len(raw)} bytes, expected {expect}")
-    return width, height, ch, _png_unfilter(raw, width, height, ch)
+    pixels = _png_unfilter(raw, width, height, ch)
+    if ctype != 3:
+        return width, height, ch, pixels
+    if plte is None:
+        raise ValueError("PNG: color type 3 without a PLTE chunk")
+    idx = np.frombuffer(pixels, dtype=np.uint8)
+    if int(idx.max(initial=0)) >= len(plte):
+        raise ValueError("PNG: palette index out of range")
+    if trns is not None:
+        # per-entry alpha; entries past the tRNS table are opaque
+        alpha = np.full(len(plte), 255, dtype=np.uint8)
+        alpha[: min(len(trns), len(plte))] = trns[: len(plte)]
+        lut = np.column_stack([plte, alpha])
+    else:
+        lut = plte
+    out = lut[idx]
+    return width, height, lut.shape[1], np.ascontiguousarray(out).tobytes()
 
 
 def decode_bmp(data: bytes) -> Tuple[int, int, int, bytes]:
@@ -197,8 +228,13 @@ def decode_wav(data: bytes) -> Tuple[int, int, int, np.ndarray]:
         body = data[pos + 8:pos + 8 + size]
         pos += 8 + size + (size & 1)  # chunks are word-aligned
         if tag == b"fmt ":
+            if len(body) < 16:
+                raise ValueError(
+                    f"WAV: malformed fmt chunk ({len(body)} bytes, need 16)")
             fmt, channels, rate = struct.unpack_from("<HHI", body, 0)
             bits, = struct.unpack_from("<H", body, 14)
+            if channels < 1:
+                raise ValueError("WAV: malformed fmt chunk (0 channels)")
             if fmt != 1:
                 raise NotImplementedError(f"WAV: format {fmt} (non-PCM) needs a real library")
             if bits not in (8, 16):

@@ -124,7 +124,13 @@ def decode_audio(df: DataFrame) -> DataFrame:
                     pdf["media_id"], pdf["kind"], pdf["data"]):
                 if kind != "audio" or data is None:
                     continue
-                rate, ch, dur, samples = codecs.decode_wav(bytes(data))
+                try:
+                    rate, ch, dur, samples = codecs.decode_wav(bytes(data))
+                except (ValueError, NotImplementedError):
+                    # malformed payload or a codec this environment can't
+                    # decode: drop the row, per the documented contract —
+                    # one bad file must not fail a 100 TB stage
+                    continue
                 rms = float(np.sqrt(np.mean(
                     samples.astype(np.float64) ** 2))) if samples.size else 0.0
                 rows.append((int(mid), rate, ch, dur,

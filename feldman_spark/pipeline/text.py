@@ -28,10 +28,18 @@ __all__ = [
     "lang_id",
     "fingerprint",
     "bpe_pair_counts",
+    "bpe_train_merges",
+    "bpe_apply_merges",
     "lm_score",
+    "unpersist_lm_caches",
     "ppl_buckets",
     "STOPWORDS",
 ]
+
+# persisted gram tables registered by lm_score, released by
+# unpersist_lm_caches — the scoped-lifecycle handle for long-lived
+# sessions (bench/sweep harnesses clearCache() instead, which also works)
+_LM_CACHES: List[DataFrame] = []
 
 # tiny per-language stopword lists (function-word n-gram heuristic)
 STOPWORDS: Dict[str, List[str]] = {
@@ -498,6 +506,100 @@ def bpe_pair_counts(
     )
 
 
+def _bpe_vocab(df: DataFrame, text_col: str) -> DataFrame:
+    """Corpus → (word, count) vocabulary — the one corpus-sized shuffle
+    every BPE step shares (see :func:`bpe_pair_counts` for why training
+    runs over the vocabulary, never the token stream)."""
+    return (
+        df.select(F.explode(
+            F.split(F.trim(F.lower(F.col(f"`{text_col}`"))), r"\s+")
+        ).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w").agg(F.count("*").alias("_n"))
+    )
+
+
+def _spaced_chars(word: Column) -> Column:
+    """A word as its space-joined character symbols — BPE's initial
+    segmentation state ('hello' → 'h e l l o')."""
+    return F.trim(F.regexp_replace(word, "(.)", "$1 "))
+
+
+def bpe_train_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 6,
+) -> List[str]:
+    """Learn the first ``n_merges`` BPE merges over the corpus (Sennrich
+    et al. 2016): repeatedly pick the most frequent adjacent symbol pair
+    (count desc, pair asc on ties), merge it everywhere, re-count.
+    Returns the merge list, each merge as ``"a b"`` (the pair joined by
+    one space; the merged symbol is the pair with the space removed) —
+    the input :func:`bpe_apply_merges` replays on any word column.
+
+    Scale: the corpus collapses to its vocabulary once (persisted for
+    the loop — a few tens of millions of rows at 100 TB); each iteration
+    is then ONE vocabulary-sized aggregate plus a 1-row collect for the
+    argmax. The driver loop is over ``n_merges`` (a constant), never
+    over data."""
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    vocab = _bpe_vocab(df, text_col).persist()
+    state = vocab.select("w", "_n", _spaced_chars(F.col("w")).alias("_s"))
+    merges: List[str] = []
+    try:
+        for _ in range(n_merges):
+            pairs = (
+                state.select(F.split("_s", " ").alias("_a"), "_n")
+                # guard: sequence(1, 0) is DESCENDING [1, 0] in Spark, so
+                # single-symbol words must be filtered, not transformed
+                .filter(F.size("_a") >= 2)
+                .select(
+                    F.explode(F.expr(
+                        "transform(sequence(1, size(_a) - 1), "
+                        "i -> concat(_a[i-1], ' ', _a[i]))")).alias("pair"),
+                    "_n",
+                )
+            )
+            best = (
+                pairs.groupBy("pair").agg(F.sum("_n").alias("n"))
+                .orderBy(F.col("n").desc(), F.col("pair").asc())
+                .limit(1).collect()
+            )
+            if not best:
+                break
+            p = best[0]["pair"]
+            merges.append(p)
+            state = state.withColumn(
+                "_s", _apply_one_merge(F.col("_s"), p))
+    finally:
+        vocab.unpersist()
+    return merges
+
+
+def _apply_one_merge(state: Column, pair: str) -> Column:
+    """Replace every occurrence of the symbol pair in a space-separated
+    state string. Literal ``replace`` over the space-padded state is
+    exactly BPE's leftmost non-overlapping merge order, and the padding
+    keeps boundaries unambiguous ('l l l' merging 'l l' → 'll l')."""
+    merged = pair.replace(" ", "")
+    return F.trim(F.replace(
+        F.concat(F.lit(" "), state, F.lit(" ")),
+        F.lit(f" {pair} "), F.lit(f" {merged} ")))
+
+
+def bpe_apply_merges(word: Column, merges: Sequence[str]) -> Column:
+    """Encode a word column with a learned merge list: start from
+    space-joined characters, apply each merge in training order.
+    Returns the space-separated BPE segmentation. Pure codegen string
+    replaces — the merge list is a compiled-in constant, so encoding a
+    100 TB corpus is one row-local pass, no join, no UDF."""
+    s = _spaced_chars(word)
+    for p in merges:
+        s = _apply_one_merge(s, p)
+    return s
+
+
 def lm_score(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -533,10 +635,10 @@ def lm_score(
     (MEMORY_AND_DISK) because two consumers each would otherwise
     re-derive the explode+aggregate lineage (measured 2× the operator
     at sf5). They stay cached for the session so repeated scoring runs
-    reuse the model; long-lived sessions interleaving MANY different
-    heavy operators should ``spark.catalog.clearCache()`` between them
-    (the bench/sweep harnesses do exactly this) or unpersist the
-    returned plan's sources explicitly.
+    reuse the model; release them with :func:`unpersist_lm_caches` once
+    scoring is done (long-lived sessions interleaving MANY heavy
+    operators), or ``spark.catalog.clearCache()`` which the bench/sweep
+    harnesses call between queries.
     """
     toks = F.split(F.trim(F.lower(F.col(f"`{text_col}`"))), r"\s+")
     base = df.select(F.col(f"`{id_col}`"), toks.alias("_t")).filter(
@@ -561,6 +663,7 @@ def lm_score(
         F.count("*").alias("_k")).persist()
     model = doc_bg.groupBy("_w1", "_w2").agg(
         F.sum("_k").alias("_c12")).persist()
+    _LM_CACHES.extend([doc_bg, model])
     ctx = model.groupBy("_w1").agg(F.sum("_c12").alias("_c1"))
     vocab = (
         model.select(F.col("_w1").alias("_w"))
@@ -582,6 +685,19 @@ def lm_score(
             ).alias("lm_logprob"),
         )
     )
+
+
+def unpersist_lm_caches(blocking: bool = False) -> int:
+    """Release every gram table :func:`lm_score` persisted in this
+    process (each call registers its ``doc_bg``/``model`` here). Returns
+    the number of tables released. Safe to call any time: plans built on
+    the tables stay valid, they just recompute lineage on next use."""
+    n = 0
+    while _LM_CACHES:
+        df = _LM_CACHES.pop()
+        df.unpersist(blocking=blocking)
+        n += 1
+    return n
 
 
 def ppl_buckets(
@@ -614,6 +730,9 @@ def ppl_buckets(
     the mergeable ``approx_percentile`` sketch at the same call site
     (a11's documented exact/sketch pairing).
     """
+    if len(cuts) != 2:
+        raise ValueError(
+            f"ppl_buckets: cuts must be exactly 2 quantiles (got {len(cuts)})")
     lo, hi = float(cuts[0]), float(cuts[1])
     if not (0.0 < lo < hi < 1.0):
         raise ValueError(

@@ -26,10 +26,18 @@ blocklist — both already 100 TB-shaped.
 
 from __future__ import annotations
 
+from typing import Sequence, Union
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["url_parts", "normalize_url", "registered_domain"]
+__all__ = [
+    "url_parts",
+    "normalize_url",
+    "registered_domain",
+    "host_suffixes",
+    "blocklist_filter",
+]
 
 _SCHEME_RE = r"^([a-zA-Z][a-zA-Z0-9+.-]*)://"
 # applied to the scheme-stripped remainder:
@@ -53,6 +61,58 @@ def registered_domain(host: Column) -> Column:
     and what matters for cap_per_group is only that the key is stable.)
     """
     return F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+
+
+def host_suffixes(host: Column) -> Column:
+    """All dot-suffixes of a host, most-specific first
+    (``a.b.example.com`` → ``[a.b.example.com, b.example.com,
+    example.com, com]``) — the expansion that turns "blocked domain OR
+    any subdomain of it" into a plain EQUALITY match: a host is blocked
+    iff any of its suffixes appears in the blocklist. Row-local array
+    codegen; a host has ≤ a handful of labels, so the expansion is
+    O(labels), not O(blocklist)."""
+    labels = F.split(host, r"\.")
+    return F.transform(
+        F.sequence(F.lit(1), F.size(labels)),
+        lambda i: F.array_join(F.slice(labels, i, F.size(labels)), "."),
+    )
+
+
+def blocklist_filter(
+    df: DataFrame,
+    blocked: Union[Sequence[str], DataFrame],
+    host_col: str = "host",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Drop every row whose host is a blocked domain or a subdomain of
+    one — the crawl-curation domain blocklist (robots/manual-ban lists).
+
+    Two shapes, both suffix-equality (never a ``LIKE '%...'`` scan or a
+    nested-loop join):
+
+    * ``blocked`` as a Python sequence (config-sized lists, the common
+      case): compiled into a literal array, matched row-locally with
+      ``arrays_overlap`` over :func:`host_suffixes` — zero joins, zero
+      shuffles, the filter rides the scan.
+    * ``blocked`` as a single-column DataFrame (million-entry curated
+      lists): each row explodes into its suffix chain, inner-joins the
+      broadcast blocklist to a distinct hit-id set, and the result is a
+      LEFT ANTI join of the input against those ids — two broadcast hash
+      joins, corpus never shuffles.
+    """
+    host = F.lower(F.col(host_col))
+    if isinstance(blocked, DataFrame):
+        bcol = blocked.columns[0]
+        b = blocked.select(F.lower(F.col(bcol)).alias("_suf")).distinct()
+        hits = (
+            df.select(F.col(id_col),
+                      F.explode(host_suffixes(host)).alias("_suf"))
+            .join(F.broadcast(b), "_suf")
+            .select(id_col).distinct()
+        )
+        return df.join(F.broadcast(hits), id_col, "left_anti")
+    arr = F.array(*[F.lit(str(x).lower()) for x in blocked])
+    return df.filter(~F.arrays_overlap(host_suffixes(host), arr))
 
 
 def url_parts(df: DataFrame, url_col: str = "url") -> DataFrame:

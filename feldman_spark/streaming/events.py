@@ -23,6 +23,7 @@ __all__ = [
     "interval_join",
     "enrich",
     "dedup_native",
+    "running_totals_native",
     "stream_events",
     "run_stream_to_memory",
 ]
@@ -275,3 +276,34 @@ def dedup_native(
     """
     df = _watermarkable(stream, ts_col).withWatermark(ts_col, watermark)
     return df.dropDuplicatesWithinWatermark(list(keys))
+
+
+def running_totals_native(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key running (count, sum) as a NATIVE streaming aggregation:
+    ``groupBy().agg()`` in update mode — each micro-batch emits the keys
+    it touched with their totals-so-far, state lives in the JVM state
+    store (RocksDB-shardable), keys never cross into Python.
+
+    This is the corpus-scale path for unbounded key sets — the
+    `dedup_native` precedent applied to running aggregates. The
+    ``applyInPandasWithState`` twin
+    (:func:`feldman_spark.streaming.stateful.streaming_running_totals`)
+    pays a Python function call PER KEY per micro-batch and earns its
+    keep only when the per-key update logic is genuinely custom; for
+    plain count/sum the built-in operator is the same answer at state
+    store speed. The same plan runs in batch for the value oracle.
+
+    Running totals are deliberately unwindowed: state is one row per
+    distinct key forever (the running-total contract). If the key space
+    is unbounded AND totals may age out, add an event-time window +
+    watermark instead — this operator is for live per-entity counters.
+    """
+    return (
+        stream.groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum(value_col), 2).alias("value_sum"))
+    )
