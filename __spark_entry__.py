@@ -4028,8 +4028,10 @@ def _bpe_encode_oracle_sql(n_merges: int = 6, k: int = 20) -> str:
     """DuckDB twin of text_bpe_encode: the same iterative merge argmax,
     one (m_i, v_i) CTE pair per merge — m_i picks the most frequent
     adjacent symbol pair of state v_{i-1} (count desc, pair asc), v_i
-    replays the merge via space-padded literal replace (leftmost
-    non-overlapping, exactly BPE's order)."""
+    replays the merge as the SAME left fold over symbols the Spark side
+    uses (list_reduce ↔ F.aggregate): tail-token-equals-a + next-is-b →
+    append with no separator. Zero-width boundaries, so runs merge
+    correctly ('l l l l' → 'll ll')."""
     stages = ["""v0 AS (
               SELECT w, n,
                      trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS s
@@ -4048,10 +4050,18 @@ def _bpe_encode_oracle_sql(n_merges: int = 6, k: int = 20) -> str:
               GROUP BY 1 ORDER BY sum(n) DESC, p LIMIT 1
             )""")
         stages.append(f"""v{i} AS (
-              SELECT w, n, trim(replace(' ' || s || ' ',
-                  ' ' || (SELECT p FROM m{i}) || ' ',
-                  ' ' || replace((SELECT p FROM m{i}), ' ', '') || ' ')) AS s
-              FROM v{i - 1}
+              SELECT w, n,
+                list_reduce(
+                  list_prepend('', string_split(s, ' ')),
+                  (acc, x) -> CASE
+                    WHEN x = mm.b AND (acc = mm.a
+                                       OR ends_with(acc, ' ' || mm.a))
+                      THEN acc || x
+                    WHEN acc = '' THEN x
+                    ELSE acc || ' ' || x END) AS s
+              FROM v{i - 1}, (SELECT string_split(p, ' ')[1] AS a,
+                                     string_split(p, ' ')[2] AS b
+                              FROM m{i}) mm
             )""")
     return ("WITH " + ",\n".join(stages) + f"""
             SELECT w AS word, CAST(n AS BIGINT) AS n, s AS bpe,

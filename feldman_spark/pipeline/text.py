@@ -578,22 +578,37 @@ def bpe_train_merges(
 
 
 def _apply_one_merge(state: Column, pair: str) -> Column:
-    """Replace every occurrence of the symbol pair in a space-separated
-    state string. Literal ``replace`` over the space-padded state is
-    exactly BPE's leftmost non-overlapping merge order, and the padding
-    keeps boundaries unambiguous ('l l l' merging 'l l' → 'll l')."""
-    merged = pair.replace(" ", "")
-    return F.trim(F.replace(
-        F.concat(F.lit(" "), state, F.lit(" ")),
-        F.lit(f" {pair} "), F.lit(f" {merged} ")))
+    """Merge every leftmost non-overlapping occurrence of the symbol
+    pair in a space-separated state string — a left FOLD over the
+    symbols (``aggregate`` HOF, still whole-stage codegen): when the
+    accumulator's last token is ``a`` and the next symbol is ``b``,
+    append ``b`` with no separator (forming the merged token), else
+    append with a space. The fold is exactly Sennrich's
+    ``re.sub(r'(?<!\\S)a b(?!\\S)')`` semantics — zero-width
+    boundaries, so a run like 'l l l l' merges to 'll ll', which a
+    space-PADDED literal replace gets wrong ('ll l l': the consumed
+    trailing space breaks the next adjacent match). Tokens are
+    space-free by construction, so "ends with ' '+a" ⇔ "last token is
+    exactly a"; a freshly merged token is strictly longer than ``a``
+    and can never re-merge inside the same pass (non-overlap)."""
+    a, b = pair.split(" ")
+    return F.aggregate(
+        F.split(state, " "),
+        F.lit(""),
+        lambda acc, x: F.when(
+            (x == F.lit(b)) & ((acc == F.lit(a)) | acc.endswith(" " + a)),
+            F.concat(acc, x),
+        ).when(acc == "", x).otherwise(F.concat(acc, F.lit(" "), x)),
+    )
 
 
 def bpe_apply_merges(word: Column, merges: Sequence[str]) -> Column:
     """Encode a word column with a learned merge list: start from
-    space-joined characters, apply each merge in training order.
-    Returns the space-separated BPE segmentation. Pure codegen string
-    replaces — the merge list is a compiled-in constant, so encoding a
-    100 TB corpus is one row-local pass, no join, no UDF."""
+    space-joined characters, apply each merge in training order (one
+    symbol fold per merge — see :func:`_apply_one_merge`). Returns the
+    space-separated BPE segmentation. Pure codegen column expressions —
+    the merge list is a compiled-in constant, so encoding a 100 TB
+    corpus is one row-local pass, no join, no UDF."""
     s = _spaced_chars(word)
     for p in merges:
         s = _apply_one_merge(s, p)

@@ -63,6 +63,50 @@ def _encode_png(pixels: np.ndarray, filters: list[int]) -> bytes:
             + _png_chunk(b"IEND", b""))
 
 
+def _encode_png_palette(
+    indices: np.ndarray,
+    palette: np.ndarray,
+    filters: list[int],
+    trns: bytes | None = None,
+) -> bytes:
+    """Encode (h, w) uint8 palette indices + (n, 3) palette as a color
+    type 3 PNG (PLTE chunk, optional tRNS) — the forward direction of
+    the palette branch decode_png must undo."""
+    h, w = indices.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    raw = bytearray()
+    prev = np.zeros(w, dtype=np.int32)
+    for y, f in zip(range(h), filters):
+        cur = indices[y].astype(np.int32)
+        raw.append(f)
+        for x in range(w):
+            a = int(cur[x - 1]) if x >= 1 else 0
+            b = int(prev[x])
+            c = int(prev[x - 1]) if x >= 1 else 0
+            if f == 0:
+                v = cur[x]
+            elif f == 1:
+                v = cur[x] - a
+            elif f == 2:
+                v = cur[x] - b
+            elif f == 3:
+                v = cur[x] - ((a + b) >> 1)
+            else:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                v = cur[x] - pred
+            raw.append(v & 0xFF)
+        prev = cur
+    out = (b"\x89PNG\r\n\x1a\n"
+           + _png_chunk(b"IHDR", ihdr)
+           + _png_chunk(b"PLTE", palette.astype(np.uint8).tobytes()))
+    if trns is not None:
+        out += _png_chunk(b"tRNS", trns)
+    return (out + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _png_chunk(b"IEND", b""))
+
+
 def _encode_bmp24(pixels: np.ndarray) -> bytes:
     """Encode (h, w, 3) RGB as a bottom-up 24-bit BMP with row padding."""
     h, w, _ = pixels.shape
@@ -126,6 +170,58 @@ def test_png_rejects_unsupported_features():
     patched += good[33:]
     with pytest.raises(NotImplementedError, match="bit depth"):
         codecs.decode_png(patched)
+
+
+def test_png_palette_roundtrip():
+    rng = np.random.RandomState(21)
+    palette = rng.randint(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = rng.randint(0, 16, size=(5, 7), dtype=np.uint8)
+    w, h, ch, out = codecs.decode_png(
+        _encode_png_palette(idx, palette, [0, 1, 2, 3, 4]))
+    assert (w, h, ch) == (7, 5, 3)
+    assert out == palette[idx].tobytes()
+
+
+def test_png_palette_trns_gives_rgba():
+    palette = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255]], np.uint8)
+    idx = np.array([[0, 1, 2], [2, 1, 0]], np.uint8)
+    # alpha for entries 0 and 1 only; entry 2 defaults opaque
+    w, h, ch, out = codecs.decode_png(
+        _encode_png_palette(idx, palette, [0, 0], trns=bytes([10, 200])))
+    assert (w, h, ch) == (3, 2, 4)
+    alpha = np.array([10, 200, 255], np.uint8)
+    expect = np.dstack([palette[idx], alpha[idx]])
+    assert out == expect.tobytes()
+
+
+def test_png_palette_malformed():
+    palette = np.zeros((4, 3), np.uint8)
+    idx = np.array([[0, 1, 5]], np.uint8)     # index 5 >= 4 entries
+    with pytest.raises(ValueError, match="palette index"):
+        codecs.decode_png(_encode_png_palette(idx, palette, [0]))
+    good = _encode_png_palette(np.zeros((1, 2), np.uint8), palette, [0])
+    # strip the PLTE chunk: type-3 without PLTE is malformed
+    plte_at = good.index(b"PLTE") - 4
+    plte_len = struct.unpack(">I", good[plte_at:plte_at + 4])[0]
+    no_plte = good[:plte_at] + good[plte_at + 12 + plte_len:]
+    with pytest.raises(ValueError, match="without a PLTE"):
+        codecs.decode_png(no_plte)
+
+
+def test_wav_malformed_fmt_chunk():
+    # 0 channels must be ValueError, not ZeroDivisionError
+    body = (b"fmt " + struct.pack("<I", 16)
+            + struct.pack("<HHIIHH", 1, 0, 8000, 8000, 1, 8)
+            + b"data" + struct.pack("<I", 2) + b"\x00\x00")
+    data = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    with pytest.raises(ValueError, match="malformed fmt"):
+        codecs.decode_wav(data)
+    # fmt body shorter than 16 bytes must be ValueError, not struct.error
+    short = (b"fmt " + struct.pack("<I", 8) + b"\x01\x00\x01\x00\x40\x1f\x00\x00"
+             + b"data" + struct.pack("<I", 0))
+    data = b"RIFF" + struct.pack("<I", 4 + len(short)) + b"WAVE" + short
+    with pytest.raises(ValueError, match="malformed fmt"):
+        codecs.decode_wav(data)
 
 
 def test_bmp_roundtrip_with_padding():
@@ -216,6 +312,29 @@ def test_decode_audio_through_spark(spark):
     assert abs(r["rms"] - 10000 / np.sqrt(2)) < 50
 
 
+def test_decode_audio_drops_undecodable_rows(spark):
+    """Documented contract: a malformed or compressed audio payload is
+    dropped, it must not fail the whole stage."""
+    from feldman_spark.pipeline.multimodal import decode_audio, media_table
+
+    good = _encode_wav(np.zeros((80, 1), np.int16), 8000)
+    truncated = good[:20]                       # RIFF header only
+    zero_ch = (b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+               + b"fmt " + struct.pack("<I", 16)
+               + struct.pack("<HHIIHH", 1, 0, 8000, 8000, 1, 8)
+               + b"data" + struct.pack("<I", 0))
+    nonpcm = good.replace(struct.pack("<HH", 1, 1),
+                          struct.pack("<HH", 85, 1), 1)  # fmt 85 = MP3
+    rows = [
+        (1, "audio", "audio/wav", None, None, None, good),
+        (2, "audio", "audio/wav", None, None, None, truncated),
+        (3, "audio", "audio/wav", None, None, None, zero_ch),
+        (4, "audio", "audio/mp3", None, None, None, nonpcm),
+    ]
+    out = decode_audio(media_table(spark, rows)).collect()
+    assert [r["media_id"] for r in out] == [1]
+
+
 # ---------------------------------------------------------------------------
 # property: random shapes / channels / filter sequences round-trip
 # ---------------------------------------------------------------------------
@@ -240,6 +359,40 @@ try:
         gw, gh, gch, out = codecs.decode_png(_encode_png(pixels, filters))
         assert (gw, gh, gch) == (w, h, ch)
         assert out == pixels.tobytes()
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        w=st.integers(1, 11),
+        h=st.integers(1, 8),
+        n_colors=st.integers(1, 256),
+        with_trns=st.booleans(),
+        seed=st.integers(0, 2**31 - 1),
+        data=st.data(),
+    )
+    def test_png_palette_roundtrip_property(w, h, n_colors, with_trns,
+                                            seed, data):
+        filters = data.draw(
+            st.lists(st.integers(0, 4), min_size=h, max_size=h))
+        rng = np.random.RandomState(seed)
+        palette = rng.randint(0, 256, size=(n_colors, 3), dtype=np.uint8)
+        idx = rng.randint(0, n_colors, size=(h, w), dtype=np.uint8)
+        trns = None
+        if with_trns:
+            n_trns = rng.randint(1, n_colors + 1)
+            trns = rng.randint(0, 256, size=n_trns, dtype=np.uint8).tobytes()
+        gw, gh, gch, out = codecs.decode_png(
+            _encode_png_palette(idx, palette, filters, trns=trns))
+        assert (gw, gh) == (w, h)
+        if trns is None:
+            assert gch == 3
+            assert out == palette[idx].tobytes()
+        else:
+            assert gch == 4
+            alpha = np.full(n_colors, 255, dtype=np.uint8)
+            t = np.frombuffer(trns, dtype=np.uint8)
+            alpha[: len(t)] = t
+            expect = np.dstack([palette[idx], alpha[idx]])
+            assert out == expect.tobytes()
 
     @settings(max_examples=25, deadline=None)
     @given(w=st.integers(1, 9), h=st.integers(1, 7),

@@ -1758,3 +1758,110 @@ def test_group_centroids_exact_means(spark):
     got = {r["g"]: (r["n_vectors"], r["centroid"])
            for r in group_centroids(df, "g").collect()}
     assert got == {"a": (2, [2.0, 4.0]), "b": (2, [6.0, 7.0])}
+
+
+def test_bpe_train_and_apply_manual(spark):
+    """The Sennrich worked example: 'low'x3 + 'lower'x1. Merge order is
+    fully determined by (count desc, pair asc) — including the two ties."""
+    from feldman_spark.pipeline.text import bpe_apply_merges, bpe_train_merges
+
+    df = spark.createDataFrame([("low low lower",), ("low",)], ["text"])
+    merges = bpe_train_merges(df, "text", n_merges=4)
+    # 'l o' and 'o w' both count 4 -> 'l o' wins asc; after 'lo w' the
+    # remaining pairs are 'low e' and 'e r' -> 'e r' wins asc
+    assert merges == ["l o", "lo w", "e r", "low er"]
+    enc = spark.createDataFrame(
+        [("low",), ("lower",), ("lowest",), ("slow",)], ["w"]).select(
+        F.col("w"), bpe_apply_merges(F.col("w"), merges).alias("bpe"))
+    got = {r["w"]: r["bpe"] for r in enc.collect()}
+    assert got == {"low": "low", "lower": "lower",
+                   "lowest": "low e s t", "slow": "s low"}
+    with pytest.raises(ValueError, match="n_merges"):
+        bpe_train_merges(df, "text", n_merges=0)
+
+
+def test_bpe_apply_merges_leftmost_nonoverlapping(spark):
+    """'l l l' merging 'l l' must yield 'll l' (leftmost first), never
+    'l ll' or a double-consume."""
+    from feldman_spark.pipeline.text import bpe_apply_merges
+
+    df = spark.createDataFrame([("lll",), ("llll",)], ["w"])
+    got = {r["w"]: r["bpe"] for r in df.select(
+        "w", bpe_apply_merges(F.col("w"), ["l l"]).alias("bpe")).collect()}
+    assert got == {"lll": "ll l", "llll": "ll ll"}
+
+
+def test_ppl_buckets_rejects_wrong_cut_count(spark):
+    from feldman_spark.pipeline.text import ppl_buckets
+
+    d = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="exactly 2"):
+        ppl_buckets(d, cuts=(0.5,))
+    with pytest.raises(ValueError, match="exactly 2"):
+        ppl_buckets(d, cuts=(0.25, 0.5, 0.75))
+
+
+def test_unpersist_lm_caches_releases_everything(spark):
+    """lm_score persists two gram tables per call; the lifecycle helper
+    must release them all — no cached plan may survive it."""
+    from feldman_spark.pipeline.text import lm_score, unpersist_lm_caches
+
+    spark.catalog.clearCache()
+    unpersist_lm_caches()      # drain any registrations from other tests
+    d = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a b c d e")], ["doc_id", "text"])
+    assert lm_score(d).count() == 2
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    assert not cm.isEmpty()
+    assert unpersist_lm_caches() == 2
+    assert cm.isEmpty()
+
+
+def test_host_suffixes_and_blocklist_paths_agree(spark):
+    from feldman_spark.pipeline.web import blocklist_filter, host_suffixes
+
+    hosts = [(1, "a.b.example.com"), (2, "example.com"), (3, "safe.org"),
+             (4, "sub.bad.net"), (5, "bad.net"), (6, "notbad.net")]
+    df = spark.createDataFrame(hosts, ["doc_id", "host"])
+    got = df.filter(F.col("doc_id") == 1).select(
+        host_suffixes(F.col("host")).alias("s")).first()["s"]
+    assert got == ["a.b.example.com", "b.example.com", "example.com", "com"]
+
+    blocked = ["bad.net", "b.example.com"]
+    kept_list = sorted(r["doc_id"] for r in
+                       blocklist_filter(df, blocked).collect())
+    # 1 (subdomain of b.example.com), 4 (subdomain of bad.net) and
+    # 5 (exact) drop; 6 is NOT a subdomain ('notbad.net' has no '.bad.net'
+    # suffix label boundary) and must survive
+    assert kept_list == [2, 3, 6]
+    bdf = spark.createDataFrame([(b,) for b in blocked], ["domain"])
+    kept_df = sorted(r["doc_id"] for r in
+                     blocklist_filter(df, bdf).collect())
+    assert kept_df == kept_list
+
+
+def test_classifier_calibration_loop(spark):
+    """The audit loop: train the quality classifier, score held-out docs,
+    bin the scores with calibration_bins — on separable data the bins
+    must be sharp (high-confidence bins accurate, total ECE small)."""
+    from feldman_spark.pipeline.classify import (
+        score_quality, train_quality_classifier)
+    from feldman_spark.pipeline.profile import calibration_bins
+
+    good = [(i, "the quick brown fox jumps over the lazy dog again", 1.0)
+            for i in range(60)]
+    bad = [(100 + i, "zzz qqq xxx kkk vvv jjj www yyy", 0.0)
+           for i in range(60)]
+    df = spark.createDataFrame(good + bad, ["doc_id", "text", "label"])
+    model = train_quality_classifier(df, max_iter=25)
+    scored = score_quality(df, model)
+    bins = calibration_bins(
+        scored.select(F.col("quality_prob").alias("score"),
+                      F.col("label").cast("int").alias("label")),
+        "score", "label", buckets=10).collect()
+    assert bins  # at least one populated bin
+    ece = sum(r["ece_contrib"] for r in bins)
+    assert ece < 0.1
+    top = [r for r in bins if r["bucket"] == 9]
+    if top:
+        assert top[0]["accuracy"] >= 0.9

@@ -187,6 +187,33 @@ def test_stateful_running_totals(spark, events, tmp_out):
         assert abs(float(final.loc[r["user_id"], "value_sum"]) - r["s"]) < 1e-6
 
 
+def test_running_totals_native_matches_batch(spark, events, tmp_out):
+    """The update-mode groupBy/agg twin (JVM state store): final emission
+    per key equals the batch aggregate, and the run is genuinely
+    multi-micro-batch (some key updates more than once)."""
+    from feldman_spark.streaming.events import (
+        run_stream_to_memory, running_totals_native, stream_events)
+
+    src = f"{tmp_out}/totals_native_src"
+    sample = events.filter(F.col("event_id") < 500).select("user_id", "value")
+    sample.repartition(4).write.mode("overwrite").parquet(src)
+
+    run_stream_to_memory(
+        running_totals_native(stream_events(spark, src)),
+        "totals_native_stream", output_mode="update")
+    updates = spark.sql("select * from totals_native_stream").toPandas()
+    # multi-batch statefulness: at least one key emitted multiple updates
+    assert updates.groupby("user_id").size().max() > 1
+    final = updates.sort_values("n_events").groupby("user_id").last()
+    batch = sample.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("s")).collect()
+    assert len(final) == len(batch)
+    for r in batch:
+        assert final.loc[r["user_id"], "n_events"] == r["n"]
+        assert abs(float(final.loc[r["user_id"], "value_sum"]) - r["s"]) < 1e-6
+
+
 def test_streaming_splice_export(spark, tmp_out, ref_testdata):
     """E2 under readStream: the splice export is stateless broadcast joins,
     so the same plan splices a live measurement stream micro-batch by
