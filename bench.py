@@ -77,6 +77,12 @@ HEADLINE = [
     "dedup_contamination_13g",
     "text_ppl_buckets",
     "text_bm25_rerank",
+    # round-8 additions: the output-bounded range-join twin (j11's
+    # ladder counterpart whose expected pairs-per-interval is constant
+    # in SF), BPE train+encode, domain-blocklist filter
+    "j11_range_join_bounded",
+    "text_bpe_encode",
+    "web_blocklist_filter",
 ]
 
 # slack for the regression gate: sub-second queries jitter by whole
