@@ -1,13 +1,16 @@
 """Pure-stdlib media codecs for the multimodal pipeline.
 
-Real decoders for the three formats a dependency-free environment can
+Real decoders for the four formats a dependency-free environment can
 honestly support — PNG (RFC 2083: zlib + per-row filters), uncompressed
-BMP (BITMAPINFOHEADER, 24/32-bit), and RIFF/WAVE PCM (8/16-bit) — so
+BMP (BITMAPINFOHEADER, 24/32-bit), RIFF/WAVE PCM (8/16-bit), and
+baseline-sequential JPEG (ITU-T T.81: marker parse, stream-defined
+Huffman tables, dequantize + de-zigzag, vectorized float IDCT, integer
+chroma upsampling, JFIF YCbCr→RGB) — so
 :mod:`feldman_spark.pipeline.multimodal` decodes actual bytes instead of
-raising behind the stub. Anything else (JPEG, MP3, video containers)
-still raises ``NotImplementedError`` at the documented swap point: those
-formats genuinely need PIL/ffmpeg, and faking them would be worse than
-refusing.
+raising behind the stub. Anything else (progressive/arithmetic JPEG,
+CMYK JPEG, MP3, video containers) still raises ``NotImplementedError``
+at the documented swap point: those formats genuinely need PIL/ffmpeg,
+and faking them would be worse than refusing.
 
 Throughput note: these are reference decoders (numpy-assisted but
 row-sequential where the format is — PNG's Sub/Avg/Paeth filters chain
@@ -30,6 +33,7 @@ __all__ = [
     "decode_png",
     "decode_bmp",
     "decode_wav",
+    "decode_jpeg",
     "decode_image_bytes",
 ]
 
@@ -40,7 +44,7 @@ _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
 
 def sniff_media(data: bytes) -> Optional[str]:
-    """Identify a payload by magic bytes: 'png' | 'bmp' | 'wav' | None."""
+    """Identify a payload by magic bytes: 'png'|'bmp'|'wav'|'jpeg'|None."""
     if data is None:
         return None
     b = bytes(data[:16])
@@ -50,6 +54,8 @@ def sniff_media(data: bytes) -> Optional[str]:
         return "bmp"
     if b.startswith(b"RIFF") and b[8:12] == b"WAVE":
         return "wav"
+    if b.startswith(b"\xff\xd8\xff"):
+        return "jpeg"
     return None
 
 
@@ -256,15 +262,306 @@ def decode_wav(data: bytes) -> Tuple[int, int, int, np.ndarray]:
     return rate, channels, duration_ms, samples
 
 
+# ---------------------------------------------------------------------------
+# Baseline-sequential JPEG (ITU-T T.81 / JFIF)
+# ---------------------------------------------------------------------------
+
+def _zigzag_positions() -> np.ndarray:
+    """Flat 8x8 index (row*8+col) for each of the 64 zigzag positions."""
+    seq = []
+    for s in range(15):
+        diag = [(s - j, j) for j in range(max(0, s - 7), min(s, 7) + 1)]
+        if s % 2:
+            diag.reverse()  # odd diagonals run top-right -> bottom-left
+        seq.extend(diag)
+    return np.array([r * 8 + c for r, c in seq], dtype=np.int64)
+
+_ZIGZAG = _zigzag_positions()
+
+# orthonormal 8-point DCT-II basis: T[x, u] = c(u)/2 * cos((2x+1)u*pi/16)
+_DCT_T = np.array(
+    [[(np.sqrt(0.5) if u == 0 else 1.0) / 2.0
+      * np.cos((2 * x + 1) * u * np.pi / 16.0)
+      for u in range(8)] for x in range(8)])
+
+
+def _huff_table(bits, vals) -> dict:
+    """Canonical Huffman map {(length, code): symbol} per T.81 Annex C."""
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        n = bits[length - 1]
+        if k + n > len(vals):
+            raise ValueError("JPEG: DHT symbol count exceeds value list")
+        for _ in range(n):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+class _BitReader:
+    """MSB-first bit reader over a de-stuffed entropy-coded segment."""
+
+    __slots__ = ("bits", "pos")
+
+    def __init__(self, segment: bytes):
+        self.bits = np.unpackbits(np.frombuffer(segment, dtype=np.uint8))
+        self.pos = 0
+
+    def read(self, n: int) -> int:
+        if n == 0:
+            return 0
+        if self.pos + n > len(self.bits):
+            raise ValueError("JPEG: entropy data exhausted mid-block")
+        v = 0
+        for b in self.bits[self.pos:self.pos + n]:
+            v = (v << 1) | int(b)
+        self.pos += n
+        return v
+
+    def huff(self, table: dict) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read(1)
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("JPEG: invalid Huffman code in entropy stream")
+
+
+def _extend(v: int, size: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map ``size``-bit magnitude to signed value."""
+    return v if size == 0 or v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def _split_ecs(data: bytes, pos: int):
+    """Split the entropy-coded data at RST markers, de-stuffing each
+    segment (FF00 -> FF). Returns (segments, position of the terminating
+    marker)."""
+    segments, start = [], pos
+    i = pos
+    while i < len(data) - 1:
+        if data[i] != 0xFF:
+            i += 1
+            continue
+        nxt = data[i + 1]
+        if nxt == 0x00:
+            i += 2
+            continue
+        if 0xD0 <= nxt <= 0xD7:  # RSTn: segment boundary, keep scanning
+            segments.append(data[start:i].replace(b"\xff\x00", b"\xff"))
+            i += 2
+            start = i
+            continue
+        segments.append(data[start:i].replace(b"\xff\x00", b"\xff"))
+        return segments, i
+    segments.append(data[start:].replace(b"\xff\x00", b"\xff"))
+    return segments, len(data)
+
+
+def _idct_blocks(coefs: np.ndarray) -> np.ndarray:
+    """Inverse DCT over an (n, 8, 8) stack of dequantized coefficients;
+    returns clipped uint8 samples (level shift +128 applied)."""
+    px = np.einsum("xu,nuv,yv->nxy", _DCT_T, coefs, _DCT_T)
+    return np.clip(np.round(px + 128.0), 0, 255).astype(np.uint8)
+
+
+def decode_jpeg(data: bytes) -> Tuple[int, int, int, bytes]:
+    """Decode a baseline-sequential JFIF JPEG (ITU-T T.81).
+
+    Returns ``(width, height, channels, pixels)`` — channels 1 (gray)
+    or 3 (RGB via the JFIF full-range YCbCr transform). Supports
+    stream-defined quantization/Huffman tables, interleaved scans at any
+    integer sampling-factor ratio (4:4:4, 4:2:2, 4:2:0), and restart
+    intervals (DRI/RSTn). Raises ``NotImplementedError`` for the
+    variants a real library should handle (progressive SOF2, arithmetic
+    coding, 12-bit precision, CMYK/4-component, non-interleaved
+    multi-scan) and ``ValueError`` on malformed bytes.
+
+    Chroma upsampling is pixel replication (the JFIF-sanctioned simple
+    filter); a PIL/libvips deployment swaps in at decode_image_bytes
+    without touching the Spark dataflow.
+    """
+    data = bytes(data)
+    if not data.startswith(b"\xff\xd8"):
+        raise ValueError("JPEG: bad SOI marker")
+    pos = 2
+    qtables: dict = {}
+    huff_dc: dict = {}
+    huff_ac: dict = {}
+    frame = None          # (height, width, [(comp_id, H, V, tq), ...])
+    restart_interval = 0
+    scan = None
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"JPEG: expected marker at byte {pos}")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM/RSTn: no body
+            pos += 2
+            continue
+        (seglen,) = struct.unpack(">H", data[pos + 2:pos + 4])
+        body = data[pos + 4:pos + 2 + seglen]
+        pos += 2 + seglen
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0xF
+                i += 1
+                if pq == 0:
+                    tbl = np.frombuffer(body, np.uint8, 64, i).astype(np.int32)
+                    i += 64
+                elif pq == 1:
+                    tbl = np.frombuffer(body, ">u2", 64, i).astype(np.int32)
+                    i += 128
+                else:
+                    raise ValueError(f"JPEG: bad DQT precision {pq}")
+                qtables[tq] = tbl
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i + 17 <= len(body):
+                tc, th = body[i] >> 4, body[i] & 0xF
+                bits = list(body[i + 1:i + 17])
+                n = sum(bits)
+                vals = list(body[i + 17:i + 17 + n])
+                i += 17 + n
+                (huff_dc if tc == 0 else huff_ac)[th] = _huff_table(bits, vals)
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (Huffman sequential)
+            prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise NotImplementedError(
+                    f"JPEG: {prec}-bit precision needs a real library")
+            if ncomp not in (1, 3):
+                raise NotImplementedError(
+                    f"JPEG: {ncomp}-component (CMYK?) needs a real library")
+            if h == 0 or w == 0 or h * w > (1 << 26):
+                raise ValueError(f"JPEG: unreasonable dimensions {w}x{h}")
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = body[6 + 3 * c:9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 0xF, tq))
+            frame = (h, w, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"JPEG: SOF{marker - 0xC0} (progressive/arithmetic/"
+                "lossless) needs a real library")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("JPEG: SOS before SOF")
+            ns = body[0]
+            if ns != len(frame[2]):
+                raise NotImplementedError(
+                    "JPEG: non-interleaved multi-scan needs a real library")
+            sel = {}
+            for c in range(ns):
+                cs, tabs = body[1 + 2 * c:3 + 2 * c]
+                sel[cs] = (tabs >> 4, tabs & 0xF)
+            segments, pos = _split_ecs(data, pos)
+            scan = (sel, segments)
+            break  # baseline: single scan carries the whole image
+        # APPn / COM / others: skipped
+    if frame is None or scan is None:
+        raise ValueError("JPEG: missing SOF or SOS")
+    height, width, comps = frame
+    sel, segments = scan
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if hmax < 1 or vmax < 1 or any(
+            c[1] < 1 or c[2] < 1 or hmax % c[1] or vmax % c[2]
+            for c in comps):
+        raise NotImplementedError(
+            "JPEG: non-integer sampling ratios need a real library")
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
+    n_mcus = mcus_x * mcus_y
+    # decode every block's 64 coefficients (zigzag order), dequantized
+    blocks = {c[0]: np.zeros((mcus_y * c[2], mcus_x * c[1], 64),
+                             dtype=np.float64) for c in comps}
+    pred = {c[0]: 0 for c in comps}
+    seg_i = 0
+    reader = _BitReader(segments[0])
+    for m in range(n_mcus):
+        if restart_interval and m and m % restart_interval == 0:
+            seg_i += 1  # RST boundary: next segment, reset DC predictors
+            if seg_i >= len(segments):
+                raise ValueError("JPEG: missing restart segment")
+            reader = _BitReader(segments[seg_i])
+            pred = {c[0]: 0 for c in comps}
+        my, mx = divmod(m, mcus_x)
+        for cid, ch, cv, tq in comps:
+            if tq not in qtables:
+                raise ValueError(f"JPEG: missing quantization table {tq}")
+            dc_id, ac_id = sel[cid]
+            if dc_id not in huff_dc or ac_id not in huff_ac:
+                raise ValueError("JPEG: scan references undefined DHT table")
+            qt = qtables[tq]
+            for v in range(cv):
+                for hh in range(ch):
+                    coef = np.zeros(64, dtype=np.float64)
+                    size = reader.huff(huff_dc[dc_id])
+                    if size > 11:
+                        raise ValueError(f"JPEG: DC category {size} > 11")
+                    pred[cid] += _extend(reader.read(size), size)
+                    coef[0] = pred[cid] * qt[0]
+                    k = 1
+                    while k < 64:
+                        sym = reader.huff(huff_ac[ac_id])
+                        run, sz = sym >> 4, sym & 0xF
+                        if sz == 0:
+                            if run == 15:  # ZRL: sixteen zeros
+                                k += 16
+                                continue
+                            break          # EOB
+                        k += run
+                        if k > 63:
+                            raise ValueError("JPEG: AC run past block end")
+                        coef[k] = _extend(reader.read(sz), sz) * qt[k]
+                        k += 1
+                    blocks[cid][my * cv + v, mx * ch + hh] = coef
+    # de-zigzag + IDCT per component, stitch planes, upsample, transform
+    planes = []
+    for cid, ch, cv, _tq in comps:
+        zz = blocks[cid].reshape(-1, 64)
+        sq = np.zeros_like(zz)
+        sq[:, _ZIGZAG] = zz
+        px = _idct_blocks(sq.reshape(-1, 8, 8))
+        by, bx = blocks[cid].shape[:2]
+        plane = (px.reshape(by, bx, 8, 8).transpose(0, 2, 1, 3)
+                 .reshape(by * 8, bx * 8))
+        ry, rx = vmax // cv, hmax // ch
+        if ry > 1 or rx > 1:  # pixel-replication upsample to full grid
+            plane = plane.repeat(ry, axis=0).repeat(rx, axis=1)
+        planes.append(plane[:height, :width])
+    if len(planes) == 1:
+        return width, height, 1, np.ascontiguousarray(planes[0]).tobytes()
+    y = planes[0].astype(np.float64)
+    cb = planes[1].astype(np.float64) - 128.0
+    cr = planes[2].astype(np.float64) - 128.0
+    rgb = np.stack([y + 1.402 * cr,
+                    y - 0.344136 * cb - 0.714136 * cr,
+                    y + 1.772 * cb], axis=-1)
+    rgb = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    return width, height, 3, np.ascontiguousarray(rgb).tobytes()
+
+
 def decode_image_bytes(data: bytes) -> Tuple[int, int, int, bytes]:
-    """Dispatch on magic bytes to the PNG/BMP decoder; the single swap
-    point where a deployment plugs PIL for the formats stdlib can't do."""
+    """Dispatch on magic bytes to the PNG/BMP/JPEG decoder; the single
+    swap point where a deployment plugs PIL for the formats stdlib
+    can't do."""
     kind = sniff_media(data)
     if kind == "png":
         return decode_png(data)
     if kind == "bmp":
         return decode_bmp(data)
+    if kind == "jpeg":
+        return decode_jpeg(data)
     raise NotImplementedError(
         "image format not decodable without an image library "
-        f"(sniffed: {kind or 'unknown'}); PNG and BMP decode natively — "
-        "swap decode_image_bytes for a PIL call for JPEG/WebP/etc.")
+        f"(sniffed: {kind or 'unknown'}); PNG, BMP and baseline JPEG "
+        "decode natively — swap decode_image_bytes for a PIL call for "
+        "WebP/TIFF/progressive-JPEG/etc.")

@@ -3,9 +3,10 @@ with typed metadata.
 
 Beyond-reference capability. The Spark-side machinery — schema, batch
 iteration, partition sizing, UDF signatures — is real and tested. Actual
-decoding: PNG, uncompressed BMP and PCM WAV decode for real via the
-pure-stdlib :mod:`feldman_spark.pipeline.codecs`; formats that genuinely
-need PIL/ffmpeg (JPEG, MP3, video containers) raise
+decoding: PNG, uncompressed BMP, baseline JPEG and PCM WAV decode for
+real via the pure-stdlib :mod:`feldman_spark.pipeline.codecs`; formats
+that genuinely need PIL/ffmpeg (progressive JPEG, MP3, video containers)
+raise
 ``NotImplementedError`` at the documented swap point — a deployment
 swaps ``codecs.decode_image_bytes`` / the frame extractor for library
 calls without touching the dataflow. ``fake=True`` keeps the
@@ -63,8 +64,9 @@ def media_table(spark, rows) -> DataFrame:
 
 
 def _decode_image_real(data: bytes) -> bytes:
-    """Real pixel decode for the natively-supported formats (PNG, BMP) —
-    see :func:`feldman_spark.pipeline.codecs.decode_image_bytes`, the
+    """Real pixel decode for the natively-supported formats (PNG, BMP,
+    baseline JPEG) — see
+    :func:`feldman_spark.pipeline.codecs.decode_image_bytes`, the
     single swap point for a PIL-backed deployment."""
     from feldman_spark.pipeline import codecs
 
@@ -74,8 +76,9 @@ def _decode_image_real(data: bytes) -> bytes:
 
 def decode_image(df: DataFrame, fake: bool = False) -> DataFrame:
     """Decode the payload of image rows into a ``pixels`` binary column
-    (raw row-major RGB(A)/gray samples). PNG and uncompressed BMP decode
-    for real via the stdlib codecs; other formats raise
+    (raw row-major RGB(A)/gray samples). PNG, uncompressed BMP and
+    baseline JPEG decode for real via the stdlib codecs; other formats
+    raise
     ``NotImplementedError`` naming the PIL swap point. ``fake=True``
     passes the payload through as the deterministic oracle twin.
     Arrow-batched ``mapInPandas``; non-image rows pass through with null

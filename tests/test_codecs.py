@@ -267,9 +267,9 @@ def test_sniff_and_dispatch():
     assert codecs.sniff_media(_encode_png(pixels, [0])) == "png"
     assert codecs.sniff_media(_encode_bmp24(pixels)) == "bmp"
     assert codecs.sniff_media(_encode_wav(np.zeros((4, 1), np.int16), 8000)) == "wav"
-    assert codecs.sniff_media(b"\xff\xd8\xff\xe0JFIF") is None  # JPEG
+    assert codecs.sniff_media(b"\xff\xd8\xff\xe0JFIF") == "jpeg"
     with pytest.raises(NotImplementedError, match="image library"):
-        codecs.decode_image_bytes(b"\xff\xd8\xff\xe0 not decodable")
+        codecs.decode_image_bytes(b"II*\x00 a TIFF, not decodable")
 
 
 # ---------------------------------------------------------------------------
@@ -405,3 +405,312 @@ try:
         assert out == pixels.tobytes()
 except ImportError:  # pragma: no cover - hypothesis is baked in
     pass
+
+
+# ---------------------------------------------------------------------------
+# baseline JPEG: test-side encoder (forward DCT/quantize/Huffman direction)
+# ---------------------------------------------------------------------------
+
+# orthonormal 8-point DCT-II basis, written out independently of the decoder
+_JT = np.array(
+    [[(np.sqrt(0.5) if u == 0 else 1.0) / 2.0
+      * np.cos((2 * x + 1) * u * np.pi / 16.0)
+      for u in range(8)] for x in range(8)])
+
+
+def _jzz() -> np.ndarray:
+    seq = []
+    for s in range(15):
+        d = [(s - j, j) for j in range(max(0, s - 7), min(s, 7) + 1)]
+        if s % 2:
+            d.reverse()
+        seq.extend(d)
+    return np.array([r * 8 + c for r, c in seq])
+
+_JZZ = _jzz()
+
+# ITU-T T.81 Annex K example quantization tables (natural row order)
+_JQ_LUM = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99]).reshape(8, 8)
+_JQ_CHR = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99]).reshape(8, 8)
+
+# constructed canonical Huffman tables (any valid table is legal JPEG —
+# the decoder must use what the DHT segments define, not assume Annex K):
+# DC: 12 categories at 4 bits; AC: EOB+ZRL at 8 bits, 160 run/size at 9.
+_JDC_BITS = [0, 0, 0, 12] + [0] * 12
+_JDC_VALS = list(range(12))
+_JAC_BITS = [0, 0, 0, 0, 0, 0, 0, 2, 160] + [0] * 7
+_JAC_VALS = [0x00, 0xF0] + [(r << 4) | s for r in range(16)
+                            for s in range(1, 11)]
+
+
+def _enc_table(bits, vals):
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[vals[k]] = (length, code)
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+_JDC_ENC = _enc_table(_JDC_BITS, _JDC_VALS)
+_JAC_ENC = _enc_table(_JAC_BITS, _JAC_VALS)
+
+
+class _JBitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, val: int, nbits: int):
+        if nbits == 0:
+            return
+        self.acc = (self.acc << nbits) | (val & ((1 << nbits) - 1))
+        self.n += nbits
+        while self.n >= 8:
+            byte = (self.acc >> (self.n - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:          # byte stuffing
+                self.out.append(0x00)
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self):
+        if self.n:
+            self.put((1 << (8 - self.n)) - 1, 8 - self.n)  # pad with 1s
+
+
+def _jseg(marker: int, body: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+
+def _jpeg_quant(base: np.ndarray, quality: int) -> np.ndarray:
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((base * scale + 50) // 100, 1, 255).astype(np.int64)
+
+
+def _encode_jpeg(pixels: np.ndarray, quality: int = 100,
+                 subsample: str = "444", restart: int = 0) -> bytes:
+    """Baseline-sequential JFIF encoder: (h, w) gray or (h, w, 3) RGB."""
+    gray = pixels.ndim == 2
+    h, w = pixels.shape[:2]
+    if gray:
+        planes = [pixels.astype(np.float64)]
+        sampling = [(1, 1)]
+        qsel = [0]
+    else:
+        p = pixels.astype(np.float64)
+        r, g, b = p[:, :, 0], p[:, :, 1], p[:, :, 2]
+        planes = [0.299 * r + 0.587 * g + 0.114 * b,
+                  -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+                  0.5 * r - 0.418688 * g - 0.081312 * b + 128.0]
+        sampling = {"444": [(1, 1)] * 3,
+                    "422": [(2, 1), (1, 1), (1, 1)],
+                    "420": [(2, 2), (1, 1), (1, 1)]}[subsample]
+        qsel = [0, 1, 1]
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    pad_h, pad_w = mcuy * 8 * vmax, mcux * 8 * hmax
+    qts = [_jpeg_quant(_JQ_LUM, quality), _jpeg_quant(_JQ_CHR, quality)]
+    comp_planes = []
+    for plane, (sh, sv) in zip(planes, sampling):
+        full = np.pad(plane, ((0, pad_h - h), (0, pad_w - w)), mode="edge")
+        fy, fx = vmax // sv, hmax // sh
+        if fy > 1 or fx > 1:   # box-average downsample
+            full = full.reshape(pad_h // fy, fy, pad_w // fx, fx).mean((1, 3))
+        comp_planes.append(full - 128.0)
+    writer = _JBitWriter()
+    pred = [0] * len(planes)
+    ecs_parts = []
+    n_mcus = mcux * mcuy
+    for m in range(n_mcus):
+        my, mx = divmod(m, mcux)
+        for ci, ((sh, sv), plane) in enumerate(zip(sampling, comp_planes)):
+            qt = qts[qsel[ci]].astype(np.float64)
+            for v in range(sv):
+                for hh in range(sh):
+                    by, bx = (my * sv + v) * 8, (mx * sh + hh) * 8
+                    block = plane[by:by + 8, bx:bx + 8]
+                    fr = _JT.T @ block @ _JT
+                    q = np.round(fr / qt).astype(np.int64)
+                    zz = q.reshape(-1)[_JZZ]
+                    zz[1:] = np.clip(zz[1:], -1023, 1023)
+                    diff = int(np.clip(zz[0] - pred[ci], -2047, 2047))
+                    pred[ci] += diff
+                    size = abs(diff).bit_length()
+                    ln, code = _JDC_ENC[size]
+                    writer.put(code, ln)
+                    writer.put(diff if diff >= 0 else diff + (1 << size) - 1,
+                               size)
+                    run = 0
+                    for k in range(1, 64):
+                        val = int(zz[k])
+                        if val == 0:
+                            run += 1
+                            continue
+                        while run > 15:
+                            ln, code = _JAC_ENC[0xF0]
+                            writer.put(code, ln)
+                            run -= 16
+                        sz = abs(val).bit_length()
+                        ln, code = _JAC_ENC[(run << 4) | sz]
+                        writer.put(code, ln)
+                        writer.put(val if val >= 0 else val + (1 << sz) - 1,
+                                   sz)
+                        run = 0
+                    if run:
+                        ln, code = _JAC_ENC[0x00]   # EOB
+                        writer.put(code, ln)
+        if restart and (m + 1) % restart == 0 and m + 1 < n_mcus:
+            writer.flush()
+            ecs_parts.append(bytes(writer.out))
+            ecs_parts.append(bytes([0xFF, 0xD0 + ((m + 1) // restart - 1) % 8]))
+            writer = _JBitWriter()
+            pred = [0] * len(planes)
+    writer.flush()
+    ecs_parts.append(bytes(writer.out))
+    out = bytearray(b"\xff\xd8")
+    out += _jseg(0xE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 1, 1)
+                 + b"\x00\x00")
+    for ti in sorted(set(qsel)):
+        out += _jseg(0xDB, bytes([ti])
+                     + bytes(qts[ti].reshape(-1)[_JZZ].astype(np.uint8)))
+    sof = struct.pack(">BHHB", 8, h, w, len(planes))
+    for ci, (sh, sv) in enumerate(sampling):
+        sof += bytes([ci + 1, (sh << 4) | sv, qsel[ci]])
+    out += _jseg(0xC0, sof)
+    for tc in (0, 1):
+        for th in sorted(set(qsel)):
+            bits = _JDC_BITS if tc == 0 else _JAC_BITS
+            vals = _JDC_VALS if tc == 0 else _JAC_VALS
+            out += _jseg(0xC4, bytes([(tc << 4) | th]) + bytes(bits)
+                         + bytes(vals))
+    if restart:
+        out += _jseg(0xDD, struct.pack(">H", restart))
+    sos = bytes([len(planes)])
+    for ci in range(len(planes)):
+        sos += bytes([ci + 1, (qsel[ci] << 4) | qsel[ci]])
+    sos += b"\x00\x3f\x00"
+    out += _jseg(0xDA, sos)
+    out += b"".join(ecs_parts)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return float("inf") if mse == 0 else 10 * np.log10(255.0 ** 2 / mse)
+
+
+# ---------------------------------------------------------------------------
+# baseline JPEG decoder tests
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("shape", [(8, 8), (16, 24), (13, 7), (32, 33)])
+def test_jpeg_gray_roundtrip_nearlossless(shape):
+    rng = np.random.RandomState(41)
+    img = rng.randint(0, 256, size=shape, dtype=np.uint8)
+    w, h, ch, out = codecs.decode_jpeg(_encode_jpeg(img, quality=100))
+    assert (w, h, ch) == (shape[1], shape[0], 1)
+    got = np.frombuffer(out, np.uint8).reshape(shape)
+    err = np.abs(got.astype(int) - img.astype(int))
+    assert err.max() <= 4 and err.mean() <= 1.0
+
+
+def test_jpeg_flat_image_is_exact():
+    img = np.full((24, 16, 3), (90, 160, 203), dtype=np.uint8)
+    for sub in ("444", "420"):
+        w, h, ch, out = codecs.decode_jpeg(
+            _encode_jpeg(img, quality=90, subsample=sub))
+        got = np.frombuffer(out, np.uint8).reshape(24, 16, 3)
+        assert (w, h, ch) == (16, 24, 3)
+        assert np.abs(got.astype(int) - img.astype(int)).max() <= 1
+
+
+def test_jpeg_color_444_nearlossless():
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, size=(24, 17, 3), dtype=np.uint8)
+    w, h, ch, out = codecs.decode_jpeg(_encode_jpeg(img, quality=100))
+    got = np.frombuffer(out, np.uint8).reshape(24, 17, 3)
+    assert (w, h, ch) == (17, 24, 3)
+    assert _psnr(img, got) > 40.0
+    assert np.abs(got.astype(int) - img.astype(int)).max() <= 8
+
+
+@pytest.mark.parametrize("sub", ["420", "422"])
+def test_jpeg_subsampled_gradient(sub):
+    yy, xx = np.mgrid[0:40, 0:56]
+    img = np.stack([(yy * 3 + 20) % 200 + 20,
+                    (xx * 2 + 40) % 200 + 20,
+                    ((xx + yy) * 2) % 200 + 20], axis=-1).astype(np.uint8)
+    w, h, ch, out = codecs.decode_jpeg(
+        _encode_jpeg(img, quality=90, subsample=sub))
+    got = np.frombuffer(out, np.uint8).reshape(40, 56, 3)
+    assert (w, h, ch) == (56, 40, 3)
+    assert _psnr(img, got) > 24.0
+
+
+def test_jpeg_restart_markers_do_not_change_pixels():
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, size=(32, 48), dtype=np.uint8)
+    plain = codecs.decode_jpeg(_encode_jpeg(img, quality=85))
+    rst = codecs.decode_jpeg(_encode_jpeg(img, quality=85, restart=2))
+    assert plain == rst
+    assert b"\xff\xdd" in _encode_jpeg(img, quality=85, restart=2)  # DRI
+
+
+def test_jpeg_quality_knob_reduces_size_monotonically():
+    rng = np.random.RandomState(3)
+    base = rng.randint(0, 80, size=(32, 32), dtype=np.uint8)
+    img = (base + np.mgrid[0:32, 0:32][0] * 4).astype(np.uint8)
+    sizes = [len(_encode_jpeg(img, quality=q)) for q in (100, 75, 25)]
+    assert sizes[0] > sizes[1] > sizes[2]
+    for q, floor_psnr in ((75, 28.0), (25, 20.0)):
+        w, h, ch, out = codecs.decode_jpeg(_encode_jpeg(img, quality=q))
+        got = np.frombuffer(out, np.uint8).reshape(32, 32)
+        assert _psnr(img, got) > floor_psnr
+
+
+def test_jpeg_progressive_and_malformed_raise():
+    img = np.zeros((8, 8), dtype=np.uint8)
+    good = _encode_jpeg(img)
+    sof = good.index(b"\xff\xc0")
+    progressive = good[:sof + 1] + b"\xc2" + good[sof + 2:]
+    with pytest.raises(NotImplementedError, match="SOF2"):
+        codecs.decode_jpeg(progressive)
+    with pytest.raises(ValueError, match="SOI"):
+        codecs.decode_jpeg(b"\x00\x01" + good)
+    rng = np.random.RandomState(2)
+    dense = _encode_jpeg(rng.randint(0, 256, (32, 32), np.uint8))
+    with pytest.raises(ValueError):
+        codecs.decode_jpeg(dense[: len(dense) // 2])
+
+
+def test_jpeg_through_spark_decode_image(spark):
+    from feldman_spark.pipeline.multimodal import decode_image, media_table
+
+    rng = np.random.RandomState(17)
+    img = rng.randint(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    rows = [(1, "image", "image/jpeg", 8, 8, None,
+             _encode_jpeg(img, quality=100))]
+    out = decode_image(media_table(spark, rows)).collect()
+    got = np.frombuffer(bytes(out[0]["pixels"]), np.uint8).reshape(8, 8, 3)
+    assert np.abs(got.astype(int) - img.astype(int)).max() <= 8
