@@ -3817,20 +3817,174 @@ def profile_calibration(spark, sf_dir):
     return calibration_bins(d, "score", "label", buckets=10)
 
 
-# shared Spark/DuckDB SQL for web_url_normalize's synthetic URL mix —
-# one text, two engines, so the parse inputs are byte-identical
-_URL_CASE_SQL = """
+def text_c4_rules(spark, sf_dir):
+    """C4 quality gating (Raffel et al. 2020 §2.2): line-level survival
+    (terminal punctuation + ≥5 words) and document-level verdict
+    (≥3 sentences, no brace, no lorem ipsum). Text is re-lined
+    deterministically ('. ' → '.\\n') on BOTH engines so the line
+    machinery sees multi-line pages. Relational stream-aggregate form
+    (feldman_spark/pipeline/text.py::c4_stats): the line stats are one
+    explode(split('\\n')) codegen stream into a map-side-partial hash
+    aggregate — one slim counts row per doc shuffles, the text never
+    moves; doc flags are row-local instr/replace codegen."""
+    from feldman_spark.pipeline.text import c4_stats
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.replace(F.col("text"), F.lit(". "), F.lit(".\n")).alias("text"))
+    return c4_stats(d).select(
+        "doc_id", "n_lines", "n_kept_lines", "kept_char_frac",
+        "n_sentences", F.col("keep").cast("int").alias("keep"))
+
+
+def text_novelty(spark, sf_dir):
+    """Cross-document 5-gram novelty: per doc, the fraction of its
+    distinct word-5-gram shingles first seen (min doc_id) in that doc —
+    the signal behind novelty-ordered curricula and "is this crawl
+    snapshot worth ingesting" triage. One codegen shingle-stream scan
+    (hashed longs), per-doc distinct, a min-id aggregate, and a join
+    that reuses the aggregate's partitioning — three slim long-pair
+    exchanges, text never shuffles
+    (feldman_spark/pipeline/dedup.py::shingle_novelty)."""
+    from feldman_spark.pipeline.dedup import shingle_novelty
+
+    return shingle_novelty(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", k=5)
+
+
+def events_conversion_lag(spark, sf_dir):
+    """Time-to-convert distribution view→purchase: per user the first
+    view and the first purchase at-or-after it, summarized to one row
+    of counts + exact lag percentiles. Single-exchange funnel shape —
+    both step times are min(when(...)) windows over one
+    partitionBy(user) spec; the percentile aggregates one lag value per
+    user, not per event
+    (feldman_spark/ops/windows.py::conversion_lag)."""
+    from feldman_spark.ops.windows import conversion_lag
+
+    return conversion_lag(
+        _events(spark, sf_dir), "user_id", "ts",
+        F.col("event_type") == "view",
+        F.col("event_type") == "purchase",
+        quantiles=(0.5, 0.9))
+
+
+def events_anomaly(spark, sf_dir):
+    """Volume-spike detection: hourly counts per event_type scored
+    against their own trailing-24h mean/stddev (frame ends at
+    1 PRECEDING so a spike never contaminates its own baseline),
+    summarized per type. The bucketing aggregate collapses events
+    map-side to one count row per (type, hour) — the only corpus-sized
+    exchange; the window then sorts hours, not events
+    (feldman_spark/ops/windows.py::rolling_anomaly)."""
+    from feldman_spark.ops.windows import rolling_anomaly
+
+    a = rolling_anomaly(
+        _events(spark, sf_dir), ["event_type"], "ts",
+        bucket="hour", lookback=24, z_thresh=3.0, min_periods=3)
+    return a.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.sum(F.col("is_anomaly").cast("long")).cast("bigint")
+        .alias("n_flagged"),
+        F.max("z").alias("max_z"))
+
+
+def events_ewma(spark, sf_dir):
+    """Per-user EWMA of event value (alpha=0.3), final smoothed level
+    after folding that user's events in (ts, event_id) order. EWMA is
+    order-sequential, so the sanctioned shape is a per-key array fold
+    (one CodegenFallback row per KEY, not per event; memory bounded by
+    the largest single key) — the DuckDB twin is the identical
+    list_reduce fold, constants written as 0.3/(1-0.3) on both engines
+    so the IEEE fold is bit-identical
+    (feldman_spark/ops/windows.py::ewma_last)."""
+    from feldman_spark.ops.windows import ewma_last
+
+    return ewma_last(
+        _events(spark, sf_dir), ["user_id"], ["ts", "event_id"],
+        "value", alpha=0.3)
+
+
+def web_dedup_url(spark, sf_dir):
+    """URL-level dedup, keep-best: canonicalize the synthesized crawl
+    URLs (same normalize as web_url_normalize but with doc_id % 37 in
+    the synthesis so re-crawls of one page actually exist), then keep
+    the highest-quality doc per url_norm (max n_chars, doc_id
+    tiebreak) — the CommonCrawl re-visit collapse. Normalization is
+    row-local codegen; the keep-best is one row_number window over the
+    url_norm exchange (per-URL groups are re-visit-count sized)
+    (feldman_spark/pipeline/web.py::normalize_url + url_parts)."""
+    from feldman_spark.pipeline.web import normalize_url, url_parts
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    u = url_parts(normalize_url(
+        d.withColumn("url", F.expr(_url_case_sql("(doc_id % 37)")))))
+    w = Window.partitionBy("url_norm").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id"))
+    return (u.select("doc_id", "url_norm", "n_chars")
+            .withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1).drop("_rk"))
+
+
+# shared Spark/DuckDB SQL for the synthetic URL mix — one text, two
+# engines, so the parse inputs are byte-identical; ``id_expr`` swaps the
+# uniqueness of the synthesized URLs (web_url_normalize wants one URL per
+# doc; web_dedup_url wants re-visit collisions)
+def _url_case_sql(id_expr: str = "doc_id") -> str:
+    return f"""
     CASE CAST(doc_id % 5 AS INT)
-      WHEN 0 THEN 'HTTP://WWW.' || source || '.Example.COM:80/Path/' || doc_id
+      WHEN 0 THEN 'HTTP://WWW.' || source || '.Example.COM:80/Path/' || {id_expr}
                   || '?utm_source=feed&b=2&a=1#frag'
-      WHEN 1 THEN 'https://' || source || '.example.com:8443/p/' || doc_id
-      WHEN 2 THEN 'https://sub.' || source || '.EXAMPLE.com:443/p/' || doc_id
+      WHEN 1 THEN 'https://' || source || '.example.com:8443/p/' || {id_expr}
+      WHEN 2 THEN 'https://sub.' || source || '.EXAMPLE.com:443/p/' || {id_expr}
                   || '?z=9&gclid=abc&y=8'
-      WHEN 3 THEN 'http://user' || doc_id || '@' || source || '.example.com'
-      ELSE 'https://' || source || '.example.com/A%20b/' || doc_id
+      WHEN 3 THEN 'http://user' || {id_expr} || '@' || source || '.example.com'
+      ELSE 'https://' || source || '.example.com/A%20b/' || {id_expr}
            || '?a=1&a=0&ref=x'
     END
 """
+
+
+_URL_CASE_SQL = _url_case_sql()
+
+
+def _url_norm_oracle_sql(id_expr: str = "doc_id") -> str:
+    """DuckDB twin of normalize_url+url_parts over the synthetic URL mix
+    — shared by web_url_normalize (unique URLs) and web_dedup_url
+    (colliding URLs via ``id_expr``)."""
+    return f"""
+            WITH raw AS (
+              SELECT doc_id, ({_url_case_sql(id_expr)}) AS url FROM documents
+            ), p AS (
+              SELECT doc_id, url,
+                regexp_replace(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://', '') AS rest,
+                lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+                regexp_extract(url, '\\?([^#]*)', 1) AS query
+              FROM raw
+            ), q AS (
+              SELECT doc_id, scheme,
+                lower(regexp_extract(rest, '^(?:[^/@?#]*@)?([^/:?#]+)', 1)) AS host,
+                regexp_extract(rest, '^(?:[^/@?#]*@)?[^/:?#]*:(\\d+)', 1) AS port,
+                regexp_extract(rest, '^(?:[^/@?#]*@)?[^/?#]*(/[^?#]*)', 1) AS path,
+                -- coalesce: DuckDB's array_to_string([]) is NULL, Spark's
+                -- array_join([]) is '' — the empty-query case must agree
+                coalesce(array_to_string(list_sort(list_filter(string_split(query, '&'),
+                    x -> x <> '' AND NOT regexp_matches(x,
+                        '^(utm_[a-z]+|fbclid|gclid|msclkid|ref)='))), '&'), '') AS qnorm
+              FROM p
+            )
+            SELECT doc_id,
+              scheme || '://' || host ||
+              CASE WHEN port <> '' AND NOT ((scheme = 'http' AND port = '80')
+                                         OR (scheme = 'https' AND port = '443'))
+                   THEN ':' || port ELSE '' END ||
+              CASE WHEN path = '' THEN '/' ELSE path END ||
+              CASE WHEN qnorm = '' THEN '' ELSE '?' || qnorm END AS url_norm,
+              scheme, host,
+              regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS domain,
+              path
+            FROM q
+    """
 
 
 # --------------------------------------------------------------------------
@@ -4021,6 +4175,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_group_centroids": knn_group_centroids,
         "dedup_contamination_13g": dedup_contamination_13g,
         "w1_splice_scan": w1_splice_scan,
+    # registered mid-r8 AFTER this round's driver window was already
+    # committed, so they sit in the mirror-checked tail (the full-registry
+    # tools/check_oracle.py gate covers them this round); the r9 window
+    # should lead with: these six, then the five keys the r8 comment
+    # defers (media_features, events_tumbling/sliding, knn_brute_force/
+    # knn_lsh), then the oldest r6-green rows
+        "text_c4_rules": text_c4_rules,
+        "text_novelty": text_novelty,
+        "events_conversion_lag": events_conversion_lag,
+        "events_anomaly": events_anomaly,
+        "events_ewma": events_ewma,
+        "web_dedup_url": web_dedup_url,
     }
 
 
@@ -4898,38 +5064,140 @@ def oracle_sql() -> dict[str, str]:
                               WHEN 'en' THEN '80000000'
                               ELSE '0ccccccc' END
         """,
-        "web_url_normalize": f"""
-            WITH raw AS (
-              SELECT doc_id, ({_URL_CASE_SQL}) AS url FROM documents
-            ), p AS (
-              SELECT doc_id, url,
-                regexp_replace(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://', '') AS rest,
-                lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
-                regexp_extract(url, '\\?([^#]*)', 1) AS query
-              FROM raw
-            ), q AS (
-              SELECT doc_id, scheme,
-                lower(regexp_extract(rest, '^(?:[^/@?#]*@)?([^/:?#]+)', 1)) AS host,
-                regexp_extract(rest, '^(?:[^/@?#]*@)?[^/:?#]*:(\\d+)', 1) AS port,
-                regexp_extract(rest, '^(?:[^/@?#]*@)?[^/?#]*(/[^?#]*)', 1) AS path,
-                -- coalesce: DuckDB's array_to_string([]) is NULL, Spark's
-                -- array_join([]) is '' — the empty-query case must agree
-                coalesce(array_to_string(list_sort(list_filter(string_split(query, '&'),
-                    x -> x <> '' AND NOT regexp_matches(x,
-                        '^(utm_[a-z]+|fbclid|gclid|msclkid|ref)='))), '&'), '') AS qnorm
-              FROM p
+        "web_url_normalize": _url_norm_oracle_sql(),
+        "web_dedup_url": f"""
+            WITH norm AS ({_url_norm_oracle_sql("(doc_id % 37)")})
+            SELECT doc_id, url_norm, n_chars FROM (
+              SELECT n.doc_id, n.url_norm, d.n_chars,
+                     row_number() OVER (
+                       PARTITION BY n.url_norm
+                       ORDER BY d.n_chars DESC, n.doc_id) AS rk
+              FROM norm n JOIN documents d ON n.doc_id = d.doc_id)
+            WHERE rk = 1
+        """,
+        "text_c4_rules": """
+            WITH t AS (
+              SELECT doc_id, replace(text, '. ', '.' || chr(10)) AS text
+              FROM documents
+            ), l AS (
+              SELECT doc_id, unnest(string_split(text, chr(10))) AS ln
+              FROM t
+            ), la AS (
+              SELECT doc_id, count(*) AS n_lines,
+                     sum(CASE WHEN kept THEN 1 ELSE 0 END) AS n_kept,
+                     sum(CASE WHEN kept THEN length(ln) ELSE 0 END)
+                       AS kept_chars
+              FROM (SELECT doc_id, ln,
+                           regexp_matches(rtrim(ln), '[.!?"]$')
+                           AND len(string_split_regex(trim(ln), '\\s+')) >= 5
+                             AS kept
+                    FROM l)
+              GROUP BY 1
+            ), f AS (
+              SELECT t.doc_id,
+                     coalesce(n_lines, 0) AS n_lines,
+                     coalesce(n_kept, 0) AS n_kept,
+                     coalesce(kept_chars, 0) AS kept_chars,
+                     length(t.text) AS nc,
+                     length(t.text) - length(replace(replace(replace(
+                       t.text, '.', ''), '!', ''), '?', '')) AS nsent,
+                     strpos(t.text, '{') > 0 AS brace,
+                     strpos(lower(t.text), 'lorem ipsum') > 0 AS lorem
+              FROM t LEFT JOIN la ON t.doc_id = la.doc_id
             )
             SELECT doc_id,
-              scheme || '://' || host ||
-              CASE WHEN port <> '' AND NOT ((scheme = 'http' AND port = '80')
-                                         OR (scheme = 'https' AND port = '443'))
-                   THEN ':' || port ELSE '' END ||
-              CASE WHEN path = '' THEN '/' ELSE path END ||
-              CASE WHEN qnorm = '' THEN '' ELSE '?' || qnorm END AS url_norm,
-              scheme, host,
-              regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS domain,
-              path
-            FROM q
+                   CAST(n_lines AS BIGINT) AS n_lines,
+                   CAST(n_kept AS BIGINT) AS n_kept_lines,
+                   round(kept_chars / CAST(greatest(nc, 1) AS DOUBLE), 6)
+                     AS kept_char_frac,
+                   CAST(nsent AS BIGINT) AS n_sentences,
+                   CAST(CASE WHEN nsent >= 3 AND NOT brace AND NOT lorem
+                             AND n_kept >= 1 THEN 1 ELSE 0 END AS INT)
+                     AS keep
+            FROM f
+        """,
+        "text_novelty": """
+            WITH w AS (
+              SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            ), graw AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(w) - 3),
+                            i -> array_to_string(w[i:i+4], ' '))) AS g
+              FROM w WHERE len(w) >= 5
+            ), grams AS (
+              SELECT DISTINCT doc_id, g FROM graw
+            ), firsts AS (
+              SELECT g, min(doc_id) AS f FROM grams GROUP BY 1
+            ), agg AS (
+              SELECT doc_id, count(*) AS n_shingles,
+                     sum(CASE WHEN f = doc_id THEN 1 ELSE 0 END) AS n_novel
+              FROM grams JOIN firsts USING (g) GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(n_shingles, 0) AS BIGINT) AS n_shingles,
+                   CAST(coalesce(n_novel, 0) AS BIGINT) AS n_novel,
+                   CASE WHEN coalesce(n_shingles, 0) > 0
+                        THEN round(n_novel / CAST(n_shingles AS DOUBLE), 6)
+                        ELSE 1.0 END AS novelty_frac
+            FROM documents d LEFT JOIN agg USING (doc_id)
+        """,
+        "events_conversion_lag": """
+            WITH v AS (
+              SELECT user_id, min(ts) AS from_ts FROM events
+              WHERE event_type = 'view' GROUP BY 1
+            ), p AS (
+              SELECT e.user_id, min(e.ts) AS to_ts
+              FROM events e JOIN v USING (user_id)
+              WHERE e.event_type = 'purchase' AND e.ts >= v.from_ts
+              GROUP BY 1
+            ), u AS (
+              SELECT v.user_id,
+                     floor(epoch(p.to_ts))::BIGINT
+                     - floor(epoch(v.from_ts))::BIGINT AS lag_s
+              FROM v LEFT JOIN p USING (user_id)
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_start,
+                   CAST(count(lag_s) AS BIGINT) AS n_converted,
+                   round(count(lag_s) / CAST(count(*) AS DOUBLE), 6)
+                     AS conv_rate,
+                   round(avg(lag_s), 4) AS avg_lag_s,
+                   round(quantile_cont(lag_s, 0.5), 4) AS p50_lag_s,
+                   round(quantile_cont(lag_s, 0.9), 4) AS p90_lag_s
+            FROM u
+        """,
+        "events_anomaly": """
+            WITH b AS (
+              SELECT event_type, date_trunc('hour', ts) AS bucket,
+                     count(*) AS n
+              FROM events GROUP BY 1, 2
+            ), s AS (
+              SELECT event_type, n,
+                     avg(n) OVER w AS m,
+                     stddev_samp(n) OVER w AS sd,
+                     count(n) OVER w AS hist
+              FROM b
+              WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+                           ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+            ), z AS (
+              SELECT event_type, n,
+                     CASE WHEN hist >= 3 AND sd > 0
+                          THEN round((n - m) / sd, 6) END AS z
+              FROM s
+            )
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_buckets,
+                   CAST(sum(CASE WHEN z > 3.0 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_flagged,
+                   max(z) AS max_z
+            FROM z GROUP BY 1
+        """,
+        "events_ewma": """
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   round(list_reduce(list(value ORDER BY ts, event_id),
+                         (acc, x) -> 0.3e0 * x + (1.0e0 - 0.3e0) * acc),
+                         6) AS ewma
+            FROM events GROUP BY 1
         """,
         "o3_grouped_topk": """
             SELECT doc_id, lang, n_chars FROM (

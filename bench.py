@@ -83,6 +83,11 @@ HEADLINE = [
     "j11_range_join_bounded",
     "text_bpe_encode",
     "web_blocklist_filter",
+    # round-8b additions: cross-doc novelty (the shingle-stream shape at
+    # its widest), C4 line gating, hourly spike detection
+    "text_novelty",
+    "text_c4_rules",
+    "events_anomaly",
 ]
 
 # slack for the regression gate: sub-second queries jitter by whole

@@ -23,6 +23,9 @@ __all__ = [
     "rolling_time_agg",
     "grouped_topk",
     "funnel_steps",
+    "conversion_lag",
+    "rolling_anomaly",
+    "ewma_last",
     "event_transitions",
     "retention_cohorts",
 ]
@@ -388,6 +391,167 @@ def funnel_steps(
     ]
     return counts.select(F.explode(F.array(*entries)).alias("_s")).select(
         "_s.*")
+
+
+def conversion_lag(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    from_pred: Column,
+    to_pred: Column,
+    quantiles: Sequence[float] = (0.5, 0.9),
+    digits: int = 4,
+) -> DataFrame:
+    """Time-to-convert distribution between two funnel steps: per user,
+    the earliest event matching ``from_pred`` and the earliest event
+    matching ``to_pred`` at-or-after it; returns ONE summary row
+    ``(n_start, n_converted, conv_rate, avg_lag_s, p<q>_lag_s...)``
+    with lags in whole seconds and exact percentiles.
+
+    Same single-exchange shape as :func:`funnel_steps`: both step times
+    are unordered ``min(when(...))`` windows over one
+    ``partitionBy(user)`` spec, the per-user collapse reuses that
+    partitioning, and the summary is one tiny aggregate (exact
+    ``percentile`` over the per-user lag column — one value per
+    converting user, not per event). Swap in ``approx_percentile`` when
+    even per-user rows are too many to buffer on one aggregator.
+    """
+    if not quantiles:
+        raise ValueError("conversion_lag: need at least one quantile")
+    if any(q < 0 or q > 1 for q in quantiles):
+        raise ValueError(f"conversion_lag: quantiles must be in [0,1] "
+                         f"(got {list(quantiles)})")
+    ts = F.col(f"`{ts_col}`")
+    w = Window.partitionBy(F.col(f"`{user_col}`"))
+    cur = df.withColumn("_from", F.min(F.when(from_pred, ts)).over(w))
+    cur = cur.withColumn(
+        "_to",
+        F.min(F.when(
+            to_pred & F.col("_from").isNotNull() & (ts >= F.col("_from")),
+            ts)).over(w))
+    per_user = cur.groupBy(user_col).agg(
+        F.max("_from").alias("_from"), F.max("_to").alias("_to"))
+    # whole-second lag via second-truncated timestampdiff: NTZ-safe
+    # (TIMESTAMP_NTZ cannot cast to BIGINT) and identical to the
+    # boundary-crossing floor(epoch(to)) - floor(epoch(from)) a DuckDB
+    # date_diff('second', ...) twin computes
+    lag = F.expr("timestampdiff(SECOND, date_trunc('second', _from), "
+                 "date_trunc('second', _to))")
+    qarr = ", ".join(str(q) for q in quantiles)
+    out = per_user.select(F.col("_from"), lag.alias("_lag")).agg(
+        F.count("_from").cast("bigint").alias("n_start"),
+        F.count("_lag").cast("bigint").alias("n_converted"),
+        F.expr(f"percentile(_lag, array({qarr}))").alias("_q"),
+        F.avg("_lag").alias("_avg"),
+    )
+    qcols = [
+        F.round(F.element_at("_q", i + 1), digits)
+        .alias(f"p{int(q * 100):02d}_lag_s")
+        for i, q in enumerate(quantiles)
+    ]
+    return out.select(
+        "n_start", "n_converted",
+        F.round(F.col("n_converted")
+                / F.when(F.col("n_start") > 0, F.col("n_start")), 6)
+        .alias("conv_rate"),
+        F.round("_avg", digits).alias("avg_lag_s"),
+        *qcols,
+    )
+
+
+def rolling_anomaly(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    bucket: str = "hour",
+    lookback: int = 24,
+    z_thresh: float = 3.0,
+    min_periods: int = 3,
+    digits: int = 6,
+) -> DataFrame:
+    """Volume-spike detection per key: bucket events by
+    ``date_trunc(bucket, ts)``, score every bucket's count against the
+    mean/stddev of its own trailing ``lookback`` buckets (frame
+    ``ROWS BETWEEN lookback PRECEDING AND 1 PRECEDING`` — the current
+    bucket never contaminates its own baseline), and flag
+    ``z > z_thresh``. Returns one row per (key, bucket):
+    ``(*key_cols, bucket, n, z, is_anomaly)``; ``z`` is null until
+    ``min_periods`` history buckets exist or while the baseline stddev
+    is 0 (flat history — any change would be infinite z; callers who
+    want "flat then jumped" use ``n > _mean`` directly).
+
+    Scale shape: the bucketing aggregate collapses events map-side to
+    one slim count row per (key, bucket) — the only corpus-sized
+    exchange. The window sort then runs over bucket rows (hours, not
+    events): days×24 rows per key, trivially in-memory; no event text
+    moves.
+    """
+    if lookback < 1:
+        raise ValueError(f"rolling_anomaly: lookback must be >= 1 "
+                         f"(got {lookback})")
+    keys = _cols(key_cols)
+    b = df.groupBy(
+        *keys, F.date_trunc(bucket, F.col(f"`{ts_col}`")).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = (Window.partitionBy(*keys).orderBy("bucket")
+         .rowsBetween(-lookback, -1))
+    scored = b.select(
+        *keys, F.col("bucket"), F.col("n"),
+        F.avg("n").over(w).alias("_mean"),
+        F.stddev_samp("n").over(w).alias("_sd"),
+        F.count("n").over(w).alias("_hist"),
+    )
+    z = F.when(
+        (F.col("_hist") >= min_periods) & (F.col("_sd") > 0),
+        F.round((F.col("n") - F.col("_mean")) / F.col("_sd"), digits))
+    return scored.select(
+        *keys, "bucket", F.col("n").cast("bigint").alias("n"),
+        z.alias("z"),
+        F.coalesce(z > z_thresh, F.lit(False)).alias("is_anomaly"),
+    )
+
+
+def ewma_last(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    value_col: str,
+    alpha: float = 0.3,
+    digits: int = 6,
+) -> DataFrame:
+    """Exponentially-weighted moving average per key, returning the
+    final smoothed value after folding the key's events in
+    ``order_cols`` order: ``ewma_i = alpha*x_i + (1-alpha)*ewma_{i-1}``,
+    seeded with the first value. Returns ``(*key_cols, n_events,
+    ewma)``.
+
+    EWMA is inherently order-sequential (each output depends on the
+    previous), so the sanctioned shape is a per-key array fold — the
+    same contract as the BPE merge fold (`text.py::bpe_apply_merges`):
+    ``sort_array(collect_list(...))`` bounds memory by the LARGEST
+    SINGLE KEY's event count (keys are independent and parallel; the
+    corpus never concentrates on one aggregator). The ``aggregate`` HOF
+    is CodegenFallback, but it runs on one row per key, not per event.
+    For bucketed trend smoothing at corpus scale, pre-aggregate to
+    time buckets first (cf. :func:`rolling_anomaly`) so the folded
+    arrays are days long, not event-count long.
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"ewma_last: alpha must be in (0, 1] "
+                         f"(got {alpha})")
+    arr = F.sort_array(F.collect_list(F.struct(
+        *[F.col(f"`{c}`") for c in order_cols],
+        F.col(f"`{value_col}`").cast("double").alias("_v"))))
+    vals = F.transform(arr, lambda s: s["_v"])
+    ew = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1),
+        lambda acc, x: F.lit(alpha) * x + F.lit(1.0 - alpha) * acc,
+    )
+    return df.groupBy(*_cols(key_cols)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.round(ew, digits).alias("ewma"),
+    )
 
 
 def event_transitions(

@@ -38,6 +38,7 @@ __all__ = [
     "embedding_cosine_pairs_lsh",
     "decontaminate",
     "contamination_overlap",
+    "shingle_novelty",
     "decontaminate_semantic",
     "paragraph_dedup",
     "remove_frequent_spans",
@@ -871,6 +872,62 @@ def contamination_overlap(
                     F.col("n_contaminated").cast("double")
                     / F.col("n_grams"), digits),
             ).otherwise(F.lit(0.0)).alias("overlap_frac"),
+        )
+    )
+
+
+def shingle_novelty(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    digits: int = 6,
+) -> DataFrame:
+    """Cross-document content novelty: for every document, the fraction
+    of its DISTINCT k-word shingles whose first appearance in the corpus
+    (minimum ``id_col``) is this document. Returns ``(id_col,
+    n_shingles, n_novel, novelty_frac)``; docs with fewer than k words
+    carry ``novelty_frac`` 1.0 (nothing they say has been said before).
+
+    The signal behind novelty-ordered curricula and crawl-snapshot
+    triage: a snapshot whose docs average near-zero novelty against the
+    ids already ingested adds little. Ordering is by ``id_col`` — ingest
+    order when ids are assigned on arrival.
+
+    Scale shape: one codegen shingle-stream scan (hashed longs, text
+    never leaves its scan), per-doc ``distinct``, a groupBy(_g) min-id
+    aggregate, and a join back on _g that reuses the groupBy's
+    partitioning — three slim long-pair exchanges, all linear in total
+    shingle count. No collect, no HOFs; 64-bit shingle-hash collisions
+    need two distinct grams of one corpus to collide (~n²/2⁶⁴).
+    """
+    if k < 1:
+        raise ValueError(f"shingle_novelty: k must be >= 1 (got {k})")
+    grams = _shingle_stream(df, text_col, id_col, k, hashed=True).distinct()
+    first = grams.groupBy("_g").agg(F.min(id_col).alias("_first"))
+    agg = (
+        grams.join(first, "_g")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_shingles"),
+            F.sum((F.col(id_col) == F.col("_first")).cast("long"))
+            .cast("bigint").alias("n_novel"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_shingles", F.lit(0)).cast("bigint")
+            .alias("n_shingles"),
+            F.coalesce("n_novel", F.lit(0)).cast("bigint").alias("n_novel"),
+            F.when(
+                F.coalesce("n_shingles", F.lit(0)) > 0,
+                F.round(
+                    F.col("n_novel").cast("double") / F.col("n_shingles"),
+                    digits),
+            ).otherwise(F.lit(1.0)).alias("novelty_frac"),
         )
     )
 

@@ -22,6 +22,7 @@ __all__ = [
     "repetition_metrics",
     "gopher_rules",
     "gopher_quality",
+    "c4_stats",
     "scrub_pii",
     "strip_html",
     "lang_scores",
@@ -358,6 +359,78 @@ def gopher_quality(
     return joined.withColumn(
         keep_col, _gopher_verdict(qcols, rcols, **thresholds)
     ).drop("_q_nt", "_q_atl", "_q_ar")
+
+
+def c4_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words_per_line: int = 5,
+    min_sentences: int = 3,
+    keep_col: str = "keep",
+) -> DataFrame:
+    """C4-style quality gating (Raffel et al. 2020 §2.2): line-level and
+    document-level heuristics as one relational pass. Returns
+    ``(id_col, n_lines, n_kept_lines, kept_char_frac, n_sentences,
+    keep_col)``.
+
+    Line rule (C4): a line survives iff it ends in terminal punctuation
+    (``. ! ? "``) and has at least ``min_words_per_line`` words. Document
+    rule: keep iff at least ``min_sentences`` sentence terminators, no
+    curly brace (code), no "lorem ipsum" (placeholder), and at least one
+    surviving line. ``kept_char_frac`` is the fraction of the document's
+    characters living on surviving lines — the downstream yield of
+    line-level filtering.
+
+    Scale shape mirrors :func:`repetition_metrics`: the doc-level flags
+    are row-local codegen regex/``instr`` expressions on a slim
+    ``(id, numbers)`` projection; the line stats are one
+    ``explode(split(text, '\\n'))`` stream into a hash aggregate whose
+    partials collapse map-side, so the shuffle moves one counts row per
+    document and the text itself never moves. No higher-order functions
+    (CodegenFallback) anywhere in the plan.
+    """
+    text = F.col(text_col)
+    idc = F.col(id_col)
+    # sentence terminators via nested replace (identical semantics on
+    # Spark and DuckDB; regexp_count has no DuckDB twin)
+    stripped = F.replace(F.replace(F.replace(
+        text, F.lit("."), F.lit("")), F.lit("!"), F.lit("")),
+        F.lit("?"), F.lit(""))
+    base = df.select(
+        idc,
+        F.length(text).alias("_nc"),
+        (F.length(text) - F.length(stripped)).alias("_nsent"),
+        (F.instr(text, "{") > 0).alias("_brace"),
+        (F.instr(F.lower(text), "lorem ipsum") > 0).alias("_lorem"),
+    )
+    lines = df.select(idc, F.explode(F.split(text, "\n")).alias("_l"))
+    kept = (
+        F.rtrim(F.col("_l")).rlike('[.!?"]$')
+        & (F.size(F.split(F.trim(F.col("_l")), r"\s+"))
+           >= min_words_per_line)
+    )
+    l_agg = lines.select(idc, F.col("_l"), kept.alias("_k")).groupBy(
+        id_col).agg(
+        F.count(F.lit(1)).alias("_nl"),
+        F.sum(F.col("_k").cast("long")).alias("_nk"),
+        F.sum(F.when(F.col("_k"), F.length("_l")).otherwise(0)
+              ).alias("_kc"),
+    )
+    j = base.join(l_agg, id_col, "left")
+    n_kept = F.coalesce(F.col("_nk"), F.lit(0)).cast("bigint")
+    return j.select(
+        idc,
+        F.coalesce(F.col("_nl"), F.lit(0)).cast("bigint").alias("n_lines"),
+        n_kept.alias("n_kept_lines"),
+        F.round(
+            F.coalesce(F.col("_kc"), F.lit(0)).cast("double")
+            / F.greatest(F.col("_nc"), F.lit(1)).cast("double"),
+            6).alias("kept_char_frac"),
+        F.col("_nsent").cast("bigint").alias("n_sentences"),
+        ((F.col("_nsent") >= min_sentences) & ~F.col("_brace")
+         & ~F.col("_lorem") & (n_kept >= 1)).alias(keep_col),
+    )
 
 
 # Redaction patterns kept to constructs with identical semantics in Java

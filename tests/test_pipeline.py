@@ -1865,3 +1865,172 @@ def test_classifier_calibration_loop(spark):
     top = [r for r in bins if r["bucket"] == 9]
     if top:
         assert top[0]["accuracy"] >= 0.9
+
+
+# ---------------------------------------------------------------------------
+# round-8b operators: C4 rules, novelty, conversion lag, anomaly, EWMA
+# ---------------------------------------------------------------------------
+
+def test_c4_stats_line_and_doc_rules(spark):
+    from feldman_spark.pipeline.text import c4_stats
+
+    docs = spark.createDataFrame(
+        [
+            # 2 kept lines of 3, >=3 sentences, clean -> keep
+            (1, "this line is long enough.\nshort one.\n"
+                "another line that is long enough too!"),
+            # brace disqualifies the doc even with good lines
+            (2, "this line is long enough { code }.\n"
+                "another good long line here it is.\n"
+                "a third good long line right here."),
+            # lorem ipsum placeholder
+            (3, "lorem ipsum dolor sit amet something.\n"
+                "more words that make it long enough.\n"
+                "and a third sentence for the count."),
+            # only 2 sentences -> drop
+            (4, "one good long line ends here.\nsecond good long line ends."),
+            # no kept lines (no terminal punctuation)
+            (5, "no punctuation on this line at all\nnor on this one either"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in c4_stats(docs).collect()}
+    assert out[1]["n_lines"] == 3 and out[1]["n_kept_lines"] == 2
+    assert out[1]["keep"] is True
+    # kept_char_frac: kept lines' chars over total chars (incl. newlines)
+    kept = len("this line is long enough.") + len(
+        "another line that is long enough too!")
+    total = len("this line is long enough.\nshort one.\n"
+                "another line that is long enough too!")
+    assert abs(out[1]["kept_char_frac"] - round(kept / total, 6)) < 1e-9
+    assert out[2]["keep"] is False           # brace
+    assert out[3]["keep"] is False           # lorem ipsum
+    assert out[4]["n_sentences"] == 2 and out[4]["keep"] is False
+    assert out[5]["n_kept_lines"] == 0 and out[5]["keep"] is False
+
+
+def test_shingle_novelty_first_seen_semantics(spark):
+    from feldman_spark.pipeline.dedup import shingle_novelty
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),      # 2 distinct 5-grams, both first here
+            (2, "a b c d e f"),      # exact copy -> novelty 0
+            (3, "x y z w v u"),      # all new
+            (4, "a b c d e zzz"),    # 1 of 2 shingles first seen in doc 1
+            (5, "too short"),        # <5 words -> 0 shingles, novelty 1.0
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in shingle_novelty(docs, k=5).collect()}
+    assert (out[1]["n_shingles"], out[1]["n_novel"]) == (2, 2)
+    assert out[1]["novelty_frac"] == 1.0
+    assert (out[2]["n_shingles"], out[2]["n_novel"]) == (2, 0)
+    assert out[3]["novelty_frac"] == 1.0
+    assert (out[4]["n_shingles"], out[4]["n_novel"]) == (2, 1)
+    assert out[4]["novelty_frac"] == 0.5
+    assert (out[5]["n_shingles"], out[5]["novelty_frac"]) == (0, 1.0)
+
+    with pytest.raises(ValueError, match="k must be"):
+        shingle_novelty(docs, k=0)
+
+
+def test_conversion_lag_funnel_semantics(spark):
+    import datetime as dt
+
+    from feldman_spark.ops.windows import conversion_lag
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ev(uid, secs, typ):
+        return (uid, t0 + dt.timedelta(seconds=secs), typ)
+
+    events = spark.createDataFrame(
+        [
+            ev(1, 0, "view"), ev(1, 10, "purchase"),       # lag 10
+            ev(2, 5, "view"), ev(2, 35, "purchase"),       # lag 30
+            ev(3, 0, "purchase"), ev(3, 9, "view"),        # purchase BEFORE
+                                                           # view: no convert
+            ev(4, 0, "view"),                              # never converts
+        ],
+        ["user_id", "ts", "event_type"],
+    )
+    row = conversion_lag(
+        events, "user_id", "ts",
+        F.col("event_type") == "view",
+        F.col("event_type") == "purchase",
+        quantiles=(0.5,),
+    ).collect()[0]
+    assert row["n_start"] == 4 and row["n_converted"] == 2
+    assert row["conv_rate"] == 0.5
+    assert row["avg_lag_s"] == 20.0 and row["p50_lag_s"] == 20.0
+
+    with pytest.raises(ValueError, match="quantile"):
+        conversion_lag(events, "user_id", "ts", F.lit(True), F.lit(True),
+                       quantiles=())
+
+
+def test_rolling_anomaly_flags_spike_not_baseline(spark):
+    import datetime as dt
+
+    from feldman_spark.ops.windows import rolling_anomaly
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    # 11 hourly buckets: counts 4,5,4,5,... then one 50-event spike
+    for h in range(11):
+        n = 50 if h == 10 else (4 if h % 2 == 0 else 5)
+        for i in range(n):
+            rows.append(("a", t0 + dt.timedelta(hours=h, seconds=i)))
+    df = spark.createDataFrame(rows, ["k", "ts"])
+    out = {r["bucket"].hour: r for r in rolling_anomaly(
+        df, ["k"], "ts", bucket="hour", lookback=24, z_thresh=3.0,
+        min_periods=3).collect()}
+    assert len(out) == 11
+    assert out[0]["z"] is None and out[0]["is_anomaly"] is False  # no history
+    assert out[10]["is_anomaly"] is True and out[10]["z"] > 3.0
+    assert all(not out[h]["is_anomaly"] for h in range(10))
+
+    with pytest.raises(ValueError, match="lookback"):
+        rolling_anomaly(df, ["k"], "ts", lookback=0)
+
+
+def test_rolling_anomaly_flat_history_gives_null_z(spark):
+    import datetime as dt
+
+    from feldman_spark.ops.windows import rolling_anomaly
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [("a", t0 + dt.timedelta(hours=h, seconds=i))
+            for h in range(5) for i in range(3)]   # constant 3/hour
+    df = spark.createDataFrame(rows, ["k", "ts"])
+    out = rolling_anomaly(df, ["k"], "ts", min_periods=3).collect()
+    assert all(r["z"] is None for r in out)        # sd == 0 everywhere
+    assert all(r["is_anomaly"] is False for r in out)
+
+
+def test_ewma_last_matches_sequential_fold(spark):
+    from feldman_spark.ops.windows import ewma_last
+
+    vals = [3.0, 1.0, 4.0, 1.5, 9.0]
+    rows = [(7, i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, ["k", "seq", "v"])
+    got = ewma_last(df, ["k"], ["seq"], "v", alpha=0.25).collect()[0]
+    acc = vals[0]
+    for x in vals[1:]:
+        acc = 0.25 * x + (1.0 - 0.25) * acc
+    assert got["n_events"] == 5
+    assert got["ewma"] == round(acc, 6)
+
+    # order column actually drives the fold
+    df_rev = spark.createDataFrame(
+        [(7, len(vals) - i, v) for i, v in enumerate(vals)],
+        ["k", "seq", "v"])
+    got_rev = ewma_last(df_rev, ["k"], ["seq"], "v", alpha=0.25).collect()[0]
+    acc_rev = vals[-1]
+    for x in vals[-2::-1]:
+        acc_rev = 0.25 * x + 0.75 * acc_rev
+    assert got_rev["ewma"] == round(acc_rev, 6)
+
+    with pytest.raises(ValueError, match="alpha"):
+        ewma_last(df, ["k"], ["seq"], "v", alpha=0.0)
