@@ -35,6 +35,8 @@ __all__ = [
     "decode_wav",
     "decode_jpeg",
     "decode_image_bytes",
+    "encode_png",
+    "resize_pixels",
 ]
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
@@ -260,6 +262,67 @@ def decode_wav(data: bytes) -> Tuple[int, int, int, np.ndarray]:
     samples = samples[: nframes * channels].reshape(nframes, channels)
     duration_ms = int(nframes * 1000 // rate) if rate else 0
     return rate, channels, duration_ms, samples
+
+
+def encode_png(pixels: bytes, width: int, height: int,
+               channels: int) -> bytes:
+    """Encode raw row-major 8-bit samples as a valid PNG (filter type 0
+    per row, one zlib IDAT) — the write side of the media pipeline:
+    resized thumbnails and derived images leave the engine in a format
+    every consumer reads. Filter-0-only trades a few percent of
+    compression for a branch-free encoder; decoders (including
+    :func:`decode_png`) accept it unconditionally."""
+    if channels not in (1, 2, 3, 4):
+        raise ValueError(f"PNG encode: channels must be 1-4 (got {channels})")
+    arr = np.frombuffer(bytes(pixels), dtype=np.uint8)
+    if arr.size != width * height * channels:
+        raise ValueError(
+            f"PNG encode: {arr.size} bytes != {width}x{height}x{channels}")
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    rows = arr.reshape(height, width * channels)
+    raw = np.zeros((height, 1 + width * channels), dtype=np.uint8)
+    raw[:, 1:] = rows  # filter byte 0 + literal row
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, ctype, 0, 0, 0)
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw.tobytes()))
+            + chunk(b"IEND", b""))
+
+
+def resize_pixels(pixels: bytes, width: int, height: int, channels: int,
+                  new_width: int, new_height: int) -> bytes:
+    """Bilinear resample of raw 8-bit samples to ``new_width`` ×
+    ``new_height`` (align-corners-false center-sampling convention,
+    edge-clamped — the standard image-library default). Fully
+    vectorized numpy; returns raw samples in the same channel layout."""
+    if new_width < 1 or new_height < 1:
+        raise ValueError(
+            f"resize: target must be >= 1x1 (got {new_width}x{new_height})")
+    arr = np.frombuffer(bytes(pixels), dtype=np.uint8)
+    if arr.size != width * height * channels:
+        raise ValueError(
+            f"resize: {arr.size} bytes != {width}x{height}x{channels}")
+    src = arr.reshape(height, width, channels).astype(np.float64)
+    # source coordinate of each target pixel center
+    ys = (np.arange(new_height) + 0.5) * (height / new_height) - 0.5
+    xs = (np.arange(new_width) + 0.5) * (width / new_width) - 0.5
+    y0 = np.clip(np.floor(ys).astype(np.int64), 0, height - 1)
+    x0 = np.clip(np.floor(xs).astype(np.int64), 0, width - 1)
+    y1 = np.minimum(y0 + 1, height - 1)
+    x1 = np.minimum(x0 + 1, width - 1)
+    wy = np.clip(ys - y0, 0.0, 1.0)[:, None, None]
+    wx = np.clip(xs - x0, 0.0, 1.0)[None, :, None]
+    tl = src[np.ix_(y0, x0)]
+    tr = src[np.ix_(y0, x1)]
+    bl = src[np.ix_(y1, x0)]
+    br = src[np.ix_(y1, x1)]
+    out = (tl * (1 - wy) * (1 - wx) + tr * (1 - wy) * wx
+           + bl * wy * (1 - wx) + br * wy * wx)
+    return np.clip(np.round(out), 0, 255).astype(np.uint8).tobytes()
 
 
 # ---------------------------------------------------------------------------

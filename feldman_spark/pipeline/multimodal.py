@@ -42,6 +42,7 @@ __all__ = [
     "decode_image",
     "decode_audio",
     "resize_image",
+    "image_stats",
     "extract_features",
     "frame_sample",
 ]
@@ -147,10 +148,15 @@ def decode_audio(df: DataFrame) -> DataFrame:
 
 def resize_image(df: DataFrame, width: int, height: int, fake: bool = False) -> DataFrame:
     """Resize image payloads to ``width``×``height``: output mirrors the
-    input schema with the payload replaced and the size metadata updated.
-    The pixel resample is stubbed (``fake=True`` digests payload+dims so
-    distinct targets yield distinct deterministic bytes); non-image rows
-    pass through untouched. Same Arrow-batch contract as decode."""
+    input schema with the payload replaced (re-encoded as PNG — the
+    write format every consumer reads) and the size metadata updated.
+    The real path decodes via the stdlib codecs (PNG/BMP/baseline JPEG),
+    resamples bilinearly and re-encodes; payloads those codecs can't
+    decode are passed through UNCHANGED (one odd file must not fail a
+    100 TB stage — same contract as decode_audio). ``fake=True`` keeps
+    the deterministic digest twin used by the pinned oracle; non-image
+    rows pass through untouched. Same Arrow-batch contract as decode."""
+    from feldman_spark.pipeline import codecs
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -162,20 +168,86 @@ def resize_image(df: DataFrame, width: int, height: int, fake: bool = False) -> 
                     ws.append(w)
                     hs.append(h)
                     continue
-                if not fake:
-                    raise NotImplementedError(
-                        "image resampling requires an image library not present "
-                        "in this environment; pass fake=True")
-                data.append(hashlib.md5(
-                    bytes(d) + f"{width}x{height}".encode()).digest())
-                ws.append(width)
-                hs.append(height)
+                if fake:
+                    data.append(hashlib.md5(
+                        bytes(d) + f"{width}x{height}".encode()).digest())
+                    ws.append(width)
+                    hs.append(height)
+                    continue
+                try:
+                    sw, sh, ch, px = codecs.decode_image_bytes(bytes(d))
+                    resized = codecs.resize_pixels(
+                        px, sw, sh, ch, width, height)
+                    data.append(codecs.encode_png(
+                        resized, width, height, ch))
+                    ws.append(width)
+                    hs.append(height)
+                except (ValueError, NotImplementedError):
+                    data.append(d)
+                    ws.append(w)
+                    hs.append(h)
             out["data"] = data
             out["width"] = pd.array(ws, dtype="Int64")
             out["height"] = pd.array(hs, dtype="Int64")
             yield out
 
     return df.mapInPandas(run, schema=df.schema)
+
+
+def image_stats(df: DataFrame) -> DataFrame:
+    """Per-image pixel statistics over the REAL decoded samples —
+    ``(media_id, width, height, channels, mean_luma, std_luma,
+    entropy)`` with luminance the BT.601 weighting and entropy the
+    Shannon entropy (bits) of the 256-bin gray histogram. The
+    dedup/quality features a media pipeline filters on (flat or
+    near-empty images score near-zero entropy). Rows whose payload the
+    stdlib codecs can't decode are dropped, per the decode_audio
+    contract. Arrow-batched ``mapInPandas``."""
+    from feldman_spark.pipeline import codecs
+
+    schema = StructType([
+        StructField("media_id", LongType(), False),
+        StructField("width", LongType(), True),
+        StructField("height", LongType(), True),
+        StructField("channels", LongType(), True),
+        StructField("mean_luma", DoubleType(), True),
+        StructField("std_luma", DoubleType(), True),
+        StructField("entropy", DoubleType(), True),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        rows = []
+        for pdf in batches:
+            for mid, kind, d in zip(pdf["media_id"], pdf["kind"],
+                                    pdf["data"]):
+                if kind != "image" or d is None:
+                    continue
+                try:
+                    w, h, ch, px = codecs.decode_image_bytes(bytes(d))
+                except (ValueError, NotImplementedError):
+                    continue
+                arr = np.frombuffer(px, np.uint8).reshape(h, w, ch)
+                if ch >= 3:
+                    luma = (0.299 * arr[:, :, 0] + 0.587 * arr[:, :, 1]
+                            + 0.114 * arr[:, :, 2])
+                else:
+                    luma = arr[:, :, 0].astype(np.float64)
+                hist = np.bincount(
+                    np.clip(np.round(luma), 0, 255).astype(np.int64)
+                    .reshape(-1), minlength=256)
+                p = hist[hist > 0] / hist.sum()
+                rows.append((int(mid), w, h, ch,
+                             round(float(luma.mean()), 6),
+                             round(float(luma.std()), 6),
+                             round(float(-(p * np.log2(p)).sum()), 6)))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height", "channels",
+                               "mean_luma", "std_luma", "entropy"])
+            rows = []
+
+    return df.mapInPandas(run, schema=schema)
 
 
 def extract_features(df: DataFrame, dim: int = 8) -> DataFrame:

@@ -714,3 +714,88 @@ def test_jpeg_through_spark_decode_image(spark):
     out = decode_image(media_table(spark, rows)).collect()
     got = np.frombuffer(bytes(out[0]["pixels"]), np.uint8).reshape(8, 8, 3)
     assert np.abs(got.astype(int) - img.astype(int)).max() <= 8
+
+
+# ---------------------------------------------------------------------------
+# production PNG writer + bilinear resize + image stats
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("ch", [1, 3, 4])
+def test_encode_png_roundtrips_exactly(ch):
+    rng = np.random.RandomState(23)
+    img = rng.randint(0, 256, size=(9, 5, ch), dtype=np.uint8)
+    data = codecs.encode_png(img.tobytes(), 5, 9, ch)
+    w, h, och, out = codecs.decode_png(data)
+    assert (w, h, och) == (5, 9, ch)
+    assert out == img.tobytes()
+
+
+def test_encode_png_validates():
+    with pytest.raises(ValueError, match="channels"):
+        codecs.encode_png(b"\x00" * 12, 2, 2, 5)
+    with pytest.raises(ValueError, match="bytes"):
+        codecs.encode_png(b"\x00" * 11, 2, 2, 3)
+
+
+def test_resize_pixels_identity_and_flat():
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, size=(6, 7, 3), dtype=np.uint8)
+    same = codecs.resize_pixels(img.tobytes(), 7, 6, 3, 7, 6)
+    assert same == img.tobytes()            # identity resize is exact
+    flat = np.full((8, 8, 3), 77, np.uint8)
+    down = codecs.resize_pixels(flat.tobytes(), 8, 8, 3, 3, 5)
+    assert set(down) == {77}                # flat stays flat at any scale
+    with pytest.raises(ValueError, match=">= 1x1"):
+        codecs.resize_pixels(flat.tobytes(), 8, 8, 3, 0, 4)
+
+
+def test_resize_pixels_bilinear_center():
+    # 2x2 -> 1x1: target center samples the middle -> average of corners
+    img = np.array([[[0], [100]], [[200], [60]]], dtype=np.uint8)
+    out = codecs.resize_pixels(img.tobytes(), 2, 2, 1, 1, 1)
+    assert out[0] == round((0 + 100 + 200 + 60) / 4)
+
+
+def test_resize_image_real_path_through_spark(spark):
+    from feldman_spark.pipeline.multimodal import media_table, resize_image
+
+    rng = np.random.RandomState(8)
+    img = rng.randint(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    rows = [
+        (1, "image", "image/png", 16, 16, None, _encode_png(img, [0] * 16)),
+        (2, "image", "image/jpeg", 16, 16, None,
+         _encode_jpeg(img, quality=100)),
+        (3, "image", "image/webp", 4, 4, None, b"RIFFxxxxWEBPVP8 "),
+        (4, "audio", "audio/wav", None, None, 10,
+         _encode_wav(np.zeros((8, 1), np.int16), 8000)),
+    ]
+    out = {r["media_id"]: r for r in
+           resize_image(media_table(spark, rows), 4, 4).collect()}
+    for mid in (1, 2):
+        assert (out[mid]["width"], out[mid]["height"]) == (4, 4)
+        w, h, ch, px = codecs.decode_png(bytes(out[mid]["data"]))
+        assert (w, h, ch) == (4, 4, 3)
+    # undecodable image and non-image rows pass through unchanged
+    assert bytes(out[3]["data"]) == b"RIFFxxxxWEBPVP8 "
+    assert (out[3]["width"], out[3]["height"]) == (4, 4)
+    assert out[4]["duration_ms"] == 10
+
+
+def test_image_stats_through_spark(spark):
+    from feldman_spark.pipeline.multimodal import image_stats, media_table
+
+    flat = np.full((8, 8, 3), 50, np.uint8)
+    rng = np.random.RandomState(4)
+    noisy = rng.randint(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    rows = [
+        (1, "image", "image/png", 8, 8, None, _encode_png(flat, [0] * 8)),
+        (2, "image", "image/png", 8, 8, None, _encode_png(noisy, [1] * 8)),
+        (3, "image", "image/webp", 8, 8, None, b"not an image"),
+    ]
+    out = {r["media_id"]: r for r in
+           image_stats(media_table(spark, rows)).collect()}
+    assert sorted(out) == [1, 2]            # undecodable dropped
+    assert out[1]["mean_luma"] == 50.0
+    assert out[1]["std_luma"] == 0.0 and out[1]["entropy"] == 0.0
+    assert out[2]["entropy"] > 4.0          # noisy image: high entropy
+    assert (out[2]["width"], out[2]["channels"]) == (8, 3)
