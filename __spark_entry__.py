@@ -1234,6 +1234,34 @@ def media_features(spark, sf_dir):
         F.to_json("features").alias("features_json"))
 
 
+def media_image_stats(spark, sf_dir):
+    """REAL pixel statistics over really-decoded bytes — the upgrade of
+    media_features' fake-decode plumbing now that the stdlib codecs
+    decode actual PNGs: in-query deterministic payloads (production
+    encode_png over seeded gradient arrays, gray/RGB/RGBA, odd sizes)
+    → decode_image_bytes → BT.601 luma mean/std + 256-bin histogram
+    entropy per image; the undecodable row is dropped per contract.
+    Input is SF-independent and the decode is pure, so the expected
+    output is pinned as a VALUES oracle (_MEDIA_IMAGE_STATS_PINNED)
+    (feldman_spark/pipeline/multimodal.py::image_stats,
+    pipeline/codecs.py::decode_png/encode_png)."""
+    import numpy as np
+
+    from feldman_spark.pipeline.codecs import encode_png
+    from feldman_spark.pipeline.multimodal import image_stats, media_table
+
+    rows = []
+    for i in range(8):
+        w, h = 8 + i, 6 + (i % 3)
+        ch = (1, 3, 4)[i % 3]
+        arr = ((np.arange(h * w * ch, dtype=np.int64) * (i + 3)) % 251
+               ).astype(np.uint8)
+        rows.append((i, "image", "image/png", w, h, None,
+                     encode_png(arr.tobytes(), w, h, ch)))
+    rows.append((99, "image", "image/webp", 4, 4, None, b"not decodable"))
+    return image_stats(media_table(spark, rows))
+
+
 def _survivors_quality_oracle_sql() -> str:
     """dedup_survivors_best as SQL: the components walk (see
     :func:`_components_oracle_sql`) plus per-cluster max-quality /
@@ -1682,6 +1710,32 @@ _MEDIA_FEATURES_PINNED = """
             (18, 'video', 64, '[0.917647,0.517647,0.584314,0.611765,0.768627,0.121569,1.0,0.278431]'),
             (19, 'image', 64, '[0.745098,0.180392,0.180392,0.184314,0.443137,0.2,0.317647,0.886275]')
         ) AS t(media_id, kind, n_bytes, features_json)
+    """
+
+
+# real-decode pixel stats over deterministic in-query PNGs: pure decode,
+# SF-independent input -> pinned expected VALUES (media_features pattern);
+# the casts matter: bare VALUES floats parse as DECIMAL in DuckDB and
+# would hash-mismatch Spark's doubles
+_MEDIA_IMAGE_STATS_PINNED = """
+        SELECT CAST(media_id AS BIGINT) AS media_id,
+               CAST(width AS BIGINT) AS width,
+               CAST(height AS BIGINT) AS height,
+               CAST(channels AS BIGINT) AS channels,
+               CAST(mean_luma AS DOUBLE) AS mean_luma,
+               CAST(std_luma AS DOUBLE) AS std_luma,
+               CAST(entropy AS DOUBLE) AS entropy
+        FROM (VALUES
+            (0, 8, 6, 1, 70.5, 41.560197, 5.584963),
+            (1, 9, 7, 3, 124.26, 72.668196, 5.97728),
+            (2, 10, 8, 4, 121.03105, 70.593343, 6.296928),
+            (3, 11, 6, 1, 103.727273, 68.139684, 6.044394),
+            (4, 12, 7, 3, 123.864357, 72.028805, 6.392317),
+            (5, 13, 8, 4, 123.311394, 69.340954, 6.681209),
+            (6, 14, 6, 1, 122.5, 72.70431, 6.392317),
+            (7, 15, 7, 3, 123.408343, 67.065362, 6.67615)
+        ) AS t(media_id, width, height, channels,
+               mean_luma, std_luma, entropy)
     """
 
 
@@ -3905,6 +3959,18 @@ def events_ewma(spark, sf_dir):
         "value", alpha=0.3)
 
 
+def events_session_stats(spark, sf_dir):
+    """Corpus-level session rollup (the product-analytics KPI row):
+    session count, users, bounce rate (single-event sessions), mean
+    events/session, exact p50/p90 session duration — over the same
+    30-min-gap lag+cumsum sessionization events_sessionize value-checks.
+    One user-keyed exchange; the percentile aggregates one duration per
+    SESSION (feldman_spark/streaming/events.py::session_stats)."""
+    from feldman_spark.streaming.events import session_stats
+
+    return session_stats(_events(spark, sf_dir), gap_minutes=30)
+
+
 def web_dedup_url(spark, sf_dir):
     """URL-level dedup, keep-best: canonicalize the synthesized crawl
     URLs (same normalize as web_url_normalize but with doc_id % 37 in
@@ -4178,7 +4244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # registered mid-r8 AFTER this round's driver window was already
     # committed, so they sit in the mirror-checked tail (the full-registry
     # tools/check_oracle.py gate covers them this round); the r9 window
-    # should lead with: these six, then the five keys the r8 comment
+    # should lead with: these eight, then the five keys the r8 comment
     # defers (media_features, events_tumbling/sliding, knn_brute_force/
     # knn_lsh), then the oldest r6-green rows
         "text_c4_rules": text_c4_rules,
@@ -4187,6 +4253,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_anomaly": events_anomaly,
         "events_ewma": events_ewma,
         "web_dedup_url": web_dedup_url,
+        "events_session_stats": events_session_stats,
+        "media_image_stats": media_image_stats,
     }
 
 
@@ -5191,6 +5259,37 @@ def oracle_sql() -> dict[str, str]:
                    max(z) AS max_z
             FROM z GROUP BY 1
         """,
+        "events_session_stats": """
+            WITH flagged AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR date_diff('second', lag(ts) OVER w, ts)
+                               > 1800
+                          THEN 1 ELSE 0 END AS new_session
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)
+            ), ids AS (
+              SELECT user_id, ts,
+                     sum(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS session_id
+              FROM flagged
+            ), per_session AS (
+              SELECT user_id, session_id, count(*) AS n,
+                     floor(epoch(max(ts)))::BIGINT
+                     - floor(epoch(min(ts)))::BIGINT AS dur
+              FROM ids GROUP BY 1, 2
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                   round(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)
+                         / CAST(count(*) AS DOUBLE), 6) AS bounce_rate,
+                   round(avg(n), 4) AS avg_events,
+                   round(quantile_cont(dur, 0.5), 4) AS p50_duration_s,
+                   round(quantile_cont(dur, 0.9), 4) AS p90_duration_s
+            FROM per_session
+        """,
         "events_ewma": """
             SELECT user_id,
                    CAST(count(*) AS BIGINT) AS n_events,
@@ -5854,6 +5953,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_lsh": _lsh_oracle_sql(),
         "knn_ivf": _KNN_IVF_PINNED,
         "media_features": _MEDIA_FEATURES_PINNED,
+        "media_image_stats": _MEDIA_IMAGE_STATS_PINNED,
         "j10_salted_join": """
             SELECT o_orderstatus, count(*) AS n,
                    round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue

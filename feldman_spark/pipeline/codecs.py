@@ -37,6 +37,9 @@ __all__ = [
     "decode_image_bytes",
     "encode_png",
     "resize_pixels",
+    "probe_mp4",
+    "probe_avi",
+    "probe_video",
 ]
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
@@ -58,6 +61,10 @@ def sniff_media(data: bytes) -> Optional[str]:
         return "wav"
     if b.startswith(b"\xff\xd8\xff"):
         return "jpeg"
+    if len(b) >= 12 and b[4:8] == b"ftyp":
+        return "mp4"
+    if b.startswith(b"RIFF") and b[8:12] == b"AVI ":
+        return "avi"
     return None
 
 
@@ -262,6 +269,106 @@ def decode_wav(data: bytes) -> Tuple[int, int, int, np.ndarray]:
     samples = samples[: nframes * channels].reshape(nframes, channels)
     duration_ms = int(nframes * 1000 // rate) if rate else 0
     return rate, channels, duration_ms, samples
+
+
+def _mp4_boxes(data: bytes, start: int, end: int):
+    """Iterate (type, payload_start, payload_end) over ISO-BMFF boxes in
+    ``data[start:end]`` (64-bit largesize supported)."""
+    pos = start
+    while pos + 8 <= end:
+        size, = struct.unpack_from(">I", data, pos)
+        btype = data[pos + 4:pos + 8]
+        hdr = 8
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError("MP4: truncated largesize box header")
+            size, = struct.unpack_from(">Q", data, pos + 8)
+            hdr = 16
+        elif size == 0:          # box extends to end of enclosing scope
+            size = end - pos
+        if size < hdr or pos + size > end:
+            raise ValueError(f"MP4: bad box size {size} at byte {pos}")
+        yield btype, pos + hdr, pos + size
+        pos += size
+
+
+def probe_mp4(data: bytes) -> Tuple[int, Optional[int], Optional[int]]:
+    """Parse an ISO-BMFF (MP4/MOV) container's moov metadata WITHOUT
+    decoding any media: returns ``(duration_ms, width, height)`` from
+    mvhd (movie timescale/duration) and the first tkhd with nonzero
+    dimensions (16.16 fixed-point). Raises ``ValueError`` on malformed
+    boxes or a missing moov/mvhd."""
+    data = bytes(data)
+    dur_ms = width = height = None
+    for btype, ps, pe in _mp4_boxes(data, 0, len(data)):
+        if btype != b"moov":
+            continue
+        for ctype, cs, ce in _mp4_boxes(data, ps, pe):
+            if ctype == b"mvhd":
+                ver = data[cs]
+                if ver == 1:
+                    scale, = struct.unpack_from(">I", data, cs + 20)
+                    dur, = struct.unpack_from(">Q", data, cs + 24)
+                else:
+                    scale, = struct.unpack_from(">I", data, cs + 12)
+                    dur, = struct.unpack_from(">I", data, cs + 16)
+                if scale == 0:
+                    raise ValueError("MP4: mvhd timescale 0")
+                dur_ms = int(dur * 1000 // scale)
+            elif ctype == b"trak" and width is None:
+                for ttype, ts_, te in _mp4_boxes(data, cs, ce):
+                    if ttype != b"tkhd":
+                        continue
+                    off = 88 if data[ts_] == 1 else 76
+                    w, h = struct.unpack_from(">II", data, ts_ + off)
+                    if w and h:
+                        width, height = w >> 16, h >> 16
+    if dur_ms is None:
+        raise ValueError("MP4: no moov/mvhd box (streaming fragment?)")
+    return dur_ms, width, height
+
+
+def probe_avi(data: bytes) -> Tuple[int, Optional[int], Optional[int]]:
+    """Parse a RIFF/AVI main header (avih) WITHOUT decoding frames:
+    returns ``(duration_ms, width, height)`` from dwMicroSecPerFrame ×
+    dwTotalFrames and dwWidth/dwHeight."""
+    data = bytes(data)
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("AVI: bad RIFF/AVI header")
+    pos = 12
+    while pos + 8 <= len(data):
+        tag = data[pos:pos + 4]
+        size, = struct.unpack_from("<I", data, pos + 4)
+        body_at = pos + 8
+        if tag == b"LIST":
+            pos = body_at + 4      # descend past the list type fourcc
+            continue
+        if tag == b"avih":
+            if size < 40 or body_at + 40 > len(data):
+                raise ValueError("AVI: truncated avih chunk")
+            us_per_frame, = struct.unpack_from("<I", data, body_at)
+            frames, = struct.unpack_from("<I", data, body_at + 16)
+            w, = struct.unpack_from("<I", data, body_at + 32)
+            h, = struct.unpack_from("<I", data, body_at + 36)
+            return int(us_per_frame) * int(frames) // 1000, w or None, h or None
+        pos = body_at + size + (size & 1)
+    raise ValueError("AVI: no avih header chunk")
+
+
+def probe_video(data: bytes) -> Tuple[str, int, Optional[int], Optional[int]]:
+    """Container-metadata probe for video payloads — duration and frame
+    dimensions from the container headers alone, no frame decode (which
+    genuinely needs ffmpeg and stays behind the documented swap point).
+    Returns ``(container, duration_ms, width, height)``."""
+    kind = sniff_media(data)
+    if kind == "mp4":
+        return ("mp4",) + probe_mp4(data)
+    if kind == "avi":
+        return ("avi",) + probe_avi(data)
+    raise NotImplementedError(
+        f"video container not probeable (sniffed: {kind or 'unknown'}); "
+        "MP4/MOV and AVI parse natively — swap probe_video for an "
+        "ffprobe call for MKV/WebM/TS/etc.")
 
 
 def encode_png(pixels: bytes, width: int, height: int,

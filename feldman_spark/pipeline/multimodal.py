@@ -44,6 +44,7 @@ __all__ = [
     "resize_image",
     "image_stats",
     "extract_features",
+    "probe_media",
     "frame_sample",
 ]
 
@@ -279,6 +280,56 @@ def extract_features(df: DataFrame, dim: int = 8) -> DataFrame:
                 "n_bytes": pd.array(sizes, dtype="Int64"),
                 "features": feats,
             })
+
+    return df.mapInPandas(run, schema=schema)
+
+
+def probe_media(df: DataFrame) -> DataFrame:
+    """Container-metadata probe over REAL payload bytes: sniff every
+    payload and parse what the stdlib can — image dimensions (PNG/BMP/
+    baseline JPEG decode), WAV rate/duration, MP4/AVI container headers
+    (duration + frame size, no frame decode). Returns ``(media_id,
+    kind, container, width, height, duration_ms)`` — the
+    trust-the-bytes-not-the-catalog audit that catches mislabeled
+    media before a pipeline partitions by the declared metadata.
+    Unprobeable payloads are dropped (decode_audio contract)."""
+    from feldman_spark.pipeline import codecs
+
+    schema = StructType([
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),
+        StructField("container", StringType(), True),
+        StructField("width", LongType(), True),
+        StructField("height", LongType(), True),
+        StructField("duration_ms", LongType(), True),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, kind, d in zip(pdf["media_id"], pdf["kind"],
+                                    pdf["data"]):
+                if d is None:
+                    continue
+                b = bytes(d)
+                fmt = codecs.sniff_media(b)
+                try:
+                    if fmt in ("png", "bmp", "jpeg"):
+                        w, h, _ch, _px = codecs.decode_image_bytes(b)
+                        rows.append((int(mid), kind, fmt, w, h, None))
+                    elif fmt == "wav":
+                        _rate, _ch, dur, _s = codecs.decode_wav(b)
+                        rows.append((int(mid), kind, fmt, None, None, dur))
+                    elif fmt in ("mp4", "avi"):
+                        _c, dur, w, h = codecs.probe_video(b)
+                        rows.append((int(mid), kind, fmt, w, h, dur))
+                except (ValueError, NotImplementedError):
+                    continue
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "container", "width",
+                               "height", "duration_ms"]
+            ).astype({"width": "Int64", "height": "Int64",
+                      "duration_ms": "Int64"})
 
     return df.mapInPandas(run, schema=schema)
 

@@ -19,6 +19,7 @@ __all__ = [
     "tumbling_agg",
     "sliding_agg",
     "sessionize",
+    "session_stats",
     "sessionize_native",
     "interval_join",
     "enrich",
@@ -120,6 +121,67 @@ def sessionize(
             F.date_format(F.min(ts_col), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
             F.round(F.sum("value"), 2).alias("value_sum"),
         )
+    )
+
+
+def session_stats(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    quantiles=(0.5, 0.9),
+    digits: int = 4,
+) -> DataFrame:
+    """Corpus-level session rollup over :func:`sessionize`'s gap
+    semantics: ONE summary row ``(n_sessions, n_users, bounce_rate,
+    avg_events, p<q>_duration_s...)`` — session count, bounce fraction
+    (single-event sessions), mean events per session, and exact
+    percentiles of session duration in whole seconds.
+
+    Scale shape: the lag+cumsum session labeling is one user-keyed
+    exchange (same as sessionize); per-session collapse reuses that
+    partitioning; the percentile aggregates one duration per SESSION,
+    not per event."""
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc())
+    gap_s = gap_minutes * 60
+    prev_ts = F.lag(F.col(ts_col)).over(w)
+    new_session = F.when(
+        prev_ts.isNull()
+        | ((F.unix_timestamp(F.col(ts_col))
+            - F.unix_timestamp(prev_ts)) > gap_s),
+        1,
+    ).otherwise(0)
+    per_session = (
+        events.withColumn("_new", new_session)
+        .withColumn("session_id", F.sum("_new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(user_col, "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            (F.unix_timestamp(F.max(ts_col))
+             - F.unix_timestamp(F.min(ts_col))).alias("_dur"),
+        )
+    )
+    qarr = ", ".join(str(q) for q in quantiles)
+    agg = per_session.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.countDistinct(user_col).cast("bigint").alias("n_users"),
+        F.sum((F.col("_n") == 1).cast("long")).alias("_bounces"),
+        F.avg("_n").alias("_avg_n"),
+        F.expr(f"percentile(_dur, array({qarr}))").alias("_q"),
+    )
+    qcols = [
+        F.round(F.element_at("_q", i + 1), digits)
+        .alias(f"p{int(q * 100):02d}_duration_s")
+        for i, q in enumerate(quantiles)
+    ]
+    return agg.select(
+        "n_sessions", "n_users",
+        F.round(F.col("_bounces")
+                / F.when(F.col("n_sessions") > 0, F.col("n_sessions")), 6)
+        .alias("bounce_rate"),
+        F.round("_avg_n", digits).alias("avg_events"),
+        *qcols,
     )
 
 

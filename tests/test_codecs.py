@@ -799,3 +799,89 @@ def test_image_stats_through_spark(spark):
     assert out[1]["std_luma"] == 0.0 and out[1]["entropy"] == 0.0
     assert out[2]["entropy"] > 4.0          # noisy image: high entropy
     assert (out[2]["width"], out[2]["channels"]) == (8, 3)
+
+
+# ---------------------------------------------------------------------------
+# video container probes (MP4 / AVI) — metadata without frame decode
+# ---------------------------------------------------------------------------
+
+def _box(btype: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+
+def _make_mp4(duration_ms=4500, timescale=1000, w=640, h=360,
+              version=0) -> bytes:
+    dur = duration_ms * timescale // 1000
+    if version == 1:
+        mvhd = (b"\x01\x00\x00\x00" + b"\x00" * 16
+                + struct.pack(">IQ", timescale, dur) + b"\x00" * 80)
+        tkhd = (b"\x01\x00\x00\x07" + b"\x00" * 84
+                + struct.pack(">II", w << 16, h << 16))
+    else:
+        mvhd = (b"\x00\x00\x00\x00" + b"\x00" * 8
+                + struct.pack(">II", timescale, dur) + b"\x00" * 80)
+        tkhd = (b"\x00\x00\x00\x07" + b"\x00" * 72
+                + struct.pack(">II", w << 16, h << 16))
+    moov = _box(b"moov", _box(b"mvhd", mvhd)
+                + _box(b"trak", _box(b"tkhd", tkhd)))
+    return _box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + moov
+
+
+def _make_avi(us_per_frame=40000, frames=250, w=320, h=240) -> bytes:
+    avih = (struct.pack("<I", us_per_frame) + b"\x00" * 12
+            + struct.pack("<I", frames) + b"\x00" * 12
+            + struct.pack("<II", w, h) + b"\x00" * 16)
+    hdrl = b"LIST" + struct.pack("<I", 4 + 8 + len(avih)) + b"hdrl" \
+        + b"avih" + struct.pack("<I", len(avih)) + avih
+    return b"RIFF" + struct.pack("<I", 4 + len(hdrl)) + b"AVI " + hdrl
+
+
+@pytest.mark.parametrize("version", [0, 1])
+def test_probe_mp4_duration_and_dims(version):
+    data = _make_mp4(duration_ms=4500, w=640, h=360, version=version)
+    assert codecs.sniff_media(data) == "mp4"
+    assert codecs.probe_video(data) == ("mp4", 4500, 640, 360)
+
+
+def test_probe_avi_duration_and_dims():
+    data = _make_avi(us_per_frame=40000, frames=250, w=320, h=240)
+    assert codecs.sniff_media(data) == "avi"
+    # 250 frames at 25 fps = 10 s
+    assert codecs.probe_video(data) == ("avi", 10000, 320, 240)
+
+
+def test_probe_video_malformed_and_unknown():
+    with pytest.raises(ValueError, match="moov"):
+        codecs.probe_mp4(_box(b"ftyp", b"isom"))
+    bad = _make_mp4()
+    moov_at = bad.index(b"moov") - 4
+    with pytest.raises(ValueError, match="box size"):
+        codecs.probe_mp4(bad[:moov_at] + struct.pack(">I", 2)
+                         + bad[moov_at + 4:])
+    with pytest.raises(ValueError, match="avih"):
+        codecs.probe_avi(b"RIFF" + struct.pack("<I", 4) + b"AVI ")
+    with pytest.raises(NotImplementedError, match="ffprobe"):
+        codecs.probe_video(b"\x1aE\xdf\xa3 matroska, not parseable")
+
+
+def test_probe_media_through_spark(spark):
+    from feldman_spark.pipeline.multimodal import media_table, probe_media
+
+    img = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    rows = [
+        (1, "video", "video/mp4", None, None, None, _make_mp4(3000, w=1280, h=720)),
+        (2, "video", "video/avi", None, None, None, _make_avi(frames=50)),
+        (3, "image", "image/png", 4, 4, None, _encode_png(img, [0] * 4)),
+        (4, "audio", "audio/wav", None, None, None,
+         _encode_wav(np.zeros((8000, 1), np.int16), 8000)),
+        (5, "video", "video/mkv", None, None, None, b"\x1aE\xdf\xa3..."),
+        (6, "image", "image/png", 1, 1, None, None),
+    ]
+    out = {r["media_id"]: r for r in
+           probe_media(media_table(spark, rows)).collect()}
+    assert sorted(out) == [1, 2, 3, 4]       # mkv + null payload dropped
+    assert (out[1]["container"], out[1]["duration_ms"],
+            out[1]["width"], out[1]["height"]) == ("mp4", 3000, 1280, 720)
+    assert (out[2]["container"], out[2]["duration_ms"]) == ("avi", 2000)
+    assert (out[3]["container"], out[3]["width"]) == ("png", 4)
+    assert (out[4]["container"], out[4]["duration_ms"]) == ("wav", 1000)

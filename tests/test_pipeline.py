@@ -511,8 +511,12 @@ def test_multimodal_plumbing(spark):
     assert len({bytes(r["frame"]) for r in frames}) == 4  # distinct per ts
     from feldman_spark.pipeline.multimodal import resize_image
 
-    with pytest.raises(Exception, match="NotImplementedError|image library"):
-        resize_image(media, 2, 2).collect()
+    # real resize passes undecodable payloads through UNCHANGED (one odd
+    # file must not fail a stage); real-decode resizing is covered in
+    # test_codecs.py::test_resize_image_real_path_through_spark
+    passthrough = {r["media_id"]: r for r in resize_image(media, 2, 2).collect()}
+    assert bytes(passthrough[1]["data"]) == b"\x01\x02\x03\x04"
+    assert passthrough[1]["width"] == 4      # metadata untouched
     resized = {r["media_id"]: r for r in resize_image(media, 2, 2, fake=True).collect()}
     assert resized[1]["width"] == 2 and resized[1]["height"] == 2
     assert bytes(resized[1]["data"]) != b"\x01\x02\x03\x04"  # payload replaced

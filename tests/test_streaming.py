@@ -664,3 +664,30 @@ def test_streaming_jsonl_ingest_with_corrupt_sideoutput(spark, tmp_out):
     got = spark.sql("select * from jsonl_clean_sink")
     assert got.count() == 300
     assert got.select("doc_id").distinct().count() == 300
+
+
+def test_session_stats_rollup(spark):
+    import datetime as dt
+
+    from feldman_spark.streaming.events import session_stats
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(uid, mins):
+        return (uid, t0 + dt.timedelta(minutes=mins), 1.0)
+
+    events = spark.createDataFrame(
+        [
+            # user 1: two sessions — [0, 10, 20] (20 min) and [70] (bounce)
+            ev(1, 0), ev(1, 10), ev(1, 20), ev(1, 70),
+            # user 2: one session [5, 15] (10 min)
+            ev(2, 5), ev(2, 15),
+        ],
+        ["user_id", "ts", "value"],
+    )
+    row = session_stats(events, gap_minutes=30,
+                        quantiles=(0.5,)).collect()[0]
+    assert row["n_sessions"] == 3 and row["n_users"] == 2
+    assert row["bounce_rate"] == round(1 / 3, 6)
+    assert row["avg_events"] == 2.0
+    assert row["p50_duration_s"] == 600.0   # durations 1200, 0, 600
