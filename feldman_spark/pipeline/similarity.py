@@ -36,6 +36,10 @@ __all__ = [
     "ivf_topk",
     "ivf_write",
     "ivf_read",
+    "pq_train",
+    "pq_encode",
+    "pq_decode",
+    "pq_topk",
     "quantize_embeddings",
     "dequantize_embeddings",
     "group_centroids",
@@ -462,6 +466,166 @@ def ivf_drift_report(
         f"ivf index: {total} vecs, {len(rows)}/{len(centroids)} buckets, "
         f"mean_sim={out['mean_sim']}, imbalance={out['imbalance']}")
     return out
+
+
+def pq_train(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 4,
+    k: int = 16,
+    iters: int = 8,
+    sample: int = 2048,
+):
+    """Train product-quantization codebooks (Jégou et al. 2011): split
+    the dimension into ``m`` subspaces and k-means each to ``k``
+    centroids. Returns a ``(m, k, dim/m)`` numpy array.
+
+    Training runs on a DETERMINISTIC bounded sample (the ``sample``
+    lowest rows by ``xxhash64(id)`` — stable under growth and
+    partitioning), collected to the driver and Lloyd-iterated in numpy:
+    the FAISS convention — codebooks are dimension-sized model state,
+    not data-sized, and a 100 TB corpus trains on the same few thousand
+    rows. Init is the first ``k`` distinct subvectors in hash order
+    (deterministic, no RNG); empty cells re-seed to the farthest point
+    of the fullest cell.
+    """
+    import numpy as np
+
+    if m < 1 or k < 2:
+        raise ValueError(f"pq_train: need m >= 1 and k >= 2 (got {m}, {k})")
+    rows = (
+        df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v"))
+        .withColumn("_h", F.xxhash64(F.col(id_col)))
+        .orderBy("_h").limit(sample).select("_v").collect()
+    )
+    if not rows:
+        raise ValueError("pq_train: empty input")
+    X = np.array([r["_v"] for r in rows], dtype=np.float64)
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"pq_train: dim {dim} not divisible by m={m}")
+    sub = dim // m
+    books = np.zeros((m, k, sub))
+    for s in range(m):
+        Xs = X[:, s * sub:(s + 1) * sub]
+        # deterministic init: first k DISTINCT subvectors in sample order
+        seen, init = set(), []
+        for row in Xs:
+            key = row.tobytes()
+            if key not in seen:
+                seen.add(key)
+                init.append(row)
+            if len(init) == k:
+                break
+        C = np.array((init + [init[-1]] * k)[:k], dtype=np.float64)
+        for _ in range(iters):
+            d2 = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(k):
+                mask = assign == c
+                if mask.any():
+                    C[c] = Xs[mask].mean(axis=0)
+                else:  # re-seed dead cell to the fullest cell's far point
+                    full = np.bincount(assign, minlength=k).argmax()
+                    far = d2[assign == full, full].argmax()
+                    C[c] = Xs[assign == full][far]
+        books[s] = C
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Encode vectors to PQ codes: ``(id_col, codes array<int>)`` with
+    ``codes[s]`` the nearest codebook centroid of subspace ``s``. One
+    corpus pass against the broadcast ``(m, k, dim/m)`` codebooks —
+    vectorized numpy argmin per Arrow batch, no shuffle. Storage drops
+    from ``dim`` floats to ``m`` small ints per vector — the memory
+    move that lets a billion-vector index fit a cluster's RAM."""
+    import numpy as np
+
+    cb = np.asarray(codebooks, dtype=np.float64)
+    m, k, sub = cb.shape
+    b = df.sparkSession.sparkContext.broadcast(cb)
+
+    def encode(batches):
+        import pandas as pd
+
+        B = b.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array(list(pdf["_v"]), dtype=np.float64)
+            codes = np.empty((len(pdf), m), dtype=np.int64)
+            for s in range(m):
+                Xs = X[:, s * sub:(s + 1) * sub]
+                d2 = ((Xs[:, None, :] - B[s][None, :, :]) ** 2).sum(axis=2)
+                codes[:, s] = d2.argmin(axis=1)
+            yield pd.DataFrame({"_id": pdf["_id"], "codes": list(codes)})
+
+    slim = df.select(F.col(id_col).alias("_id"),
+                     _as_double(F.col(vec_col)).alias("_v"))
+    out = slim.mapInPandas(encode, schema="_id bigint, codes array<bigint>")
+    return out.select(F.col("_id").alias(id_col), "codes")
+
+
+def pq_decode(codes, codebooks):
+    """Reconstruct approximate vectors from PQ codes (numpy helper for
+    reconstruction-error audits): ``codes (n, m)`` → ``(n, dim)``."""
+    import numpy as np
+
+    cb = np.asarray(codebooks, dtype=np.float64)
+    codes = np.asarray(codes, dtype=np.int64)
+    return np.concatenate(
+        [cb[s][codes[:, s]] for s in range(cb.shape[0])], axis=1)
+
+
+def pq_topk(
+    encoded: DataFrame,
+    codebooks,
+    query_vec: Sequence[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    digits: int = 6,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: the query stays
+    full-precision, each code looks up its subspace's precomputed
+    query↔centroid squared distance and the m lookups sum. Returns
+    ``(id_col, adc_dist, rank)``, ascending distance, id tiebreak.
+
+    The scan is PURE JVM codegen: the m lookup tables are literal
+    arrays in the plan (m × k doubles — e.g. 4×16) and the score is
+    ``element_at(lut_s, codes[s]+1)`` sums — no Python, no join, no
+    shuffle beyond the global top-k. At 100 TB this is the point of
+    PQ: the scan touches m bytes per vector instead of dim floats,
+    the distance math collapses to table lookups, and the same codes
+    compose with the IVF layout (encode per cid-partition) for
+    IVF-PQ probe pruning."""
+    import numpy as np
+
+    cb = np.asarray(codebooks, dtype=np.float64)
+    m, kk, sub = cb.shape
+    q = np.asarray([float(x) for x in query_vec], dtype=np.float64)
+    if q.shape[0] != m * sub:
+        raise ValueError(
+            f"pq_topk: query dim {q.shape[0]} != codebooks dim {m * sub}")
+    score = None
+    for s in range(m):
+        lut = ((cb[s] - q[s * sub:(s + 1) * sub][None, :]) ** 2).sum(axis=1)
+        lut_col = F.array(*[F.lit(float(x)) for x in lut])
+        term = F.element_at(
+            lut_col, (F.element_at("codes", s + 1) + 1).cast("int"))
+        score = term if score is None else score + term
+    w = Window.orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
+    return (
+        encoded.select(F.col(id_col), F.round(score, digits).alias("adc_dist"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
 
 
 def quantize_embeddings(

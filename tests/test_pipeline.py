@@ -2038,3 +2038,79 @@ def test_ewma_last_matches_sequential_fold(spark):
 
     with pytest.raises(ValueError, match="alpha"):
         ewma_last(df, ["k"], ["seq"], "v", alpha=0.0)
+
+
+# ---------------------------------------------------------------------------
+# product quantization (PQ) ANN
+# ---------------------------------------------------------------------------
+
+def test_pq_lossless_when_codebook_covers_subvectors(spark):
+    """With every subvector drawn from <= k distinct values, k-means
+    converges to those exact values: encoding is lossless, decode
+    reconstructs exactly, and ADC distances equal true squared L2."""
+    import numpy as np
+
+    from feldman_spark.pipeline.similarity import (
+        pq_decode, pq_encode, pq_topk, pq_train)
+
+    rng = np.random.RandomState(6)
+    vals = rng.randn(4, 2)                       # 4 distinct 2-d subvectors
+    picks = rng.randint(0, 4, size=(40, 4))      # 40 vectors, m=4 subspaces
+    X = np.concatenate([vals[picks[:, s]] for s in range(4)], axis=1)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(40)],
+        "vec_id bigint, embedding array<double>")
+    books = pq_train(df, m=4, k=4, iters=4, sample=40)
+    enc = pq_encode(df, books)
+    codes = {r["vec_id"]: list(r["codes"]) for r in enc.collect()}
+    recon = pq_decode([codes[i] for i in range(40)], books)
+    assert np.allclose(recon, X)
+    q = X[7]
+    top = pq_topk(enc, books, q, k=5).collect()
+    d2 = ((X - q[None, :]) ** 2).sum(axis=1)
+    expect = sorted(range(40), key=lambda i: (round(d2[i], 6), i))[:5]
+    assert [r["vec_id"] for r in top] == expect
+    assert abs(top[0]["adc_dist"]) < 1e-9       # query is vector 7 itself
+
+
+def test_pq_recall_floor_on_embeddings(spark):
+    import numpy as np
+
+    from feldman_spark.pipeline.similarity import (
+        pq_encode, pq_topk, pq_train)
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    rows = emb.collect()
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    ids = np.array([r["vec_id"] for r in rows])
+    q = X[ids == 0][0]
+    d2 = ((X - q[None, :]) ** 2).sum(axis=1)
+    exact10 = set(ids[np.lexsort((ids, d2))[:10]].tolist())
+
+    books = pq_train(emb, m=8, k=32, iters=6, sample=500)
+    assert books.shape == (8, 32, 8)
+    top = pq_topk(pq_encode(emb, books), books, q, k=10).collect()
+    got = {r["vec_id"] for r in top}
+    assert 0 in got                             # the query's own code wins
+    recall = len(got & exact10) / 10
+    assert recall >= 0.5, f"PQ recall@10 {recall} below floor"
+    # ranks are dense and deterministic
+    assert [r["rank"] for r in top] == list(range(1, 11))
+
+
+def test_pq_validation_errors(spark):
+    import numpy as np
+
+    from feldman_spark.pipeline.similarity import pq_topk, pq_train
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0])], "vec_id bigint, embedding array<double>")
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_train(df, m=2, k=2, sample=10)
+    with pytest.raises(ValueError, match="m >= 1 and k >= 2"):
+        pq_train(df, m=1, k=1)
+    books = np.zeros((2, 4, 2))
+    enc = spark.createDataFrame(
+        [(1, [0, 0])], "vec_id bigint, codes array<bigint>")
+    with pytest.raises(ValueError, match="query dim"):
+        pq_topk(enc, books, [1.0, 2.0, 3.0])
