@@ -40,6 +40,7 @@ __all__ = [
     "pq_encode",
     "pq_decode",
     "pq_topk",
+    "ivf_pq_topk",
     "quantize_embeddings",
     "dequantize_embeddings",
     "group_centroids",
@@ -539,18 +540,22 @@ def pq_encode(
     codebooks,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    carry: Sequence[str] = (),
 ) -> DataFrame:
-    """Encode vectors to PQ codes: ``(id_col, codes array<int>)`` with
-    ``codes[s]`` the nearest codebook centroid of subspace ``s``. One
-    corpus pass against the broadcast ``(m, k, dim/m)`` codebooks —
+    """Encode vectors to PQ codes: ``(id_col, *carry, codes array<int>)``
+    with ``codes[s]`` the nearest codebook centroid of subspace ``s``.
+    One corpus pass against the broadcast ``(m, k, dim/m)`` codebooks —
     vectorized numpy argmin per Arrow batch, no shuffle. Storage drops
     from ``dim`` floats to ``m`` small ints per vector — the memory
-    move that lets a billion-vector index fit a cluster's RAM."""
+    move that lets a billion-vector index fit a cluster's RAM. Pass
+    ``carry=["cid"]`` over an :func:`ivf_assign` output to build the
+    IVF-PQ index frame :func:`ivf_pq_topk` probes."""
     import numpy as np
 
     cb = np.asarray(codebooks, dtype=np.float64)
     m, k, sub = cb.shape
     b = df.sparkSession.sparkContext.broadcast(cb)
+    carry = list(carry)
 
     def encode(batches):
         import pandas as pd
@@ -565,12 +570,21 @@ def pq_encode(
                 Xs = X[:, s * sub:(s + 1) * sub]
                 d2 = ((Xs[:, None, :] - B[s][None, :, :]) ** 2).sum(axis=2)
                 codes[:, s] = d2.argmin(axis=1)
-            yield pd.DataFrame({"_id": pdf["_id"], "codes": list(codes)})
+            out = {"_id": pdf["_id"]}
+            for c in carry:
+                out[c] = pdf[c]
+            out["codes"] = list(codes)
+            yield pd.DataFrame(out)
 
     slim = df.select(F.col(id_col).alias("_id"),
+                     *[F.col(c) for c in carry],
                      _as_double(F.col(vec_col)).alias("_v"))
-    out = slim.mapInPandas(encode, schema="_id bigint, codes array<bigint>")
-    return out.select(F.col("_id").alias(id_col), "codes")
+    carry_schema = "".join(
+        f", `{f.name}` {f.dataType.simpleString()}"
+        for f in df.select(*carry).schema.fields)
+    out = slim.mapInPandas(
+        encode, schema=f"_id bigint{carry_schema}, codes array<bigint>")
+    return out.select(F.col("_id").alias(id_col), *carry, "codes")
 
 
 def pq_decode(codes, codebooks):
@@ -626,6 +640,44 @@ def pq_topk(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def ivf_pq_topk(
+    encoded: DataFrame,
+    centroids,
+    codebooks,
+    query_vec: Sequence[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    cid_col: str = "cid",
+    digits: int = 6,
+) -> DataFrame:
+    """IVF-PQ: the billion-scale composition — coarse probe pruning
+    (scan only the ``nprobe`` max-cosine centroids' buckets) over
+    PQ-coded vectors (ADC lookup-table scoring, m bytes per vector).
+    ``encoded`` is :func:`pq_encode` over an :func:`ivf_assign` output
+    with ``carry=[cid_col]``; when it is read from the
+    :func:`ivf_write` ``partitionBy(cid)`` layout, the ``cid`` filter
+    IS partition pruning and the non-probed buckets are never read.
+
+    Probe selection is driver-side numpy over the dimension-sized
+    centroid matrix (ties by cid); ``nprobe >= num_centroids`` scans
+    every bucket and equals :func:`pq_topk` exactly — the oracle twin
+    relation, same contract as ``knn_ivf_exact``/``knn_lsh_exact``."""
+    import numpy as np
+
+    cmat = np.asarray(centroids, dtype=np.float64)
+    q = np.asarray([float(x) for x in query_vec], dtype=np.float64)
+    if nprobe < 1:
+        raise ValueError(f"ivf_pq_topk: nprobe must be >= 1 (got {nprobe})")
+    norms = np.linalg.norm(cmat, axis=1) * (np.linalg.norm(q) or 1.0)
+    cos = (cmat @ q) / np.where(norms == 0, 1.0, norms)
+    order = np.lexsort((np.arange(len(cmat)), -cos))
+    probe = [int(c) for c in order[: min(nprobe, len(cmat))]]
+    pruned = encoded.filter(F.col(cid_col).isin(probe))
+    return pq_topk(pruned, codebooks, query_vec, k=k,
+                   id_col=id_col, digits=digits)
 
 
 def quantize_embeddings(

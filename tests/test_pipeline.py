@@ -2114,3 +2114,29 @@ def test_pq_validation_errors(spark):
         [(1, [0, 0])], "vec_id bigint, codes array<bigint>")
     with pytest.raises(ValueError, match="query dim"):
         pq_topk(enc, books, [1.0, 2.0, 3.0])
+
+
+def test_ivf_pq_full_probe_equals_pq_and_prunes(spark):
+    """nprobe >= num_centroids scans every bucket -> EXACTLY pq_topk;
+    small nprobe scans a subset and still finds the query's own bucket."""
+    from feldman_spark.pipeline.similarity import (
+        ivf_build, ivf_pq_topk, pq_encode, pq_topk, pq_train)
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    assigned, centroids = ivf_build(emb, num_centroids=8, iters=3)
+    books = pq_train(emb, m=8, k=16, iters=4, sample=500)
+    index = pq_encode(assigned, books, carry=["cid"])
+    index.cache()
+    try:
+        full = ivf_pq_topk(index, centroids, books, q, k=10, nprobe=8)
+        pure = pq_topk(index.drop("cid"), books, q, k=10)
+        assert [(r["vec_id"], r["adc_dist"]) for r in full.collect()] == \
+               [(r["vec_id"], r["adc_dist"]) for r in pure.collect()]
+        pruned = ivf_pq_topk(index, centroids, books, q, k=10, nprobe=2)
+        got = {r["vec_id"] for r in pruned.collect()}
+        assert 0 in got        # query's own bucket is always probed
+        with pytest.raises(ValueError, match="nprobe"):
+            ivf_pq_topk(index, centroids, books, q, nprobe=0)
+    finally:
+        index.unpersist()
