@@ -129,3 +129,22 @@ def test_salted_join_hot_routing_broadcasts(spark):
     # routing joins (semi/anti on the hot set) are broadcast
     assert "BroadcastHashJoin" in plan
     assert plan.count("SortMergeJoin") == 0
+
+
+def test_pq_adc_scan_is_jvm_only(spark):
+    """The PQ ADC top-k must be pure codegen over the codes frame: the
+    lookup tables ride the plan as literals and NO Python evaluator
+    (Arrow or row) appears anywhere — the whole point of ADC is that
+    the scan never touches Python or the original vectors."""
+    import numpy as np
+
+    from feldman_spark.pipeline.similarity import pq_topk
+
+    enc = spark.createDataFrame(
+        [(i, [i % 4, (i + 1) % 4]) for i in range(50)],
+        "vec_id bigint, codes array<bigint>")
+    books = np.arange(2 * 4 * 3, dtype=np.float64).reshape(2, 4, 3)
+    plan = _plan(pq_topk(enc, books, [0.0] * 6, k=5))
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "Join" not in plan          # query is a literal, never a join
