@@ -66,6 +66,27 @@ COMMENTARY = {
         "rare-gram prefix explode, candidate join keyed on (lang, gram), "
         "exact verification on candidates. Wanted: every join keyed on "
         "gram or id — the quadratic group-only join must not appear."),
+    "text_novelty": (
+        "Cross-doc shingle novelty: wanted ONE Generate (the codegen "
+        "shingle stream) with partial aggregates before every exchange, "
+        "all joins keyed on the 8-byte gram hash or doc id — the document "
+        "text appears in the scan only, never in an exchange."),
+    "text_c4_rules": (
+        "C4 gating: wanted the line stats as one explode('\\n') stream "
+        "into a partial-aggregating hash aggregate (one counts row per "
+        "doc crosses the exchange), doc flags row-local codegen, and the "
+        "flag/line-stat join id-keyed — no higher-order functions "
+        "(CodegenFallback) anywhere."),
+    "events_anomaly": (
+        "Trailing-window spike detection: wanted partial_count before the "
+        "(type, hour) exchange — events collapse map-side — and the "
+        "window sort running over bucket rows (hours), so the Sort's "
+        "input is calendar-sized, not corpus-sized."),
+    "pq_adc_topk": (
+        "PQ asymmetric-distance top-k over a codes frame: wanted NO "
+        "Python evaluator (Arrow or row) and NO join — the query's "
+        "lookup tables are plan literals and the scan reads m bytes of "
+        "codes per vector; the only movement is the global top-k."),
 }
 
 
@@ -113,6 +134,20 @@ def main() -> None:
     plans["j11_binned_range_join"] = qs["j11_binned_range_join"](spark, sf)
     plans["dedup_frequent_spans"] = qs["dedup_frequent_spans"](spark, sf)
     plans["sample_dsir"] = qs["sample_dsir"](spark, sf)
+    plans["text_novelty"] = qs["text_novelty"](spark, sf)
+    plans["text_c4_rules"] = qs["text_c4_rules"](spark, sf)
+    plans["events_anomaly"] = qs["events_anomaly"](spark, sf)
+
+    from feldman_spark.pipeline.similarity import pq_encode, pq_topk, pq_train
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    _q = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    _books = pq_train(emb, m=8, k=16, iters=2, sample=200)
+    # the search-time plan runs over the MATERIALIZED codes index (the
+    # one-time encode pass is a separate job), so capture scan -> ADC
+    _idx = "/root/repo/.tmp/plans_pq_codes.parquet"
+    pq_encode(emb, _books).write.mode("overwrite").parquet(_idx)
+    plans["pq_adc_topk"] = pq_topk(
+        spark.read.parquet(_idx), _books, _q, k=10)
 
     from feldman_spark.ops.filters import conjunctive_filter, range_filter
     li = spark.read.parquet(f"{sf}/lineitem.parquet")
