@@ -885,3 +885,41 @@ def test_probe_media_through_spark(spark):
     assert (out[2]["container"], out[2]["duration_ms"]) == ("avi", 2000)
     assert (out[3]["container"], out[3]["width"]) == ("png", 4)
     assert (out[4]["container"], out[4]["duration_ms"]) == ("wav", 1000)
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        w=st.integers(1, 24),
+        h=st.integers(1, 24),
+        color=st.booleans(),
+        sub=st.sampled_from(["444", "420", "422"]),
+        restart=st.sampled_from([0, 1, 3]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def test_jpeg_roundtrip_property(w, h, color, sub, restart, seed):
+        """Any shape / subsampling / restart interval decodes to the
+        right dimensions, and near-lossless quality stays near-lossless
+        for 4:4:4 (subsampled chroma is bounded by PSNR instead)."""
+        rng = np.random.RandomState(seed)
+        shape = (h, w, 3) if color else (h, w)
+        img = rng.randint(0, 256, size=shape, dtype=np.uint8)
+        if not color:
+            sub = "444"  # gray has no chroma to subsample
+        data = _encode_jpeg(img, quality=100, subsample=sub,
+                            restart=restart)
+        gw, gh, ch, out = codecs.decode_jpeg(data)
+        assert (gw, gh, ch) == (w, h, 3 if color else 1)
+        got = np.frombuffer(out, np.uint8).reshape(
+            (h, w, 3) if color else (h, w))
+        if sub == "444":
+            bound = 8 if color else 4   # coef rounding (+YCbCr for color)
+            assert np.abs(got.astype(int) - img.astype(int)).max() <= bound
+        else:
+            assert _psnr(img, got) > 10.0  # random noise chroma: loose
+
+except ImportError:  # pragma: no cover - hypothesis is baked in here
+    pass
