@@ -36,6 +36,7 @@ __all__ = [
     "decode_jpeg",
     "decode_image_bytes",
     "encode_png",
+    "encode_jpeg",
     "resize_pixels",
     "probe_mp4",
     "probe_avi",
@@ -435,6 +436,199 @@ def resize_pixels(pixels: bytes, width: int, height: int, channels: int,
 # ---------------------------------------------------------------------------
 # Baseline-sequential JPEG (ITU-T T.81 / JFIF)
 # ---------------------------------------------------------------------------
+
+# Annex K example quantization tables (natural row order); scaled by the
+# libjpeg quality convention in _jpeg_qtable
+_JPEG_Q_LUM = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99], dtype=np.int64).reshape(8, 8)
+_JPEG_Q_CHR = np.array(
+    [17, 18, 24, 47, 99, 99, 99, 99,
+     18, 21, 26, 66, 99, 99, 99, 99,
+     24, 26, 56, 99, 99, 99, 99, 99,
+     47, 66, 99, 99, 99, 99, 99, 99] + [99] * 32,
+    dtype=np.int64).reshape(8, 8)
+
+# constructed canonical Huffman tables (any valid table is legal JPEG —
+# decoders read them from the DHT segments): DC = 12 categories at 4
+# bits; AC = EOB+ZRL at 8 bits, the 160 run/size symbols at 9 bits.
+_JPEG_DC_BITS = [0, 0, 0, 12] + [0] * 12
+_JPEG_DC_VALS = list(range(12))
+_JPEG_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 2, 160] + [0] * 7
+_JPEG_AC_VALS = [0x00, 0xF0] + [(r << 4) | s for r in range(16)
+                                for s in range(1, 11)]
+
+
+def _jpeg_enc_table(bits, vals) -> dict:
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[vals[k]] = (length, code)
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+_JPEG_DC_ENC = _jpeg_enc_table(_JPEG_DC_BITS, _JPEG_DC_VALS)
+_JPEG_AC_ENC = _jpeg_enc_table(_JPEG_AC_BITS, _JPEG_AC_VALS)
+
+
+def _jpeg_qtable(base: np.ndarray, quality: int) -> np.ndarray:
+    if not 1 <= quality <= 100:
+        raise ValueError(f"JPEG encode: quality must be 1-100 (got {quality})")
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((base * scale + 50) // 100, 1, 255).astype(np.int64)
+
+
+class _JpegBitWriter:
+    __slots__ = ("out", "acc", "n")
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, val: int, nbits: int):
+        if nbits == 0:
+            return
+        self.acc = (self.acc << nbits) | (val & ((1 << nbits) - 1))
+        self.n += nbits
+        while self.n >= 8:
+            byte = (self.acc >> (self.n - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:        # byte stuffing
+                self.out.append(0x00)
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self):
+        if self.n:
+            self.put((1 << (8 - self.n)) - 1, 8 - self.n)  # pad with 1s
+
+
+def encode_jpeg(pixels: bytes, width: int, height: int, channels: int,
+                quality: int = 85, subsample: str = "420") -> bytes:
+    """Encode raw row-major 8-bit samples as a baseline-sequential JFIF
+    JPEG — the compressed write side of the media pipeline (a thumbnail
+    store is ~10× smaller as JPEG than PNG). Gray (1 channel) or RGB
+    (3; RGBA alpha is dropped). ``subsample``: '444', '422' or '420'
+    (chroma box-averaged; gray ignores it). Standard Annex K quant
+    tables scaled by the libjpeg quality convention; Huffman tables are
+    constructed canonical tables carried in DHT (decoders must read
+    them from the stream — including :func:`decode_jpeg`, whose tests
+    validate against an INDEPENDENT encoder, keeping this pair
+    honest)."""
+    if channels not in (1, 3, 4):
+        raise ValueError(
+            f"JPEG encode: channels must be 1, 3 or 4 (got {channels})")
+    arr = np.frombuffer(bytes(pixels), dtype=np.uint8)
+    if arr.size != width * height * channels:
+        raise ValueError(
+            f"JPEG encode: {arr.size} bytes != "
+            f"{width}x{height}x{channels}")
+    if subsample not in ("444", "422", "420"):
+        raise ValueError(f"JPEG encode: bad subsample {subsample!r}")
+    img = arr.reshape(height, width, channels).astype(np.float64)
+    gray = channels == 1
+    if gray:
+        planes = [img[:, :, 0]]
+        sampling = [(1, 1)]
+        qsel = [0]
+    else:
+        r, g, b = img[:, :, 0], img[:, :, 1], img[:, :, 2]
+        planes = [0.299 * r + 0.587 * g + 0.114 * b,
+                  -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+                  0.5 * r - 0.418688 * g - 0.081312 * b + 128.0]
+        sampling = {"444": [(1, 1)] * 3,
+                    "422": [(2, 1), (1, 1), (1, 1)],
+                    "420": [(2, 2), (1, 1), (1, 1)]}[subsample]
+        qsel = [0, 1, 1]
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    mcux, mcuy = -(-width // (8 * hmax)), -(-height // (8 * vmax))
+    pad_h, pad_w = mcuy * 8 * vmax, mcux * 8 * hmax
+    qts = [_jpeg_qtable(_JPEG_Q_LUM, quality),
+           _jpeg_qtable(_JPEG_Q_CHR, quality)]
+    comp_planes = []
+    for plane, (sh, sv) in zip(planes, sampling):
+        full = np.pad(plane, ((0, pad_h - height), (0, pad_w - width)),
+                      mode="edge")
+        fy, fx = vmax // sv, hmax // sh
+        if fy > 1 or fx > 1:
+            full = full.reshape(pad_h // fy, fy, pad_w // fx, fx).mean((1, 3))
+        comp_planes.append(full - 128.0)
+    writer = _JpegBitWriter()
+    pred = [0] * len(planes)
+    for m in range(mcux * mcuy):
+        my, mx = divmod(m, mcux)
+        for ci, ((sh, sv), plane) in enumerate(zip(sampling, comp_planes)):
+            qt = qts[qsel[ci]].astype(np.float64)
+            for v in range(sv):
+                for hh in range(sh):
+                    by, bx = (my * sv + v) * 8, (mx * sh + hh) * 8
+                    fr = _DCT_T.T @ plane[by:by + 8, bx:bx + 8] @ _DCT_T
+                    q = np.round(fr / qt).astype(np.int64)
+                    zz = q.reshape(-1)[_ZIGZAG]
+                    zz[1:] = np.clip(zz[1:], -1023, 1023)
+                    diff = int(np.clip(zz[0] - pred[ci], -2047, 2047))
+                    pred[ci] += diff
+                    size = abs(diff).bit_length()
+                    ln, code = _JPEG_DC_ENC[size]
+                    writer.put(code, ln)
+                    writer.put(
+                        diff if diff >= 0 else diff + (1 << size) - 1, size)
+                    run = 0
+                    for kk in range(1, 64):
+                        val = int(zz[kk])
+                        if val == 0:
+                            run += 1
+                            continue
+                        while run > 15:
+                            ln, code = _JPEG_AC_ENC[0xF0]
+                            writer.put(code, ln)
+                            run -= 16
+                        sz = abs(val).bit_length()
+                        ln, code = _JPEG_AC_ENC[(run << 4) | sz]
+                        writer.put(code, ln)
+                        writer.put(
+                            val if val >= 0 else val + (1 << sz) - 1, sz)
+                        run = 0
+                    if run:
+                        ln, code = _JPEG_AC_ENC[0x00]   # EOB
+                        writer.put(code, ln)
+    writer.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00"
+               + struct.pack(">HH", 1, 1) + b"\x00\x00")
+    for ti in sorted(set(qsel)):
+        out += seg(0xDB, bytes([ti])
+                   + bytes(qts[ti].reshape(-1)[_ZIGZAG].astype(np.uint8)))
+    sof = struct.pack(">BHHB", 8, height, width, len(planes))
+    for ci, (sh, sv) in enumerate(sampling):
+        sof += bytes([ci + 1, (sh << 4) | sv, qsel[ci]])
+    out += seg(0xC0, sof)
+    for tc in (0, 1):
+        for th in sorted(set(qsel)):
+            bits = _JPEG_DC_BITS if tc == 0 else _JPEG_AC_BITS
+            vals = _JPEG_DC_VALS if tc == 0 else _JPEG_AC_VALS
+            out += seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits)
+                       + bytes(vals))
+    sos = bytes([len(planes)])
+    for ci in range(len(planes)):
+        sos += bytes([ci + 1, (qsel[ci] << 4) | qsel[ci]])
+    out += seg(0xDA, sos + b"\x00\x3f\x00")
+    out += bytes(writer.out) + b"\xff\xd9"
+    return bytes(out)
 
 def _zigzag_positions() -> np.ndarray:
     """Flat 8x8 index (row*8+col) for each of the 64 zigzag positions."""

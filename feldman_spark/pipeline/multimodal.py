@@ -147,10 +147,13 @@ def decode_audio(df: DataFrame) -> DataFrame:
     return df.mapInPandas(run, schema=schema)
 
 
-def resize_image(df: DataFrame, width: int, height: int, fake: bool = False) -> DataFrame:
+def resize_image(df: DataFrame, width: int, height: int, fake: bool = False,
+                 out_format: str = "png", quality: int = 85) -> DataFrame:
     """Resize image payloads to ``width``×``height``: output mirrors the
-    input schema with the payload replaced (re-encoded as PNG — the
-    write format every consumer reads) and the size metadata updated.
+    input schema with the payload replaced and the size metadata
+    updated. ``out_format`` picks the re-encode: ``"png"`` (lossless)
+    or ``"jpeg"`` (baseline, ``quality`` knob — the thumbnail-store
+    format, ~10× smaller; alpha is dropped per the format).
     The real path decodes via the stdlib codecs (PNG/BMP/baseline JPEG),
     resamples bilinearly and re-encodes; payloads those codecs can't
     decode are passed through UNCHANGED (one odd file must not fail a
@@ -158,6 +161,10 @@ def resize_image(df: DataFrame, width: int, height: int, fake: bool = False) -> 
     the deterministic digest twin used by the pinned oracle; non-image
     rows pass through untouched. Same Arrow-batch contract as decode."""
     from feldman_spark.pipeline import codecs
+
+    if out_format not in ("png", "jpeg"):
+        raise ValueError(
+            f"resize_image: out_format must be png|jpeg (got {out_format!r})")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -179,8 +186,12 @@ def resize_image(df: DataFrame, width: int, height: int, fake: bool = False) -> 
                     sw, sh, ch, px = codecs.decode_image_bytes(bytes(d))
                     resized = codecs.resize_pixels(
                         px, sw, sh, ch, width, height)
-                    data.append(codecs.encode_png(
-                        resized, width, height, ch))
+                    if out_format == "jpeg":
+                        data.append(codecs.encode_jpeg(
+                            resized, width, height, ch, quality=quality))
+                    else:
+                        data.append(codecs.encode_png(
+                            resized, width, height, ch))
                     ws.append(width)
                     hs.append(height)
                 except (ValueError, NotImplementedError):

@@ -923,3 +923,73 @@ try:
 
 except ImportError:  # pragma: no cover - hypothesis is baked in here
     pass
+
+
+# ---------------------------------------------------------------------------
+# production JPEG encoder (write side; validated against decode_jpeg,
+# whose own tests use the INDEPENDENT encoder above)
+# ---------------------------------------------------------------------------
+
+def test_encode_jpeg_roundtrips_through_decoder():
+    rng = np.random.RandomState(13)
+    img = rng.randint(0, 256, size=(24, 17, 3), dtype=np.uint8)
+    data = codecs.encode_jpeg(img.tobytes(), 17, 24, 3, quality=100,
+                              subsample="444")
+    assert codecs.sniff_media(data) == "jpeg"
+    w, h, ch, out = codecs.decode_jpeg(data)
+    assert (w, h, ch) == (17, 24, 3)
+    got = np.frombuffer(out, np.uint8).reshape(24, 17, 3)
+    assert _psnr(img, got) > 40.0
+    gray = rng.randint(0, 256, size=(9, 11), dtype=np.uint8)
+    gdata = codecs.encode_jpeg(gray.tobytes(), 11, 9, 1, quality=100)
+    w, h, ch, out = codecs.decode_jpeg(gdata)
+    assert (w, h, ch) == (11, 9, 1)
+    gerr = np.abs(np.frombuffer(out, np.uint8).reshape(9, 11).astype(int)
+                  - gray.astype(int))
+    assert gerr.max() <= 4
+
+
+def test_encode_jpeg_quality_and_subsampling_shrink_bytes():
+    yy, xx = np.mgrid[0:32, 0:48]
+    img = np.stack([(yy * 3) % 220, (xx * 2) % 220,
+                    ((xx + yy)) % 220], axis=-1).astype(np.uint8)
+    hi = codecs.encode_jpeg(img.tobytes(), 48, 32, 3, quality=95,
+                            subsample="444")
+    lo = codecs.encode_jpeg(img.tobytes(), 48, 32, 3, quality=40,
+                            subsample="420")
+    assert len(lo) < len(hi)
+    w, h, ch, out = codecs.decode_jpeg(lo)
+    got = np.frombuffer(out, np.uint8).reshape(32, 48, 3)
+    assert _psnr(img, got) > 22.0
+    # rgba drops alpha, still valid
+    rgba = np.dstack([img, np.full((32, 48), 255, np.uint8)])
+    d4 = codecs.encode_jpeg(rgba.tobytes(), 48, 32, 4, quality=85)
+    assert codecs.decode_jpeg(d4)[2] == 3
+
+
+def test_encode_jpeg_validates():
+    with pytest.raises(ValueError, match="channels"):
+        codecs.encode_jpeg(b"\x00" * 8, 2, 2, 2)
+    with pytest.raises(ValueError, match="bytes"):
+        codecs.encode_jpeg(b"\x00" * 11, 2, 2, 3)
+    with pytest.raises(ValueError, match="quality"):
+        codecs.encode_jpeg(b"\x00" * 12, 2, 2, 3, quality=0)
+    with pytest.raises(ValueError, match="subsample"):
+        codecs.encode_jpeg(b"\x00" * 12, 2, 2, 3, subsample="411")
+
+
+def test_resize_image_jpeg_output_through_spark(spark):
+    from feldman_spark.pipeline.multimodal import media_table, resize_image
+
+    rng = np.random.RandomState(31)
+    img = rng.randint(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    rows = [(1, "image", "image/png", 16, 16, None,
+             _encode_png(img, [0] * 16))]
+    out = resize_image(media_table(spark, rows), 8, 8,
+                       out_format="jpeg", quality=90).collect()[0]
+    data = bytes(out["data"])
+    assert codecs.sniff_media(data) == "jpeg"
+    w, h, ch, _px = codecs.decode_jpeg(data)
+    assert (w, h, ch) == (8, 8, 3)
+    with pytest.raises(ValueError, match="out_format"):
+        resize_image(media_table(spark, rows), 8, 8, out_format="webp")
