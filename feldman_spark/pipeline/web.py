@@ -37,6 +37,9 @@ __all__ = [
     "registered_domain",
     "host_suffixes",
     "blocklist_filter",
+    "parse_robots",
+    "robots_allowed",
+    "robots_filter",
 ]
 
 _SCHEME_RE = r"^([a-zA-Z][a-zA-Z0-9+.-]*)://"
@@ -166,3 +169,140 @@ def normalize_url(
             F.when(qnorm == "", F.lit("")).otherwise(F.concat(F.lit("?"), qnorm)),
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# robots.txt (RFC 9309) — crawl-permission evaluation
+# ---------------------------------------------------------------------------
+
+def parse_robots(txt: str, user_agent: str = "*"):
+    """Parse a robots.txt body and return the rule list for
+    ``user_agent`` per RFC 9309 group selection: the group whose
+    ``User-agent`` product token is the LONGEST case-insensitive prefix
+    of ``user_agent`` wins; the ``*`` group is the fallback; multiple
+    ``User-agent`` lines stack onto one group. Returns a list of
+    ``(allow: bool, pattern: str)`` rules (empty list = everything
+    allowed). Unknown directives and comments are ignored, per spec."""
+    groups = []          # (agents, rules)
+    agents, rules, in_rules = [], [], False
+    for raw in (txt or "").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key, val = key.strip().lower(), val.strip()
+        if key == "user-agent":
+            if in_rules:     # a new group starts after rules were seen
+                groups.append((agents, rules))
+                agents, rules, in_rules = [], [], False
+            agents.append(val.lower())
+        elif key in ("allow", "disallow"):
+            in_rules = True
+            if val or key == "disallow":
+                # empty Disallow == allow everything (a no-op rule);
+                # keep it out of the list so longest-match stays clean
+                if val:
+                    rules.append((key == "allow", val))
+    if agents or rules:
+        groups.append((agents, rules))
+    ua = (user_agent or "*").lower()
+    best_len, best_rules = -1, []
+    star_rules = None
+    for ags, rls in groups:
+        for a in ags:
+            if a == "*":
+                if star_rules is None:
+                    star_rules = rls
+            elif ua.startswith(a) and len(a) > best_len:
+                best_len, best_rules = len(a), rls
+    if best_len >= 0:
+        return list(best_rules)
+    return list(star_rules or [])
+
+
+def _robots_pattern_matches(pattern: str, path: str) -> bool:
+    """RFC 9309 pattern match: literal octets, ``*`` any sequence,
+    trailing ``$`` anchors the end. Prefix match otherwise."""
+    import re as _re
+
+    anchored = pattern.endswith("$")
+    if anchored:
+        pattern = pattern[:-1]
+    rx = ".*".join(_re.escape(part) for part in pattern.split("*"))
+    rx = "^" + rx + ("$" if anchored else "")
+    return _re.match(rx, path) is not None
+
+
+def robots_allowed(path: str, rules) -> bool:
+    """Evaluate a path against :func:`parse_robots` rules: the
+    longest-pattern match wins; an Allow beats a Disallow of equal
+    length; no match = allowed (RFC 9309 §2.2.2)."""
+    if not path.startswith("/"):
+        path = "/" + path
+    best_len, verdict = -1, True
+    for allow, pattern in rules:
+        if _robots_pattern_matches(pattern, path):
+            plen = len(pattern)
+            if plen > best_len or (plen == best_len and allow):
+                best_len, verdict = plen, allow
+    return verdict
+
+
+def robots_filter(
+    pages: DataFrame,
+    robots: DataFrame,
+    url_col: str = "url",
+    host_col: str = "host",
+    robots_col: str = "robots_txt",
+    user_agent: str = "*",
+    out_col: str = "crawl_allowed",
+) -> DataFrame:
+    """Annotate pages with RFC 9309 crawl permission: join each page to
+    its host's robots.txt and evaluate the page path against the
+    ``user_agent`` group. Returns the pages frame + ``out_col``
+    boolean (hosts with no robots row allow everything).
+
+    Scale shape: the robots table is hosts-sized (small side — Catalyst
+    broadcasts it under AQE; hint it if your host list is huge), the
+    join is host-keyed, and evaluation is an Arrow-batched
+    ``mapInPandas`` where each DISTINCT robots body in the batch is
+    parsed once and memoized — rule matching is per-page Python, but
+    against host-sized rule lists, and the page text never moves."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from pyspark.sql.types import BooleanType, StructField, StructType
+
+    host = F.lower(F.regexp_extract(
+        F.regexp_replace(F.col(url_col), _SCHEME_RE, ""), _HOST_RE, 1))
+    path = F.regexp_extract(
+        F.regexp_replace(F.col(url_col), _SCHEME_RE, ""), _PATH_RE, 1)
+    joined = (
+        pages.withColumn("_h", host).withColumn("_p", path)
+        .join(robots.select(F.lower(F.col(host_col)).alias("_h"),
+                            F.col(robots_col).alias("_robots")),
+              "_h", "left")
+    )
+    schema = StructType(list(joined.schema.fields)
+                        + [StructField(out_col, BooleanType(), True)])
+
+    def run(batches: "Iterator[pd.DataFrame]"):
+        cache: dict = {}
+        for pdf in batches:
+            out = pdf.copy()
+            verdicts = []
+            for txt, p in zip(pdf["_robots"], pdf["_p"]):
+                if txt is None:
+                    verdicts.append(True)
+                    continue
+                rules = cache.get(txt)
+                if rules is None:
+                    rules = parse_robots(txt, user_agent)
+                    cache[txt] = rules
+                verdicts.append(robots_allowed(p or "/", rules))
+            out[out_col] = verdicts
+            yield out
+
+    return (joined.mapInPandas(run, schema=schema)
+            .drop("_h", "_p", "_robots"))

@@ -2140,3 +2140,66 @@ def test_ivf_pq_full_probe_equals_pq_and_prunes(spark):
             ivf_pq_topk(index, centroids, books, q, nprobe=0)
     finally:
         index.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# robots.txt (RFC 9309)
+# ---------------------------------------------------------------------------
+
+ROBOTS = """# example policy
+User-agent: examplebot
+Disallow: /private/
+Allow: /private/public*
+
+User-agent: otherbot
+User-agent: thirdbot
+Disallow: /
+
+User-agent: *
+Disallow: /tmp/
+Disallow: /*.pdf$
+Allow: /tmp/ok
+"""
+
+
+def test_parse_robots_group_selection_and_precedence():
+    from feldman_spark.pipeline.web import parse_robots, robots_allowed
+
+    # longest-prefix agent match wins; case-insensitive
+    r = parse_robots(ROBOTS, "ExampleBot/1.2")
+    assert robots_allowed("/private/secret", r) is False
+    assert robots_allowed("/private/public/x", r) is True  # Allow longer
+    assert robots_allowed("/anything", r) is True          # no match=allow
+    # stacked user-agent lines share one group
+    for ua in ("otherbot", "thirdbot (+http://x)"):
+        r2 = parse_robots(ROBOTS, ua)
+        assert robots_allowed("/", r2) is False
+    # * fallback group with wildcard + $ anchor
+    star = parse_robots(ROBOTS, "unknownbot")
+    assert robots_allowed("/tmp/x", star) is False
+    assert robots_allowed("/tmp/ok/file", star) is True    # Allow longer
+    assert robots_allowed("/a/doc.pdf", star) is False     # $ anchored
+    assert robots_allowed("/a/doc.pdfx", star) is True
+    # empty / missing robots allows everything
+    assert robots_allowed("/x", parse_robots("", "any")) is True
+    assert robots_allowed("/x", parse_robots("User-agent: *\nDisallow:",
+                                             "any")) is True
+
+
+def test_robots_filter_through_spark(spark):
+    from feldman_spark.pipeline.web import robots_filter
+
+    pages = spark.createDataFrame(
+        [
+            (1, "https://a.example.com/tmp/x"),
+            (2, "https://a.example.com/ok"),
+            (3, "HTTP://A.EXAMPLE.COM/a/doc.pdf"),   # host case-folded
+            (4, "https://norobots.example.com/tmp/x"),
+        ],
+        ["page_id", "url"],
+    )
+    robots = spark.createDataFrame(
+        [("a.example.com", ROBOTS)], ["host", "robots_txt"])
+    out = {r["page_id"]: r[ "crawl_allowed"] for r in
+           robots_filter(pages, robots, user_agent="unknownbot").collect()}
+    assert out == {1: False, 2: True, 3: False, 4: True}
