@@ -170,6 +170,34 @@ def main() -> None:
     assert sum(man_rows.values()) == 100_000
     assert max(man_rows.values()) < 1.2 * (100_000 / int(args.cpus))
 
+    # cross-doc novelty: every injected duplicate's shingles were all
+    # first seen in its predecessor -> novelty exactly 0.0; nothing
+    # text-sized may shuffle (hashed gram stream) and no cartesian
+    t0 = time.time()
+    from feldman_spark.pipeline.dedup import shingle_novelty
+    nov = shingle_novelty(corpus, k=5)
+    n_zero_novel = nov.filter(F.col("novelty_frac") == 0.0).count()
+    timings["shingle_novelty"] = round(time.time() - t0, 1)
+    n_dups_injected = len(range(1, n, DUP_EVERY))
+    assert n_zero_novel == n_dups_injected, (n_zero_novel, n_dups_injected)
+    nov_plan = nov._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in nov_plan
+
+    # C4 gating throughput: give every 4th doc one qualifying line
+    # (terminal punctuation + >= 5 words); the rest have none
+    t0 = time.time()
+    from feldman_spark.pipeline.text import c4_stats
+    c4_in = corpus.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.col("text"), F.lit(".")))
+        .otherwise(F.col("text")))
+    c4 = c4_stats(c4_in)
+    kept_total = c4.agg(F.sum("n_kept_lines")).collect()[0][0]
+    timings["c4_stats"] = round(time.time() - t0, 1)
+    n_punct = len(range(0, n, 4))
+    assert kept_total == n_punct, (kept_total, n_punct)
+
     total = round(sum(timings.values()), 1)
     print(json.dumps({
         "docs": n, "unique": n_unique, "near_dup_pairs": n_pairs,
@@ -177,6 +205,7 @@ def main() -> None:
         "splits": split_counts, "clean_docs": n_clean,
         "para_docs": n_para_docs, "export_shards": len(man_rows),
         "ws_tokens": toks["ws"], "bpe_tokens": toks["bpe"],
+        "zero_novelty_docs": n_zero_novel, "c4_kept_lines": kept_total,
         "timings_sec": timings, "total_sec": total,
         "docs_per_sec_total": round(n * len(timings) / total),
     }))
