@@ -23,6 +23,9 @@ __all__ = [
     "gopher_rules",
     "gopher_quality",
     "c4_stats",
+    "fix_mojibake",
+    "mojibake_chars",
+    "MOJIBAKE_TABLE",
     "scrub_pii",
     "strip_html",
     "lang_scores",
@@ -431,6 +434,52 @@ def c4_stats(
         ((F.col("_nsent") >= min_sentences) & ~F.col("_brace")
          & ~F.col("_lorem") & (n_kept >= 1)).alias(keep_col),
     )
+
+
+def _mojibake_table():
+    """(artifact, repaired) pairs for the classic crawl corruption:
+    UTF-8 bytes re-decoded as Windows-1252 (latin-1 for the five bytes
+    cp1252 leaves undefined) — 'don’t' arriving as 'donâ€™t'. Derived
+    from the encodings themselves, not hand-typed; longest artifacts
+    first so a 3-byte sequence never half-repairs through its 2-byte
+    suffix."""
+    chars = "’‘“”„—–…•€™ «»°éèêëàâäôöûüùîïçñíóúáãõß"
+    table = []
+    for ch in chars:
+        raw = ch.encode("utf-8")
+        try:
+            bad = raw.decode("cp1252")
+        except UnicodeDecodeError:
+            bad = raw.decode("latin-1")
+        if bad != ch:
+            table.append((bad, ch))
+    table.sort(key=lambda p: (-len(p[0]), p[0]))
+    return table
+
+
+MOJIBAKE_TABLE = _mojibake_table()
+
+
+def fix_mojibake(text: Column) -> Column:
+    """Repair UTF-8-decoded-as-cp1252 mojibake ('â€™' → '’', 'Ã©' → 'é',
+    …) with one literal ``replace`` chain — row-local codegen, zero
+    UDFs, and (literal replaces being engine-identical) directly
+    oracle-able against DuckDB's ``replace``. Covers the smart-quote/
+    dash/ellipsis family and the common Western accented letters; a
+    general confidence-ranked repairer (ftfy) plugs in at the same
+    column position for long-tail encodings."""
+    out = text
+    for bad, good in MOJIBAKE_TABLE:
+        out = F.replace(out, F.lit(bad), F.lit(good))
+    return out
+
+
+def mojibake_chars(text: Column) -> Column:
+    """How corrupted is this document: the number of characters removed
+    by :func:`fix_mojibake` (each repaired artifact collapses 2-3
+    chars to 1). 0 = clean; use as a filter signal or to route docs
+    to a heavyweight repairer."""
+    return (F.length(text) - F.length(fix_mojibake(text))).cast("bigint")
 
 
 # Redaction patterns kept to constructs with identical semantics in Java

@@ -2203,3 +2203,43 @@ def test_robots_filter_through_spark(spark):
     out = {r["page_id"]: r[ "crawl_allowed"] for r in
            robots_filter(pages, robots, user_agent="unknownbot").collect()}
     assert out == {1: False, 2: True, 3: False, 4: True}
+
+
+def test_fix_mojibake_repairs_cp1252_artifacts(spark):
+    from feldman_spark.pipeline.text import (
+        MOJIBAKE_TABLE, fix_mojibake, mojibake_chars)
+
+    # forward-corrupt real text exactly the way crawls do
+    def corrupt(s):
+        return s.encode("utf-8").decode("cp1252", errors="replace")
+
+    clean1 = "don’t — “quoted” … café señor"
+    bad1 = clean1.encode("utf-8")
+    # decode byte-runs per char so cp1252-undefined bytes fall to latin-1
+    bad1 = "".join(
+        (ch.encode("utf-8").decode("cp1252")
+         if _cp1252_ok(ch) else ch.encode("utf-8").decode("latin-1"))
+        if ord(ch) > 127 else ch
+        for ch in clean1)
+    rows = [(1, bad1), (2, "plain ascii stays untouched"), (3, None)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in df.select(
+        "doc_id",
+        fix_mojibake(F.col("text")).alias("fixed"),
+        mojibake_chars(F.col("text")).alias("n_bad")).collect()}
+    assert out[1]["fixed"] == clean1
+    assert out[1]["n_bad"] > 0
+    assert out[2]["fixed"] == "plain ascii stays untouched"
+    assert out[2]["n_bad"] == 0
+    assert out[3]["fixed"] is None and out[3]["n_bad"] is None
+    # the table is longest-first so 3-byte artifacts never half-repair
+    assert all(len(MOJIBAKE_TABLE[i][0]) >= len(MOJIBAKE_TABLE[i + 1][0])
+               for i in range(len(MOJIBAKE_TABLE) - 1))
+
+
+def _cp1252_ok(ch):
+    try:
+        ch.encode("utf-8").decode("cp1252")
+        return True
+    except UnicodeDecodeError:
+        return False
