@@ -26,6 +26,8 @@ __all__ = [
     "fix_mojibake",
     "mojibake_chars",
     "MOJIBAKE_TABLE",
+    "script_profile",
+    "SCRIPT_RANGES",
     "scrub_pii",
     "strip_html",
     "lang_scores",
@@ -434,6 +436,52 @@ def c4_stats(
         ((F.col("_nsent") >= min_sentences) & ~F.col("_brace")
          & ~F.col("_lorem") & (n_kept >= 1)).alias(keep_col),
     )
+
+
+# explicit code-point ranges (NOT \p{Script} classes — Java regex spells
+# them \p{IsCyrillic}, RE2 \p{Cyrillic}; literal ranges mean the Spark
+# expression and its DuckDB oracle twin share one semantics)
+SCRIPT_RANGES: Dict[str, str] = {
+    "latin": "A-Za-zÀ-ɏ",
+    "cyrillic": "Ѐ-ӿ",
+    "greek": "Ͱ-Ͽ",
+    "arabic": "؀-ۿ",
+    "devanagari": "ऀ-ॿ",
+    # Han + kana + hangul folded into one CJK bucket: the routing
+    # decision downstream is "CJK tokenizer or not"
+    "cjk": "一-鿿぀-ヿ가-힯",
+}
+
+
+def script_profile(text: Column, digits: int = 4) -> Dict[str, Column]:
+    """Unicode-script composition of a document — the routing signal for
+    multilingual corpora (which tokenizer, which quality model, which
+    language bucket): per-script character fractions over the LETTER
+    characters (whitespace/digits/punctuation excluded from the
+    denominator) plus ``dominant_script`` (argmax, ``'other'`` when no
+    known script appears; first-in-table order breaks exact ties).
+    One ``length(regexp_replace(...))`` pass per script — row-local
+    codegen, zero UDFs, literal ranges portable to the oracle."""
+    counts = {
+        name: F.length(F.regexp_replace(text, f"[^{rng}]", ""))
+        for name, rng in SCRIPT_RANGES.items()
+    }
+    total = sum(counts.values())
+    denom = F.greatest(total, F.lit(1)).cast("double")
+    out: Dict[str, Column] = {
+        f"{name}_frac": F.round(c.cast("double") / denom, digits)
+        for name, c in counts.items()
+    }
+    best = None
+    for name, c in counts.items():
+        best = c if best is None else F.greatest(best, c)
+    dominant = F.lit("other")
+    for name in reversed(list(counts)):  # first-in-table wins exact ties
+        dominant = F.when(
+            (counts[name] > 0) & (counts[name] == best), F.lit(name)
+        ).otherwise(dominant)
+    out["dominant_script"] = dominant
+    return out
 
 
 def _mojibake_table():

@@ -2243,3 +2243,35 @@ def _cp1252_ok(ch):
         return True
     except UnicodeDecodeError:
         return False
+
+
+def test_script_profile_fractions_and_dominant(spark):
+    from feldman_spark.pipeline.text import script_profile
+
+    rows = [
+        (1, "hello world, just English here."),
+        (2, "Привет мир from mixed Кириллица text"),
+        (3, "日本語のテキストです 중간에 한국어"),
+        (4, "مرحبا بالعالم"),
+        (5, "1234 .,!? \n\t"),          # no letters at all
+        (6, "नमस्ते दुनिया"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    prof = script_profile(F.col("text"))
+    out = {r["doc_id"]: r for r in df.select(
+        "doc_id", *[v.alias(k) for k, v in prof.items()]).collect()}
+    assert out[1]["dominant_script"] == "latin"
+    assert out[1]["latin_frac"] == 1.0 and out[1]["cjk_frac"] == 0.0
+    assert out[2]["dominant_script"] == "cyrillic"
+    assert 0 < out[2]["latin_frac"] < out[2]["cyrillic_frac"]
+    assert out[3]["dominant_script"] == "cjk" and out[3]["cjk_frac"] == 1.0
+    assert out[4]["dominant_script"] == "arabic"
+    assert out[5]["dominant_script"] == "other"
+    assert all(out[5][f"{s}_frac"] == 0.0 for s in
+               ("latin", "cyrillic", "greek", "arabic", "devanagari", "cjk"))
+    assert out[6]["dominant_script"] == "devanagari"
+    # fractions over LETTERS sum to ~1 whenever letters exist
+    for i in (1, 2, 3, 4, 6):
+        s = sum(out[i][f"{n}_frac"] for n in
+                ("latin", "cyrillic", "greek", "arabic", "devanagari", "cjk"))
+        assert abs(s - 1.0) < 0.01
