@@ -306,7 +306,15 @@ def probe_mp4(data: bytes) -> Tuple[int, Optional[int], Optional[int]]:
             continue
         for ctype, cs, ce in _mp4_boxes(data, ps, pe):
             if ctype == b"mvhd":
+                if cs >= ce:
+                    raise ValueError("MP4: empty mvhd box")
                 ver = data[cs]
+                # field reads bounds-checked against the enclosing box
+                # end — a truncated mvhd must raise ValueError, not
+                # struct.error, so sinks can honor the drop contract
+                need = cs + (32 if ver == 1 else 20)
+                if need > ce:
+                    raise ValueError("MP4: truncated mvhd box")
                 if ver == 1:
                     scale, = struct.unpack_from(">I", data, cs + 20)
                     dur, = struct.unpack_from(">Q", data, cs + 24)
@@ -320,7 +328,11 @@ def probe_mp4(data: bytes) -> Tuple[int, Optional[int], Optional[int]]:
                 for ttype, ts_, te in _mp4_boxes(data, cs, ce):
                     if ttype != b"tkhd":
                         continue
+                    if ts_ >= te:
+                        raise ValueError("MP4: empty tkhd box")
                     off = 88 if data[ts_] == 1 else 76
+                    if ts_ + off + 8 > te:
+                        raise ValueError("MP4: truncated tkhd box")
                     w, h = struct.unpack_from(">II", data, ts_ + off)
                     if w and h:
                         width, height = w >> 16, h >> 16
@@ -522,8 +534,9 @@ def encode_jpeg(pixels: bytes, width: int, height: int, channels: int,
     tables scaled by the libjpeg quality convention; Huffman tables are
     constructed canonical tables carried in DHT (decoders must read
     them from the stream — including :func:`decode_jpeg`, whose tests
-    validate against an INDEPENDENT encoder, keeping this pair
-    honest)."""
+    validate against a separately-written test-side encoder AND a
+    hand-assembled byte-literal fixture with analytically-known pixels,
+    so a systematic error shared by the two encoders cannot hide)."""
     if channels not in (1, 3, 4):
         raise ValueError(
             f"JPEG encode: channels must be 1, 3 or 4 (got {channels})")

@@ -26,6 +26,7 @@ Design for 100 TB of media:
 from __future__ import annotations
 
 import hashlib
+import struct
 from typing import Iterator
 
 import pandas as pd
@@ -47,6 +48,15 @@ __all__ = [
     "probe_media",
     "frame_sample",
 ]
+
+# The drop-don't-fail contract: one corrupt payload must not fail a
+# 100 TB stage. The codecs raise ValueError/NotImplementedError for the
+# malformations they detect, but adversarially truncated or internally
+# inconsistent streams can surface struct.error (short unpack_from),
+# KeyError (e.g. a JPEG whose SOS component ids aren't in SOF) or
+# IndexError (reads past a truncated buffer) from deeper in the parse.
+_DECODE_ERRORS = (ValueError, NotImplementedError, struct.error,
+                  KeyError, IndexError)
 
 # typed metadata + opaque payload: the storage contract for media columns
 MEDIA_SCHEMA = StructType([
@@ -131,7 +141,7 @@ def decode_audio(df: DataFrame) -> DataFrame:
                     continue
                 try:
                     rate, ch, dur, samples = codecs.decode_wav(bytes(data))
-                except (ValueError, NotImplementedError):
+                except _DECODE_ERRORS:
                     # malformed payload or a codec this environment can't
                     # decode: drop the row, per the documented contract —
                     # one bad file must not fail a 100 TB stage
@@ -187,14 +197,24 @@ def resize_image(df: DataFrame, width: int, height: int, fake: bool = False,
                     resized = codecs.resize_pixels(
                         px, sw, sh, ch, width, height)
                     if out_format == "jpeg":
+                        enc_px, enc_ch = resized, ch
+                        if ch == 2:
+                            # JPEG carries no alpha plane: keep the gray
+                            # channel (RGBA alpha is dropped inside
+                            # encode_jpeg, but 2-channel would raise and
+                            # wrongly hit the undecodable pass-through)
+                            import numpy as np
+                            enc_px = np.frombuffer(
+                                resized, np.uint8)[::2].tobytes()
+                            enc_ch = 1
                         data.append(codecs.encode_jpeg(
-                            resized, width, height, ch, quality=quality))
+                            enc_px, width, height, enc_ch, quality=quality))
                     else:
                         data.append(codecs.encode_png(
                             resized, width, height, ch))
                     ws.append(width)
                     hs.append(height)
-                except (ValueError, NotImplementedError):
+                except _DECODE_ERRORS:
                     data.append(d)
                     ws.append(w)
                     hs.append(h)
@@ -238,7 +258,7 @@ def image_stats(df: DataFrame) -> DataFrame:
                     continue
                 try:
                     w, h, ch, px = codecs.decode_image_bytes(bytes(d))
-                except (ValueError, NotImplementedError):
+                except _DECODE_ERRORS:
                     continue
                 arr = np.frombuffer(px, np.uint8).reshape(h, w, ch)
                 if ch >= 3:
@@ -334,7 +354,7 @@ def probe_media(df: DataFrame) -> DataFrame:
                     elif fmt in ("mp4", "avi"):
                         _c, dur, w, h = codecs.probe_video(b)
                         rows.append((int(mid), kind, fmt, w, h, dur))
-                except (ValueError, NotImplementedError):
+                except _DECODE_ERRORS:
                     continue
             yield pd.DataFrame(
                 rows, columns=["media_id", "kind", "container", "width",

@@ -442,7 +442,9 @@ def c4_stats(
 # them \p{IsCyrillic}, RE2 \p{Cyrillic}; literal ranges mean the Spark
 # expression and its DuckDB oracle twin share one semantics)
 SCRIPT_RANGES: Dict[str, str] = {
-    "latin": "A-Za-zÀ-ɏ",
+    # À-Ö Ø-ö ø-ɏ: Latin-1 letters minus × (U+00D7) and ÷ (U+00F7),
+    # which are math signs — the denominator is letters-only
+    "latin": "A-Za-zÀ-ÖØ-öø-ɏ",
     "cyrillic": "Ѐ-ӿ",
     "greek": "Ͱ-Ͽ",
     "arabic": "؀-ۿ",

@@ -26,6 +26,7 @@ blocklist — both already 100 TB-shaped.
 
 from __future__ import annotations
 
+import functools
 from typing import Sequence, Union
 
 from pyspark.sql import Column, DataFrame
@@ -38,6 +39,7 @@ __all__ = [
     "host_suffixes",
     "blocklist_filter",
     "parse_robots",
+    "compile_robots_rules",
     "robots_allowed",
     "robots_filter",
 ]
@@ -220,29 +222,49 @@ def parse_robots(txt: str, user_agent: str = "*"):
     return list(star_rules or [])
 
 
-def _robots_pattern_matches(pattern: str, path: str) -> bool:
-    """RFC 9309 pattern match: literal octets, ``*`` any sequence,
-    trailing ``$`` anchors the end. Prefix match otherwise."""
+@functools.lru_cache(maxsize=65536)
+def _compile_robots_pattern(pattern: str):
+    """Compile an RFC 9309 pattern (literal octets, ``*`` any sequence,
+    trailing ``$`` anchors the end; prefix match otherwise) to a
+    ``re.Pattern``. Compiled once per distinct pattern (lru_cache) so
+    the hot matching loop never touches the regex compiler."""
     import re as _re
 
     anchored = pattern.endswith("$")
     if anchored:
         pattern = pattern[:-1]
     rx = ".*".join(_re.escape(part) for part in pattern.split("*"))
-    rx = "^" + rx + ("$" if anchored else "")
-    return _re.match(rx, path) is not None
+    return _re.compile("^" + rx + ("$" if anchored else ""))
+
+
+def compile_robots_rules(rules):
+    """Precompile :func:`parse_robots` output to ``(allow, pattern_len,
+    compiled_match)`` triples — the form :func:`robots_allowed` and
+    :func:`robots_filter` evaluate, so a host's rule list compiles once
+    and matches thousands of its pages regex-compiler-free."""
+    return [(allow, len(p), _compile_robots_pattern(p).match)
+            for allow, p in rules]
 
 
 def robots_allowed(path: str, rules) -> bool:
-    """Evaluate a path against :func:`parse_robots` rules: the
-    longest-pattern match wins; an Allow beats a Disallow of equal
-    length; no match = allowed (RFC 9309 §2.2.2)."""
+    """Evaluate a URL target against robots rules: the longest-pattern
+    match wins; an Allow beats a Disallow of equal length; no match =
+    allowed (RFC 9309 §2.2.2). ``path`` should include the query string
+    (``/search?q=x``) — reference evaluators (google/robotstxt) match
+    path + '?' + query, so patterns like ``Disallow: /*?sessionid=``
+    work. Accepts raw ``(allow, pattern)`` pairs from
+    :func:`parse_robots` or precompiled triples from
+    :func:`compile_robots_rules`."""
     if not path.startswith("/"):
         path = "/" + path
     best_len, verdict = -1, True
-    for allow, pattern in rules:
-        if _robots_pattern_matches(pattern, path):
-            plen = len(pattern)
+    for rule in rules:
+        if len(rule) == 2:
+            allow, pattern = rule
+            plen, match = len(pattern), _compile_robots_pattern(pattern).match
+        else:
+            allow, plen, match = rule
+        if match(path):
             if plen > best_len or (plen == best_len and allow):
                 best_len, verdict = plen, allow
     return verdict
@@ -262,22 +284,29 @@ def robots_filter(
     ``user_agent`` group. Returns the pages frame + ``out_col``
     boolean (hosts with no robots row allow everything).
 
+    Pages are matched on path + '?' + query (google/robotstxt
+    semantics), so ``Disallow: /*?sessionid=`` works.
+
     Scale shape: the robots table is hosts-sized (small side — Catalyst
     broadcasts it under AQE; hint it if your host list is huge), the
     join is host-keyed, and evaluation is an Arrow-batched
-    ``mapInPandas`` where each DISTINCT robots body in the batch is
-    parsed once and memoized — rule matching is per-page Python, but
-    against host-sized rule lists, and the page text never moves."""
+    ``mapInPandas`` where each DISTINCT HOST in the batch parses and
+    regex-compiles its rules once (memo keyed by host, O(1) per page,
+    not per-body-byte) — rule matching is per-page against host-sized
+    precompiled rule lists, and the page text never moves."""
     from typing import Iterator
 
     import pandas as pd
 
     from pyspark.sql.types import BooleanType, StructField, StructType
 
-    host = F.lower(F.regexp_extract(
-        F.regexp_replace(F.col(url_col), _SCHEME_RE, ""), _HOST_RE, 1))
-    path = F.regexp_extract(
-        F.regexp_replace(F.col(url_col), _SCHEME_RE, ""), _PATH_RE, 1)
+    rest = F.regexp_replace(F.col(url_col), _SCHEME_RE, "")
+    host = F.lower(F.regexp_extract(rest, _HOST_RE, 1))
+    query = F.regexp_extract(F.col(url_col), _QUERY_RE, 1)
+    # RFC 9309 evaluators match path + '?' + query, not the bare path
+    path = F.concat(
+        F.regexp_extract(rest, _PATH_RE, 1),
+        F.when(query != "", F.concat(F.lit("?"), query)).otherwise(F.lit("")))
     joined = (
         pages.withColumn("_h", host).withColumn("_p", path)
         .join(robots.select(F.lower(F.col(host_col)).alias("_h"),
@@ -292,14 +321,14 @@ def robots_filter(
         for pdf in batches:
             out = pdf.copy()
             verdicts = []
-            for txt, p in zip(pdf["_robots"], pdf["_p"]):
+            for h, txt, p in zip(pdf["_h"], pdf["_robots"], pdf["_p"]):
                 if txt is None:
                     verdicts.append(True)
                     continue
-                rules = cache.get(txt)
+                rules = cache.get(h)
                 if rules is None:
-                    rules = parse_robots(txt, user_agent)
-                    cache[txt] = rules
+                    rules = compile_robots_rules(parse_robots(txt, user_agent))
+                    cache[h] = rules
                 verdicts.append(robots_allowed(p or "/", rules))
             out[out_col] = verdicts
             yield out

@@ -1,8 +1,12 @@
 """Pure-stdlib media codecs (pipeline/codecs.py) + their Spark wiring.
 
 The encoders here are written INSIDE the tests (forward filter/pack
-direction), so the decoders are checked against independently
-constructed bytes, not against themselves.
+direction), so the decoders are checked against separately constructed
+bytes, not against themselves. Because a test-side encoder built from
+the same published tables could still share a systematic error with the
+production pair, the JPEG decoder additionally gets an ABSOLUTE check:
+a hand-assembled byte-literal stream whose expected pixels are derived
+analytically (test_decode_jpeg_hand_assembled_absolute).
 """
 
 from __future__ import annotations
@@ -926,8 +930,58 @@ except ImportError:  # pragma: no cover - hypothesis is baked in here
 
 
 # ---------------------------------------------------------------------------
+# absolute JPEG fixture: a minimal stream hand-assembled from byte
+# literals per ITU-T T.81, with the expected pixels derived analytically
+# (DC-only block: pixel = diff/8 + 128) — no encoder of ours in the
+# loop, so a systematic error shared by the production and test-side
+# encoders cannot round-trip invisibly through it
+# ---------------------------------------------------------------------------
+
+def _hand_assembled_jpeg(dc_diff: int) -> bytes:
+    """8x8 grayscale baseline JPEG, one MCU, DC-only, quant table all
+    ones (identity dequant). DC Huffman: 12 categories at 4 bits
+    (canonical codes 0000..1011 for categories 0..11); AC Huffman: the
+    single EOB symbol at 2 bits (code 00). Entropy segment is computed
+    here by hand from those canonical codes, not by any shared
+    bit-writer."""
+    assert 32 <= dc_diff <= 63          # keep the hand-coding to category 6
+    soi = b"\xff\xd8"
+    dqt = b"\xff\xdb" + struct.pack(">B", 0).join([b""]) \
+        + struct.pack(">HB", 67, 0x00) + bytes([1] * 64)
+    sof = b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, 8, 8, 1) \
+        + bytes([1, 0x11, 0])           # comp id 1, 1x1 sampling, qtable 0
+    dht_dc = b"\xff\xc4" + struct.pack(">HB", 2 + 1 + 16 + 12, 0x00) \
+        + bytes([0, 0, 0, 12] + [0] * 12) + bytes(range(12))
+    dht_ac = b"\xff\xc4" + struct.pack(">HB", 2 + 1 + 16 + 1, 0x10) \
+        + bytes([0, 1] + [0] * 14) + bytes([0x00])
+    sos = b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00, 0, 63, 0])
+    # bits: category-6 DC code 0110, 6 magnitude bits of dc_diff, AC EOB
+    # code 00, pad to a byte boundary with 1s
+    bits = "0110" + format(dc_diff, "06b") + "00"
+    bits += "1" * (-len(bits) % 8)
+    entropy = bytes(int(bits[i:i + 8], 2) for i in range(0, len(bits), 8))
+    return soi + dqt + sof + dht_dc + dht_ac + sos + entropy + b"\xff\xd9"
+
+
+def test_decode_jpeg_hand_assembled_absolute():
+    # dc_diff = 40 → every decoded sample is exactly 40/8 + 128 = 133
+    data = _hand_assembled_jpeg(40)
+    assert codecs.sniff_media(data) == "jpeg"
+    w, h, ch, out = codecs.decode_jpeg(data)
+    assert (w, h, ch) == (8, 8, 1)
+    assert out == bytes([133] * 64)
+    # a second level, same stream skeleton: 56/8 + 128 = 135
+    w, h, ch, out = codecs.decode_jpeg(_hand_assembled_jpeg(56))
+    assert (w, h, ch) == (8, 8, 1)
+    assert out == bytes([135] * 64)
+
+
+# ---------------------------------------------------------------------------
 # production JPEG encoder (write side; validated against decode_jpeg,
-# whose own tests use the INDEPENDENT encoder above)
+# whose own tests use the test-side forward-direction encoder above —
+# written separately but from the same published tables, so the
+# hand-assembled absolute fixture above is what rules out a shared
+# systematic error — plus flat-image exactness and PSNR checks)
 # ---------------------------------------------------------------------------
 
 def test_encode_jpeg_roundtrips_through_decoder():
