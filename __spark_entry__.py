@@ -1053,6 +1053,130 @@ def knn_ivf(spark, sf_dir, index=None):
                     num_centroids=8, nprobe=2, iters=2, index=index)
 
 
+def pq_topk(spark, sf_dir):
+    """Product-quantization ADC top-10 (Jégou et al., TPAMI 2011):
+    train m=4 × k=16 codebooks on the deterministic xxhash64-ordered
+    sample, encode the corpus to 4 small ints per vector, score by
+    asymmetric-distance lookup tables. The scan is pure JVM codegen —
+    the m LUTs ride the plan as literal arrays, the distance is
+    element_at sums, and the top-k plans as TakeOrderedAndProject
+    (plan-asserted in tests/test_plans.py) — at 100 TB the scan touches
+    m bytes per vector instead of dim floats. Oracle: output pinned at
+    the driver's correctness SF (training is deterministic and
+    partition-independent, but Lloyd k-means isn't DuckDB-replicable —
+    the knn_ivf precedent, _PQ_TOPK_PINNED); machinery exactness is
+    carried by ivf_pq_topk's nprobe=C twin relation below plus pytest
+    recall floors and the lossless-codebook exactness property
+    (feldman_spark/pipeline/similarity.py::pq_train/pq_encode/pq_topk)."""
+    from feldman_spark.pipeline.similarity import pq_encode, pq_train
+    from feldman_spark.pipeline.similarity import pq_topk as pq_adc_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    base = e.filter(F.col("vec_id") != 0)
+    books = pq_train(base, m=4, k=16, iters=8, sample=2048)
+    return pq_adc_topk(pq_encode(base, books), books, q, k=10)
+
+
+def ivf_pq_topk(spark, sf_dir):
+    """IVF-PQ at full probe (nprobe == num_centroids): the coarse
+    quantizer assigns every vector a cid, PQ codes ride next to it
+    (pq_encode carry=['cid'] — the layout ivf_write partitions by, so a
+    pruned probe IS partition pruning), and probing ALL buckets makes
+    the result EXACTLY pq_topk's regardless of how k-means bucketed the
+    vectors — so the whole assign/carry/prune/ADC pipeline shares
+    pq_topk's pinned oracle and the driver value-checks the twin
+    relation (the knn_ivf_exact precedent). The production pruned probe
+    (nprobe < C) stays rows-only, as any ANN must; its recall floors
+    are pytest-asserted
+    (feldman_spark/pipeline/similarity.py::ivf_pq_topk)."""
+    from feldman_spark.pipeline.similarity import (ivf_build, pq_encode,
+                                                   pq_train)
+    from feldman_spark.pipeline.similarity import ivf_pq_topk as _ivf_pq
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    base = e.filter(F.col("vec_id") != 0)
+    assigned, cents = ivf_build(base, num_centroids=8, iters=2)
+    books = pq_train(base, m=4, k=16, iters=8, sample=2048)
+    enc = pq_encode(assigned, books, carry=["cid"])
+    return _ivf_pq(enc, cents, books, q, k=10, nprobe=8)
+
+
+def _mojify(s: str) -> str:
+    """Corrupt ``s`` the way crawls do: UTF-8 bytes re-decoded as
+    cp1252 (latin-1 for cp1252's five undefined bytes). Drives the
+    text_mojibake fixture from the encodings themselves — the suffix
+    literal and its DuckDB twin can't drift apart."""
+    out = []
+    for ch in s:
+        raw = ch.encode("utf-8")
+        if len(raw) == 1:
+            out.append(ch)
+            continue
+        try:
+            out.append(raw.decode("cp1252"))
+        except UnicodeDecodeError:
+            out.append(raw.decode("latin-1"))
+    return "".join(out)
+
+
+# every doc gets this mojibake'd tail: smart quote, em-dash, accents,
+# guillemets, ellipsis — the classic UTF-8-as-cp1252 artifact family
+_MOJI_CLEAN = " don’t — café «quote»…"
+_MOJI_SUFFIX = _mojify(_MOJI_CLEAN)
+
+
+def text_mojibake(spark, sf_dir):
+    """Mojibake repair: append a deterministically corrupted tail
+    (UTF-8 re-decoded as cp1252 — 'don’t' as 'donâ€™t') to every doc,
+    then repair with the literal-replace chain and count the collapsed
+    characters. Row-local whole-stage codegen, zero UDFs; the DuckDB
+    twin replays the IDENTICAL replace chain (both sides generated from
+    MOJIBAKE_TABLE), so this is a true value oracle, md5-checked over
+    the full repaired text
+    (feldman_spark/pipeline/text.py::fix_mojibake/mojibake_chars)."""
+    from feldman_spark.pipeline.text import fix_mojibake, mojibake_chars
+
+    d = _t(spark, sf_dir, "documents")
+    corrupted = F.concat(F.col("text"), F.lit(_MOJI_SUFFIX))
+    return d.select(
+        "doc_id",
+        F.md5(fix_mojibake(corrupted)).alias("fixed_md5"),
+        mojibake_chars(corrupted).alias("n_bad"),
+    )
+
+
+def text_script_profile(spark, sf_dir):
+    """Unicode-script composition + dominant-script routing: every doc
+    gets a deterministic non-Latin tail (Cyrillic / Greek / CJK /
+    Arabic by doc_id % 4) so all buckets of the profiler are exercised,
+    then per-script letter fractions over literal code-point ranges and
+    the first-in-table-tie-break argmax. One regexp_replace length per
+    script, row-local codegen; the ranges are literal so the DuckDB
+    twin recomputes everything — a true value oracle
+    (feldman_spark/pipeline/text.py::script_profile/SCRIPT_RANGES)."""
+    from feldman_spark.pipeline.text import script_profile
+
+    d = _t(spark, sf_dir, "documents")
+    tail = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit(" Привет мир"))
+        .when(F.col("doc_id") % 4 == 1, F.lit(" Γειά σου κόσμε"))
+        .when(F.col("doc_id") % 4 == 2, F.lit(" 你好世界 こんにちは"))
+        .otherwise(F.lit(" مرحبا بالعالم ×÷"))  # ×÷ must NOT count as latin
+    )
+    p = script_profile(F.concat(F.col("text"), tail))
+    return d.select(
+        "doc_id",
+        p["latin_frac"].alias("latin_frac"),
+        p["cyrillic_frac"].alias("cyrillic_frac"),
+        p["greek_frac"].alias("greek_frac"),
+        p["arabic_frac"].alias("arabic_frac"),
+        p["cjk_frac"].alias("cjk_frac"),
+        p["dominant_script"].alias("dominant_script"),
+    )
+
+
 def text_tokens(spark, sf_dir):
     """Token counting per document: whitespace tokens and BPE-ish
     pre-tokenizer pieces (regexp_extract_all — pure column expressions,
@@ -1260,6 +1384,67 @@ def media_image_stats(spark, sf_dir):
                      encode_png(arr.tobytes(), w, h, ch)))
     rows.append((99, "image", "image/webp", 4, 4, None, b"not decodable"))
     return image_stats(media_table(spark, rows))
+
+
+def media_phash_dedup(spark, sf_dir):
+    """Perceptual-hash image near-dup — the multimodal analogue of the
+    text near-dup family: deterministic in-query payloads where the
+    SAME picture arrives as (0) the original PNG, (1) a 2× bilinear
+    upscale, (2) a quality-90 JPEG re-encode and (3) a locally-edited
+    copy, next to (4) a genuinely different picture, (5) a vertical
+    flip (dHash is deliberately NOT flip-invariant) and an undecodable
+    payload (dropped per contract). dHash → 4-band bucket join →
+    bit_count verify finds exactly the scale/re-encode/edit variants.
+    Input is SF-independent and the whole pipeline deterministic, so
+    expected pairs are pinned (_MEDIA_PHASH_PINNED)
+    (feldman_spark/pipeline/multimodal.py::image_dhash/phash_dedup)."""
+    import numpy as np
+
+    from feldman_spark.pipeline.codecs import (encode_jpeg, encode_png,
+                                               resize_pixels)
+    from feldman_spark.pipeline.multimodal import media_table, phash_dedup
+
+    w, h = 24, 16
+    yy, xx = np.mgrid[0:h, 0:w]
+    # the x·y cross term keeps the pattern non-separable: a separable
+    # f(x)+g(y) image has identical per-row difference bits, which would
+    # make dHash accidentally flip-invariant and defang fixture 5
+    base = np.clip(
+        120 + 90 * np.sin(xx / 4.0) + 50 * np.cos(yy / 3.0)
+        + 60 * np.sin(xx * yy / 25.0), 0, 255).astype(np.uint8)
+    base = np.repeat(base[:, :, None], 3, axis=2)
+    other = np.clip(
+        120 + 90 * np.cos(xx / 2.5) - 60 * np.sin(yy / 5.0), 0, 255
+    ).astype(np.uint8)
+    other = np.repeat(other[:, :, None], 3, axis=2)
+    edited = base.copy()
+    edited[:6, :8] = np.clip(edited[:6, :8].astype(int) + 80, 0, 255)
+    rows = [
+        (0, "image", "image/png", w, h, None,
+         encode_png(base.tobytes(), w, h, 3)),
+        (1, "image", "image/png", 2 * w, 2 * h, None,
+         encode_png(resize_pixels(base.tobytes(), w, h, 3, 2 * w, 2 * h),
+                    2 * w, 2 * h, 3)),
+        (2, "image", "image/jpeg", w, h, None,
+         encode_jpeg(base.tobytes(), w, h, 3, quality=90)),
+        (3, "image", "image/png", w, h, None,
+         encode_png(edited.tobytes(), w, h, 3)),
+        (4, "image", "image/png", w, h, None,
+         encode_png(other.tobytes(), w, h, 3)),
+        (5, "image", "image/png", w, h, None,
+         encode_png(base[::-1].copy().tobytes(), w, h, 3)),
+        (99, "image", "image/webp", 4, 4, None, b"junk"),
+    ]
+    return media_phash_pairs(media_table(spark, rows))
+
+
+def media_phash_pairs(images):
+    """phash_dedup at the registered knobs (bands=4, max_hamming=3 —
+    inside the pigeonhole-exact regime, so recall is exact, no
+    probabilistic tail in the oracled result)."""
+    from feldman_spark.pipeline.multimodal import phash_dedup
+
+    return phash_dedup(images, max_hamming=3, bands=4)
 
 
 def _survivors_quality_oracle_sql() -> str:
@@ -1682,6 +1867,69 @@ _KNN_IVF_PINNED = """
             (415, 0.237975, 9),
             (229, 0.2302, 10)
         ) AS t(vec_id, cosine, rank)
+    """
+
+# pq_topk / ivf_pq_topk: training (xxhash64-ordered sample, deterministic
+# Lloyd k-means) is session- and partition-independent but not
+# DuckDB-replicable, so the sf0.01 output is pinned (knn_ivf precedent).
+# BOTH keys point at this one oracle: ivf_pq_topk at nprobe=C must equal
+# pq_topk exactly, so the driver value-checks the twin relation itself.
+_PQ_TOPK_PINNED = """
+        SELECT vec_id, CAST(adc_dist AS DOUBLE) AS adc_dist, rank
+        FROM (VALUES
+            (235, 0.985786, 1),
+            (232, 1.002694, 2),
+            (32, 1.011373, 3),
+            (227, 1.012193, 4),
+            (261, 1.017134, 5),
+            (318, 1.021349, 6),
+            (200, 1.021457, 7),
+            (219, 1.022651, 8),
+            (164, 1.034857, 9),
+            (201, 1.043356, 10)
+        ) AS t(vec_id, adc_dist, rank)
+    """
+
+# media_phash_dedup: SF-independent deterministic fixture; expected
+# near-dup pairs pinned. 0=original, 1=2x upscale (hamming 0), 2=jpeg
+# re-encode (1 bit), 3=edited copy (3 bits); the different picture (4),
+# the vertical flip (5) and the undecodable payload never pair.
+_MEDIA_PHASH_PINNED = """
+        SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+               CAST(hamming AS BIGINT) AS hamming
+        FROM (VALUES
+            (0, 1, 0),
+            (0, 2, 1),
+            (0, 3, 3),
+            (1, 2, 1),
+            (1, 3, 3)
+        ) AS t(id_a, id_b, hamming)
+    """
+
+# web_robots_filter: SF-independent adversarial fixture, deterministic
+# evaluation -> expected verdicts pinned; each row's verdict is
+# hand-derivable from RFC 9309 (see the query docstring for which rule
+# each page exercises)
+_WEB_ROBOTS_PINNED = """
+        SELECT page_id, url, crawl_allowed FROM (VALUES
+            (CAST(1 AS BIGINT), 'http://a.com/private/secret', false),
+            (2, 'http://a.com/private/public/x', true),
+            (3, 'https://A.COM/page?sessionid=abc', false),
+            (4, 'http://a.com/files/doc.pdf', false),
+            (5, 'http://a.com/files/doc.pdfx', true),
+            (6, 'http://a.com/docs/internal/x', false),
+            (7, 'http://a.com/docs/guide', true),
+            (8, 'http://b.com/bot-only/page', false),
+            (9, 'http://b.com/star/x', true),
+            (10, 'http://c.com/open/secret', false),
+            (11, 'http://c.com/open/secret/more', true),
+            (12, 'http://c.com/tiex', true),
+            (13, 'http://c.com/anything', true),
+            (14, 'http://d.com/whatever', true),
+            (15, 'http://e.com/x', true),
+            (16, 'http://a.com/page?other=1&sessionid=2', true),
+            (17, 'http://a.com?sessionid=x', false)
+        ) AS t(page_id, url, crawl_allowed)
     """
 
 # media_features' input is a synthetic in-query table (no SF dependence)
@@ -3593,6 +3841,71 @@ def web_blocklist_filter(spark, sf_dir):
         F.min("doc_id").alias("min_doc"))
 
 
+def web_robots_filter(spark, sf_dir):
+    """RFC 9309 robots.txt crawl-permission evaluation over an
+    adversarial in-query fixture: wildcard patterns, ``$`` end-anchors,
+    longest-match precedence, Allow-beats-Disallow-on-equal-length,
+    longest-UA-prefix group selection (stacked User-agent lines, ``*``
+    fallback), query-string matching (``Disallow: /*?sessionid=``),
+    literal-``?`` semantics, host-case normalization, missing and empty
+    robots bodies. Input is SF-independent and evaluation deterministic,
+    so the expected verdicts are pinned (_WEB_ROBOTS_PINNED — the
+    media_features pattern). Scale shape: hosts-sized robots table
+    broadcast-joined on host; rules parse + regex-compile once per
+    distinct host per Arrow batch
+    (feldman_spark/pipeline/web.py::parse_robots/robots_filter)."""
+    from feldman_spark.pipeline.web import robots_filter
+
+    robots = spark.createDataFrame([
+        ("a.com", "User-agent: *\n"
+                  "Disallow: /private\n"
+                  "Allow: /private/public\n"
+                  "Disallow: /*?sessionid=\n"
+                  "Disallow: /*.pdf$\n"
+                  "Allow: /docs\n"
+                  "Disallow: /docs/internal\n"),
+        ("b.com", "User-agent: examplebot\n"
+                  "User-agent: otherbot\n"
+                  "Disallow: /bot-only\n"
+                  "\n"
+                  "User-agent: example\n"
+                  "Disallow: /\n"
+                  "\n"
+                  "User-agent: *\n"
+                  "Disallow: /star\n"),
+        ("c.com", "User-agent: special\n"
+                  "Disallow: /\n"
+                  "\n"
+                  "User-agent: *\n"
+                  "Allow: /open\n"
+                  "Disallow: /open/secret$\n"
+                  "Allow: /t*e\n"
+                  "Disallow: /ti*\n"),
+        ("e.com", ""),
+    ], "host string, robots_txt string")
+    pages = spark.createDataFrame([
+        (1, "http://a.com/private/secret"),
+        (2, "http://a.com/private/public/x"),
+        (3, "https://A.COM/page?sessionid=abc"),
+        (4, "http://a.com/files/doc.pdf"),
+        (5, "http://a.com/files/doc.pdfx"),
+        (6, "http://a.com/docs/internal/x"),
+        (7, "http://a.com/docs/guide"),
+        (8, "http://b.com/bot-only/page"),
+        (9, "http://b.com/star/x"),
+        (10, "http://c.com/open/secret"),
+        (11, "http://c.com/open/secret/more"),
+        (12, "http://c.com/tiex"),
+        (13, "http://c.com/anything"),
+        (14, "http://d.com/whatever"),
+        (15, "http://e.com/x"),
+        (16, "http://a.com/page?other=1&sessionid=2"),
+        (17, "http://a.com?sessionid=x"),
+    ], "page_id bigint, url string")
+    out = robots_filter(pages, robots, user_agent="ExampleBot/1.2")
+    return out.select("page_id", "url", "crawl_allowed")
+
+
 def dedup_corpus_overlap(spark, sf_dir):
     """Dataset-level content overlap between two corpus slices (the
     "is this crawl snapshot worth ingesting" statistic): both sides
@@ -4069,139 +4382,114 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # FIRST 50 keys only; the prefix rotates per round so every query
     # eventually carries a driver-green row (the mirror gate,
     # tools/check_oracle.py, still runs ALL keys every round, so queries
-    # outside the window cannot silently rot). Round-8 window, in
-    # priority order: (a) the four queries registered this round (native
-    # update-mode running totals, output-bounded j11 twin, BPE
-    # train+encode, domain-blocklist filter — no driver row can exist
-    # yet); (b) feldman_e2_export, whose last hard driver row is r4 —
-    # the r7 verdict's #1 item: entry()-smoke + bench plan-pin are real
-    # but the flagship must not be the only key violating the ≤3-round
-    # invariant; (c) 45 of the 50 r5-green keys — the oldest remaining
-    # rows. The five r5 keys that defer to the r9 queue head are the
-    # ones with the strongest INDEPENDENT per-round signal, so their
-    # driver-row age costs the least evidence: media_features (pinned
-    # oracle + codec round-trip property tests), events_tumbling /
-    # events_sliding (streaming pytest twins of one-groupBy window
-    # shapes), knn_brute_force / knn_lsh (pytest recall floors, and
-    # their *_exact variants went green r7). They lead the tail below,
-    # then the r6-green keys, then the r7-green keys — the r9 window
-    # should lead with those five plus the oldest r6 rows.
-        "events_running_totals_native": events_running_totals_native,
-        "j11_range_join_bounded": j11_range_join_bounded,
-        "text_bpe_encode": text_bpe_encode,
-        "web_blocklist_filter": web_blocklist_filter,
-        "feldman_e2_export": feldman_e2_export,
-        "q1_pricing_summary": q1_pricing_summary,
-        "q3_shipping_priority": q3_shipping_priority,
-        "q5_local_supplier_volume": q5_local_supplier_volume,
-        "q6_revenue_forecast": q6_revenue_forecast,
-        "q10_returned_items": q10_returned_items,
-        "f1_conjunctive_eq": f1_conjunctive_eq,
-        "a1_group_minmax": a1_group_minmax,
-        "a4_argmin": a4_argmin,
-        "a5_conditional_sum_hof": a5_conditional_sum_hof,
-        "j1_containment_join": j1_containment_join,
-        "j3_anti_join": j3_anti_join,
-        "j4_broadcast_equi": j4_broadcast_equi,
-        "j5_semi_join": j5_semi_join,
-        "j7_nearest_join": j7_nearest_join,
-        "j8_lookup_join": j8_lookup_join,
-        "w2_lag_diff": w2_lag_diff,
-        "w3_expanding_slope": w3_expanding_slope,
-        "p6_regex_extract": p6_regex_extract,
-        "p7_parse_section_id": p7_parse_section_id,
-        "c10_concat_ids": c10_concat_ids,
-        "dedup_minhash_lsh": dedup_minhash_lsh,
-        "dedup_ngram_jaccard": dedup_ngram_jaccard,
-        "dedup_paragraphs": dedup_paragraphs,
-        "dedup_semantic": dedup_semantic,
-        "dedup_clusters": dedup_clusters,
-        "dedup_incremental": dedup_incremental,
-        "decontaminate_corpus": decontaminate_corpus,
-        "pipeline_dedup_stats": pipeline_dedup_stats,
-        "text_quality": text_quality,
-        "text_lang_id": text_lang_id,
-        "text_tokens": text_tokens,
-        "text_gopher_quality": text_gopher_quality,
-        "sample_shuffle": sample_shuffle,
-        "sample_curriculum": sample_curriculum,
-        "events_sessionize": events_sessionize,
-        "events_enrich": events_enrich,
-        "events_stream_dedup_native": events_stream_dedup_native,
-        "events_interval_join": events_interval_join,
-        "w6_scd2_intervals": w6_scd2_intervals,
-        "w7_time_gapfill": w7_time_gapfill,
-        "knn_ivf": knn_ivf,
-        "j10_salted_join": j10_salted_join,
-        "a10_cube": a10_cube,
-        "q12_shipmode": q12_shipmode,
-        "q14_promo_effect": q14_promo_effect,
-    # ^ the 50-key driver window ends here --- tail below is mirror-checked every round ---
+    # outside the window cannot silently rot). Round-9 window, executing
+    # the r8 verdict's rotation plan exactly: (a) the eight queries
+    # registered mid-r8 after that round's window froze (mirror-green but
+    # no hard driver row yet); (b) the six NEW r9 registrations (PQ /
+    # IVF-PQ ADC ANN, RFC 9309 robots evaluation, mojibake repair,
+    # Unicode-script profiling, perceptual-hash image near-dup — no row
+    # can exist yet); (c) the five r5-stale keys the r8 comment deferred
+    # (at the 3-round staleness limit now); (d) 31 of the 49 r6-green
+    # keys — the oldest remaining rows. The 18 r6 keys that defer to the
+    # r10 queue head are the ones whose independent per-round signal is
+    # strongest (reference-core ops under golden-parity pytest: f2 f3 f7
+    # a2 w4 w5; plain single-aggregate SQL shapes the mirror re-proves
+    # every round: a9 a11 a12 f8 o2 u2 u3 pack_chunks profile_*) — they
+    # lead the r10 window, then the oldest r7 rows.
+        "text_c4_rules": text_c4_rules,
+        "text_novelty": text_novelty,
+        "events_conversion_lag": events_conversion_lag,
+        "events_anomaly": events_anomaly,
+        "events_ewma": events_ewma,
+        "events_session_stats": events_session_stats,
+        "web_dedup_url": web_dedup_url,
+        "media_image_stats": media_image_stats,
+        "pq_topk": pq_topk,
+        "ivf_pq_topk": ivf_pq_topk,
+        "web_robots_filter": web_robots_filter,
+        "text_mojibake": text_mojibake,
+        "text_script_profile": text_script_profile,
+        "media_phash_dedup": media_phash_dedup,
         "media_features": media_features,
         "events_tumbling": events_tumbling,
         "events_sliding": events_sliding,
         "knn_brute_force": knn_brute_force,
         "knn_lsh": knn_lsh,
+        "decontaminate_semantic": decontaminate_semantic_q,
+        "dedup_corpus_overlap": dedup_corpus_overlap,
+        "dedup_frequent_spans": dedup_frequent_spans,
+        "dedup_near_incremental": dedup_near_incremental,
+        "dedup_survivors_quality": dedup_survivors_quality,
+        "events_funnel": events_funnel,
+        "events_retention": events_retention,
+        "events_transitions": events_transitions,
+        "f9_zscore_groups": f9_zscore_groups,
+        "graph_pagerank": graph_pagerank,
+        "graph_triangles": graph_triangles,
+        "j11_binned_range_join": j11_binned_range_join,
+        "j12_bloom_semi_join": j12_bloom_semi_join,
+        "j13_interval_overlap": j13_interval_overlap,
+        "j14_fuzzy_link": j14_fuzzy_link,
+        "o3_grouped_topk": o3_grouped_topk,
+        "sample_dsir": sample_dsir,
+        "sample_rebalance": sample_rebalance,
+        "sample_stratified": sample_stratified,
+        "sample_temperature": sample_temperature,
+        "sample_weighted": sample_weighted,
+        "text_bm25": text_bm25,
+        "text_bpe_pairs": text_bpe_pairs,
+        "text_lm_score": text_lm_score,
+        "text_strip_html": text_strip_html,
+        "w1_splice_scan_grouped": w1_splice_scan_grouped,
+        "w8_rolling_time": w8_rolling_time,
+        "w9_merge_upsert": w9_merge_upsert,
+        "web_cooccurrence": web_cooccurrence,
+        "web_domain_cap": web_domain_cap,
+        "web_url_normalize": web_url_normalize,
+    # ^ the 50-key driver window ends here --- tail below is mirror-checked every round ---
+    # deferred r6-green keys (r10 window head):
+        "a11_approx_quantiles": a11_approx_quantiles,
+        "a12_heavy_hitters": a12_heavy_hitters,
+        "a2_distinct": a2_distinct,
+        "a9_sketch_distinct": a9_sketch_distinct,
         "f2_range_between": f2_range_between,
         "f3_in_list": f3_in_list,
         "f7_domain_validation": f7_domain_validation,
-        "a2_distinct": a2_distinct,
-        "w4_first_seen": w4_first_seen,
-        "w5_explode_sequence": w5_explode_sequence,
-        "events_retention": events_retention,
-        "text_lm_score": text_lm_score,
-        "sample_rebalance": sample_rebalance,
+        "f8_winsorize": f8_winsorize,
+        "o2_zorder_key": o2_zorder_key,
+        "pack_chunks": pack_chunks,
+        "profile_histogram": profile_histogram_q,
         "profile_join_cardinality": profile_join_cardinality,
         "profile_psi_drift": profile_psi_drift,
-        "events_transitions": events_transitions,
-        "graph_triangles": graph_triangles,
-        "web_cooccurrence": web_cooccurrence,
-        "text_bpe_pairs": text_bpe_pairs,
-        "dedup_corpus_overlap": dedup_corpus_overlap,
-        "f9_zscore_groups": f9_zscore_groups,
         "profile_skew": profile_skew_q,
-        "text_bm25": text_bm25,
-        "j13_interval_overlap": j13_interval_overlap,
-        "j14_fuzzy_link": j14_fuzzy_link,
-        "sample_weighted": sample_weighted,
-        "events_funnel": events_funnel,
-        "graph_pagerank": graph_pagerank,
-        "w9_merge_upsert": w9_merge_upsert,
-        "j12_bloom_semi_join": j12_bloom_semi_join,
-        "sample_stratified": sample_stratified,
-        "web_url_normalize": web_url_normalize,
-        "a11_approx_quantiles": a11_approx_quantiles,
-        "o2_zorder_key": o2_zorder_key,
-        "u3_table_diff": u3_table_diff,
-        "a12_heavy_hitters": a12_heavy_hitters,
-        "web_domain_cap": web_domain_cap,
-        "o3_grouped_topk": o3_grouped_topk,
-        "profile_histogram": profile_histogram_q,
-        "dedup_frequent_spans": dedup_frequent_spans,
-        "sample_dsir": sample_dsir,
-        "decontaminate_semantic": decontaminate_semantic_q,
-        "text_strip_html": text_strip_html,
-        "w8_rolling_time": w8_rolling_time,
-        "pack_chunks": pack_chunks,
-        "f8_winsorize": f8_winsorize,
-        "w1_splice_scan_grouped": w1_splice_scan_grouped,
-        "dedup_survivors_quality": dedup_survivors_quality,
-        "dedup_near_incremental": dedup_near_incremental,
-        "sample_temperature": sample_temperature,
-        "a9_sketch_distinct": a9_sketch_distinct,
         "u2_unpivot": u2_unpivot,
-        "j11_binned_range_join": j11_binned_range_join,
-        "o1_topk": o1_topk,
-        "u1_union_all": u1_union_all,
+        "u3_table_diff": u3_table_diff,
+        "w4_first_seen": w4_first_seen,
+        "w5_explode_sequence": w5_explode_sequence,
+    # r7-green keys (r10 window, after the r6 stragglers):
+        "a7_percentiles": a7_percentiles,
+        "a8_rollup": a8_rollup,
+        "dedup_contamination_13g": dedup_contamination_13g,
+        "dedup_embedding_cosine": dedup_embedding_cosine,
         "dedup_exact": dedup_exact,
         "dedup_simhash": dedup_simhash,
-        "dedup_embedding_cosine": dedup_embedding_cosine,
-        "text_fingerprint": text_fingerprint,
-        "q2_min_cost_supplier": q2_min_cost_supplier,
-        "q4_order_priority": q4_order_priority,
-        "q7_volume_shipping": q7_volume_shipping,
-        "q8_market_share": q8_market_share,
-        "q9_product_profit": q9_product_profit,
+        "doc_embedding_join": doc_embedding_join,
+        "events_attribution": events_attribution,
+        "events_json_props": events_json_props,
+        "events_running_totals": events_running_totals,
+        "events_sessionize_native": events_sessionize_native,
+        "events_stream_dedup": events_stream_dedup,
+        "j9_asof_join": j9_asof_join,
+        "knn_group_centroids": knn_group_centroids,
+        "knn_ivf_exact": knn_ivf_exact,
+        "knn_lsh_exact": knn_lsh_exact,
+        "o1_topk": o1_topk,
+        "pack_examples": pack_examples,
+        "pipeline_curate_corpus": pipeline_curate_corpus,
+        "pipeline_fuzzy_dedup": pipeline_fuzzy_dedup,
+        "pivot_returnflag": pivot_returnflag,
+        "profile_calibration": profile_calibration,
+        "profile_documents": profile_documents,
         "q11_important_stock": q11_important_stock,
         "q13_customer_distribution": q13_customer_distribution,
         "q15_top_supplier": q15_top_supplier,
@@ -4212,52 +4500,75 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_potential_promotion": q20_potential_promotion,
         "q21_waiting_supplier": q21_waiting_supplier,
         "q22_global_sales": q22_global_sales,
-        "a7_percentiles": a7_percentiles,
-        "a8_rollup": a8_rollup,
-        "pivot_returnflag": pivot_returnflag,
-        "sample_split": sample_split,
+        "q2_min_cost_supplier": q2_min_cost_supplier,
+        "q4_order_priority": q4_order_priority,
+        "q7_volume_shipping": q7_volume_shipping,
+        "q8_market_share": q8_market_share,
+        "q9_product_profit": q9_product_profit,
+        "sample_budget_mix": sample_budget_mix,
+        "sample_cap_per_source": sample_cap_per_source,
         "sample_fraction": sample_fraction,
         "sample_mix": sample_mix,
-        "sample_cap_per_source": sample_cap_per_source,
-        "sample_budget_mix": sample_budget_mix,
-        "pack_examples": pack_examples,
+        "sample_split": sample_split,
+        "text_bm25_rerank": text_bm25_rerank,
+        "text_fingerprint": text_fingerprint,
+        "text_ppl_buckets": text_ppl_buckets,
         "text_scrub_pii": text_scrub_pii,
         "text_tfidf_terms": text_tfidf_terms,
-        "text_ppl_buckets": text_ppl_buckets,
-        "text_bm25_rerank": text_bm25_rerank,
-        "doc_embedding_join": doc_embedding_join,
-        "profile_documents": profile_documents,
-        "profile_calibration": profile_calibration,
-        "events_json_props": events_json_props,
-        "events_running_totals": events_running_totals,
-        "events_stream_dedup": events_stream_dedup,
-        "events_sessionize_native": events_sessionize_native,
-        "events_attribution": events_attribution,
-        "j9_asof_join": j9_asof_join,
-        "pipeline_fuzzy_dedup": pipeline_fuzzy_dedup,
-        "pipeline_curate_corpus": pipeline_curate_corpus,
-        "knn_lsh_exact": knn_lsh_exact,
-        "knn_ivf_exact": knn_ivf_exact,
-        "knn_group_centroids": knn_group_centroids,
-        "dedup_contamination_13g": dedup_contamination_13g,
+        "u1_union_all": u1_union_all,
         "w1_splice_scan": w1_splice_scan,
-    # registered mid-r8 AFTER this round's driver window was already
-    # committed, so they sit in the mirror-checked tail (the full-registry
-    # tools/check_oracle.py gate covers them this round); the r9 window
-    # should lead with: these eight, then the five keys the r8 comment
-    # defers (media_features, events_tumbling/sliding, knn_brute_force/
-    # knn_lsh), then the oldest r6-green rows
-        "text_c4_rules": text_c4_rules,
-        "text_novelty": text_novelty,
-        "events_conversion_lag": events_conversion_lag,
-        "events_anomaly": events_anomaly,
-        "events_ewma": events_ewma,
-        "web_dedup_url": web_dedup_url,
-        "events_session_stats": events_session_stats,
-        "media_image_stats": media_image_stats,
+    # r8-green keys (freshest rows):
+        "a10_cube": a10_cube,
+        "a1_group_minmax": a1_group_minmax,
+        "a4_argmin": a4_argmin,
+        "a5_conditional_sum_hof": a5_conditional_sum_hof,
+        "c10_concat_ids": c10_concat_ids,
+        "decontaminate_corpus": decontaminate_corpus,
+        "dedup_clusters": dedup_clusters,
+        "dedup_incremental": dedup_incremental,
+        "dedup_minhash_lsh": dedup_minhash_lsh,
+        "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "dedup_paragraphs": dedup_paragraphs,
+        "dedup_semantic": dedup_semantic,
+        "events_enrich": events_enrich,
+        "events_interval_join": events_interval_join,
+        "events_running_totals_native": events_running_totals_native,
+        "events_sessionize": events_sessionize,
+        "events_stream_dedup_native": events_stream_dedup_native,
+        "f1_conjunctive_eq": f1_conjunctive_eq,
+        "feldman_e2_export": feldman_e2_export,
+        "j10_salted_join": j10_salted_join,
+        "j11_range_join_bounded": j11_range_join_bounded,
+        "j1_containment_join": j1_containment_join,
+        "j3_anti_join": j3_anti_join,
+        "j4_broadcast_equi": j4_broadcast_equi,
+        "j5_semi_join": j5_semi_join,
+        "j7_nearest_join": j7_nearest_join,
+        "j8_lookup_join": j8_lookup_join,
+        "knn_ivf": knn_ivf,
+        "p6_regex_extract": p6_regex_extract,
+        "p7_parse_section_id": p7_parse_section_id,
+        "pipeline_dedup_stats": pipeline_dedup_stats,
+        "q10_returned_items": q10_returned_items,
+        "q12_shipmode": q12_shipmode,
+        "q14_promo_effect": q14_promo_effect,
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q5_local_supplier_volume": q5_local_supplier_volume,
+        "q6_revenue_forecast": q6_revenue_forecast,
+        "sample_curriculum": sample_curriculum,
+        "sample_shuffle": sample_shuffle,
+        "text_bpe_encode": text_bpe_encode,
+        "text_gopher_quality": text_gopher_quality,
+        "text_lang_id": text_lang_id,
+        "text_quality": text_quality,
+        "text_tokens": text_tokens,
+        "w2_lag_diff": w2_lag_diff,
+        "w3_expanding_slope": w3_expanding_slope,
+        "w6_scd2_intervals": w6_scd2_intervals,
+        "w7_time_gapfill": w7_time_gapfill,
+        "web_blocklist_filter": web_blocklist_filter,
     }
-
-
 def _bpe_encode_oracle_sql(n_merges: int = 6, k: int = 20) -> str:
     """DuckDB twin of text_bpe_encode: the same iterative merge argmax,
     one (m_i, v_i) CTE pair per merge — m_i picks the most frequent
@@ -4301,6 +4612,73 @@ def _bpe_encode_oracle_sql(n_merges: int = 6, k: int = 20) -> str:
             SELECT w AS word, CAST(n AS BIGINT) AS n, s AS bpe,
                    CAST(len(string_split(s, ' ')) AS BIGINT) AS n_tokens
             FROM v{n_merges} ORDER BY n DESC, word LIMIT {k}""")
+
+
+def _mojibake_oracle_sql() -> str:
+    """DuckDB twin of text_mojibake: the IDENTICAL replace chain in the
+    IDENTICAL order, generated from the same MOJIBAKE_TABLE the Spark
+    side compiles its fix_mojibake chain from (first table entry is the
+    innermost = first-applied replace on both engines)."""
+    from feldman_spark.pipeline.text import MOJIBAKE_TABLE
+
+    expr = "corrupted"
+    for bad, good in MOJIBAKE_TABLE:
+        expr = "replace({}, '{}', '{}')".format(
+            expr, bad.replace("'", "''"), good.replace("'", "''"))
+    suffix = _MOJI_SUFFIX.replace("'", "''")
+    return f"""
+        WITH base AS (
+          SELECT doc_id, text || '{suffix}' AS corrupted FROM documents
+        )
+        SELECT doc_id, md5({expr}) AS fixed_md5,
+               CAST(length(corrupted) - length({expr}) AS BIGINT) AS n_bad
+        FROM base
+    """
+
+
+def _script_profile_oracle_sql(digits: int = 4) -> str:
+    """DuckDB twin of text_script_profile: same literal code-point
+    ranges (imported from SCRIPT_RANGES — one source of truth), same
+    letters-only denominator, same greatest-argmax with first-in-table
+    tie-break. regexp_replace needs the explicit 'g' flag where Spark
+    replaces globally by default."""
+    from feldman_spark.pipeline.text import SCRIPT_RANGES
+
+    counts = {
+        name: f"length(regexp_replace(x, '[^{rng}]', '', 'g'))"
+        for name, rng in SCRIPT_RANGES.items()
+    }
+    sel_counts = ",\n                 ".join(
+        f"{expr} AS c_{name}" for name, expr in counts.items())
+    names = list(counts)
+    best = "greatest(" + ", ".join(f"c_{n}" for n in names) + ")"
+    dominant = "CASE " + " ".join(
+        f"WHEN c_{n} > 0 AND c_{n} = {best} THEN '{n}'" for n in names
+    ) + " ELSE 'other' END"
+    denom = "CAST(greatest(" + " + ".join(f"c_{n}" for n in names) + \
+        ", 1) AS DOUBLE)"
+    fracs = ",\n               ".join(
+        f"round(CAST(c_{n} AS DOUBLE) / {denom}, {digits}) AS {n}_frac"
+        for n in names if n != "devanagari")
+    return f"""
+        WITH tailed AS (
+          SELECT doc_id,
+                 text || CASE
+                   WHEN doc_id % 4 = 0 THEN ' Привет мир'
+                   WHEN doc_id % 4 = 1 THEN ' Γειά σου κόσμε'
+                   WHEN doc_id % 4 = 2 THEN ' 你好世界 こんにちは'
+                   ELSE ' مرحبا بالعالم ×÷' END AS x
+          FROM documents
+        ), counted AS (
+          SELECT doc_id,
+                 {sel_counts}
+          FROM tailed
+        )
+        SELECT doc_id,
+               {fracs},
+               {dominant} AS dominant_script
+        FROM counted
+    """
 
 
 def _zkey_sql(bits: int = 8) -> str:
@@ -5952,6 +6330,15 @@ def oracle_sql() -> dict[str, str]:
         "text_lang_id": _lang_id_oracle_sql(),
         "knn_lsh": _lsh_oracle_sql(),
         "knn_ivf": _KNN_IVF_PINNED,
+        # BOTH PQ keys point at one pinned oracle: ivf_pq_topk at
+        # nprobe=C must equal pq_topk exactly, so the driver itself
+        # value-checks the twin relation (knn_ivf_exact precedent)
+        "pq_topk": _PQ_TOPK_PINNED,
+        "ivf_pq_topk": _PQ_TOPK_PINNED,
+        "web_robots_filter": _WEB_ROBOTS_PINNED,
+        "text_mojibake": _mojibake_oracle_sql(),
+        "text_script_profile": _script_profile_oracle_sql(),
+        "media_phash_dedup": _MEDIA_PHASH_PINNED,
         "media_features": _MEDIA_FEATURES_PINNED,
         "media_image_stats": _MEDIA_IMAGE_STATS_PINNED,
         "j10_salted_join": """

@@ -47,6 +47,8 @@ __all__ = [
     "extract_features",
     "probe_media",
     "frame_sample",
+    "image_dhash",
+    "phash_dedup",
 ]
 
 # The drop-don't-fail contract: one corrupt payload must not fail a
@@ -395,3 +397,117 @@ def frame_sample(df: DataFrame, every_ms: int = 1000, fake: bool = False) -> Dat
             yield pd.DataFrame({"media_id": ids, "frame_ms": ts, "frame": frames})
 
     return df.mapInPandas(run, schema=schema)
+
+
+def image_dhash(df: DataFrame, out_col: str = "dhash") -> DataFrame:
+    """Per-image 64-bit difference hash (dHash): decode, bilinear-resize
+    to 9×8 grayscale (BT.601 luma), set bit ``y*8+x`` when
+    ``gray[y][x] < gray[y][x+1]``. The standard perceptual fingerprint —
+    invariant to re-encoding, scaling and mild pixel noise, so it
+    catches the thumbnail/recompress duplicates byte-hash dedup misses.
+    Returns ``(media_id, dhash bigint)``; non-image / undecodable rows
+    are dropped per the decode contract. Arrow-batched ``mapInPandas``,
+    one decode+resize per image — at 100 TB this is the scan that turns
+    opaque payload bytes into an 8-byte join key, after which dedup is
+    pure relational work (:func:`phash_dedup`)."""
+    from feldman_spark.pipeline import codecs
+
+    schema = StructType([
+        StructField("media_id", LongType(), False),
+        StructField(out_col, LongType(), False),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, hashes = [], []
+            for mid, kind, d in zip(pdf["media_id"], pdf["kind"],
+                                    pdf["data"]):
+                if kind != "image" or d is None:
+                    continue
+                try:
+                    w, h, ch, px = codecs.decode_image_bytes(bytes(d))
+                    small = codecs.resize_pixels(px, w, h, ch, 9, 8)
+                except _DECODE_ERRORS:
+                    continue
+                a = np.frombuffer(small, np.uint8).reshape(8, 9, ch)
+                a = a.astype(np.float64)
+                if ch >= 3:
+                    gray = (0.299 * a[:, :, 0] + 0.587 * a[:, :, 1]
+                            + 0.114 * a[:, :, 2])
+                else:
+                    gray = a[:, :, 0]
+                bits = (gray[:, :-1] < gray[:, 1:]).flatten()
+                packed = int.from_bytes(np.packbits(bits).tobytes(), "big")
+                if packed >= 1 << 63:   # two's-complement into bigint
+                    packed -= 1 << 64
+                ids.append(int(mid))
+                hashes.append(packed)
+            yield pd.DataFrame({"media_id": ids, out_col: hashes})
+
+    return df.mapInPandas(run, schema=schema)
+
+
+def phash_dedup(
+    df: DataFrame,
+    max_hamming: int = 4,
+    bands: int = 4,
+    id_col: str = "media_id",
+    hash_col: str = "dhash",
+    precomputed: bool = False,
+) -> DataFrame:
+    """Perceptual near-duplicate image pairs — the multimodal analogue
+    of MinHash-banded text near-dup. The 64-bit dHash splits into
+    ``bands`` equal bit-slices; images sharing ANY band value become
+    candidates (bucket equi-join, never all-pairs — pigeonhole
+    guarantees every pair with hamming < ``bands`` shares a band, so
+    recall is EXACT for ``max_hamming < bands`` and probabilistic
+    above), then candidates verify with one JVM ``bit_count(a ^ b)``.
+    Returns ``(id_a, id_b, hamming)``, id_a < id_b.
+
+    Scale shape: hashing is one payload scan (:func:`image_dhash`);
+    banding/bucketing/verification are pure relational codegen over
+    8-byte keys — a billion images shuffle 4 slim (band, key, id) rows
+    each, and bucket skew (flat images all hashing to 0) caps via the
+    same per-bucket budget argument as text LSH. Set
+    ``precomputed=True`` when ``df`` already carries ``hash_col``
+    (e.g. read back from the hash store)."""
+    if max_hamming >= bands:
+        import warnings
+
+        warnings.warn(
+            f"phash_dedup: recall is exact only for hamming < bands "
+            f"(={bands}); pairs at hamming {bands}..{max_hamming} are "
+            f"found only probabilistically", stacklevel=2)
+    hashed = df if precomputed else image_dhash(df, out_col=hash_col)
+    width = 64 // bands
+    mask = (1 << width) - 1
+    h = F.col(hash_col)
+    banded = hashed.select(
+        F.col(id_col), h,
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned(h, b * width).bitwiseAND(
+                    F.lit(mask)).alias("key"))
+            for b in range(bands)
+        ])).alias("bk"),
+    ).select(id_col, hash_col, "bk.band", "bk.key")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(right,
+                  (F.col("l.band") == F.col("r.band"))
+                  & (F.col("l.key") == F.col("r.key"))
+                  & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+        .select(F.col(f"l.{id_col}").alias("id_a"),
+                F.col(f"r.{id_col}").alias("id_b"),
+                F.col(f"l.{hash_col}").alias("_ha"),
+                F.col(f"r.{hash_col}").alias("_hb"))
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
+    return (pairs.withColumn("hamming", hamming.cast("bigint"))
+            .filter(F.col("hamming") <= max_hamming)
+            .drop("_ha", "_hb"))
