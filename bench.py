@@ -88,6 +88,12 @@ HEADLINE = [
     "text_novelty",
     "text_c4_rules",
     "events_anomaly",
+    # round-9 additions: PQ ADC scan (train+encode+score — the m-bytes-
+    # per-vector ANN path), mojibake repair chain, script profiling
+    # (both row-local codegen over the full documents table)
+    "pq_topk",
+    "text_mojibake",
+    "text_script_profile",
 ]
 
 # slack for the regression gate: sub-second queries jitter by whole

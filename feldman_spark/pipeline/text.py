@@ -10,6 +10,8 @@ from __future__ import annotations
 
 from typing import Dict, List, Sequence
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -36,6 +38,7 @@ __all__ = [
     "bpe_pair_counts",
     "bpe_train_merges",
     "bpe_apply_merges",
+    "bpe_apply_merges_udf",
     "lm_score",
     "unpersist_lm_caches",
     "ppl_buckets",
@@ -780,11 +783,72 @@ def bpe_apply_merges(word: Column, merges: Sequence[str]) -> Column:
     symbol fold per merge — see :func:`_apply_one_merge`). Returns the
     space-separated BPE segmentation. Pure codegen column expressions —
     the merge list is a compiled-in constant, so encoding a 100 TB
-    corpus is one row-local pass, no join, no UDF."""
+    corpus is one row-local pass, no join, no UDF.
+
+    Plan-size bound: the pass is row-local but the PLAN grows linearly
+    in the merge count (one fold expression per merge) — right for
+    demo/ablation vocabularies (tens of merges), wrong for a production
+    32k-merge list, where Catalyst/Janino costs explode. At vocabulary
+    scale use :func:`bpe_apply_merges_udf` — identical semantics
+    (twin-equality pytest-pinned), flat single-node plan, merge list in
+    the UDF's broadcast closure."""
     s = _spaced_chars(word)
     for p in merges:
         s = _apply_one_merge(s, p)
     return s
+
+
+def bpe_apply_merges_udf(merges: Sequence[str]):
+    """Vocabulary-scale twin of :func:`bpe_apply_merges`: identical
+    in-training-order leftmost-non-overlapping merge semantics (twin
+    equality is pytest-pinned at small n), but the merge list lives in
+    the Arrow-batched UDF's broadcast closure instead of the plan —
+    :func:`bpe_apply_merges` compiles ONE fold expression PER merge, so
+    its plan grows linearly and a production 32k-merge vocabulary
+    explodes Catalyst/Janino, while this form is one flat vectorized
+    node at any merge count. Returns a callable to apply to the word
+    column. Per-batch memoization encodes each DISTINCT word once
+    (Zipf makes that the dominant win on real corpora); per-merge
+    token-set skip makes untouched merges O(1)."""
+    from pyspark.sql.functions import pandas_udf
+
+    pairs = [tuple(m.split(" ")) for m in merges]
+
+    @pandas_udf("string")
+    def enc(words: pd.Series) -> pd.Series:
+        cache: dict = {}
+
+        def one(w):
+            if w is None:
+                return None
+            hit = cache.get(w)
+            if hit is not None:
+                return hit
+            toks = list(w)
+            present = set(toks)
+            for a, b in pairs:
+                if a not in present or b not in present:
+                    continue
+                out, i, n = [], 0, len(toks)
+                merged = False
+                while i < n:
+                    if i + 1 < n and toks[i] == a and toks[i + 1] == b:
+                        out.append(a + b)
+                        merged = True
+                        i += 2
+                    else:
+                        out.append(toks[i])
+                        i += 1
+                if merged:
+                    toks = out
+                    present = set(toks)
+            r = " ".join(toks)
+            cache[w] = r
+            return r
+
+        return words.map(one)
+
+    return enc
 
 
 def lm_score(

@@ -2275,3 +2275,172 @@ def test_script_profile_fractions_and_dominant(spark):
         s = sum(out[i][f"{n}_frac"] for n in
                 ("latin", "cyrillic", "greek", "arabic", "devanagari", "cjk"))
         assert abs(s - 1.0) < 0.01
+
+
+def test_script_profile_excludes_multiply_divide_signs(spark):
+    from feldman_spark.pipeline.text import script_profile
+
+    # U+00D7 (×) and U+00F7 (÷) are math signs inside Latin-1, not
+    # letters — they must count in NO script (letters-only denominator)
+    df = spark.createDataFrame([(1, "ab ×÷"), (2, "×÷")], ["doc_id", "text"])
+    prof = script_profile(F.col("text"))
+    out = {r["doc_id"]: r for r in df.select(
+        "doc_id", *[v.alias(k) for k, v in prof.items()]).collect()}
+    assert out[1]["latin_frac"] == 1.0          # only a,b counted
+    assert out[2]["dominant_script"] == "other"  # signs alone = no letters
+
+
+def test_robots_query_string_matching():
+    from feldman_spark.pipeline.web import parse_robots, robots_allowed
+
+    rules = parse_robots(
+        "User-agent: *\nDisallow: /*?sessionid=\nDisallow: /search?q=\n", "*")
+    # reference evaluators (google/robotstxt) match path + '?' + query
+    assert robots_allowed("/page?sessionid=abc", rules) is False
+    assert robots_allowed("/search?q=x", rules) is False
+    assert robots_allowed("/page", rules) is True
+    # '?' in a pattern is a literal octet, never a wildcard
+    assert robots_allowed("/page?other=1&sessionid=2", rules) is True
+
+
+def test_compile_robots_rules_equivalence():
+    from feldman_spark.pipeline.web import (compile_robots_rules,
+                                            parse_robots, robots_allowed)
+
+    body = ("User-agent: *\nDisallow: /private\nAllow: /private/public\n"
+            "Disallow: /*.pdf$\nAllow: /t*e\nDisallow: /ti*\n")
+    raw = parse_robots(body, "*")
+    compiled = compile_robots_rules(raw)
+    for path in ("/private/x", "/private/public/y", "/a/doc.pdf",
+                 "/a/doc.pdfx", "/tiex", "/other"):
+        assert robots_allowed(path, raw) == robots_allowed(path, compiled)
+
+
+def test_robots_filter_matches_query_string(spark):
+    from feldman_spark.pipeline.web import robots_filter
+
+    pages = spark.createDataFrame(
+        [(1, "http://q.example.com/page?sessionid=7"),
+         (2, "http://q.example.com/page"),
+         (3, "http://q.example.com?sessionid=7")],   # no path at all
+        ["page_id", "url"])
+    robots = spark.createDataFrame(
+        [("q.example.com", "User-agent: *\nDisallow: /*?sessionid=\n")],
+        ["host", "robots_txt"])
+    out = {r["page_id"]: r["crawl_allowed"]
+           for r in robots_filter(pages, robots).collect()}
+    assert out == {1: False, 2: True, 3: False}
+
+
+def _phash_media_rows():
+    import numpy as np
+
+    from feldman_spark.pipeline.codecs import encode_png, resize_pixels
+
+    w, h = 24, 16
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = np.clip(120 + 90 * np.sin(xx / 4.0) + 50 * np.cos(yy / 3.0)
+                   + 60 * np.sin(xx * yy / 25.0), 0, 255).astype(np.uint8)
+    base = np.repeat(base[:, :, None], 3, axis=2)
+    other = np.clip(120 - 90 * np.cos(xx / 2.0) + 60 * np.sin(yy / 5.0),
+                    0, 255).astype(np.uint8)
+    other = np.repeat(other[:, :, None], 3, axis=2)
+    return [
+        (0, "image", "image/png", w, h, None,
+         encode_png(base.tobytes(), w, h, 3)),
+        (1, "image", "image/png", 2 * w, 2 * h, None,
+         encode_png(resize_pixels(base.tobytes(), w, h, 3, 2 * w, 2 * h),
+                    2 * w, 2 * h, 3)),
+        (2, "image", "image/png", w, h, None,
+         encode_png(other.tobytes(), w, h, 3)),
+        (3, "audio", "audio/wav", None, None, 100, b"RIFFxxxxWAVE"),
+        (4, "image", "image/webp", 4, 4, None, b"not an image"),
+    ]
+
+
+def test_image_dhash_scale_invariant_and_drops_bad_rows(spark):
+    from feldman_spark.pipeline.multimodal import image_dhash, media_table
+
+    hashed = {r["media_id"]: r["dhash"] for r in
+              image_dhash(media_table(spark, _phash_media_rows())).collect()}
+    # non-image and undecodable rows dropped per the decode contract
+    assert set(hashed) == {0, 1, 2}
+    # 2x bilinear upscale hashes identically (scale invariance)
+    assert hashed[0] == hashed[1]
+    # a different picture differs in many bits
+    assert bin((hashed[0] ^ hashed[2]) & ((1 << 64) - 1)).count("1") > 8
+
+
+def test_phash_dedup_pairs_and_pigeonhole(spark):
+    from feldman_spark.pipeline.multimodal import media_table, phash_dedup
+
+    pairs = phash_dedup(media_table(spark, _phash_media_rows()),
+                        max_hamming=3, bands=4).collect()
+    assert {(r["id_a"], r["id_b"], r["hamming"]) for r in pairs} == {(0, 1, 0)}
+    # precomputed path: hand-built hashes at known hamming distances;
+    # bands=4 must find EVERY pair with hamming < 4 (pigeonhole)
+    hashes = spark.createDataFrame(
+        [(10, 0x0123456789ABCDE8), (11, 0x0123456789ABCDEF),  # hamming 3
+         (12, 0x0123456789ABCDE8), (13, -1)],                 # 0 and far
+        ["media_id", "dhash"])
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+           phash_dedup(hashes, max_hamming=3, bands=4,
+                       precomputed=True).collect()}
+    assert got == {(10, 11): 3, (10, 12): 0, (11, 12): 3}
+
+
+def test_phash_dedup_warns_above_pigeonhole_regime(spark):
+    import warnings
+
+    from feldman_spark.pipeline.multimodal import media_table, phash_dedup
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        phash_dedup(media_table(spark, _phash_media_rows()),
+                    max_hamming=4, bands=4)
+        assert any("probabilistically" in str(x.message) for x in w)
+
+
+def test_bpe_udf_twin_equals_codegen_fold(spark):
+    from feldman_spark.pipeline.text import (bpe_apply_merges,
+                                             bpe_apply_merges_udf,
+                                             bpe_train_merges)
+
+    corpus = spark.createDataFrame(
+        [(1, "low lower lowest newer new news"),
+         (2, "hull hull hull llll wide wider widest"),
+         (3, "banana bandana ban nab"),
+         ], ["doc_id", "text"])
+    merges = bpe_train_merges(corpus, n_merges=6)
+    words = spark.createDataFrame(
+        [(w,) for w in
+         ["low", "lower", "lowest", "llll", "banana", "bandana",
+          "newer", "hull", "widest", "zzz", "x", ""]], ["word"])
+    enc = bpe_apply_merges_udf(merges)
+    out = words.select(
+        "word",
+        bpe_apply_merges(F.col("word"), merges).alias("fold"),
+        enc(F.col("word")).alias("udf"),
+    ).collect()
+    for r in out:
+        assert r["fold"] == r["udf"], (r["word"], r["fold"], r["udf"])
+
+
+def test_bpe_udf_flat_plan_at_vocab_scale(spark):
+    from feldman_spark.pipeline.text import bpe_apply_merges_udf
+
+    # a synthetic 32k-entry merge list: the fold form would compile 32k
+    # nested aggregate expressions; the UDF form must stay one flat
+    # node and actually execute
+    merges = [f"{chr(97 + i % 26)} {chr(97 + (i // 26) % 26)}"
+              for i in range(32000)]
+    enc = bpe_apply_merges_udf(merges)
+    df = spark.createDataFrame(
+        [("aa",), ("abab",), ("zzzz",)], ["word"]).select(
+        "word", enc(F.col("word")).alias("bpe"))
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert len(plan) < 20_000          # flat: no per-merge expression blowup
+    rows = {r["word"]: r["bpe"] for r in df.collect()}
+    # "a a" is merge rank 0, then "aa a" etc. exist among synthetic pairs
+    assert rows["zzzz"].count(" ") <= 3
+    assert all(v for v in rows.values())
