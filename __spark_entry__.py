@@ -1438,6 +1438,60 @@ def media_phash_dedup(spark, sf_dir):
     return media_phash_pairs(media_table(spark, rows))
 
 
+def _tone_wav(freqs, rate=8000, dur_per=0.25, amp=0.5):
+    """Deterministic PCM WAV: a sequence of equal-length sine tones —
+    the synthetic 'melody' the audio-dedup fixture hashes."""
+    import io
+    import wave
+
+    import numpy as np
+
+    parts = [np.sin(2 * np.pi * f * np.arange(int(rate * dur_per)) / rate)
+             * amp for f in freqs]
+    samples = (np.concatenate(parts) * 32767).astype(np.int16)
+    buf = io.BytesIO()
+    w = wave.open(buf, "wb")
+    w.setnchannels(1)
+    w.setsampwidth(2)
+    w.setframerate(rate)
+    w.writeframes(samples.tobytes())
+    w.close()
+    return buf.getvalue()
+
+
+def media_audio_dedup(spark, sf_dir):
+    """Spectral-fingerprint audio near-dup — the audio leg of the
+    multimodal near-dup family (images: media_phash_dedup): the SAME
+    melody arrives as (0) the original clip, (1) an amplitude-halved
+    copy (sign-of-delta bits are level-invariant up to int16
+    quantization ties in empty bands) and (2) a 16 kHz re-render
+    (band edges are absolute Hz, slices absolute time), next to (3) a
+    different melody and an undecodable payload (dropped). Hashing is
+    Haitsma–Kalker sign-of-energy-delta; pairing reuses the SAME banded
+    machinery as images — bands=8 keeps recall pigeonhole-EXACT for
+    hamming < 8, covering both variants deterministically. Fixture is
+    SF-independent and the whole pipeline deterministic → pinned pairs
+    (_MEDIA_AUDIO_PINNED)
+    (feldman_spark/pipeline/multimodal.py::audio_fingerprint/phash_dedup)."""
+    from feldman_spark.pipeline.multimodal import (audio_fingerprint,
+                                                   media_table, phash_dedup)
+
+    mel_a = [440, 660, 550, 880, 330, 770, 520, 660]
+    mel_b = [220, 990, 260, 700, 880, 250, 610, 430]
+    rows = [
+        (0, "audio", "audio/wav", None, None, 2000, _tone_wav(mel_a)),
+        (1, "audio", "audio/wav", None, None, 2000,
+         _tone_wav(mel_a, amp=0.25)),
+        (2, "audio", "audio/wav", None, None, 2000,
+         _tone_wav(mel_a, rate=16000)),
+        (3, "audio", "audio/wav", None, None, 2000, _tone_wav(mel_b)),
+        (4, "audio", "audio/wav", None, None, 100, b"RIFFjunk"),
+    ]
+    fp = audio_fingerprint(media_table(spark, rows))
+    return phash_dedup(fp, max_hamming=7, bands=8, hash_col="afp",
+                       precomputed=True)
+
+
 def media_phash_pairs(images):
     """phash_dedup at the registered knobs (bands=4, max_hamming=3 —
     inside the pigeonhole-exact regime, so recall is exact, no
@@ -1903,6 +1957,20 @@ _MEDIA_PHASH_PINNED = """
             (0, 3, 3),
             (1, 2, 1),
             (1, 3, 3)
+        ) AS t(id_a, id_b, hamming)
+    """
+
+# media_audio_dedup: deterministic spectral fingerprints; pinned pairs.
+# 0=original melody, 1=amplitude-halved (3 tie-bits in empty bands),
+# 2=16kHz re-render (6 bits); the different melody (3, hamming 37) and
+# the undecodable payload never pair.
+_MEDIA_AUDIO_PINNED = """
+        SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+               CAST(hamming AS BIGINT) AS hamming
+        FROM (VALUES
+            (0, 1, 3),
+            (0, 2, 6),
+            (1, 2, 3)
         ) AS t(id_a, id_b, hamming)
     """
 
@@ -4410,6 +4478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_mojibake": text_mojibake,
         "text_script_profile": text_script_profile,
         "media_phash_dedup": media_phash_dedup,
+        "media_audio_dedup": media_audio_dedup,
         "media_features": media_features,
         "events_tumbling": events_tumbling,
         "events_sliding": events_sliding,
@@ -4445,9 +4514,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w9_merge_upsert": w9_merge_upsert,
         "web_cooccurrence": web_cooccurrence,
         "web_domain_cap": web_domain_cap,
-        "web_url_normalize": web_url_normalize,
     # ^ the 50-key driver window ends here --- tail below is mirror-checked every round ---
+    # (media_audio_dedup registered mid-r9 took the 50th slot;
+    # web_url_normalize moved to the deferred head — never-covered keys
+    # outrank re-verification)
     # deferred r6-green keys (r10 window head):
+        "web_url_normalize": web_url_normalize,
         "a11_approx_quantiles": a11_approx_quantiles,
         "a12_heavy_hitters": a12_heavy_hitters,
         "a2_distinct": a2_distinct,
@@ -6339,6 +6411,7 @@ def oracle_sql() -> dict[str, str]:
         "text_mojibake": _mojibake_oracle_sql(),
         "text_script_profile": _script_profile_oracle_sql(),
         "media_phash_dedup": _MEDIA_PHASH_PINNED,
+        "media_audio_dedup": _MEDIA_AUDIO_PINNED,
         "media_features": _MEDIA_FEATURES_PINNED,
         "media_image_stats": _MEDIA_IMAGE_STATS_PINNED,
         "j10_salted_join": """

@@ -49,6 +49,7 @@ __all__ = [
     "frame_sample",
     "image_dhash",
     "phash_dedup",
+    "audio_fingerprint",
 ]
 
 # The drop-don't-fail contract: one corrupt payload must not fail a
@@ -511,3 +512,72 @@ def phash_dedup(
     return (pairs.withColumn("hamming", hamming.cast("bigint"))
             .filter(F.col("hamming") <= max_hamming)
             .drop("_ha", "_hb"))
+
+
+def audio_fingerprint(df: DataFrame, out_col: str = "afp",
+                      segments: int = 8, bands: int = 8,
+                      f_lo: float = 100.0, f_hi: float = 3000.0) -> DataFrame:
+    """Per-clip 64-bit spectral fingerprint (the Haitsma–Kalker 2002
+    sign-of-energy-delta shape): decode PCM WAV, mix to mono, split
+    into ``segments`` equal TIME slices, measure energy in ``bands``
+    log-spaced frequency bands between ``f_lo``–``f_hi`` Hz (rFFT
+    magnitude), and set bit ``t*bands + b`` when band energy rises —
+    segment 0 compares against the clip's per-band mean, segments 1+
+    against the previous segment. Sign-of-delta bits are exactly
+    invariant to amplitude scaling and approximately invariant to
+    resampling (band edges are absolute Hz, slices absolute time), so
+    the re-encoded / level-normalized copies a crawl collects hash
+    together. Returns ``(media_id, afp bigint)``; non-audio /
+    undecodable rows drop per the decode contract. Near-dup pairs come
+    from the SAME banded machinery as images:
+    ``phash_dedup(fp, hash_col='afp', precomputed=True)`` — the hash
+    is the join key, the payload never shuffles."""
+    from feldman_spark.pipeline import codecs
+
+    if segments * bands != 64:
+        raise ValueError(
+            f"audio_fingerprint: segments*bands must be 64 "
+            f"(got {segments}x{bands})")
+
+    schema = StructType([
+        StructField("media_id", LongType(), False),
+        StructField(out_col, LongType(), False),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        edges = np.geomspace(f_lo, f_hi, bands + 1)
+        for pdf in batches:
+            ids, fps = [], []
+            for mid, kind, d in zip(pdf["media_id"], pdf["kind"],
+                                    pdf["data"]):
+                if kind != "audio" or d is None:
+                    continue
+                try:
+                    rate, ch, _dur, samples = codecs.decode_wav(bytes(d))
+                except _DECODE_ERRORS:
+                    continue
+                mono = samples.astype(np.float64).mean(axis=1)
+                n = mono.shape[0]
+                if n < segments:
+                    continue
+                E = np.zeros((segments, bands))
+                step = n // segments
+                for t in range(segments):
+                    seg = mono[t * step:(t + 1) * step]
+                    spec = np.abs(np.fft.rfft(seg)) ** 2
+                    freqs = np.fft.rfftfreq(seg.shape[0], 1.0 / rate)
+                    for b in range(bands):
+                        sel = (freqs >= edges[b]) & (freqs < edges[b + 1])
+                        E[t, b] = spec[sel].sum()
+                ref = np.vstack([E.mean(axis=0)[None, :], E[:-1]])
+                bits = (E > ref).flatten()
+                packed = int.from_bytes(np.packbits(bits).tobytes(), "big")
+                if packed >= 1 << 63:
+                    packed -= 1 << 64
+                ids.append(int(mid))
+                fps.append(packed)
+            yield pd.DataFrame({"media_id": ids, out_col: fps})
+
+    return df.mapInPandas(run, schema=schema)

@@ -2444,3 +2444,73 @@ def test_bpe_udf_flat_plan_at_vocab_scale(spark):
     # "a a" is merge rank 0, then "aa a" etc. exist among synthetic pairs
     assert rows["zzzz"].count(" ") <= 3
     assert all(v for v in rows.values())
+
+
+def _tone_wav_rows():
+    import io
+    import wave
+
+    import numpy as np
+
+    def tone(freqs, rate=8000, amp=0.5):
+        parts = [np.sin(2 * np.pi * f * np.arange(rate // 4) / rate) * amp
+                 for f in freqs]
+        s = (np.concatenate(parts) * 32767).astype(np.int16)
+        buf = io.BytesIO()
+        w = wave.open(buf, "wb")
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(s.tobytes())
+        w.close()
+        return buf.getvalue()
+
+    a = [440, 660, 550, 880, 330, 770, 520, 660]
+    b = [220, 990, 260, 700, 880, 250, 610, 430]
+    return [
+        (0, "audio", "audio/wav", None, None, 2000, tone(a)),
+        (1, "audio", "audio/wav", None, None, 2000, tone(a, amp=0.25)),
+        (2, "audio", "audio/wav", None, None, 2000, tone(b)),
+        (3, "image", "image/png", 4, 4, None, b"not audio"),
+        (4, "audio", "audio/wav", None, None, 100, b"RIFFjunk"),
+    ]
+
+
+def test_audio_fingerprint_invariance_and_drop_contract(spark):
+    from feldman_spark.pipeline.multimodal import (audio_fingerprint,
+                                                   media_table)
+
+    fps = {r["media_id"]: r["afp"] for r in
+           audio_fingerprint(media_table(spark, _tone_wav_rows())).collect()}
+    # non-audio and undecodable rows dropped
+    assert set(fps) == {0, 1, 2}
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    # amplitude-scaled copy: near-identical (quantization ties in empty
+    # bands only); different melody: far
+    assert ham(fps[0], fps[1]) <= 7
+    assert ham(fps[0], fps[2]) > 16
+
+
+def test_audio_fingerprint_pairs_via_banded_join(spark):
+    from feldman_spark.pipeline.multimodal import (audio_fingerprint,
+                                                   media_table, phash_dedup)
+
+    fp = audio_fingerprint(media_table(spark, _tone_wav_rows()))
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             phash_dedup(fp, max_hamming=7, bands=8, hash_col="afp",
+                         precomputed=True).collect()}
+    assert pairs == {(0, 1)}
+
+
+def test_audio_fingerprint_validates_geometry(spark):
+    import pytest as _pytest
+
+    from feldman_spark.pipeline.multimodal import (audio_fingerprint,
+                                                   media_table)
+
+    with _pytest.raises(ValueError, match="segments"):
+        audio_fingerprint(media_table(spark, _tone_wav_rows()),
+                          segments=5, bands=8)

@@ -148,3 +148,20 @@ def test_pq_adc_scan_is_jvm_only(spark):
     assert "ArrowEvalPython" not in plan
     assert "BatchEvalPython" not in plan
     assert "Join" not in plan          # query is a literal, never a join
+
+
+def test_phash_dedup_plan_banded_no_cartesian(spark):
+    """Perceptual-hash dedup must candidate via the banded equi-join —
+    never a cartesian/nested-loop pass — and verify in JVM bit_count:
+    no Python evaluator appears after hashes exist (precomputed path =
+    the hash-store read-back shape)."""
+    from feldman_spark.pipeline.multimodal import phash_dedup
+
+    hashes = spark.range(0, 2000).selectExpr(
+        "id AS media_id", "CAST(hash(id) AS BIGINT) AS dhash")
+    plan = _plan(phash_dedup(hashes, max_hamming=3, bands=4,
+                             precomputed=True))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
