@@ -3991,6 +3991,30 @@ def dedup_corpus_overlap(spark, sf_dir):
     )
 
 
+def dedup_near_overlap(spark, sf_dir):
+    """Cross-corpus NEAR-duplicate overlap — the fuzzy companion to
+    dedup_corpus_overlap for the "is this crawl snapshot worth
+    ingesting" decision when re-crawls arrive reworded: corpus A is the
+    even-doc slice, corpus B the every-third slice re-crawled with a
+    boilerplate postscript appended (so A∩B content is NEAR-identical,
+    never byte-identical — exact overlap sees zero). Minhash band
+    collisions across corpora (same md5 family as dedup_minhash_lsh)
+    verify against exact shingle Jaccard ≥ 0.2; one summary row of
+    per-side matched counts/fractions. TRUE oracle: DuckDB replays
+    bands + verification with the identical hash family
+    (feldman_spark/pipeline/dedup.py::corpus_near_overlap)."""
+    from feldman_spark.pipeline.dedup import corpus_near_overlap
+
+    d = _t(spark, sf_dir, "documents")
+    a = d.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text")
+    b = d.filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id",
+        F.concat(F.col("text"),
+                 F.lit(" postscript appended by the mirror site"))
+        .alias("text"))
+    return corpus_near_overlap(a, b, k=3, threshold=0.2)
+
+
 def f9_zscore_groups(spark, sf_dir):
     """F9: within-group standardization — every lineitem priced against
     its (returnflag, linestatus) group via one dimension-sized
@@ -4479,6 +4503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_script_profile": text_script_profile,
         "media_phash_dedup": media_phash_dedup,
         "media_audio_dedup": media_audio_dedup,
+        "dedup_near_overlap": dedup_near_overlap,
         "media_features": media_features,
         "events_tumbling": events_tumbling,
         "events_sliding": events_sliding,
@@ -4513,13 +4538,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w8_rolling_time": w8_rolling_time,
         "w9_merge_upsert": w9_merge_upsert,
         "web_cooccurrence": web_cooccurrence,
-        "web_domain_cap": web_domain_cap,
     # ^ the 50-key driver window ends here --- tail below is mirror-checked every round ---
-    # (media_audio_dedup registered mid-r9 took the 50th slot;
-    # web_url_normalize moved to the deferred head — never-covered keys
-    # outrank re-verification)
+    # (media_audio_dedup and dedup_near_overlap, registered mid-r9, took
+    # the 49th/50th slots; web_url_normalize and web_domain_cap moved to
+    # the deferred head — never-covered keys outrank re-verification)
     # deferred r6-green keys (r10 window head):
         "web_url_normalize": web_url_normalize,
+        "web_domain_cap": web_domain_cap,
         "a11_approx_quantiles": a11_approx_quantiles,
         "a12_heavy_hitters": a12_heavy_hitters,
         "a2_distinct": a2_distinct,
@@ -4684,6 +4709,68 @@ def _bpe_encode_oracle_sql(n_merges: int = 6, k: int = 20) -> str:
             SELECT w AS word, CAST(n AS BIGINT) AS n, s AS bpe,
                    CAST(len(string_split(s, ' ')) AS BIGINT) AS n_tokens
             FROM v{n_merges} ORDER BY n DESC, word LIMIT {k}""")
+
+
+def _near_overlap_oracle_sql() -> str:
+    """DuckDB twin of dedup_near_overlap: identical slices, identical
+    postscript, identical md5 minhash family / banding / Jaccard-0.2
+    verification as feldman_spark/pipeline/dedup.py::corpus_near_overlap
+    (k=3 word shingles over DISTINCT sets, exactly the
+    dedup_minhash_lsh oracle machinery split across two corpora)."""
+    return """
+        WITH a AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+        b AS (SELECT doc_id,
+                     text || ' postscript appended by the mirror site' AS text
+              FROM documents WHERE doc_id % 3 = 0),
+        sha AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(range(1, len(w) - 1),
+                               i -> array_to_string(w[i:i+2], ' '))) AS sh
+          FROM (SELECT doc_id, string_split(text, ' ') AS w FROM a)
+          WHERE len(w) >= 3
+        ),
+        shb AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(range(1, len(w) - 1),
+                               i -> array_to_string(w[i:i+2], ' '))) AS sh
+          FROM (SELECT doc_id, string_split(text, ' ') AS w FROM b)
+          WHERE len(w) >= 3
+        ),
+        siga AS (SELECT doc_id, list_min(list_transform(sh, s -> md5(s || '#0'))) AS h0, list_min(list_transform(sh, s -> md5(s || '#1'))) AS h1, list_min(list_transform(sh, s -> md5(s || '#2'))) AS h2, list_min(list_transform(sh, s -> md5(s || '#3'))) AS h3, list_min(list_transform(sh, s -> md5(s || '#4'))) AS h4, list_min(list_transform(sh, s -> md5(s || '#5'))) AS h5, list_min(list_transform(sh, s -> md5(s || '#6'))) AS h6, list_min(list_transform(sh, s -> md5(s || '#7'))) AS h7, list_min(list_transform(sh, s -> md5(s || '#8'))) AS h8 FROM sha),
+        sigb AS (SELECT doc_id, list_min(list_transform(sh, s -> md5(s || '#0'))) AS h0, list_min(list_transform(sh, s -> md5(s || '#1'))) AS h1, list_min(list_transform(sh, s -> md5(s || '#2'))) AS h2, list_min(list_transform(sh, s -> md5(s || '#3'))) AS h3, list_min(list_transform(sh, s -> md5(s || '#4'))) AS h4, list_min(list_transform(sh, s -> md5(s || '#5'))) AS h5, list_min(list_transform(sh, s -> md5(s || '#6'))) AS h6, list_min(list_transform(sh, s -> md5(s || '#7'))) AS h7, list_min(list_transform(sh, s -> md5(s || '#8'))) AS h8 FROM shb),
+        banda AS (
+          SELECT doc_id, 0 AS band, md5(h0 || '|' || h1 || '|' || h2) AS bh FROM siga
+          UNION ALL SELECT doc_id, 1, md5(h3 || '|' || h4 || '|' || h5) FROM siga
+          UNION ALL SELECT doc_id, 2, md5(h6 || '|' || h7 || '|' || h8) FROM siga
+        ),
+        bandb AS (
+          SELECT doc_id, 0 AS band, md5(h0 || '|' || h1 || '|' || h2) AS bh FROM sigb
+          UNION ALL SELECT doc_id, 1, md5(h3 || '|' || h4 || '|' || h5) FROM sigb
+          UNION ALL SELECT doc_id, 2, md5(h6 || '|' || h7 || '|' || h8) FROM sigb
+        ),
+        cand AS (
+          SELECT DISTINCT x.doc_id AS ida, y.doc_id AS idb
+          FROM banda x JOIN bandb y ON x.band = y.band AND x.bh = y.bh
+        ),
+        ver AS (
+          SELECT DISTINCT ida, idb
+          FROM cand
+          JOIN sha s1 ON s1.doc_id = ida
+          JOIN shb s2 ON s2.doc_id = idb
+          WHERE CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE)
+                / (len(s1.sh) + len(s2.sh) - len(list_intersect(s1.sh, s2.sh)))
+                >= 0.2
+        )
+        SELECT
+          (SELECT count(*) FROM a) AS n_a,
+          (SELECT count(*) FROM b) AS n_b,
+          (SELECT count(DISTINCT ida) FROM ver) AS n_a_matched,
+          (SELECT count(DISTINCT idb) FROM ver) AS n_b_matched,
+          round(CAST((SELECT count(DISTINCT ida) FROM ver) AS DOUBLE)
+                / (SELECT count(*) FROM a), 6) AS frac_a_matched,
+          round(CAST((SELECT count(DISTINCT idb) FROM ver) AS DOUBLE)
+                / (SELECT count(*) FROM b), 6) AS frac_b_matched
+    """
 
 
 def _mojibake_oracle_sql() -> str:
@@ -6412,6 +6499,7 @@ def oracle_sql() -> dict[str, str]:
         "text_script_profile": _script_profile_oracle_sql(),
         "media_phash_dedup": _MEDIA_PHASH_PINNED,
         "media_audio_dedup": _MEDIA_AUDIO_PINNED,
+        "dedup_near_overlap": _near_overlap_oracle_sql(),
         "media_features": _MEDIA_FEATURES_PINNED,
         "media_image_stats": _MEDIA_IMAGE_STATS_PINNED,
         "j10_salted_join": """

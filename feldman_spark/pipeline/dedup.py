@@ -47,6 +47,7 @@ __all__ = [
     "minhash_band_rows",
     "minhash_dedup_incremental",
     "corpus_overlap",
+    "corpus_near_overlap",
 ]
 
 HEX_HIGH = "89abcdef"  # hex digits whose high bit is set
@@ -1701,5 +1702,81 @@ def corpus_overlap(
                 F.when(F.col("n_a") > 0,
                        F.col("n_common") / F.col("n_a"))
                 .otherwise(F.lit(0.0)), 6).alias("containment_a"),
+        )
+    )
+
+
+def corpus_near_overlap(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 2,
+    num_hashes: int = 9,
+    rows_per_band: int = 3,
+    threshold: float = 0.2,
+    digits: int = 6,
+) -> DataFrame:
+    """NEAR-duplicate content overlap between two corpora — the fuzzy
+    companion to :func:`corpus_overlap` (which only sees byte-identical
+    content): "how much of snapshot A already has a near-match in B"
+    where re-crawls arrive reworded, trimmed or boilerplate-shifted.
+    One summary row ``(n_a, n_b, n_a_matched, n_b_matched,
+    frac_a_matched, frac_b_matched)``: a doc is matched when a
+    cross-corpus minhash band collision (same md5 family as
+    :func:`minhash_lsh_pairs`) survives exact-Jaccard verification at
+    ``threshold`` over its distinct k-word shingles.
+
+    Scale (100 TB each side): each side reduces to ``(id, band, bh)``
+    rows inside its OWN scan (per-doc minhash minima partial-aggregate
+    map-side; text never crosses); the cross-corpus join is band-keyed
+    on ~num_hashes/rows_per_band slim rows per doc; Jaccard
+    verification restricts both shingle streams to candidate docs
+    first (AQE broadcasts the candidate id sets), so the gram co-count
+    join is candidate-sized, not corpus-sized. Output is one row."""
+    ba = _band_stack(_shingle_stream(df_a, text_col, id_col, k),
+                     id_col, num_hashes, rows_per_band, "md5")
+    bb = _band_stack(_shingle_stream(df_b, text_col, id_col, k),
+                     id_col, num_hashes, rows_per_band, "md5")
+    cand = (
+        ba.select(F.col(id_col).alias("_ida"), "band", "bh")
+        .join(bb.select(F.col(id_col).alias("_idb"), "band", "bh"),
+              ["band", "bh"])
+        .select("_ida", "_idb").distinct().persist()
+    )
+    ga = (_shingle_stream(df_a, text_col, id_col, k)
+          .withColumnRenamed(id_col, "_ida").distinct()
+          .join(cand.select("_ida").distinct(), "_ida"))
+    gb = (_shingle_stream(df_b, text_col, id_col, k)
+          .withColumnRenamed(id_col, "_idb").distinct()
+          .join(cand.select("_idb").distinct(), "_idb"))
+    sa = ga.groupBy("_ida").agg(F.count("*").alias("_sa"))
+    sb = gb.groupBy("_idb").agg(F.count("*").alias("_sb"))
+    inter = (
+        ga.join(gb, "_g").join(cand, ["_ida", "_idb"])
+        .groupBy("_ida", "_idb").agg(F.count("*").alias("_i"))
+    )
+    verified = (
+        inter.join(sa, "_ida").join(sb, "_idb")
+        .filter(F.col("_i")
+                / (F.col("_sa") + F.col("_sb") - F.col("_i")) >= threshold)
+    )
+    n_a = df_a.agg(F.count("*").alias("n_a"))
+    n_b = df_b.agg(F.count("*").alias("n_b"))
+    m_a = (verified.select("_ida").distinct()
+           .agg(F.count("*").alias("n_a_matched")))
+    m_b = (verified.select("_idb").distinct()
+           .agg(F.count("*").alias("n_b_matched")))
+    return (
+        n_a.crossJoin(F.broadcast(n_b)).crossJoin(F.broadcast(m_a))
+        .crossJoin(F.broadcast(m_b))
+        .select(
+            "n_a", "n_b", "n_a_matched", "n_b_matched",
+            F.round(F.when(F.col("n_a") > 0,
+                           F.col("n_a_matched") / F.col("n_a"))
+                    .otherwise(F.lit(0.0)), digits).alias("frac_a_matched"),
+            F.round(F.when(F.col("n_b") > 0,
+                           F.col("n_b_matched") / F.col("n_b"))
+                    .otherwise(F.lit(0.0)), digits).alias("frac_b_matched"),
         )
     )

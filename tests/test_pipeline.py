@@ -2514,3 +2514,32 @@ def test_audio_fingerprint_validates_geometry(spark):
     with _pytest.raises(ValueError, match="segments"):
         audio_fingerprint(media_table(spark, _tone_wav_rows()),
                           segments=5, bands=8)
+
+
+def test_corpus_near_overlap_matches_reworded_copies(spark):
+    from feldman_spark.pipeline.dedup import corpus_near_overlap
+
+    # long enough that the reworded copy's Jaccard (~0.9) survives the
+    # fixed 9-hash/3-band LSH family deterministically — a 12-word doc
+    # at Jaccard 0.7 has a ~26% per-family miss probability and this
+    # family happened to miss it
+    words = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+             "juliet kilo lima mike november oscar papa quebec romeo "
+             "sierra tango uniform victor whiskey xray yankee zulu "
+             "one two three four").split()
+    mk = " ".join(words * 2)
+    other = "completely different content about spark physical plans here"
+    a = spark.createDataFrame(
+        [(1, mk), (2, other), (3, "tiny")], ["doc_id", "text"])
+    b = spark.createDataFrame(
+        [(10, mk + " with a small postscript"),      # near-dup of 1
+         (11, "unrelated text about sediment core depths and splices")],
+        ["doc_id", "text"])
+    row = corpus_near_overlap(a, b, k=3, threshold=0.2).collect()[0]
+    assert (row["n_a"], row["n_b"]) == (3, 2)
+    assert row["n_a_matched"] == 1 and row["n_b_matched"] == 1
+    assert row["frac_a_matched"] == round(1 / 3, 6)
+    # disjoint corpora -> zero matches, fractions well-defined
+    row2 = corpus_near_overlap(
+        a.filter(F.col("doc_id") == 2), b, k=3).collect()[0]
+    assert row2["n_a_matched"] == 0 and row2["frac_a_matched"] == 0.0

@@ -198,6 +198,30 @@ def main() -> None:
     n_punct = len(range(0, n, 4))
     assert kept_total == n_punct, (kept_total, n_punct)
 
+    # perceptual-hash dedup at corpus scale (the relational half: the
+    # decode half is covered by correctness fixtures — here 1M
+    # PRECOMPUTED 64-bit hashes with every DUP_EVERY-th a 1-bit
+    # perturbation of hash 0's value, so expected pairs are exact)
+    t0 = time.time()
+    from feldman_spark.pipeline.multimodal import phash_dedup
+    base_hash = 0x0123456789ABCDEF
+    hashes = spark.range(0, n).selectExpr(
+        "id AS media_id",
+        f"CASE WHEN id % {DUP_EVERY} = 1 THEN {base_hash ^ 1}L "
+        f"     WHEN id % {DUP_EVERY} = 0 THEN {base_hash}L "
+        f"     ELSE xxhash64(id, 42) END AS dhash")  # full-64-bit filler:
+    # 32-bit hash() collides ~5 times per 200k rows (hamming-0 pairs)
+    ph = phash_dedup(hashes, max_hamming=3, bands=4, precomputed=True)
+    n_ph_pairs = ph.count()
+    timings["phash_dedup_1bit"] = round(time.time() - t0, 1)
+    # every (k, k+1) near-pair plus all same-hash pairs inside each of
+    # the two planted groups: 2 * C(n/DUP_EVERY, 2) + (n/DUP_EVERY)^2
+    g = n // DUP_EVERY
+    expect_ph = 2 * (g * (g - 1) // 2) + g * g
+    assert n_ph_pairs == expect_ph, (n_ph_pairs, expect_ph)
+    ph_plan = ph._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in ph_plan
+
     total = round(sum(timings.values()), 1)
     print(json.dumps({
         "docs": n, "unique": n_unique, "near_dup_pairs": n_pairs,
@@ -206,6 +230,7 @@ def main() -> None:
         "para_docs": n_para_docs, "export_shards": len(man_rows),
         "ws_tokens": toks["ws"], "bpe_tokens": toks["bpe"],
         "zero_novelty_docs": n_zero_novel, "c4_kept_lines": kept_total,
+        "phash_pairs": n_ph_pairs,
         "timings_sec": timings, "total_sec": total,
         "docs_per_sec_total": round(n * len(timings) / total),
     }))
