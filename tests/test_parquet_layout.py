@@ -120,3 +120,36 @@ def test_zorder_key_validation(spark):
         zorder_key([], bits=8)
     with pytest.raises(ValueError):
         zorder_key(["a", "b"], bits=32)  # 64 bits overflows a signed long
+
+
+def test_ivf_pq_store_partition_pruning(spark, tmp_out):
+    """The PQ code store in its production layout — codes written
+    partitionBy(cid) — probes with partition pruning (the cid filter
+    lands in PartitionFilters, so non-probed buckets' files are never
+    read), and a full probe over the ON-DISK codes equals pq_topk over
+    the in-memory codes exactly."""
+    from feldman_spark.pipeline.similarity import (ivf_build, ivf_pq_topk,
+                                                   pq_encode, pq_topk,
+                                                   pq_train)
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    corpus = e.filter(F.col("vec_id") != 0)
+    q = e.filter(F.col("vec_id") == 0).first()["embedding"]
+
+    assigned, cents = ivf_build(corpus, num_centroids=4, iters=1)
+    books = pq_train(corpus, m=4, k=16, iters=4, sample=2048)
+    enc = pq_encode(assigned, books, carry=["cid"])
+    path = f"{tmp_out}/ivf_pq_store"
+    enc.write.partitionBy("cid").parquet(path)
+    stored = spark.read.parquet(path)
+
+    pruned = ivf_pq_topk(stored, cents, books, q, k=5, nprobe=1)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "cid" in plan.split("PartitionFilters")[1][:200]
+
+    full_disk = [(r["vec_id"], r["adc_dist"]) for r in
+                 ivf_pq_topk(stored, cents, books, q, k=5, nprobe=4).collect()]
+    memory = [(r["vec_id"], r["adc_dist"]) for r in
+              pq_topk(pq_encode(corpus, books), books, q, k=5).collect()]
+    assert full_disk == memory
