@@ -94,6 +94,7 @@ HEADLINE = [
     "pq_topk",
     "text_mojibake",
     "text_script_profile",
+    "dedup_near_overlap",
 ]
 
 # slack for the regression gate: sub-second queries jitter by whole

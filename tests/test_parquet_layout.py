@@ -140,7 +140,7 @@ def test_ivf_pq_store_partition_pruning(spark, tmp_out):
     books = pq_train(corpus, m=4, k=16, iters=4, sample=2048)
     enc = pq_encode(assigned, books, carry=["cid"])
     path = f"{tmp_out}/ivf_pq_store"
-    enc.write.partitionBy("cid").parquet(path)
+    enc.write.mode("overwrite").partitionBy("cid").parquet(path)
     stored = spark.read.parquet(path)
 
     pruned = ivf_pq_topk(stored, cents, books, q, k=5, nprobe=1)
