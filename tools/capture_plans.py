@@ -87,6 +87,17 @@ COMMENTARY = {
         "Python evaluator (Arrow or row) and NO join — the query's "
         "lookup tables are plan literals and the scan reads m bytes of "
         "codes per vector; the only movement is the global top-k."),
+    "phash_dedup": (
+        "Perceptual-hash near-dup over a PRECOMPUTED hash store (the "
+        "read-back shape): band extraction is row-local bit codegen, "
+        "candidates come from a hash equi-join on (band, key) — wanted "
+        "NO CartesianProduct/BroadcastNestedLoopJoin and NO Python "
+        "evaluator; hamming verification is one bit_count(xor) filter."),
+    "dedup_near_overlap": (
+        "Cross-corpus near overlap: wanted each side's minhash minima "
+        "partial-aggregated before its exchange (text never crosses), "
+        "the A<->B candidate join keyed on (band, bh), and the Jaccard "
+        "verification joins keyed on gram or candidate ids only."),
 }
 
 
@@ -148,6 +159,14 @@ def main() -> None:
     pq_encode(emb, _books).write.mode("overwrite").parquet(_idx)
     plans["pq_adc_topk"] = pq_topk(
         spark.read.parquet(_idx), _books, _q, k=10)
+
+    from feldman_spark.pipeline.multimodal import phash_dedup
+    hashes = spark.range(0, 5000).selectExpr(
+        "id AS media_id", "xxhash64(id) AS dhash")
+    plans["phash_dedup"] = phash_dedup(hashes, max_hamming=3, bands=4,
+                                       precomputed=True)
+
+    plans["dedup_near_overlap"] = qs["dedup_near_overlap"](spark, sf)
 
     from feldman_spark.ops.filters import conjunctive_filter, range_filter
     li = spark.read.parquet(f"{sf}/lineitem.parquet")
