@@ -200,24 +200,24 @@ def main() -> None:
 
     # perceptual-hash dedup at corpus scale (the relational half: the
     # decode half is covered by correctness fixtures — here 1M
-    # PRECOMPUTED 64-bit hashes with every DUP_EVERY-th a 1-bit
-    # perturbation of hash 0's value, so expected pairs are exact)
+    # PRECOMPUTED 64-bit hashes where every DUP_EVERY-th id's NEIGHBOR
+    # carries a 1-bit perturbation of its hash, planting EXACTLY
+    # n/DUP_EVERY near-pairs; all other hashes are independent 64-bit
+    # values, so cross-pair collisions within hamming 3 are ~1e-8 whp.
+    # One planted pair per cluster keeps the TRUE output linear — a
+    # constant-hash group of size g would mean C(g,2) pairs by
+    # construction (the j11 quadratic-workload lesson)
     t0 = time.time()
     from feldman_spark.pipeline.multimodal import phash_dedup
-    base_hash = 0x0123456789ABCDEF
     hashes = spark.range(0, n).selectExpr(
         "id AS media_id",
-        f"CASE WHEN id % {DUP_EVERY} = 1 THEN {base_hash ^ 1}L "
-        f"     WHEN id % {DUP_EVERY} = 0 THEN {base_hash}L "
-        f"     ELSE xxhash64(id, 42) END AS dhash")  # full-64-bit filler:
-    # 32-bit hash() collides ~5 times per 200k rows (hamming-0 pairs)
+        f"CASE WHEN id % {DUP_EVERY} = 1 THEN xxhash64(id - 1, 7) "
+        f"     ELSE xxhash64(id, 7) END"
+        f" ^ CAST(id % {DUP_EVERY} = 1 AS BIGINT) AS dhash")
     ph = phash_dedup(hashes, max_hamming=3, bands=4, precomputed=True)
     n_ph_pairs = ph.count()
     timings["phash_dedup_1bit"] = round(time.time() - t0, 1)
-    # every (k, k+1) near-pair plus all same-hash pairs inside each of
-    # the two planted groups: 2 * C(n/DUP_EVERY, 2) + (n/DUP_EVERY)^2
-    g = n // DUP_EVERY
-    expect_ph = 2 * (g * (g - 1) // 2) + g * g
+    expect_ph = len(range(1, n, DUP_EVERY))   # one (k, k+1) pair each
     assert n_ph_pairs == expect_ph, (n_ph_pairs, expect_ph)
     ph_plan = ph._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in ph_plan
