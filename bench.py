@@ -344,21 +344,32 @@ def main() -> None:
                       f"host_ratio {host_ratio:.2f})", file=sys.stderr)
         # Self-defending retry: a flag on this hypervisor is usually a
         # bursty steal-time artifact (identical code measured 2-6x apart
-        # minutes apart). Re-run each flagged query ONCE, in-session, and
-        # record BOTH timings in the artifact — a genuine plan regression
-        # reproduces on retry; a burst doesn't. The retry replaces
-        # README-level attribution with in-artifact evidence.
+        # minutes apart). Re-MEASURE each flagged query in-session with
+        # the SAME protocol as the main pass (one untimed warm-up rep +
+        # median of `reps`), and record both numbers in the artifact — a
+        # genuine plan regression reproduces on retry; a burst doesn't.
+        # The protocol must match because for queries that persist
+        # intermediate tables (ngram Jaccard's gram/ranked caches) the
+        # timed reps legitimately reuse the warm-up's cache via Spark's
+        # canonical-plan CacheManager lookup — a single COLD rerun pays
+        # ~2x the floor-setting cost by construction and can never clear
+        # (measured: ngram 3.8-4.2 s cold vs 2.3-2.6 s steady-state on
+        # one host; the r9 uncleared flag was exactly this asymmetry).
         for name in list(regressions):
             fn = qs.get(name)
             if fn is None:
                 continue
-            t0 = time.time()
-            if name == "knn_ivf":
-                df = fn(spark, sf_dir, index=ivf_index)
-            else:
-                df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            t2 = round(time.time() - t0, 3)
+            rsamples = []
+            for rep in range(reps + 1):
+                t0 = time.time()
+                if name == "knn_ivf":
+                    df = fn(spark, sf_dir, index=ivf_index)
+                else:
+                    df = fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                if rep > 0:
+                    rsamples.append(time.time() - t0)
+            t2 = round(statistics.median(rsamples), 3)
             spark.catalog.clearCache()
             fl = floors[name]
             cleared = t2 <= _limit(fl, host_ratio)

@@ -22,6 +22,7 @@ touching the Spark dataflow around them.
 
 from __future__ import annotations
 
+import functools
 import struct
 import zlib
 from typing import Optional, Tuple
@@ -42,6 +43,30 @@ __all__ = [
     "probe_avi",
     "probe_video",
 ]
+
+def _corrupt_stream_boundary(kind: str):
+    """Decorator for the public decode/probe entry points: adversarially
+    truncated or internally inconsistent streams can surface
+    ``struct.error`` (short ``unpack_from``), ``KeyError`` (e.g. a JPEG
+    whose SOS component ids aren't in SOF) or ``IndexError`` (reads past
+    a truncated buffer) from deep inside a parse. Normalize those to
+    ``ValueError`` HERE — the module's API contract — so pipeline
+    callers' drop-don't-fail catch stays narrow
+    (``ValueError``/``NotImplementedError`` only) and a genuine
+    programming bug introduced elsewhere in the pipeline still fails
+    loudly instead of being silently classified as a corrupt payload."""
+    def deco(fn):
+        @functools.wraps(fn)
+        def wrapped(*args, **kwargs):
+            try:
+                return fn(*args, **kwargs)
+            except (struct.error, KeyError, IndexError) as e:
+                raise ValueError(
+                    f"corrupt {kind} stream: "
+                    f"{type(e).__name__}: {e}") from e
+        return wrapped
+    return deco
+
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
@@ -114,6 +139,7 @@ def _png_unfilter(raw: bytes, width: int, height: int, bpp: int) -> bytes:
     return out.tobytes()
 
 
+@_corrupt_stream_boundary("PNG")
 def decode_png(data: bytes) -> Tuple[int, int, int, bytes]:
     """Decode an 8-bit non-interlaced PNG.
 
@@ -185,6 +211,7 @@ def decode_png(data: bytes) -> Tuple[int, int, int, bytes]:
     return width, height, lut.shape[1], np.ascontiguousarray(out).tobytes()
 
 
+@_corrupt_stream_boundary("BMP")
 def decode_bmp(data: bytes) -> Tuple[int, int, int, bytes]:
     """Decode an uncompressed 24/32-bit BMP (BITMAPINFOHEADER family).
 
@@ -224,6 +251,7 @@ def decode_bmp(data: bytes) -> Tuple[int, int, int, bytes]:
     return width, height, 3 if ch == 3 else 4, np.ascontiguousarray(rgb).tobytes()
 
 
+@_corrupt_stream_boundary("WAV")
 def decode_wav(data: bytes) -> Tuple[int, int, int, np.ndarray]:
     """Decode RIFF/WAVE PCM (8-bit unsigned or 16-bit signed).
 
@@ -293,6 +321,7 @@ def _mp4_boxes(data: bytes, start: int, end: int):
         pos += size
 
 
+@_corrupt_stream_boundary("MP4")
 def probe_mp4(data: bytes) -> Tuple[int, Optional[int], Optional[int]]:
     """Parse an ISO-BMFF (MP4/MOV) container's moov metadata WITHOUT
     decoding any media: returns ``(duration_ms, width, height)`` from
@@ -341,6 +370,7 @@ def probe_mp4(data: bytes) -> Tuple[int, Optional[int], Optional[int]]:
     return dur_ms, width, height
 
 
+@_corrupt_stream_boundary("AVI")
 def probe_avi(data: bytes) -> Tuple[int, Optional[int], Optional[int]]:
     """Parse a RIFF/AVI main header (avih) WITHOUT decoding frames:
     returns ``(duration_ms, width, height)`` from dwMicroSecPerFrame ×
@@ -368,6 +398,7 @@ def probe_avi(data: bytes) -> Tuple[int, Optional[int], Optional[int]]:
     raise ValueError("AVI: no avih header chunk")
 
 
+@_corrupt_stream_boundary("video")
 def probe_video(data: bytes) -> Tuple[str, int, Optional[int], Optional[int]]:
     """Container-metadata probe for video payloads — duration and frame
     dimensions from the container headers alone, no frame decode (which
@@ -744,6 +775,7 @@ def _idct_blocks(coefs: np.ndarray) -> np.ndarray:
     return np.clip(np.round(px + 128.0), 0, 255).astype(np.uint8)
 
 
+@_corrupt_stream_boundary("JPEG")
 def decode_jpeg(data: bytes) -> Tuple[int, int, int, bytes]:
     """Decode a baseline-sequential JFIF JPEG (ITU-T T.81).
 
@@ -926,6 +958,7 @@ def decode_jpeg(data: bytes) -> Tuple[int, int, int, bytes]:
     return width, height, 3, np.ascontiguousarray(rgb).tobytes()
 
 
+@_corrupt_stream_boundary("image")
 def decode_image_bytes(data: bytes) -> Tuple[int, int, int, bytes]:
     """Dispatch on magic bytes to the PNG/BMP/JPEG decoder; the single
     swap point where a deployment plugs PIL for the formats stdlib

@@ -48,9 +48,31 @@ __all__ = [
     "minhash_dedup_incremental",
     "corpus_overlap",
     "corpus_near_overlap",
+    "unpersist_dedup_caches",
 ]
 
 HEX_HIGH = "89abcdef"  # hex digits whose high bit is set
+
+# persisted candidate tables registered by operators whose RETURNED plan
+# is lazy (the cache must outlive the call so the caller's action can
+# reuse it) — released by unpersist_dedup_caches, the scoped-lifecycle
+# handle for long-lived sessions; bench/sweep harnesses clearCache()
+# between queries, which also works. Mirrors text._LM_CACHES.
+_DEDUP_CACHES: List[DataFrame] = []
+
+
+def unpersist_dedup_caches(blocking: bool = False) -> int:
+    """Release every candidate table this module persisted in-process
+    (:func:`corpus_near_overlap` registers its band-collision pair
+    cache here). Returns the number of tables released. Safe any time:
+    plans built on the tables stay valid and recompute lineage on next
+    use."""
+    n = 0
+    while _DEDUP_CACHES:
+        df = _DEDUP_CACHES.pop()
+        df.unpersist(blocking=blocking)
+        n += 1
+    return n
 
 
 def _widen_narrow_scan(df: DataFrame) -> DataFrame:
@@ -619,15 +641,18 @@ def ngram_jaccard_pairs(
     proj = None
     total_grams = None
     if candidate_budget_per_doc is not None:
-        ndocs = ranked.count()  # materializes the cache it then reuses
+        # one aggregate job materializes the cache AND reads doc count +
+        # Σ|g| off it (sizes the verification strategy below) — the
+        # former count()-then-agg form paid a second driver action whose
+        # scheduler latency is pure overhead on every invocation
+        row = ranked.agg(F.count(F.lit(1)).alias("_n"),
+                         F.sum("sz").alias("_t")).first()
+        ndocs, total_grams = row["_n"], row["_t"] or 0
         proj = (
             pref.groupBy(*grp, "g").agg(F.count(F.lit(1)).alias("_c"))
             .agg(F.sum(F.col("_c") * (F.col("_c") - 1) / 2).alias("_p"))
             .first()["_p"]
         ) or 0
-        # Σ|g| off the SAME cache — sizes the verification strategy
-        # below without another corpus pass
-        total_grams = ranked.agg(F.sum("sz")).first()[0] or 0
         use_banding = proj > candidate_budget_per_doc * max(ndocs, 1)
         import logging
 
@@ -1744,6 +1769,12 @@ def corpus_near_overlap(
               ["band", "bh"])
         .select("_ida", "_idb").distinct().persist()
     )
+    # candidate-pair cache consumed 4x (two id-set joins, the co-count
+    # join, nothing else); it outlives this call because the returned
+    # one-row plan is lazy — registered for unpersist_dedup_caches()
+    # exactly like lm_score's gram tables (long-lived sessions release
+    # it there; the bench/sweep harnesses clearCache() between queries)
+    _DEDUP_CACHES.append(cand)
     ga = (_shingle_stream(df_a, text_col, id_col, k)
           .withColumnRenamed(id_col, "_ida").distinct()
           .join(cand.select("_ida").distinct(), "_ida"))
@@ -1752,8 +1783,14 @@ def corpus_near_overlap(
           .join(cand.select("_idb").distinct(), "_idb"))
     sa = ga.groupBy("_ida").agg(F.count("*").alias("_sa"))
     sb = gb.groupBy("_idb").agg(F.count("*").alias("_sb"))
+    # cand joins FIRST (mirroring _relational_jaccard's shape): the
+    # gram co-count is then bounded by candidate pairs x grams-per-doc.
+    # The former ga.join(gb, "_g") ordering let one shingle shared by
+    # many candidate docs on BOTH sides blow up to an
+    # |A-docs-with-gram| x |B-docs-with-gram| cross-product that the
+    # cand join only trimmed afterwards.
     inter = (
-        ga.join(gb, "_g").join(cand, ["_ida", "_idb"])
+        cand.join(ga, "_ida").join(gb, ["_idb", "_g"])
         .groupBy("_ida", "_idb").agg(F.count("*").alias("_i"))
     )
     verified = (

@@ -26,7 +26,6 @@ Design for 100 TB of media:
 from __future__ import annotations
 
 import hashlib
-import struct
 from typing import Iterator
 
 import pandas as pd
@@ -53,13 +52,14 @@ __all__ = [
 ]
 
 # The drop-don't-fail contract: one corrupt payload must not fail a
-# 100 TB stage. The codecs raise ValueError/NotImplementedError for the
-# malformations they detect, but adversarially truncated or internally
-# inconsistent streams can surface struct.error (short unpack_from),
-# KeyError (e.g. a JPEG whose SOS component ids aren't in SOF) or
-# IndexError (reads past a truncated buffer) from deeper in the parse.
-_DECODE_ERRORS = (ValueError, NotImplementedError, struct.error,
-                  KeyError, IndexError)
+# 100 TB stage. The catch is deliberately NARROW — the codecs' public
+# entry points normalize the parse-internal failure modes of
+# adversarial streams (struct.error / KeyError / IndexError) to
+# ValueError at their API boundary (codecs._corrupt_stream_boundary),
+# so a genuine programming bug introduced in the PIPELINE side keeps
+# failing loudly instead of being silently classified as a corrupt
+# payload drop.
+_DECODE_ERRORS = (ValueError, NotImplementedError)
 
 # typed metadata + opaque payload: the storage contract for media columns
 MEDIA_SCHEMA = StructType([
