@@ -1152,11 +1152,14 @@ def text_script_profile(spark, sf_dir):
     gets a deterministic non-Latin tail (Cyrillic / Greek / CJK /
     Arabic by doc_id % 4) so all buckets of the profiler are exercised,
     then per-script letter fractions over literal code-point ranges and
-    the first-in-table-tie-break argmax. One regexp_replace length per
-    script, row-local codegen; the ranges are literal so the DuckDB
-    twin recomputes everything — a true value oracle
-    (feldman_spark/pipeline/text.py::script_profile/SCRIPT_RANGES)."""
-    from feldman_spark.pipeline.text import script_profile
+    the first-in-table-tie-break argmax. Counts come from the
+    SINGLE-PASS vectorized codepoint histogram (one Arrow UDF pass per
+    row, replacing the former six regexp_replace scans — r9 verdict
+    item 3); fractions/rounding/argmax stay JVM expressions, so the
+    unchanged DuckDB twin still recomputes everything — a true value
+    oracle (feldman_spark/pipeline/text.py::with_script_profile/
+    SCRIPT_RANGES)."""
+    from feldman_spark.pipeline.text import with_script_profile
 
     d = _t(spark, sf_dir, "documents")
     tail = (
@@ -1165,16 +1168,12 @@ def text_script_profile(spark, sf_dir):
         .when(F.col("doc_id") % 4 == 2, F.lit(" 你好世界 こんにちは"))
         .otherwise(F.lit(" مرحبا بالعالم ×÷"))  # ×÷ must NOT count as latin
     )
-    p = script_profile(F.concat(F.col("text"), tail))
-    return d.select(
-        "doc_id",
-        p["latin_frac"].alias("latin_frac"),
-        p["cyrillic_frac"].alias("cyrillic_frac"),
-        p["greek_frac"].alias("greek_frac"),
-        p["arabic_frac"].alias("arabic_frac"),
-        p["cjk_frac"].alias("cjk_frac"),
-        p["dominant_script"].alias("dominant_script"),
-    )
+    out = with_script_profile(
+        d.select("doc_id", F.concat(F.col("text"), tail).alias("_t")),
+        F.col("_t"))
+    return out.select(
+        "doc_id", "latin_frac", "cyrillic_frac", "greek_frac",
+        "arabic_frac", "cjk_frac", "dominant_script")
 
 
 def text_tokens(spark, sf_dir):
@@ -1499,6 +1498,81 @@ def media_phash_pairs(images):
     from feldman_spark.pipeline.multimodal import phash_dedup
 
     return phash_dedup(images, max_hamming=3, bands=4)
+
+
+def media_incremental_dedup(spark, sf_dir):
+    """Incremental perceptual near-dup against a persisted band store —
+    the production shape for a GROWING media corpus (r9 verdict item
+    4): batch A (two distinct pictures) bootstraps the store; batch B
+    re-crawls a 2× upscale and a JPEG-90 re-encode of A's picture
+    (within-batch they cluster to one survivor, which the store check
+    then drops against A's stored hash — an EXACT bit_count verify,
+    unlike the text band store) plus a genuinely new picture and its
+    edited copy (one survivor, kept); batch A re-ingested against the
+    grown store keeps NOTHING (idempotent re-ingestion: every item
+    collides with its own stored hash at hamming 0). Output is one
+    summary row per ingest — deterministic fixture, pinned oracle
+    (feldman_spark/pipeline/multimodal.py::media_dedup_incremental/
+    media_band_rows)."""
+    import numpy as np
+
+    from feldman_spark.pipeline.codecs import (encode_jpeg, encode_png,
+                                               resize_pixels)
+    from feldman_spark.pipeline.multimodal import (media_dedup_incremental,
+                                                   media_table)
+
+    w, h = 24, 16
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = np.clip(
+        120 + 90 * np.sin(xx / 4.0) + 50 * np.cos(yy / 3.0)
+        + 60 * np.sin(xx * yy / 25.0), 0, 255).astype(np.uint8)
+    base = np.repeat(base[:, :, None], 3, axis=2)
+    other = np.clip(
+        120 + 90 * np.cos(xx / 2.5) - 60 * np.sin(yy / 5.0), 0, 255
+    ).astype(np.uint8)
+    other = np.repeat(other[:, :, None], 3, axis=2)
+    third = np.clip(
+        100 + 80 * np.sin(yy / 2.0) + 70 * np.cos(xx * yy / 40.0), 0, 255
+    ).astype(np.uint8)
+    third = np.repeat(third[:, :, None], 3, axis=2)
+    edited = third.copy()
+    edited[:6, :8] = np.clip(edited[:6, :8].astype(int) + 80, 0, 255)
+
+    def png(arr, ww=w, hh=h):
+        return encode_png(arr.tobytes(), ww, hh, 3)
+
+    batch_a = media_table(spark, [
+        (0, "image", "image/png", w, h, None, png(base)),
+        (4, "image", "image/png", w, h, None, png(other)),
+    ])
+    batch_b = media_table(spark, [
+        (10, "image", "image/png", 2 * w, 2 * h, None,
+         encode_png(resize_pixels(base.tobytes(), w, h, 3, 2 * w, 2 * h),
+                    2 * w, 2 * h, 3)),
+        (11, "image", "image/jpeg", w, h, None,
+         encode_jpeg(base.tobytes(), w, h, 3, quality=90)),
+        (12, "image", "image/png", w, h, None, png(third)),
+        (13, "image", "image/png", w, h, None, png(edited)),
+        (99, "image", "image/webp", 4, 4, None, b"junk"),
+    ])
+
+    kept_a, store = media_dedup_incremental(batch_a, None)
+    kept_b, delta_b = media_dedup_incremental(batch_b, store)
+    kept_a2, _ = media_dedup_incremental(
+        batch_a, store.unionByName(delta_b))
+
+    def summarize(label, kept):
+        return kept.agg(
+            F.lit(label).alias("batch"),
+            F.count("*").alias("n_kept"),
+            F.array_join(F.array_sort(F.collect_list(
+                F.col("media_id").cast("string"))), ",").alias("kept_ids"),
+        )
+
+    return (summarize("A_bootstrap", kept_a)
+            .unionByName(summarize("B_recrawl", kept_b))
+            .unionByName(summarize("A_reingest", kept_a2))
+            .select("batch", "n_kept", "kept_ids"))
 
 
 def _survivors_quality_oracle_sql() -> str:
@@ -1972,6 +2046,20 @@ _MEDIA_AUDIO_PINNED = """
             (0, 2, 6),
             (1, 2, 3)
         ) AS t(id_a, id_b, hamming)
+    """
+
+# media_incremental_dedup: deterministic fixture, pinned per-ingest
+# summaries. Bootstrap keeps both distinct pictures; the re-crawl's two
+# variants of picture 0 cluster within-batch and the survivor drops
+# against the store (exact bit_count verify), the new picture survives
+# its edited copy; re-ingesting batch A keeps nothing (idempotent).
+_MEDIA_INCREMENTAL_PINNED = """
+        SELECT batch, CAST(n_kept AS BIGINT) AS n_kept, kept_ids
+        FROM (VALUES
+            ('A_bootstrap', 2, '0,4'),
+            ('B_recrawl',   1, '12'),
+            ('A_reingest',  0, '')
+        ) AS t(batch, n_kept, kept_ids)
     """
 
 # web_robots_filter: SF-independent adversarial fixture, deterministic
@@ -4474,75 +4562,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # FIRST 50 keys only; the prefix rotates per round so every query
     # eventually carries a driver-green row (the mirror gate,
     # tools/check_oracle.py, still runs ALL keys every round, so queries
-    # outside the window cannot silently rot). Round-9 window, executing
-    # the r8 verdict's rotation plan exactly: (a) the eight queries
-    # registered mid-r8 after that round's window froze (mirror-green but
-    # no hard driver row yet); (b) the six NEW r9 registrations (PQ /
-    # IVF-PQ ADC ANN, RFC 9309 robots evaluation, mojibake repair,
-    # Unicode-script profiling, perceptual-hash image near-dup — no row
-    # can exist yet); (c) the five r5-stale keys the r8 comment deferred
-    # (at the 3-round staleness limit now); (d) 31 of the 49 r6-green
-    # keys — the oldest remaining rows. The 18 r6 keys that defer to the
-    # r10 queue head are the ones whose independent per-round signal is
-    # strongest (reference-core ops under golden-parity pytest: f2 f3 f7
-    # a2 w4 w5; plain single-aggregate SQL shapes the mirror re-proves
-    # every round: a9 a11 a12 f8 o2 u2 u3 pack_chunks profile_*) — they
-    # lead the r10 window, then the oldest r7 rows.
-        "text_c4_rules": text_c4_rules,
-        "text_novelty": text_novelty,
-        "events_conversion_lag": events_conversion_lag,
-        "events_anomaly": events_anomaly,
-        "events_ewma": events_ewma,
-        "events_session_stats": events_session_stats,
-        "web_dedup_url": web_dedup_url,
-        "media_image_stats": media_image_stats,
-        "pq_topk": pq_topk,
-        "ivf_pq_topk": ivf_pq_topk,
-        "web_robots_filter": web_robots_filter,
-        "text_mojibake": text_mojibake,
-        "text_script_profile": text_script_profile,
-        "media_phash_dedup": media_phash_dedup,
-        "media_audio_dedup": media_audio_dedup,
-        "dedup_near_overlap": dedup_near_overlap,
-        "media_features": media_features,
-        "events_tumbling": events_tumbling,
-        "events_sliding": events_sliding,
-        "knn_brute_force": knn_brute_force,
-        "knn_lsh": knn_lsh,
-        "decontaminate_semantic": decontaminate_semantic_q,
-        "dedup_corpus_overlap": dedup_corpus_overlap,
-        "dedup_frequent_spans": dedup_frequent_spans,
-        "dedup_near_incremental": dedup_near_incremental,
-        "dedup_survivors_quality": dedup_survivors_quality,
-        "events_funnel": events_funnel,
-        "events_retention": events_retention,
-        "events_transitions": events_transitions,
-        "f9_zscore_groups": f9_zscore_groups,
-        "graph_pagerank": graph_pagerank,
-        "graph_triangles": graph_triangles,
-        "j11_binned_range_join": j11_binned_range_join,
-        "j12_bloom_semi_join": j12_bloom_semi_join,
-        "j13_interval_overlap": j13_interval_overlap,
-        "j14_fuzzy_link": j14_fuzzy_link,
-        "o3_grouped_topk": o3_grouped_topk,
-        "sample_dsir": sample_dsir,
-        "sample_rebalance": sample_rebalance,
-        "sample_stratified": sample_stratified,
-        "sample_temperature": sample_temperature,
-        "sample_weighted": sample_weighted,
-        "text_bm25": text_bm25,
-        "text_bpe_pairs": text_bpe_pairs,
-        "text_lm_score": text_lm_score,
-        "text_strip_html": text_strip_html,
-        "w1_splice_scan_grouped": w1_splice_scan_grouped,
-        "w8_rolling_time": w8_rolling_time,
-        "w9_merge_upsert": w9_merge_upsert,
-        "web_cooccurrence": web_cooccurrence,
-    # ^ the 50-key driver window ends here --- tail below is mirror-checked every round ---
-    # (media_audio_dedup and dedup_near_overlap, registered mid-r9, took
-    # the 49th/50th slots; web_url_normalize and web_domain_cap moved to
-    # the deferred head — never-covered keys outrank re-verification)
-    # deferred r6-green keys (r10 window head):
+    # outside the window cannot silently rot). Round-10 window, executing
+    # the r9 verdict's rotation plan exactly: (a) the 20 r6-green keys at
+    # the 3-round staleness limit (deferred from the r9 window —
+    # reference-core ops f2/f3/f7/a2/w4/w5 first among them); (b) the 30
+    # oldest r7-green keys. The remaining 20 r7 keys defer to the r11
+    # queue head (TPC-H tail + sampling + text utilities — plain SQL
+    # shapes the mirror re-proves every round). New queries registered
+    # mid-r10 take window slots from the r7 block's tail (never-covered
+    # keys outrank re-verification).
+    # --- r10 window: 20 r6-stale keys ---
         "web_url_normalize": web_url_normalize,
         "web_domain_cap": web_domain_cap,
         "a11_approx_quantiles": a11_approx_quantiles,
@@ -4563,7 +4592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u3_table_diff": u3_table_diff,
         "w4_first_seen": w4_first_seen,
         "w5_explode_sequence": w5_explode_sequence,
-    # r7-green keys (r10 window, after the r6 stragglers):
+    # --- r10 window: 30 oldest r7 keys ---
         "a7_percentiles": a7_percentiles,
         "a8_rollup": a8_rollup,
         "dedup_contamination_13g": dedup_contamination_13g,
@@ -4593,6 +4622,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_supplier_cnt": q16_supplier_cnt,
         "q17_avg_subquery": q17_avg_subquery,
         "q18_large_volume": q18_large_volume,
+    # --- r10 window: new r10 registration (never-covered keys outrank
+    # re-verification; q19_disjunctive defers to the r11 head) ---
+        "media_incremental_dedup": media_incremental_dedup,
+    # ^ the 50-key driver window ends here --- tail below is mirror-checked every round ---
+    # deferred r7-green keys (r11 window head):
         "q19_disjunctive": q19_disjunctive,
         "q20_potential_promotion": q20_potential_promotion,
         "q21_waiting_supplier": q21_waiting_supplier,
@@ -4614,7 +4648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf_terms": text_tfidf_terms,
         "u1_union_all": u1_union_all,
         "w1_splice_scan": w1_splice_scan,
-    # r8-green keys (freshest rows):
+    # r8-green keys:
         "a10_cube": a10_cube,
         "a1_group_minmax": a1_group_minmax,
         "a4_argmin": a4_argmin,
@@ -4665,6 +4699,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w6_scd2_intervals": w6_scd2_intervals,
         "w7_time_gapfill": w7_time_gapfill,
         "web_blocklist_filter": web_blocklist_filter,
+    # r9-green keys (freshest driver rows, rotated out of the window):
+        "text_c4_rules": text_c4_rules,
+        "text_novelty": text_novelty,
+        "events_conversion_lag": events_conversion_lag,
+        "events_anomaly": events_anomaly,
+        "events_ewma": events_ewma,
+        "events_session_stats": events_session_stats,
+        "web_dedup_url": web_dedup_url,
+        "media_image_stats": media_image_stats,
+        "pq_topk": pq_topk,
+        "ivf_pq_topk": ivf_pq_topk,
+        "web_robots_filter": web_robots_filter,
+        "text_mojibake": text_mojibake,
+        "text_script_profile": text_script_profile,
+        "media_phash_dedup": media_phash_dedup,
+        "media_audio_dedup": media_audio_dedup,
+        "dedup_near_overlap": dedup_near_overlap,
+        "media_features": media_features,
+        "events_tumbling": events_tumbling,
+        "events_sliding": events_sliding,
+        "knn_brute_force": knn_brute_force,
+        "knn_lsh": knn_lsh,
+        "decontaminate_semantic": decontaminate_semantic_q,
+        "dedup_corpus_overlap": dedup_corpus_overlap,
+        "dedup_frequent_spans": dedup_frequent_spans,
+        "dedup_near_incremental": dedup_near_incremental,
+        "dedup_survivors_quality": dedup_survivors_quality,
+        "events_funnel": events_funnel,
+        "events_retention": events_retention,
+        "events_transitions": events_transitions,
+        "f9_zscore_groups": f9_zscore_groups,
+        "graph_pagerank": graph_pagerank,
+        "graph_triangles": graph_triangles,
+        "j11_binned_range_join": j11_binned_range_join,
+        "j12_bloom_semi_join": j12_bloom_semi_join,
+        "j13_interval_overlap": j13_interval_overlap,
+        "j14_fuzzy_link": j14_fuzzy_link,
+        "o3_grouped_topk": o3_grouped_topk,
+        "sample_dsir": sample_dsir,
+        "sample_rebalance": sample_rebalance,
+        "sample_stratified": sample_stratified,
+        "sample_temperature": sample_temperature,
+        "sample_weighted": sample_weighted,
+        "text_bm25": text_bm25,
+        "text_bpe_pairs": text_bpe_pairs,
+        "text_lm_score": text_lm_score,
+        "text_strip_html": text_strip_html,
+        "w1_splice_scan_grouped": w1_splice_scan_grouped,
+        "w8_rolling_time": w8_rolling_time,
+        "w9_merge_upsert": w9_merge_upsert,
+        "web_cooccurrence": web_cooccurrence,
     }
 def _bpe_encode_oracle_sql(n_merges: int = 6, k: int = 20) -> str:
     """DuckDB twin of text_bpe_encode: the same iterative merge argmax,
@@ -6499,6 +6584,7 @@ def oracle_sql() -> dict[str, str]:
         "text_script_profile": _script_profile_oracle_sql(),
         "media_phash_dedup": _MEDIA_PHASH_PINNED,
         "media_audio_dedup": _MEDIA_AUDIO_PINNED,
+        "media_incremental_dedup": _MEDIA_INCREMENTAL_PINNED,
         "dedup_near_overlap": _near_overlap_oracle_sql(),
         "media_features": _MEDIA_FEATURES_PINNED,
         "media_image_stats": _MEDIA_IMAGE_STATS_PINNED,

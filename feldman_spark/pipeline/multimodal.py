@@ -48,6 +48,8 @@ __all__ = [
     "frame_sample",
     "image_dhash",
     "phash_dedup",
+    "media_band_rows",
+    "media_dedup_incremental",
     "audio_fingerprint",
 ]
 
@@ -450,6 +452,36 @@ def image_dhash(df: DataFrame, out_col: str = "dhash") -> DataFrame:
     return df.mapInPandas(run, schema=schema)
 
 
+def media_band_rows(
+    hashed: DataFrame,
+    id_col: str = "media_id",
+    hash_col: str = "dhash",
+    bands: int = 4,
+) -> DataFrame:
+    """Split each 64-bit perceptual hash into ``bands`` equal bit-slices
+    and emit ``(id, hash, band, key)`` rows — the storable near-dup
+    fingerprint for media, mirroring the text side's
+    :func:`feldman_spark.pipeline.dedup.minhash_band_rows`. Unlike the
+    text band store (band hashes only, history hits unverifiable), each
+    row CARRIES the full 64-bit hash, so an incremental ingest can
+    verify history candidates with an exact ``bit_count`` — ~4 slim
+    rows (~30 B) per item, independent of payload size. Pure codegen
+    bit arithmetic, no UDF."""
+    width = 64 // bands
+    mask = (1 << width) - 1
+    h = F.col(hash_col)
+    return hashed.select(
+        F.col(id_col), h,
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned(h, b * width).bitwiseAND(
+                    F.lit(mask)).alias("key"))
+            for b in range(bands)
+        ])).alias("bk"),
+    ).select(id_col, hash_col, "bk.band", "bk.key")
+
+
 def phash_dedup(
     df: DataFrame,
     max_hamming: int = 4,
@@ -482,19 +514,8 @@ def phash_dedup(
             f"(={bands}); pairs at hamming {bands}..{max_hamming} are "
             f"found only probabilistically", stacklevel=2)
     hashed = df if precomputed else image_dhash(df, out_col=hash_col)
-    width = 64 // bands
-    mask = (1 << width) - 1
-    h = F.col(hash_col)
-    banded = hashed.select(
-        F.col(id_col), h,
-        F.explode(F.array(*[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.shiftrightunsigned(h, b * width).bitwiseAND(
-                    F.lit(mask)).alias("key"))
-            for b in range(bands)
-        ])).alias("bk"),
-    ).select(id_col, hash_col, "bk.band", "bk.key")
+    banded = media_band_rows(hashed, id_col=id_col, hash_col=hash_col,
+                             bands=bands)
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (
@@ -581,3 +602,89 @@ def audio_fingerprint(df: DataFrame, out_col: str = "afp",
             yield pd.DataFrame({"media_id": ids, out_col: fps})
 
     return df.mapInPandas(run, schema=schema)
+
+
+def media_dedup_incremental(
+    new_df: DataFrame,
+    seen_bands: "DataFrame | None",
+    id_col: str = "media_id",
+    hash_col: str = "dhash",
+    max_hamming: int = 3,
+    bands: int = 4,
+    precomputed: bool = False,
+    broadcast_seen: bool = False,
+):
+    """Incremental perceptual near-dup for a GROWING media corpus — the
+    multimodal mirror of :func:`feldman_spark.pipeline.dedup.
+    minhash_dedup_incremental`: dedup the incoming batch within itself
+    (banded pairs at ``max_hamming``, min-id survivor per connected
+    component), then drop every batch item whose hash has a verified
+    near-match in the historical store ``seen_bands`` (the
+    :func:`media_band_rows` of all prior survivors). The re-crawl shape
+    of a production media pipeline: every ingest run is idempotent
+    against all prior runs (a re-ingested item collides with its own
+    stored hash at hamming 0 and drops).
+
+    Returns ``(kept, bands_delta)``: the surviving batch rows, and
+    their band rows to append to the store.
+
+    Unlike the text band store (band hashes only — history hits
+    unverifiable by design), each store row carries the full 64-bit
+    hash, so the history check is EXACT: a band-key collision is only a
+    candidate, and ``bit_count(batch_hash XOR stored_hash)`` confirms
+    or clears it. Recall against history inherits the pigeonhole bound
+    (exact for ``max_hamming < bands``).
+
+    Scale (billions of stored items): the store is ~30 B x ``bands``
+    rows per item — payloads never enter it; the history join shuffles
+    (band, key) slim rows only (or broadcasts the store with
+    ``broadcast_seen=True`` when it fits); batch payloads are scanned
+    once by the hasher and never move again. ``seen_bands=None`` is the
+    bootstrap run. ``precomputed=True`` skips hashing when ``new_df``
+    already carries ``hash_col`` (e.g. audio fingerprints via
+    :func:`audio_fingerprint`)."""
+    from feldman_spark.pipeline.graph import dedup_survivors
+
+    hashed = (new_df.select(id_col, hash_col) if precomputed
+              else image_dhash(new_df, out_col=hash_col))
+    # ONE band stack serves all three consumers (within-batch pairs,
+    # the history check, the returned store delta); tiny by
+    # construction (bands rows x ~30 B per item)
+    batch_bands = media_band_rows(hashed, id_col=id_col,
+                                  hash_col=hash_col, bands=bands).persist()
+
+    left = batch_bands.select(F.col(id_col).alias("id_a"),
+                              F.col(hash_col).alias("_ha"), "band", "key")
+    right = batch_bands.select(F.col(id_col).alias("id_b"),
+                               F.col(hash_col).alias("_hb"), "band", "key")
+    pairs = (
+        left.join(right, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_ha", "_hb").distinct()
+        .filter(F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
+                <= max_hamming)
+        .select("id_a", "id_b")
+    )
+    # undecodable payloads never hash, so they can neither pair nor hit
+    # history — left in, they would be "kept" afresh on EVERY re-ingest,
+    # breaking idempotency. They are excluded from kept (route them to a
+    # quarantine path with an anti-join against kept ∪ store if needed).
+    hashable = new_df.join(hashed.select(id_col), id_col, "left_semi")
+    kept = dedup_survivors(hashable, pairs, id_col=id_col,
+                           src_col="id_a", dst_col="id_b")
+
+    if seen_bands is not None:
+        s = seen_bands.select("band", "key",
+                              F.col(hash_col).alias("_hseen"))
+        if broadcast_seen:
+            s = F.broadcast(s)
+        hit_ids = (
+            batch_bands.join(s, ["band", "key"])
+            .filter(F.bit_count(F.col(hash_col).bitwiseXOR(F.col("_hseen")))
+                    <= max_hamming)
+            .select(id_col).distinct()
+        )
+        kept = kept.join(hit_ids, id_col, "left_anti")
+
+    bands_delta = batch_bands.join(kept.select(id_col), id_col, "left_semi")
+    return kept, bands_delta

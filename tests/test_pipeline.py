@@ -2290,6 +2290,38 @@ def test_script_profile_excludes_multiply_divide_signs(spark):
     assert out[2]["dominant_script"] == "other"  # signs alone = no letters
 
 
+def test_script_profile_single_pass_twin(spark):
+    """with_script_profile (one vectorized codepoint pass) must be
+    bit-identical to script_profile (six regex scans) — same fracs,
+    same rounding, same dominant tie-breaks, same null semantics."""
+    from feldman_spark.pipeline.text import script_profile, with_script_profile
+
+    rows = [
+        (1, "hello world, just English here."),
+        (2, "Привет мир from mixed Кириллица text"),
+        (3, "日本語のテキストです 중간에 한국어"),
+        (4, "مرحبا بالعالم ×÷"),          # signs excluded from latin
+        (5, "1234 .,!? \n\t"),            # no letters at all
+        (6, "नमस्ते दुनिया"),
+        (7, ""),                           # empty
+        (8, None),                         # null text
+        (9, "ab Γα ab Γα"),                # exact tie -> first-in-table
+        (10, "emoji 😀🚀 outside all ranges"),   # non-BMP codepoints
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    prof = script_profile(F.col("text"))
+    ref = {r["doc_id"]: r.asDict() for r in df.select(
+        "doc_id", *[v.alias(k) for k, v in prof.items()]).collect()}
+    got = {r["doc_id"]: r.asDict() for r in with_script_profile(
+        df, F.col("text")).drop("text").collect()}
+    assert ref == got
+    # the UDF must appear exactly once in the plan (struct computed
+    # once, fields projected from it — not one UDF per output column)
+    plan = with_script_profile(df, F.col("text"))._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1
+
+
 def test_robots_query_string_matching():
     from feldman_spark.pipeline.web import parse_robots, robots_allowed
 
@@ -2399,6 +2431,62 @@ def test_phash_dedup_warns_above_pigeonhole_regime(spark):
         phash_dedup(media_table(spark, _phash_media_rows()),
                     max_hamming=4, bands=4)
         assert any("probabilistically" in str(x.message) for x in w)
+
+
+def test_media_dedup_incremental_store_and_idempotency(spark):
+    """Incremental media near-dup: bootstrap -> store; a re-crawled
+    variant drops against the store (exact bit_count verify); a fresh
+    item survives; re-ingesting any prior batch keeps NOTHING
+    (idempotent); undecodable payloads are excluded from kept."""
+    from feldman_spark.pipeline.multimodal import (media_dedup_incremental,
+                                                   media_table)
+
+    rows = _phash_media_rows()
+    batch_a = media_table(spark, [rows[0]])            # base picture
+    # re-crawl: upscale variant of base + a genuinely different picture
+    # + an undecodable payload
+    batch_b = media_table(spark, [rows[1], rows[2], rows[4]])
+
+    kept_a, store = media_dedup_incremental(batch_a, None)
+    assert [r["media_id"] for r in kept_a.collect()] == [0]
+    store_rows = store.collect()
+    assert {r["media_id"] for r in store_rows} == {0}
+    assert len(store_rows) == 4                        # 4 bands x 1 item
+
+    kept_b, delta_b = media_dedup_incremental(batch_b, store)
+    # variant of base drops against the store; undecodable excluded
+    assert [r["media_id"] for r in kept_b.collect()] == [2]
+    assert {r["media_id"] for r in delta_b.collect()} == {2}
+
+    # idempotency: both prior batches re-ingested against the grown
+    # store keep nothing
+    grown = store.unionByName(delta_b)
+    for batch in (batch_a, batch_b):
+        kept, delta = media_dedup_incremental(batch, grown)
+        assert kept.count() == 0 and delta.count() == 0
+
+
+def test_media_dedup_incremental_precomputed_audio(spark):
+    """The precomputed path ingests audio fingerprints through the SAME
+    store machinery (hash_col='afp'): a fingerprint within max_hamming
+    of a stored one drops, a far one survives."""
+    from feldman_spark.pipeline.multimodal import media_dedup_incremental
+
+    first = spark.createDataFrame([(0, 0x0123456789ABCDEF)],
+                                  ["media_id", "afp"])
+    kept_a, store = media_dedup_incremental(
+        first, None, hash_col="afp", max_hamming=3, bands=8,
+        precomputed=True)
+    assert kept_a.count() == 1
+    second = spark.createDataFrame(
+        [(10, 0x0123456789ABCDE8),   # hamming 3 from stored -> drops
+         (11, -1)],                  # far -> kept
+        ["media_id", "afp"])
+    kept_b, delta = media_dedup_incremental(
+        second, store, hash_col="afp", max_hamming=3, bands=8,
+        precomputed=True)
+    assert [r["media_id"] for r in kept_b.collect()] == [11]
+    assert {r["media_id"] for r in delta.collect()} == {11}
 
 
 def test_bpe_udf_twin_equals_codegen_fold(spark):
