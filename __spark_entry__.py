@@ -1365,12 +1365,17 @@ def media_image_stats(spark, sf_dir):
     → decode_image_bytes → BT.601 luma mean/std + 256-bin histogram
     entropy per image; the undecodable row is dropped per contract.
     Input is SF-independent and the decode is pure, so the expected
-    output is pinned as a VALUES oracle (_MEDIA_IMAGE_STATS_PINNED)
+    output is pinned as a VALUES oracle (_MEDIA_IMAGE_STATS_PINNED).
+    Rows 10/11 carry the SAME pixels as a baseline and a PROGRESSIVE
+    JPEG (SOF2 — spectral selection + successive approximation): both
+    code identical quantized coefficients, so the driver gate proves
+    every round that the progressive decode path reconstructs stats
+    bit-identical to the baseline one
     (feldman_spark/pipeline/multimodal.py::image_stats,
-    pipeline/codecs.py::decode_png/encode_png)."""
+    pipeline/codecs.py::decode_png/encode_png/encode_jpeg/decode_jpeg)."""
     import numpy as np
 
-    from feldman_spark.pipeline.codecs import encode_png
+    from feldman_spark.pipeline.codecs import encode_jpeg, encode_png
     from feldman_spark.pipeline.multimodal import image_stats, media_table
 
     rows = []
@@ -1381,6 +1386,16 @@ def media_image_stats(spark, sf_dir):
                ).astype(np.uint8)
         rows.append((i, "image", "image/png", w, h, None,
                      encode_png(arr.tobytes(), w, h, ch)))
+    w, h = 21, 13   # odd size: non-interleaved AC grid != padded MCU grid
+    yy, xx = np.mgrid[0:h, 0:w]
+    jarr = np.clip(110 + 70 * np.sin(xx / 3.0) + 60 * np.cos(yy * xx / 17.0),
+                   0, 255).astype(np.uint8)
+    jarr = np.repeat(jarr[:, :, None], 3, axis=2)
+    rows.append((10, "image", "image/jpeg", w, h, None,
+                 encode_jpeg(jarr.tobytes(), w, h, 3, quality=85)))
+    rows.append((11, "image", "image/jpeg", w, h, None,
+                 encode_jpeg(jarr.tobytes(), w, h, 3, quality=85,
+                             progressive=True)))
     rows.append((99, "image", "image/webp", 4, 4, None, b"not decodable"))
     return image_stats(media_table(spark, rows))
 
@@ -2137,7 +2152,12 @@ _MEDIA_IMAGE_STATS_PINNED = """
             (4, 12, 7, 3, 123.864357, 72.028805, 6.392317),
             (5, 13, 8, 4, 123.311394, 69.340954, 6.681209),
             (6, 14, 6, 1, 122.5, 72.70431, 6.392317),
-            (7, 15, 7, 3, 123.408343, 67.065362, 6.67615)
+            (7, 15, 7, 3, 123.408343, 67.065362, 6.67615),
+            -- 10 = baseline JPEG, 11 = PROGRESSIVE JPEG of the same
+            -- pixels: identical quantized coefficients, so the stats
+            -- must match bit-for-bit (the progressive-decode proof)
+            (10, 21, 13, 3, 121.25641, 65.132777, 7.145206),
+            (11, 21, 13, 3, 121.25641, 65.132777, 7.145206)
         ) AS t(media_id, width, height, channels,
                mean_luma, std_luma, entropy)
     """

@@ -1,13 +1,18 @@
 """Pure-stdlib media codecs for the multimodal pipeline.
 
-Real decoders for the four formats a dependency-free environment can
+Real decoders for the formats a dependency-free environment can
 honestly support — PNG (RFC 2083: zlib + per-row filters), uncompressed
 BMP (BITMAPINFOHEADER, 24/32-bit), RIFF/WAVE PCM (8/16-bit), and
-baseline-sequential JPEG (ITU-T T.81: marker parse, stream-defined
-Huffman tables, dequantize + de-zigzag, vectorized float IDCT, integer
-chroma upsampling, JFIF YCbCr→RGB) — so
+Huffman-coded JPEG (ITU-T T.81: marker parse, stream-defined Huffman
+tables, dequantize + de-zigzag, vectorized float IDCT, integer chroma
+upsampling, JFIF YCbCr→RGB) in BOTH coding orders: baseline sequential
+(SOF0/1, single- or multi-scan) and progressive (SOF2: spectral
+selection + successive approximation, DC/AC first and refinement scans,
+EOB runs — the variant that dominates real web crawls). The JPEG write
+side mirrors it (``encode_jpeg(progressive=True)`` emits the standard
+simple-progression script). So
 :mod:`feldman_spark.pipeline.multimodal` decodes actual bytes instead of
-raising behind the stub. Anything else (progressive/arithmetic JPEG,
+raising behind the stub. Anything else (arithmetic-coded JPEG, 12-bit,
 CMYK JPEG, MP3, video containers) still raises ``NotImplementedError``
 at the documented swap point: those formats genuinely need PIL/ffmpeg,
 and faking them would be worse than refusing.
@@ -521,6 +526,15 @@ def _jpeg_enc_table(bits, vals) -> dict:
 _JPEG_DC_ENC = _jpeg_enc_table(_JPEG_DC_BITS, _JPEG_DC_VALS)
 _JPEG_AC_ENC = _jpeg_enc_table(_JPEG_AC_BITS, _JPEG_AC_VALS)
 
+# progressive AC table: the baseline table plus the EOBn symbols
+# (0x10..0xE0, run-length-of-EOB codes) progressive scans need for
+# cross-block end-of-band runs (T.81 G.1.2.2). EOB/ZRL at 8 bits,
+# everything else at 9 — Kraft 2/256 + 174/512 < 1, canonical.
+_JPEG_ACP_BITS = [0, 0, 0, 0, 0, 0, 0, 2, 174] + [0] * 7
+_JPEG_ACP_VALS = ([0x00, 0xF0] + [n << 4 for n in range(1, 15)]
+                  + [(r << 4) | s for r in range(16) for s in range(1, 11)])
+_JPEG_ACP_ENC = _jpeg_enc_table(_JPEG_ACP_BITS, _JPEG_ACP_VALS)
+
 
 def _jpeg_qtable(base: np.ndarray, quality: int) -> np.ndarray:
     if not 1 <= quality <= 100:
@@ -556,18 +570,28 @@ class _JpegBitWriter:
 
 
 def encode_jpeg(pixels: bytes, width: int, height: int, channels: int,
-                quality: int = 85, subsample: str = "420") -> bytes:
-    """Encode raw row-major 8-bit samples as a baseline-sequential JFIF
-    JPEG — the compressed write side of the media pipeline (a thumbnail
-    store is ~10× smaller as JPEG than PNG). Gray (1 channel) or RGB
-    (3; RGBA alpha is dropped). ``subsample``: '444', '422' or '420'
-    (chroma box-averaged; gray ignores it). Standard Annex K quant
-    tables scaled by the libjpeg quality convention; Huffman tables are
+                quality: int = 85, subsample: str = "420",
+                progressive: bool = False) -> bytes:
+    """Encode raw row-major 8-bit samples as a JFIF JPEG — the
+    compressed write side of the media pipeline (a thumbnail store is
+    ~10× smaller as JPEG than PNG). Gray (1 channel) or RGB (3; RGBA
+    alpha is dropped). ``subsample``: '444', '422' or '420' (chroma
+    box-averaged; gray ignores it). Standard Annex K quant tables
+    scaled by the libjpeg quality convention; Huffman tables are
     constructed canonical tables carried in DHT (decoders must read
     them from the stream — including :func:`decode_jpeg`, whose tests
     validate against a separately-written test-side encoder AND a
     hand-assembled byte-literal fixture with analytically-known pixels,
-    so a systematic error shared by the two encoders cannot hide)."""
+    so a systematic error shared by the two encoders cannot hide).
+
+    ``progressive=True`` emits SOF2 with the standard simple-progression
+    script (DC-first at Al=1 interleaved; per-component spectral-
+    selection AC-first scans with successive approximation; AC/DC
+    refinement scans down to Al=0) — the web-crawl-dominant JPEG
+    variant. The quantized coefficients are identical to the baseline
+    path, so a full progressive decode reconstructs the SAME pixels as
+    the baseline encoding of the same input (the round-trip tests
+    assert byte equality)."""
     if channels not in (1, 3, 4):
         raise ValueError(
             f"JPEG encode: channels must be 1, 3 or 4 (got {channels})")
@@ -599,54 +623,68 @@ def encode_jpeg(pixels: bytes, width: int, height: int, channels: int,
     pad_h, pad_w = mcuy * 8 * vmax, mcux * 8 * hmax
     qts = [_jpeg_qtable(_JPEG_Q_LUM, quality),
            _jpeg_qtable(_JPEG_Q_CHR, quality)]
-    comp_planes = []
-    for plane, (sh, sv) in zip(planes, sampling):
+    # quantized zigzag coefficient blocks per component — the shared
+    # source for both scan styles (one vectorized DCT over every block;
+    # the former per-block Python DCT loop was the encoder hot spot)
+    comp_blocks = []
+    for ci, (plane, (sh, sv)) in enumerate(zip(planes, sampling)):
         full = np.pad(plane, ((0, pad_h - height), (0, pad_w - width)),
                       mode="edge")
         fy, fx = vmax // sv, hmax // sh
         if fy > 1 or fx > 1:
             full = full.reshape(pad_h // fy, fy, pad_w // fx, fx).mean((1, 3))
-        comp_planes.append(full - 128.0)
-    writer = _JpegBitWriter()
-    pred = [0] * len(planes)
-    for m in range(mcux * mcuy):
-        my, mx = divmod(m, mcux)
-        for ci, ((sh, sv), plane) in enumerate(zip(sampling, comp_planes)):
-            qt = qts[qsel[ci]].astype(np.float64)
-            for v in range(sv):
-                for hh in range(sh):
-                    by, bx = (my * sv + v) * 8, (mx * sh + hh) * 8
-                    fr = _DCT_T.T @ plane[by:by + 8, bx:bx + 8] @ _DCT_T
-                    q = np.round(fr / qt).astype(np.int64)
-                    zz = q.reshape(-1)[_ZIGZAG]
-                    zz[1:] = np.clip(zz[1:], -1023, 1023)
-                    diff = int(np.clip(zz[0] - pred[ci], -2047, 2047))
-                    pred[ci] += diff
-                    size = abs(diff).bit_length()
-                    ln, code = _JPEG_DC_ENC[size]
-                    writer.put(code, ln)
-                    writer.put(
-                        diff if diff >= 0 else diff + (1 << size) - 1, size)
-                    run = 0
-                    for kk in range(1, 64):
-                        val = int(zz[kk])
-                        if val == 0:
-                            run += 1
-                            continue
-                        while run > 15:
-                            ln, code = _JPEG_AC_ENC[0xF0]
-                            writer.put(code, ln)
-                            run -= 16
-                        sz = abs(val).bit_length()
-                        ln, code = _JPEG_AC_ENC[(run << 4) | sz]
+        full = full - 128.0
+        bh, bw = full.shape[0] // 8, full.shape[1] // 8
+        stack = (full.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
+                 .reshape(-1, 8, 8))
+        fr = np.einsum("xu,nxy,yv->nuv", _DCT_T, stack, _DCT_T)
+        q = np.round(fr / qts[qsel[ci]].astype(np.float64)).astype(np.int64)
+        zz = q.reshape(-1, 64)[:, _ZIGZAG]
+        zz[:, 1:] = np.clip(zz[:, 1:], -1023, 1023)
+        comp_blocks.append(zz.reshape(bh, bw, 64))
+
+    if progressive:
+        ecs = _jpeg_emit_progressive_scans(comp_blocks, sampling,
+                                           mcux, mcuy, width, height,
+                                           hmax, vmax)
+    else:
+        writer = _JpegBitWriter()
+        pred = [0] * len(planes)
+        for m in range(mcux * mcuy):
+            my, mx = divmod(m, mcux)
+            for ci, (sh, sv) in enumerate(sampling):
+                for v in range(sv):
+                    for hh in range(sh):
+                        zz = comp_blocks[ci][my * sv + v, mx * sh + hh]
+                        diff = int(np.clip(zz[0] - pred[ci], -2047, 2047))
+                        pred[ci] += diff
+                        size = abs(diff).bit_length()
+                        ln, code = _JPEG_DC_ENC[size]
                         writer.put(code, ln)
                         writer.put(
-                            val if val >= 0 else val + (1 << sz) - 1, sz)
+                            diff if diff >= 0 else diff + (1 << size) - 1,
+                            size)
                         run = 0
-                    if run:
-                        ln, code = _JPEG_AC_ENC[0x00]   # EOB
-                        writer.put(code, ln)
-    writer.flush()
+                        for kk in range(1, 64):
+                            val = int(zz[kk])
+                            if val == 0:
+                                run += 1
+                                continue
+                            while run > 15:
+                                ln, code = _JPEG_AC_ENC[0xF0]
+                                writer.put(code, ln)
+                                run -= 16
+                            sz = abs(val).bit_length()
+                            ln, code = _JPEG_AC_ENC[(run << 4) | sz]
+                            writer.put(code, ln)
+                            writer.put(
+                                val if val >= 0 else val + (1 << sz) - 1, sz)
+                            run = 0
+                        if run:
+                            ln, code = _JPEG_AC_ENC[0x00]   # EOB
+                            writer.put(code, ln)
+        writer.flush()
+        ecs = [(list(range(len(planes))), 0, 63, 0, 0, bytes(writer.out))]
 
     def seg(marker: int, body: bytes) -> bytes:
         return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
@@ -660,19 +698,209 @@ def encode_jpeg(pixels: bytes, width: int, height: int, channels: int,
     sof = struct.pack(">BHHB", 8, height, width, len(planes))
     for ci, (sh, sv) in enumerate(sampling):
         sof += bytes([ci + 1, (sh << 4) | sv, qsel[ci]])
-    out += seg(0xC0, sof)
+    out += seg(0xC2 if progressive else 0xC0, sof)
+    ac_bits = _JPEG_ACP_BITS if progressive else _JPEG_AC_BITS
+    ac_vals = _JPEG_ACP_VALS if progressive else _JPEG_AC_VALS
     for tc in (0, 1):
         for th in sorted(set(qsel)):
-            bits = _JPEG_DC_BITS if tc == 0 else _JPEG_AC_BITS
-            vals = _JPEG_DC_VALS if tc == 0 else _JPEG_AC_VALS
+            bits = _JPEG_DC_BITS if tc == 0 else ac_bits
+            vals = _JPEG_DC_VALS if tc == 0 else ac_vals
             out += seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits)
                        + bytes(vals))
-    sos = bytes([len(planes)])
-    for ci in range(len(planes)):
-        sos += bytes([ci + 1, (qsel[ci] << 4) | qsel[ci]])
-    out += seg(0xDA, sos + b"\x00\x3f\x00")
-    out += bytes(writer.out) + b"\xff\xd9"
+    for comps, ss, se, ah, al, data_bytes in ecs:
+        sos = bytes([len(comps)])
+        for ci in comps:
+            sos += bytes([ci + 1, (qsel[ci] << 4) | qsel[ci]])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += seg(0xDA, sos)
+        out += data_bytes
+    out += b"\xff\xd9"
     return bytes(out)
+
+
+def _jpeg_emit_progressive_scans(comp_blocks, sampling, mcux, mcuy,
+                                 width, height, hmax, vmax):
+    """Emit the entropy-coded segments of the standard simple-progression
+    script over precomputed quantized coefficient blocks. Returns a list
+    of ``(comp_indices, Ss, Se, Ah, Al, ecs_bytes)``. DC scans are
+    interleaved over all components on the MCU grid; AC scans are
+    per-component (as T.81 requires) over the component's own
+    non-interleaved block grid, with EOBn run coding and, in refinement
+    scans, buffered correction bits (the jcphuff.c shapes)."""
+    ncomp = len(comp_blocks)
+    if ncomp == 1:
+        script = [([0], 0, 0, 0, 1),
+                  ([0], 1, 5, 0, 2), ([0], 6, 63, 0, 2),
+                  ([0], 1, 63, 2, 1),
+                  ([0], 0, 0, 1, 0),
+                  ([0], 1, 63, 1, 0)]
+    else:
+        script = [([0, 1, 2], 0, 0, 0, 1),
+                  ([0], 1, 5, 0, 2), ([1], 1, 63, 0, 1),
+                  ([2], 1, 63, 0, 1), ([0], 6, 63, 0, 2),
+                  ([0], 1, 63, 2, 1),
+                  ([0, 1, 2], 0, 0, 1, 0),
+                  ([1], 1, 63, 1, 0), ([2], 1, 63, 1, 0),
+                  ([0], 1, 63, 1, 0)]
+
+    def ni_grid(ci):
+        sh, sv = sampling[ci]
+        cw = -(-width * sh // hmax)
+        chh = -(-height * sv // vmax)
+        return -(-chh // 8), -(-cw // 8)
+
+    ecs = []
+    for comps, ss, se, ah, al, in script:
+        w = _JpegBitWriter()
+        if ss == 0 and ah == 0:          # DC first (interleaved)
+            pred = {ci: 0 for ci in comps}
+            for m in range(mcux * mcuy):
+                my, mx = divmod(m, mcux)
+                for ci in comps:
+                    sh, sv = sampling[ci]
+                    for v in range(sv):
+                        for hh in range(sh):
+                            val = int(comp_blocks[ci][my * sv + v,
+                                                      mx * sh + hh, 0]) >> al
+                            diff = val - pred[ci]
+                            pred[ci] = val
+                            size = abs(diff).bit_length()
+                            ln, code = _JPEG_DC_ENC[size]
+                            w.put(code, ln)
+                            w.put(diff if diff >= 0
+                                  else diff + (1 << size) - 1, size)
+        elif ss == 0:                    # DC refine: one raw bit per block
+            for m in range(mcux * mcuy):
+                my, mx = divmod(m, mcux)
+                for ci in comps:
+                    sh, sv = sampling[ci]
+                    for v in range(sv):
+                        for hh in range(sh):
+                            w.put((int(comp_blocks[ci][my * sv + v,
+                                                       mx * sh + hh, 0])
+                                   >> al) & 1, 1)
+        elif ah == 0:                    # AC first (single component)
+            (ci,) = comps
+            bh, bw = ni_grid(ci)
+            _jpeg_emit_ac_first(w, comp_blocks[ci], bh, bw, ss, se, al)
+        else:                            # AC refine (single component)
+            (ci,) = comps
+            bh, bw = ni_grid(ci)
+            _jpeg_emit_ac_refine(w, comp_blocks[ci], bh, bw, ss, se, al)
+        w.flush()
+        ecs.append((comps, ss, se, ah, al, bytes(w.out)))
+    return ecs
+
+
+def _jpeg_emit_ac_first(w, blocks, bh, bw, ss, se, al):
+    """AC first scan: sequential run/size coding of the point-transformed
+    band (sign·(|v|≫Al), T.81 G.1.2.2) with EOBn runs across blocks."""
+    eobrun = 0
+
+    def flush():
+        nonlocal eobrun
+        if eobrun:
+            n = eobrun.bit_length() - 1
+            ln, code = _JPEG_ACP_ENC[n << 4]
+            w.put(code, ln)
+            if n:
+                w.put(eobrun - (1 << n), n)
+            eobrun = 0
+
+    for by in range(bh):
+        for bx in range(bw):
+            zz = blocks[by, bx]
+            tvals = [(abs(int(v)) >> al) * (1 if v >= 0 else -1)
+                     for v in zz[ss:se + 1]]
+            nz = [i for i, t in enumerate(tvals) if t]
+            if not nz:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush()
+                continue
+            flush()
+            r = 0
+            for i in range(nz[-1] + 1):
+                t = tvals[i]
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15:
+                    ln, code = _JPEG_ACP_ENC[0xF0]
+                    w.put(code, ln)
+                    r -= 16
+                sz = abs(t).bit_length()
+                ln, code = _JPEG_ACP_ENC[(r << 4) | sz]
+                w.put(code, ln)
+                w.put(t if t >= 0 else t + (1 << sz) - 1, sz)
+                r = 0
+            if nz[-1] + 1 <= se - ss:   # trailing zeros -> this block EOBs
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush()
+    flush()
+
+
+def _jpeg_emit_ac_refine(w, blocks, bh, bw, ss, se, al):
+    """AC refinement scan (jcphuff.c encode_mcu_AC_refine shape):
+    newly-significant coefficients (|v|≫Al == 1) emit (run,1)+sign;
+    already-significant ones contribute buffered correction bits that
+    attach to the next emitted symbol or to the pending EOB run."""
+    eobrun = 0
+    pending: list = []   # correction bits buffered behind the EOB run
+
+    def flush():
+        nonlocal eobrun, pending
+        if eobrun:
+            n = eobrun.bit_length() - 1
+            ln, code = _JPEG_ACP_ENC[n << 4]
+            w.put(code, ln)
+            if n:
+                w.put(eobrun - (1 << n), n)
+            for b in pending:
+                w.put(b, 1)
+            eobrun = 0
+            pending = []
+
+    for by in range(bh):
+        for bx in range(bw):
+            zz = blocks[by, bx]
+            vals = [int(v) for v in zz[ss:se + 1]]
+            absv = [abs(v) >> al for v in vals]
+            eob = 0          # index AFTER the last newly-significant coef
+            for i, a in enumerate(absv):
+                if a == 1:
+                    eob = i + 1
+            r, br = 0, []
+            for i, a in enumerate(absv):
+                if a == 0:
+                    r += 1
+                    continue
+                while r > 15 and i < eob:
+                    flush()
+                    ln, code = _JPEG_ACP_ENC[0xF0]
+                    w.put(code, ln)
+                    r -= 16
+                    for b in br:
+                        w.put(b, 1)
+                    br = []
+                if a > 1:                 # history-significant: correction
+                    br.append(a & 1)
+                    continue
+                flush()                   # newly significant: (run, 1)+sign
+                ln, code = _JPEG_ACP_ENC[(r << 4) | 1]
+                w.put(code, ln)
+                w.put(1 if vals[i] >= 0 else 0, 1)
+                for b in br:
+                    w.put(b, 1)
+                br = []
+                r = 0
+            if r > 0 or br:
+                eobrun += 1
+                pending.extend(br)
+                if eobrun == 0x7FFF or len(pending) > 900:
+                    flush()
+    flush()
 
 def _zigzag_positions() -> np.ndarray:
     """Flat 8x8 index (row*8+col) for each of the 64 zigzag positions."""
@@ -775,18 +1003,184 @@ def _idct_blocks(coefs: np.ndarray) -> np.ndarray:
     return np.clip(np.round(px + 128.0), 0, 255).astype(np.uint8)
 
 
+def _jpeg_ac_first_scan(reader, coef, ss, se, al, actab, eobrun):
+    """Progressive AC first scan, one block (T.81 G.2.2 / jdphuff.c
+    decode_mcu_AC_first): run/size coding of the band's point-
+    transformed values with EOBn runs spanning blocks. Returns the
+    updated end-of-band run counter."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        sym = reader.huff(actab)
+        r, s = sym >> 4, sym & 0xF
+        if s:
+            k += r
+            if k > se:
+                raise ValueError("JPEG: AC run past band end")
+            coef[k] = _extend(reader.read(s), s) << al
+            k += 1
+        else:
+            if r == 15:      # ZRL: sixteen zeros
+                k += 16
+                continue
+            eobrun = (1 << r) - 1       # EOBn includes this block
+            if r:
+                eobrun += reader.read(r)
+            break
+    return eobrun
+
+
+def _jpeg_ac_refine_scan(reader, coef, ss, se, al, actab, eobrun):
+    """Progressive AC refinement scan, one block (T.81 G.1.2.3 /
+    jdphuff.c decode_mcu_AC_refine): newly-significant coefficients
+    arrive as (run,1)+sign over ZERO-history positions; every nonzero-
+    history coefficient passed over contributes one correction bit.
+    Returns the updated end-of-band run counter."""
+    p1, m1 = 1 << al, -(1 << al)
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            sym = reader.huff(actab)
+            r, s = sym >> 4, sym & 0xF
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.read(r)
+                    break
+                # r == 15: skip sixteen zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("JPEG: bad AC refinement symbol")
+                s = p1 if reader.read(1) else m1
+            # advance over r zero-history coefficients, correcting
+            # nonzero-history ones in passing
+            while k <= se:
+                c = int(coef[k])
+                if c != 0:
+                    if reader.read(1) and (c & p1) == 0:
+                        coef[k] = c + (p1 if c >= 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if s:
+                if k > se:
+                    raise ValueError("JPEG: refinement run past band end")
+                coef[k] = s
+            k += 1
+    if eobrun > 0:
+        # inside an EOB run: the rest of this block's band still carries
+        # correction bits for its nonzero-history coefficients
+        while k <= se:
+            c = int(coef[k])
+            if c != 0:
+                if reader.read(1) and (c & p1) == 0:
+                    coef[k] = c + (p1 if c >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _jpeg_decode_scan(segments, scan_comps, ss, se, ah, al, progressive,
+                      geom, mcus_x, mcus_y, coefs, huff_dc, huff_ac,
+                      restart_interval):
+    """Decode one entropy-coded scan into the raw (quantized, zigzag)
+    coefficient buffers. Handles sequential scans (DC+AC per block,
+    interleaved or single-component), progressive DC first/refine and
+    progressive AC first/refine, with EOB runs and restart intervals.
+    ``scan_comps`` = [(cid, dc_table, ac_table)] in scan order;
+    ``geom[cid]`` = (ch, cv, bw_ni, bh_ni)."""
+    interleaved = len(scan_comps) > 1
+    if interleaved:
+        total = mcus_x * mcus_y
+    else:
+        cid0 = scan_comps[0][0]
+        bw_ni, bh_ni = geom[cid0][2], geom[cid0][3]
+        total = bw_ni * bh_ni
+    pred = {c[0]: 0 for c in scan_comps}
+    eobrun = 0
+    seg_i = 0
+    reader = _BitReader(segments[0])
+    for m in range(total):
+        if restart_interval and m and m % restart_interval == 0:
+            seg_i += 1   # RST boundary: next segment, reset predictors
+            if seg_i >= len(segments):
+                raise ValueError("JPEG: missing restart segment")
+            reader = _BitReader(segments[seg_i])
+            pred = {c: 0 for c in pred}
+            eobrun = 0
+        units = []
+        if interleaved:
+            my, mx = divmod(m, mcus_x)
+            for cid, dcid, acid in scan_comps:
+                ch, cv = geom[cid][0], geom[cid][1]
+                for v in range(cv):
+                    for hh in range(ch):
+                        units.append((cid, dcid, acid,
+                                      my * cv + v, mx * ch + hh))
+        else:
+            cid, dcid, acid = scan_comps[0]
+            by, bx = divmod(m, geom[cid][2])
+            units = [(cid, dcid, acid, by, bx)]
+        for cid, dcid, acid, by, bx in units:
+            coef = coefs[cid][by, bx]
+            if not progressive:
+                # sequential: DC + AC in one pass (Ss..Se is 0..63)
+                size = reader.huff(huff_dc[dcid])
+                if size > 11:
+                    raise ValueError(f"JPEG: DC category {size} > 11")
+                pred[cid] += _extend(reader.read(size), size)
+                coef[0] = pred[cid]
+                k = 1
+                while k < 64:
+                    sym = reader.huff(huff_ac[acid])
+                    run, sz = sym >> 4, sym & 0xF
+                    if sz == 0:
+                        if run == 15:   # ZRL: sixteen zeros
+                            k += 16
+                            continue
+                        break           # EOB
+                    k += run
+                    if k > 63:
+                        raise ValueError("JPEG: AC run past block end")
+                    coef[k] = _extend(reader.read(sz), sz)
+                    k += 1
+            elif ss == 0 and ah == 0:   # DC first
+                size = reader.huff(huff_dc[dcid])
+                if size > 11:
+                    raise ValueError(f"JPEG: DC category {size} > 11")
+                pred[cid] += _extend(reader.read(size), size)
+                coef[0] = pred[cid] << al
+            elif ss == 0:               # DC refine: one raw bit
+                if reader.read(1):
+                    coef[0] = int(coef[0]) | (1 << al)
+            elif ah == 0:               # AC first
+                eobrun = _jpeg_ac_first_scan(reader, coef, ss, se, al,
+                                             huff_ac[acid], eobrun)
+            else:                       # AC refine
+                eobrun = _jpeg_ac_refine_scan(reader, coef, ss, se, al,
+                                              huff_ac[acid], eobrun)
+
+
 @_corrupt_stream_boundary("JPEG")
 def decode_jpeg(data: bytes) -> Tuple[int, int, int, bytes]:
-    """Decode a baseline-sequential JFIF JPEG (ITU-T T.81).
+    """Decode a Huffman-coded JFIF JPEG (ITU-T T.81) — baseline
+    sequential (SOF0/1, single- or multi-scan non-interleaved) AND
+    progressive (SOF2: spectral selection + successive approximation,
+    DC/AC first and refinement scans, EOB runs), the variant that
+    dominates real web crawls.
 
     Returns ``(width, height, channels, pixels)`` — channels 1 (gray)
     or 3 (RGB via the JFIF full-range YCbCr transform). Supports
     stream-defined quantization/Huffman tables, interleaved scans at any
     integer sampling-factor ratio (4:4:4, 4:2:2, 4:2:0), and restart
     intervals (DRI/RSTn). Raises ``NotImplementedError`` for the
-    variants a real library should handle (progressive SOF2, arithmetic
-    coding, 12-bit precision, CMYK/4-component, non-interleaved
-    multi-scan) and ``ValueError`` on malformed bytes.
+    variants a real library should handle (arithmetic coding, 12-bit
+    precision, lossless/hierarchical, CMYK/4-component) and
+    ``ValueError`` on malformed bytes.
 
     Chroma upsampling is pixel replication (the JFIF-sanctioned simple
     filter); a PIL/libvips deployment swaps in at decode_image_bytes
@@ -799,9 +1193,13 @@ def decode_jpeg(data: bytes) -> Tuple[int, int, int, bytes]:
     qtables: dict = {}
     huff_dc: dict = {}
     huff_ac: dict = {}
-    frame = None          # (height, width, [(comp_id, H, V, tq), ...])
+    frame = None          # (height, width, [(comp_id, H, V, tq, ...)])
+    progressive = False
     restart_interval = 0
-    scan = None
+    coefs: dict = {}      # cid -> int32 (by, bx, 64) raw zigzag coefs
+    geom: dict = {}       # cid -> (ch, cv, bw_ni, bh_ni)
+    mcus_x = mcus_y = 0
+    n_scans = 0
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"JPEG: expected marker at byte {pos}")
@@ -837,7 +1235,10 @@ def decode_jpeg(data: bytes) -> Tuple[int, int, int, bytes]:
                 vals = list(body[i + 17:i + 17 + n])
                 i += 17 + n
                 (huff_dc if tc == 0 else huff_ac)[th] = _huff_table(bits, vals)
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (Huffman sequential)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 seq, SOF2 progressive
+            if frame is not None:
+                raise ValueError("JPEG: multiple SOF markers")
+            progressive = marker == 0xC2
             prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise NotImplementedError(
@@ -851,95 +1252,90 @@ def decode_jpeg(data: bytes) -> Tuple[int, int, int, bytes]:
             for c in range(ncomp):
                 cid, hv, tq = body[6 + 3 * c:9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0xF, tq))
-            frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            if hmax < 1 or vmax < 1 or any(
+                    c[1] < 1 or c[2] < 1 or hmax % c[1] or vmax % c[2]
+                    for c in comps):
+                raise NotImplementedError(
+                    "JPEG: non-integer sampling ratios need a real library")
+            mcus_x = -(-w // (8 * hmax))
+            mcus_y = -(-h // (8 * vmax))
+            frame = (h, w, comps, hmax, vmax)
+            for cid, ch, cv, _tq in comps:
+                # full grid pads to whole MCUs (interleaved scans); the
+                # non-interleaved grid covers only the component's own
+                # samples (ceil(ceil(dim*sampling/max)/8) blocks)
+                bw_ni = -(-(-(-w * ch // hmax)) // 8)
+                bh_ni = -(-(-(-h * cv // vmax)) // 8)
+                coefs[cid] = np.zeros((mcus_y * cv, mcus_x * ch, 64),
+                                      dtype=np.int32)
+                geom[cid] = (ch, cv, bw_ni, bh_ni)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG: SOF{marker - 0xC0} (progressive/arithmetic/"
-                "lossless) needs a real library")
+                f"JPEG: SOF{marker - 0xC0} (arithmetic/lossless/"
+                "hierarchical) needs a real library")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("JPEG: SOS before SOF")
             ns = body[0]
-            if ns != len(frame[2]):
-                raise NotImplementedError(
-                    "JPEG: non-interleaved multi-scan needs a real library")
-            sel = {}
+            if not 1 <= ns <= len(frame[2]):
+                raise ValueError(f"JPEG: bad scan component count {ns}")
+            known = {c[0] for c in frame[2]}
+            scan_comps = []
             for c in range(ns):
                 cs, tabs = body[1 + 2 * c:3 + 2 * c]
-                sel[cs] = (tabs >> 4, tabs & 0xF)
+                if cs not in known:
+                    raise ValueError(f"JPEG: scan references component {cs}")
+                scan_comps.append((cs, tabs >> 4, tabs & 0xF))
+            sctl = body[1 + 2 * ns:4 + 2 * ns]
+            scan_ss, scan_se = sctl[0], sctl[1]
+            scan_ah, scan_al = sctl[2] >> 4, sctl[2] & 0xF
+            if progressive:
+                if not (scan_ss <= scan_se <= 63
+                        and (scan_ss == 0) == (scan_se == 0)):
+                    raise ValueError(
+                        f"JPEG: bad spectral band {scan_ss}..{scan_se}")
+                if scan_ss > 0 and ns != 1:
+                    raise ValueError("JPEG: interleaved AC scan")
+                if scan_ah and scan_ah != scan_al + 1:
+                    raise ValueError("JPEG: bad successive approximation")
+            # table presence: DC refine reads raw bits (no tables); AC
+            # scans need only the AC table; DC/sequential need DC (+AC)
+            for cid, dcid, acid in scan_comps:
+                need_dc = (not progressive) or (scan_ss == 0
+                                                and scan_ah == 0)
+                need_ac = (not progressive) or scan_ss > 0
+                if need_dc and dcid not in huff_dc:
+                    raise ValueError(
+                        "JPEG: scan references undefined DHT table")
+                if need_ac and acid not in huff_ac:
+                    raise ValueError(
+                        "JPEG: scan references undefined DHT table")
             segments, pos = _split_ecs(data, pos)
-            scan = (sel, segments)
-            break  # baseline: single scan carries the whole image
+            _jpeg_decode_scan(segments, scan_comps, scan_ss, scan_se,
+                              scan_ah, scan_al, progressive, geom,
+                              mcus_x, mcus_y, coefs, huff_dc, huff_ac,
+                              restart_interval)
+            n_scans += 1
         # APPn / COM / others: skipped
-    if frame is None or scan is None:
+    if frame is None or n_scans == 0:
         raise ValueError("JPEG: missing SOF or SOS")
-    height, width, comps = frame
-    sel, segments = scan
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    if hmax < 1 or vmax < 1 or any(
-            c[1] < 1 or c[2] < 1 or hmax % c[1] or vmax % c[2]
-            for c in comps):
-        raise NotImplementedError(
-            "JPEG: non-integer sampling ratios need a real library")
-    mcus_x = -(-width // (8 * hmax))
-    mcus_y = -(-height // (8 * vmax))
-    n_mcus = mcus_x * mcus_y
-    # decode every block's 64 coefficients (zigzag order), dequantized
-    blocks = {c[0]: np.zeros((mcus_y * c[2], mcus_x * c[1], 64),
-                             dtype=np.float64) for c in comps}
-    pred = {c[0]: 0 for c in comps}
-    seg_i = 0
-    reader = _BitReader(segments[0])
-    for m in range(n_mcus):
-        if restart_interval and m and m % restart_interval == 0:
-            seg_i += 1  # RST boundary: next segment, reset DC predictors
-            if seg_i >= len(segments):
-                raise ValueError("JPEG: missing restart segment")
-            reader = _BitReader(segments[seg_i])
-            pred = {c[0]: 0 for c in comps}
-        my, mx = divmod(m, mcus_x)
-        for cid, ch, cv, tq in comps:
-            if tq not in qtables:
-                raise ValueError(f"JPEG: missing quantization table {tq}")
-            dc_id, ac_id = sel[cid]
-            if dc_id not in huff_dc or ac_id not in huff_ac:
-                raise ValueError("JPEG: scan references undefined DHT table")
-            qt = qtables[tq]
-            for v in range(cv):
-                for hh in range(ch):
-                    coef = np.zeros(64, dtype=np.float64)
-                    size = reader.huff(huff_dc[dc_id])
-                    if size > 11:
-                        raise ValueError(f"JPEG: DC category {size} > 11")
-                    pred[cid] += _extend(reader.read(size), size)
-                    coef[0] = pred[cid] * qt[0]
-                    k = 1
-                    while k < 64:
-                        sym = reader.huff(huff_ac[ac_id])
-                        run, sz = sym >> 4, sym & 0xF
-                        if sz == 0:
-                            if run == 15:  # ZRL: sixteen zeros
-                                k += 16
-                                continue
-                            break          # EOB
-                        k += run
-                        if k > 63:
-                            raise ValueError("JPEG: AC run past block end")
-                        coef[k] = _extend(reader.read(sz), sz) * qt[k]
-                        k += 1
-                    blocks[cid][my * cv + v, mx * ch + hh] = coef
-    # de-zigzag + IDCT per component, stitch planes, upsample, transform
+    height, width, comps, hmax, vmax = frame
+    # dequantize, de-zigzag + IDCT per component, stitch, upsample
     planes = []
-    for cid, ch, cv, _tq in comps:
-        zz = blocks[cid].reshape(-1, 64)
+    for cid, ch, cv, tq in comps:
+        if tq not in qtables:
+            raise ValueError(f"JPEG: missing quantization table {tq}")
+        qt = qtables[tq].astype(np.float64)
+        zz = coefs[cid].reshape(-1, 64).astype(np.float64) * qt[None, :]
         sq = np.zeros_like(zz)
         sq[:, _ZIGZAG] = zz
         px = _idct_blocks(sq.reshape(-1, 8, 8))
-        by, bx = blocks[cid].shape[:2]
+        by, bx = coefs[cid].shape[:2]
         plane = (px.reshape(by, bx, 8, 8).transpose(0, 2, 1, 3)
                  .reshape(by * 8, bx * 8))
         ry, rx = vmax // cv, hmax // ch
@@ -972,6 +1368,6 @@ def decode_image_bytes(data: bytes) -> Tuple[int, int, int, bytes]:
         return decode_jpeg(data)
     raise NotImplementedError(
         "image format not decodable without an image library "
-        f"(sniffed: {kind or 'unknown'}); PNG, BMP and baseline JPEG "
-        "decode natively — swap decode_image_bytes for a PIL call for "
-        "WebP/TIFF/progressive-JPEG/etc.")
+        f"(sniffed: {kind or 'unknown'}); PNG, BMP and JPEG (baseline + "
+        "progressive) decode natively — swap decode_image_bytes for a "
+        "PIL call for WebP/TIFF/AVIF/etc.")

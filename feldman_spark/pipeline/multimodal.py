@@ -3,9 +3,10 @@ with typed metadata.
 
 Beyond-reference capability. The Spark-side machinery — schema, batch
 iteration, partition sizing, UDF signatures — is real and tested. Actual
-decoding: PNG, uncompressed BMP, baseline JPEG and PCM WAV decode for
+decoding: PNG, uncompressed BMP, JPEG (baseline AND progressive) and
+PCM WAV decode for
 real via the pure-stdlib :mod:`feldman_spark.pipeline.codecs`; formats
-that genuinely need PIL/ffmpeg (progressive JPEG, MP3, video containers)
+that genuinely need PIL/ffmpeg (MP3, video containers)
 raise
 ``NotImplementedError`` at the documented swap point — a deployment
 swaps ``codecs.decode_image_bytes`` / the frame extractor for library
@@ -82,7 +83,7 @@ def media_table(spark, rows) -> DataFrame:
 
 def _decode_image_real(data: bytes) -> bytes:
     """Real pixel decode for the natively-supported formats (PNG, BMP,
-    baseline JPEG) — see
+    baseline + progressive JPEG) — see
     :func:`feldman_spark.pipeline.codecs.decode_image_bytes`, the
     single swap point for a PIL-backed deployment."""
     from feldman_spark.pipeline import codecs
@@ -94,8 +95,8 @@ def _decode_image_real(data: bytes) -> bytes:
 def decode_image(df: DataFrame, fake: bool = False) -> DataFrame:
     """Decode the payload of image rows into a ``pixels`` binary column
     (raw row-major RGB(A)/gray samples). PNG, uncompressed BMP and
-    baseline JPEG decode for real via the stdlib codecs; other formats
-    raise
+    JPEG (baseline + progressive) decode for real via the stdlib
+    codecs; other formats raise
     ``NotImplementedError`` naming the PIL swap point. ``fake=True``
     passes the payload through as the deterministic oracle twin.
     Arrow-batched ``mapInPandas``; non-image rows pass through with null
@@ -169,7 +170,7 @@ def resize_image(df: DataFrame, width: int, height: int, fake: bool = False,
     updated. ``out_format`` picks the re-encode: ``"png"`` (lossless)
     or ``"jpeg"`` (baseline, ``quality`` knob — the thumbnail-store
     format, ~10× smaller; alpha is dropped per the format).
-    The real path decodes via the stdlib codecs (PNG/BMP/baseline JPEG),
+    The real path decodes via the stdlib codecs (PNG/BMP/JPEG),
     resamples bilinearly and re-encodes; payloads those codecs can't
     decode are passed through UNCHANGED (one odd file must not fail a
     100 TB stage — same contract as decode_audio). ``fake=True`` keeps

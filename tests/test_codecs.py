@@ -693,19 +693,65 @@ def test_jpeg_quality_knob_reduces_size_monotonically():
         assert _psnr(img, got) > floor_psnr
 
 
-def test_jpeg_progressive_and_malformed_raise():
+def test_jpeg_malformed_raise():
     img = np.zeros((8, 8), dtype=np.uint8)
     good = _encode_jpeg(img)
     sof = good.index(b"\xff\xc0")
-    progressive = good[:sof + 1] + b"\xc2" + good[sof + 2:]
-    with pytest.raises(NotImplementedError, match="SOF2"):
-        codecs.decode_jpeg(progressive)
+    # a baseline stream RELABELED as SOF2 is a malformed progressive
+    # file (its scan header says Ss=0..Se=63, illegal for SOF2)
+    relabeled = good[:sof + 1] + b"\xc2" + good[sof + 2:]
+    with pytest.raises(ValueError, match="spectral band"):
+        codecs.decode_jpeg(relabeled)
     with pytest.raises(ValueError, match="SOI"):
         codecs.decode_jpeg(b"\x00\x01" + good)
     rng = np.random.RandomState(2)
     dense = _encode_jpeg(rng.randint(0, 256, (32, 32), np.uint8))
     with pytest.raises(ValueError):
         codecs.decode_jpeg(dense[: len(dense) // 2])
+
+
+def test_jpeg_progressive_roundtrip_equals_baseline():
+    """Progressive (SOF2: DC/AC first + refinement scans, successive
+    approximation, EOB runs) codes the SAME quantized coefficients as
+    baseline, so the two decodes must reconstruct IDENTICAL pixels —
+    gray and color, subsampled and not, including odd (non-MCU-aligned)
+    sizes that make the non-interleaved AC grid differ from the padded
+    MCU grid."""
+    rng = np.random.RandomState(11)
+    cases = [
+        # (h, w, channels, subsample)
+        (16, 16, 1, "444"),
+        (13, 21, 1, "444"),          # odd size, gray
+        (16, 24, 3, "444"),
+        (32, 32, 3, "420"),
+        (19, 27, 3, "420"),          # odd size + subsampling
+        (16, 18, 3, "422"),
+    ]
+    for h, w, ch, sub in cases:
+        smooth = (np.mgrid[0:h, 0:w][0] * 5 + np.mgrid[0:h, 0:w][1] * 3)
+        img = ((smooth[..., None] if ch == 3 else smooth)
+               + rng.randint(0, 60, size=(h, w, ch) if ch == 3 else (h, w))
+               ).astype(np.uint8)
+        px = img.tobytes()
+        base = codecs.encode_jpeg(px, w, h, ch, quality=80, subsample=sub)
+        prog = codecs.encode_jpeg(px, w, h, ch, quality=80, subsample=sub,
+                                  progressive=True)
+        assert prog[:4] != base[:4] or prog != base   # distinct streams
+        assert b"\xff\xc2" in prog and b"\xff\xc0" not in prog
+        wb, hb, cb, out_b = codecs.decode_jpeg(base)
+        wp, hp, cp, out_p = codecs.decode_jpeg(prog)
+        assert (wb, hb, cb) == (wp, hp, cp) == (w, h, ch)
+        assert out_b == out_p, f"case {(h, w, ch, sub)}"
+
+
+def test_jpeg_progressive_through_sniff_dispatch():
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    prog = codecs.encode_jpeg(img.tobytes(), 8, 8, 1, progressive=True)
+    assert codecs.sniff_media(prog) == "jpeg"
+    w, h, ch, out = codecs.decode_image_bytes(prog)
+    assert (w, h, ch) == (8, 8, 1)
+    base = codecs.decode_jpeg(codecs.encode_jpeg(img.tobytes(), 8, 8, 1))
+    assert out == base[3]
 
 
 def test_jpeg_through_spark_decode_image(spark):
