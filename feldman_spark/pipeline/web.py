@@ -290,18 +290,22 @@ def robots_filter(
     Scale shape: the robots table is hosts-sized (small side — Catalyst
     broadcasts it under AQE; hint it if your host list is huge), the
     join is host-keyed, and evaluation is an Arrow-batched
-    ``mapInPandas`` that groups each batch by ``(host, robots body)``:
-    the group's rules parse and regex-compile once (memo keyed by the
-    PAIR, so dirty crawls with duplicate host rows carrying different
-    bodies stay deterministic per row), then ALL of the group's pages
-    are matched with vectorized pandas ``str.match`` — one pass per
-    rule over the group, no per-page Python loop. Precedence is folded
-    into an integer score (``2*len(pattern) + allow``: longer pattern
-    wins, Allow beats Disallow at equal length, no match = allowed) so
-    the verdict is a numpy max-reduce. Page text never moves."""
+    ``mapInPandas``. Each distinct ``(host, robots body)`` PAIR parses
+    and regex-compiles its rules once per task (memo keyed by the pair,
+    so dirty crawls with duplicate host rows carrying different bodies
+    stay deterministic per row), with the rules PRECEDENCE-SORTED —
+    longest pattern first, Allow before Disallow at equal length — so
+    per-page evaluation is first-``.match``-wins and short-circuits
+    after ~2 C-level regex calls instead of scanning the whole rule
+    list (RFC 9309's longest-match/Allow-ties semantics are exactly
+    this sort order). A fully pandas-``str.match``-vectorized variant
+    was built and MEASURED SLOWER (1.7-2.8x on a 1M-page crawl,
+    interleaved or host-clustered): pandas applies a regex per element
+    in a Python-level loop internally, so "vectorization" adds batch
+    bookkeeping without removing the per-element regex cost — numbers
+    in docs/SCALING.md. Page text never moves."""
     from typing import Iterator
 
-    import numpy as np
     import pandas as pd
 
     from pyspark.sql.types import BooleanType, StructField, StructType
@@ -323,45 +327,37 @@ def robots_filter(
                         + [StructField(out_col, BooleanType(), True)])
 
     def run(batches: "Iterator[pd.DataFrame]"):
-        # memo keyed by (host, body): one compile per distinct robots
-        # body per host across the task's batches; value is
-        # (allow, pattern_len, compiled_pattern) triples
+        # memo keyed by (host, body): one parse+compile per distinct
+        # robots body per host across the task's batches; value is
+        # precedence-sorted (allow, match_method) pairs — longest
+        # pattern first, Allow before Disallow at equal length, so the
+        # FIRST match is the RFC 9309 winner and the loop breaks there
         cache: dict = {}
         for pdf in batches:
             out = pdf.copy()
-            verdicts = np.ones(len(pdf), dtype=bool)  # no robots row = allowed
-            has = pdf["_robots"].notna().to_numpy()
-            if has.any():
-                sub = pdf.loc[has, ["_h", "_robots", "_p"]].reset_index(
-                    drop=True)
-                paths = sub["_p"].fillna("")
-                paths = paths.where(paths.str.startswith("/"), "/" + paths)
-                sub_verdicts = np.ones(len(sub), dtype=bool)
-                for key, pos in sub.groupby(["_h", "_robots"],
-                                            sort=False).indices.items():
-                    rules = cache.get(key)
-                    if rules is None:
-                        rules = [
-                            (allow, len(p), _compile_robots_pattern(p))
-                            for allow, p in parse_robots(key[1], user_agent)
-                        ]
-                        cache[key] = rules
-                    if not rules:
-                        continue  # empty group: everything allowed
-                    gp = paths.iloc[pos]
-                    # precedence as one integer per rule: longer pattern
-                    # wins outright ((plen+1)*2 > plen*2+1), Allow beats
-                    # Disallow at equal length (+1); max over matching
-                    # rules, -1 (no match) = allowed
-                    score = np.full(len(pos), -1, dtype=np.int64)
-                    for allow, plen, rx in rules:
-                        # parse_robots never emits empty patterns, so
-                        # plen >= 1 and every match score is positive
-                        m = gp.str.match(rx, na=False).to_numpy()
-                        np.maximum(score, np.where(m, plen * 2 + int(allow),
-                                                   -1), out=score)
-                    sub_verdicts[pos] = (score < 0) | (score % 2 == 1)
-                verdicts[has] = sub_verdicts
+            verdicts = []
+            for h, txt, p in zip(pdf["_h"], pdf["_robots"], pdf["_p"]):
+                if txt is None:
+                    verdicts.append(True)
+                    continue
+                rules = cache.get((h, txt))
+                if rules is None:
+                    rules = sorted(
+                        ((allow, len(pt), _compile_robots_pattern(pt).match)
+                         for allow, pt in parse_robots(txt, user_agent)),
+                        key=lambda t: (-t[1], not t[0]))
+                    rules = [(allow, match) for allow, _plen, match in rules]
+                    cache[(h, txt)] = rules
+                if not p:
+                    p = "/"
+                elif not p.startswith("/"):
+                    p = "/" + p
+                for allow, match in rules:
+                    if match(p):
+                        verdicts.append(allow)
+                        break
+                else:
+                    verdicts.append(True)   # no match = allowed
             out[out_col] = verdicts
             yield out
 
