@@ -671,8 +671,22 @@ def media_dedup_incremental(
     # breaking idempotency. They are excluded from kept (route them to a
     # quarantine path with an anti-join against kept ∪ store if needed).
     hashable = new_df.join(hashed.select(id_col), id_col, "left_semi")
-    kept = dedup_survivors(hashable, pairs, id_col=id_col,
-                           src_col="id_a", dst_col="id_b")
+    # the components loop is many TINY stages (a handful of near-dup
+    # edges, several joins+counts per round): checkpoint the full-width
+    # pair generation, then scope the loop to a few partitions — the
+    # same treatment as minhash_dedup_incremental / dedup_clusters
+    spark = new_df.sparkSession
+    pairs = pairs.localCheckpoint()  # full-width banding runs here
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        # label-propagation rounds execute EAGERLY inside this call
+        # (per-round convergence counts); the returned anti-join itself
+        # is lazy and runs at full width
+        kept = dedup_survivors(hashable, pairs, id_col=id_col,
+                               src_col="id_a", dst_col="id_b")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
     if seen_bands is not None:
         s = seen_bands.select("band", "key",
