@@ -1775,12 +1775,20 @@ def corpus_near_overlap(
     # exactly like lm_score's gram tables (long-lived sessions release
     # it there; the bench/sweep harnesses clearCache() between queries)
     _DEDUP_CACHES.append(cand)
+    # restrict to candidate docs BEFORE distinct (the _relational_jaccard
+    # shape): the id restriction is a broadcast join, so the distinct's
+    # shuffle carries candidate-doc grams only. In the production
+    # re-crawl regime (candidates ≪ corpus — most of a new snapshot is
+    # genuinely new) that is the difference between a candidate-sized
+    # and a corpus-sized gram shuffle; on the registered fixture, where
+    # nearly every B doc near-matches an A doc, the two orders shuffle
+    # the same volume (measured ±9% at sf20 — a wash by construction)
     ga = (_shingle_stream(df_a, text_col, id_col, k)
-          .withColumnRenamed(id_col, "_ida").distinct()
-          .join(cand.select("_ida").distinct(), "_ida"))
+          .withColumnRenamed(id_col, "_ida")
+          .join(cand.select("_ida").distinct(), "_ida").distinct())
     gb = (_shingle_stream(df_b, text_col, id_col, k)
-          .withColumnRenamed(id_col, "_idb").distinct()
-          .join(cand.select("_idb").distinct(), "_idb"))
+          .withColumnRenamed(id_col, "_idb")
+          .join(cand.select("_idb").distinct(), "_idb").distinct())
     sa = ga.groupBy("_ida").agg(F.count("*").alias("_sa"))
     sb = gb.groupBy("_idb").agg(F.count("*").alias("_sb"))
     # cand joins FIRST (mirroring _relational_jaccard's shape): the
