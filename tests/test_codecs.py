@@ -971,6 +971,33 @@ try:
         else:
             assert _psnr(img, got) > 10.0  # random noise chroma: loose
 
+    @settings(max_examples=25, deadline=None)
+    @given(
+        w=st.integers(1, 24),
+        h=st.integers(1, 24),
+        color=st.booleans(),
+        sub=st.sampled_from(["444", "420", "422"]),
+        quality=st.sampled_from([25, 80, 100]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def test_jpeg_progressive_equals_baseline_property(
+            w, h, color, sub, quality, seed):
+        """Progressive and baseline code the SAME quantized coefficients,
+        so their decodes must be byte-identical for ANY shape /
+        subsampling / quality — random pixels maximize EOB-run,
+        refinement-bit and correction-bit coverage in the SOF2 scans."""
+        rng = np.random.RandomState(seed)
+        ch = 3 if color else 1
+        img = rng.randint(0, 256,
+                          size=(h, w, ch) if color else (h, w),
+                          dtype=np.uint8)
+        px = img.tobytes()
+        base = codecs.encode_jpeg(px, w, h, ch, quality=quality,
+                                  subsample=sub)
+        prog = codecs.encode_jpeg(px, w, h, ch, quality=quality,
+                                  subsample=sub, progressive=True)
+        assert codecs.decode_jpeg(base) == codecs.decode_jpeg(prog)
+
 except ImportError:  # pragma: no cover - hypothesis is baked in here
     pass
 
