@@ -4567,6 +4567,94 @@ def _url_norm_oracle_sql(id_expr: str = "doc_id") -> str:
 
 
 # --------------------------------------------------------------------------
+# round-10b registrations
+# --------------------------------------------------------------------------
+
+def dedup_containment(spark, sf_dir):
+    """ASYMMETRIC near-dup: 20-word prefixes of every 5th doc probed
+    against the full corpus for shingle-set containment C(A→B) =
+    |grams(A)∩grams(B)| / |grams(A)| ≥ 0.9 over distinct 5-word
+    shingles — the short-doc-inside-long-doc regime (extracted quotes,
+    syndicated ledes, benchmark questions pasted into crawl pages)
+    that symmetric Jaccard structurally misses (a contained quote has
+    C≈1 but Jaccard≈|A|/|B|). TRUE oracle: DuckDB replays the slices,
+    shingling and containment arithmetic exactly
+    (feldman_spark/pipeline/dedup.py::containment_pairs)."""
+    from feldman_spark.pipeline.dedup import containment_pairs
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    probe = d.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 20))
+        .alias("text"))
+    return containment_pairs(probe, d, k=5, threshold=0.9)
+
+
+def w10_interval_merge(spark, sf_dir):
+    """W10: gaps-and-islands interval coalescing — each event opens an
+    engagement window lasting `value` minutes; overlapping/touching
+    windows per user merge into continuous engagement periods (the
+    machine-busy-time / ad-exposure-reach shape; distinct from the
+    gap-based events_sessionize because interval LENGTH varies per
+    row). Epoch-microsecond integer arithmetic end-to-end so the twin
+    is bit-exact (feldman_spark/ops/windows.py::merge_intervals)."""
+    from feldman_spark.ops.windows import merge_intervals
+
+    e = _t(spark, sf_dir, "events")
+    # NTZ-safe epoch micros (TIMESTAMP_NTZ rejects unix_micros/BIGINT
+    # cast): micros since the naive epoch == DuckDB's epoch_us(ts)
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+    iv = e.select(
+        "user_id",
+        us.alias("start_us"),
+        (us + F.floor(F.col("value") * F.lit(60000000.0)).cast("long"))
+        .alias("end_us"))
+    return merge_intervals(iv, ["user_id"], "start_us", "end_us")
+
+
+def a13_grouped_mode(spark, sf_dir):
+    """A13: exact mode per group with a deterministic smallest-value
+    tie-break — each user's dominant event_type. The heavy agg is the
+    map-side-combined (user, event_type) pair count; the argmax runs
+    over pair counts only (feldman_spark/ops/windows.py::grouped_mode)."""
+    from feldman_spark.ops.windows import grouped_mode
+
+    e = _t(spark, sf_dir, "events")
+    return grouped_mode(e, ["user_id"], "event_type", out_col="mode_event")
+
+
+def text_readability(spark, sf_dir):
+    """Flesch-style readability per document — words, sentence-run and
+    vowel-group (syllable proxy) counts + the classic 206.835 score;
+    pure codegen column expressions, one corpus pass, no shuffle
+    (feldman_spark/pipeline/text.py::readability)."""
+    from feldman_spark.pipeline.text import readability
+
+    d = _t(spark, sf_dir, "documents")
+    r = readability(F.col("text"))
+    return d.select(
+        "doc_id",
+        r["n_words"].alias("n_words"),
+        r["n_sentences"].alias("n_sentences"),
+        r["n_syllables"].alias("n_syllables"),
+        r["flesch"].alias("flesch"))
+
+
+def text_top_ngrams(spark, sf_dir):
+    """EXACT corpus-level top-25 word bigrams (total count desc, bigram
+    asc on ties) with per-doc document frequency — boilerplate
+    discovery, the exact counterpart to the sketched a12_heavy_hitters.
+    Codegen explode stream → one map-side-combined groupBy(gram) →
+    TakeOrderedAndProject (never a full sort)
+    (feldman_spark/pipeline/text.py::top_ngrams)."""
+    from feldman_spark.pipeline.text import top_ngrams
+
+    d = _t(spark, sf_dir, "documents")
+    return top_ngrams(d, "text", n=2, k=25)
+
+
+# --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
 
@@ -4637,16 +4725,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_calibration": profile_calibration,
         "profile_documents": profile_documents,
         "q11_important_stock": q11_important_stock,
+    # --- r10 window: new r10 registrations (never-covered keys outrank
+    # re-verification; q13/q15-q18 + q19_disjunctive defer to the r11
+    # head — the five r10b keys below took their slots) ---
+        "media_incremental_dedup": media_incremental_dedup,
+        "dedup_containment": dedup_containment,
+        "w10_interval_merge": w10_interval_merge,
+        "a13_grouped_mode": a13_grouped_mode,
+        "text_readability": text_readability,
+        "text_top_ngrams": text_top_ngrams,
+    # ^ the 50-key driver window ends here --- tail below is mirror-checked every round ---
+    # deferred r7-green keys (r11 window head):
         "q13_customer_distribution": q13_customer_distribution,
         "q15_top_supplier": q15_top_supplier,
         "q16_supplier_cnt": q16_supplier_cnt,
         "q17_avg_subquery": q17_avg_subquery,
         "q18_large_volume": q18_large_volume,
-    # --- r10 window: new r10 registration (never-covered keys outrank
-    # re-verification; q19_disjunctive defers to the r11 head) ---
-        "media_incremental_dedup": media_incremental_dedup,
-    # ^ the 50-key driver window ends here --- tail below is mirror-checked every round ---
-    # deferred r7-green keys (r11 window head):
         "q19_disjunctive": q19_disjunctive,
         "q20_potential_promotion": q20_potential_promotion,
         "q21_waiting_supplier": q21_waiting_supplier,
@@ -7130,5 +7224,124 @@ def oracle_sql() -> dict[str, str]:
                 SELECT 1 FROM orders
                 WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
             GROUP BY cntrycode
+        """,
+        # --- r10b twins ---
+        "dedup_containment": """
+            WITH probe AS (
+              SELECT doc_id,
+                     array_to_string((string_split(text, ' '))[1:20], ' ')
+                       AS text
+              FROM documents WHERE doc_id % 5 = 0
+            ),
+            ga AS (
+              SELECT doc_id AS probe_doc,
+                     unnest(list_distinct(list_transform(
+                       range(1, len(w) - 3),
+                       i -> array_to_string(w[i:i+4], ' ')))) AS g
+              FROM (SELECT doc_id, string_split(text, ' ') AS w FROM probe)
+              WHERE len(w) >= 5
+            ),
+            gb AS (
+              SELECT doc_id AS corpus_doc,
+                     unnest(list_distinct(list_transform(
+                       range(1, len(w) - 3),
+                       i -> array_to_string(w[i:i+4], ' ')))) AS g
+              FROM (SELECT doc_id, string_split(text, ' ') AS w
+                    FROM documents)
+              WHERE len(w) >= 5
+            ),
+            sz AS (SELECT probe_doc, count(*) AS s FROM ga GROUP BY 1),
+            inter AS (
+              SELECT probe_doc, corpus_doc, count(*) AS i
+              FROM ga JOIN gb USING (g) GROUP BY 1, 2
+            )
+            SELECT probe_doc, corpus_doc,
+                   round(CAST(i AS DOUBLE) / s, 4) AS containment
+            FROM inter JOIN sz USING (probe_doc)
+            WHERE round(CAST(i AS DOUBLE) / s, 4) >= 0.9
+        """,
+        "w10_interval_merge": """
+            WITH iv AS (
+              SELECT user_id, epoch_us(ts) AS s,
+                     epoch_us(ts)
+                       + CAST(floor(value * 60000000.0) AS BIGINT) AS e
+              FROM events
+              WHERE ts IS NOT NULL AND value IS NOT NULL
+            ),
+            m AS (
+              SELECT user_id, s, e,
+                     CASE WHEN s > max(e) OVER (
+                            PARTITION BY user_id ORDER BY s, e
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING)
+                          THEN 1 ELSE 0 END AS ni
+              FROM iv
+            ),
+            isl AS (
+              SELECT user_id, s, e,
+                     CAST(sum(ni) OVER (
+                            PARTITION BY user_id ORDER BY s, e
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) + 1 AS BIGINT)
+                       AS island
+              FROM m
+            )
+            SELECT user_id, island,
+                   min(s) AS island_start, max(e) AS island_end,
+                   count(*) AS n_merged
+            FROM isl GROUP BY 1, 2
+        """,
+        "a13_grouped_mode": """
+            WITH pairs AS (
+              SELECT user_id, event_type AS v, count(*) AS n
+              FROM events WHERE event_type IS NOT NULL
+              GROUP BY 1, 2
+            ),
+            top AS (SELECT user_id, max(n) AS mx FROM pairs GROUP BY 1)
+            SELECT p.user_id, min(p.v) AS mode_event,
+                   CAST(max(p.n) AS BIGINT) AS mode_count
+            FROM pairs p JOIN top t
+              ON p.user_id = t.user_id AND p.n = t.mx
+            GROUP BY 1
+        """,
+        "text_readability": """
+            WITH f AS (
+              SELECT doc_id,
+                     CAST(CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                          END AS BIGINT) AS n_words,
+                     CAST(greatest(
+                       len(regexp_extract_all(trim(text), '[.!?]+')), 1)
+                       AS BIGINT) AS n_sentences,
+                     CAST(len(regexp_extract_all(lower(trim(text)),
+                                                 '[aeiouy]+'))
+                       AS BIGINT) AS n_syllables
+              FROM documents
+            )
+            SELECT doc_id, n_words, n_sentences, n_syllables,
+                   CASE WHEN n_words > 0 THEN
+                     round(206.835
+                           - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+                           - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words),
+                           4)
+                   END AS flesch
+            FROM f
+        """,
+        "text_top_ngrams": """
+            WITH stream AS (
+              SELECT doc_id,
+                     unnest(list_transform(
+                       range(1, len(w)),
+                       i -> array_to_string(w[i:i+1], ' '))) AS ngram
+              FROM (SELECT doc_id, string_split(text, ' ') AS w
+                    FROM documents)
+              WHERE len(w) >= 2
+            )
+            SELECT ngram,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                   count(*) AS total_count
+            FROM stream GROUP BY 1
+            ORDER BY total_count DESC, ngram ASC
+            LIMIT 25
         """,
     }

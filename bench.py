@@ -95,6 +95,15 @@ HEADLINE = [
     "text_mojibake",
     "text_script_profile",
     "dedup_near_overlap",
+    # round-10b additions: asymmetric shingle containment (the
+    # inverted-index join shape), gaps-and-islands interval merge,
+    # exact grouped mode, readability scoring (row-local codegen),
+    # exact corpus top-ngrams (TakeOrderedAndProject over gram counts)
+    "dedup_containment",
+    "w10_interval_merge",
+    "a13_grouped_mode",
+    "text_readability",
+    "text_top_ngrams",
 ]
 
 # slack for the regression gate: sub-second queries jitter by whole

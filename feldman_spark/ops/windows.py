@@ -28,6 +28,8 @@ __all__ = [
     "ewma_last",
     "event_transitions",
     "retention_cohorts",
+    "merge_intervals",
+    "grouped_mode",
 ]
 
 
@@ -658,4 +660,92 @@ def retention_cohorts(
             F.round(F.col("active_users") / F.col("_cohort_size"),
                     digits).alias("retention"),
         )
+    )
+
+
+def merge_intervals(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Gaps-and-islands interval coalescing (beyond reference — the
+    classic "merge overlapping [start, end] spans per key" operator:
+    engagement periods from per-event attention windows, machine
+    busy-time from job spans, SCD validity stitching). Two intervals in
+    a group merge when they overlap OR touch (``start <= running max
+    end`` — closed intervals). Returns one row per merged island:
+    the group columns, ``island_start`` (min start), ``island_end``
+    (max end) and ``n_merged`` (source-interval count), plus
+    ``island`` (the 1-based per-group island ordinal, a stable key
+    for downstream joins). Rows with a NULL start or end are dropped
+    (an unbounded interval has no merge semantics here).
+
+    Plan shape: ONE shuffle on the group key; the running
+    ``max(end)`` over rows-preceding and the island counter are a
+    single window pass over each group sorted by (start, end), then a
+    partial-aggregated groupBy on (group, island). Per-group work is
+    the window sort — hot keys serialize on one task, which for this
+    operator is inherent (islands are a sequential scan per group);
+    at 100 TB the group key (user, machine, document) is the natural
+    partitioner and cardinality is high.
+    """
+    gks = _cols(list(group_cols))
+    s, e = F.col(start_col), F.col(end_col)
+    src = df.filter(s.isNotNull() & e.isNotNull())
+    w_prev = (Window.partitionBy(*gks).orderBy(s.asc(), e.asc())
+              .rowsBetween(Window.unboundedPreceding, -1))
+    w_run = (Window.partitionBy(*gks).orderBy(s.asc(), e.asc())
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    new_island = F.when(s > F.max(e).over(w_prev), 1).otherwise(0)
+    # the first row of each group has a NULL preceding max -> WHEN is
+    # false -> 0; sum() starts islands at 0, so +1 for a 1-based ordinal
+    island = (F.sum(new_island).over(w_run) + 1).alias("island")
+    return (
+        src.select(*gks, s.alias("_s"), e.alias("_e"), island)
+        .groupBy(*[F.col(c) for c in group_cols], F.col("island"))
+        .agg(F.min("_s").alias("island_start"),
+             F.max("_e").alias("island_end"),
+             F.count("*").alias("n_merged"))
+    )
+
+
+def grouped_mode(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    out_col: str = "mode",
+) -> DataFrame:
+    """Most frequent value per group with a deterministic tie-break
+    (beyond reference — "dominant action per user", "modal shipmode
+    per region"). Returns the group columns, ``out_col`` (the modal
+    value) and ``mode_count``. Ties break to the SMALLEST value so the
+    result is unique; NULL values are excluded (the mode of observed
+    values).
+
+    Plan shape: ONE pass over the fact table — the heavy aggregation is
+    ``groupBy(group, value)``, which partial-aggregates map-side so the
+    shuffle carries distinct (group, value) pairs, not rows. The argmax
+    is a row_number window over those slim pair counts (count desc,
+    value asc). The join-back alternative (per-group max count joined
+    against the pairs) re-scans the fact table because the pair subplan
+    isn't reused across the two consumers; the window re-shuffles only
+    pair rows, and a hot group costs its distinct-value count, not its
+    row count. The tie-break via ordering stays portable across value
+    types, where a struct-max trick would need a type-specific order
+    inversion.
+    """
+    gks = [F.col(c) for c in group_cols]
+    v = F.col(value_col)
+    pairs = (df.filter(v.isNotNull())
+             .groupBy(*gks, v.alias("_v"))
+             .agg(F.count("*").alias("_n")))
+    w = (Window.partitionBy(*[F.col(c) for c in group_cols])
+         .orderBy(F.col("_n").desc(), F.col("_v").asc()))
+    return (
+        pairs.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(*[F.col(c) for c in group_cols],
+                F.col("_v").alias(out_col),
+                F.col("_n").alias("mode_count"))
     )

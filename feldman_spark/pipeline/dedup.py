@@ -48,6 +48,7 @@ __all__ = [
     "minhash_dedup_incremental",
     "corpus_overlap",
     "corpus_near_overlap",
+    "containment_pairs",
     "unpersist_dedup_caches",
 ]
 
@@ -1824,4 +1825,67 @@ def corpus_near_overlap(
                            F.col("n_b_matched") / F.col("n_b"))
                     .otherwise(F.lit(0.0)), digits).alias("frac_b_matched"),
         )
+    )
+
+
+def containment_pairs(
+    probe: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    threshold: float = 0.8,
+    max_df: Optional[int] = None,
+    digits: int = 4,
+) -> DataFrame:
+    """ASYMMETRIC near-duplicate detection: probe docs whose k-word
+    shingle set is ``threshold``-contained in some corpus doc,
+    ``C(A→B) = |grams(A) ∩ grams(B)| / |grams(A)|`` over DISTINCT
+    shingles. Containment is what symmetric Jaccard structurally
+    misses: a 50-word quote pasted into a 5,000-word page has
+    ``C ≈ 1.0`` but Jaccard ≈ 0.01 — the short-doc-inside-long-doc
+    regime (extracted quotes, syndicated ledes, licence blocks,
+    benchmark questions embedded in crawl pages; cf. the containment
+    side of Broder's resemblance/containment pair, and LSH-ensemble-
+    style dataset-discovery joins). Returns
+    ``(probe_doc, corpus_doc, containment)`` pairs at or above
+    ``threshold``; probe docs shorter than k words emit no grams and
+    therefore no pairs.
+
+    Plan shape (100 TB): both sides reduce to distinct ``(id, _g)``
+    shingle rows inside their own scans (stream form —
+    :func:`_shingle_stream` — keeps extraction in whole-stage codegen);
+    the only corpus-sized shuffle is the inverted-index equi-join on
+    ``_g``, whose output is bounded by Σ_g df_probe(g)·df_corpus(g).
+    With word-k-grams that product is near-linear on real text (k=5
+    grams are almost always unique within a corpus); the ``max_df``
+    cap bounds it adversarially by dropping corpus-side stop-grams
+    (boilerplate shingles shared by >max_df corpus docs) from the
+    join. Probe sizes |grams(A)| are always computed over the FULL
+    distinct gram set, so a capped run reports a LOWER BOUND on
+    containment: the cap can only lose pairs whose evidence is pure
+    boilerplate, never inflate a score. No candidate pre-pass is
+    needed — unlike Jaccard, containment has no symmetric size filter,
+    and the df cap plays the pruning role prefix-filtering plays in
+    :func:`ngram_jaccard_pairs`.
+    """
+    ga = (_shingle_stream(probe, text_col, id_col, k)
+          .withColumnRenamed(id_col, "probe_doc").distinct())
+    gb = (_shingle_stream(corpus, text_col, id_col, k)
+          .withColumnRenamed(id_col, "corpus_doc").distinct())
+    sizes = ga.groupBy("probe_doc").agg(F.count("*").alias("_sz"))
+    if max_df is not None:
+        keep = (gb.groupBy("_g").agg(F.count("*").alias("_df"))
+                .filter(F.col("_df") <= max_df).select("_g"))
+        gb = gb.join(keep, "_g")
+    inter = (ga.join(gb, "_g")
+             .groupBy("probe_doc", "corpus_doc")
+             .agg(F.count("*").alias("_i")))
+    return (
+        inter.join(sizes, "probe_doc")
+        .withColumn("containment",
+                    F.round(F.col("_i").cast("double") / F.col("_sz"),
+                            digits))
+        .filter(F.col("containment") >= threshold)
+        .select("probe_doc", "corpus_doc", "containment")
     )

@@ -44,6 +44,8 @@ __all__ = [
     "lm_score",
     "unpersist_lm_caches",
     "ppl_buckets",
+    "readability",
+    "top_ngrams",
     "STOPWORDS",
 ]
 
@@ -1118,3 +1120,86 @@ def ppl_buckets(
             .otherwise(F.lit("tail")).alias("bucket"),
         )
     )
+
+
+def readability(text: Column, digits: int = 4) -> Dict[str, Column]:
+    """Flesch-reading-ease-style readability features as pure column
+    expressions (beyond reference — the classic prose-complexity quality
+    signal used alongside Gopher/C4 gates when curating educational
+    corpora). Returns ``n_words``, ``n_sentences``, ``n_syllables``
+    (vowel-group proxy: maximal ``[aeiouy]+`` runs, the standard
+    dictionary-free approximation) and ``flesch`` =
+    ``206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)``.
+    Sentence boundaries are maximal ``[.!?]+`` runs; text without any
+    terminator counts as one sentence, an empty text scores NULL. All
+    whole-stage codegen: one ``split`` + two ``regexp_count`` per row,
+    no UDF, no shuffle.
+    """
+    t = F.trim(text)
+    words = F.when(t == "", F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))).cast("bigint")
+    sentences = F.greatest(
+        F.regexp_count(t, F.lit(r"[.!?]+")), F.lit(1)).cast("bigint")
+    syllables = F.regexp_count(F.lower(t), F.lit("[aeiouy]+")).cast("bigint")
+    flesch = F.when(
+        words > 0,
+        F.round(
+            F.lit(206.835)
+            - F.lit(1.015) * (words.cast("double") / sentences)
+            - F.lit(84.6) * (syllables.cast("double") / words),
+            digits))
+    return {
+        "n_words": words,
+        "n_sentences": sentences,
+        "n_syllables": syllables,
+        "flesch": flesch,
+    }
+
+
+def top_ngrams(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 2,
+    k: int = 25,
+    per_doc_distinct: bool = False,
+) -> DataFrame:
+    """EXACT corpus-level top-``k`` word n-grams — ``(ngram, n_docs,
+    total_count)`` ordered by total count descending, n-gram ascending
+    on ties (beyond reference — corpus boilerplate discovery: the most
+    frequent n-grams ARE the site chrome / licence blurbs / prompt
+    templates that repetition filters need as input, and the exact
+    counterpart to the sketched ``a12_heavy_hitters``). With
+    ``per_doc_distinct`` the total counts each document at most once
+    (document frequency as the ranking key).
+
+    Plan shape (100 TB): the gram stream is the codegen explode form
+    (see :func:`~feldman_spark.pipeline.dedup._shingle_stream` for why
+    stream beats HOF arrays); the count is ONE ``groupBy(gram)``, which
+    partial-aggregates map-side — the shuffle carries distinct grams
+    per partition with counts, not occurrences. The final top-k is a
+    ``TakeOrderedAndProject`` over gram counts (per-partition heaps +
+    a driver-side merge of k·partitions rows), never a full sort.
+    """
+    if n < 1 or k < 1:
+        raise ValueError(f"top_ngrams: n and k must be >= 1 (n={n}, k={k})")
+    words = F.split(F.col(text_col), " ")
+    base = df.select(F.monotonically_increasing_id().alias("_id"),
+                     words.alias("_w"))
+    idx = F.explode(
+        F.when(F.size("_w") >= n, F.sequence(F.lit(0), F.size("_w") - n))
+        .otherwise(F.array().cast("array<int>"))).alias("_i")
+    parts: List[Column] = []
+    for j in range(n):
+        if j:
+            parts.append(F.lit(" "))
+        parts.append(F.element_at("_w", F.col("_i") + j + 1))
+    stream = base.select("_id", idx, "_w").select(
+        "_id", F.concat(*parts).alias("ngram"))
+    if per_doc_distinct:
+        stream = stream.distinct()
+    counts = stream.groupBy("ngram").agg(
+        F.count_distinct("_id").alias("n_docs"),
+        F.count("*").alias("total_count"))
+    return (counts
+            .orderBy(F.col("total_count").desc(), F.col("ngram").asc())
+            .limit(k))

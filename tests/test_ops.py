@@ -968,3 +968,58 @@ def test_lm_score_prefers_typical_sequences(spark):
     assert got[1] == got[2] == got[3]
     assert got[1][0] == 2 and got[4][0] == 2
     assert got[1][1] > got[4][1]
+
+
+# ---------------------------------------------------------------------------
+# round-10b: merge_intervals / grouped_mode
+# ---------------------------------------------------------------------------
+
+def test_merge_intervals_islands(spark):
+    from feldman_spark.ops.windows import merge_intervals
+
+    df = spark.createDataFrame(
+        [("u1", 0, 10),   # island 1 (overlaps next)
+         ("u1", 5, 12),
+         ("u1", 20, 25),  # island 2 (touches next: start == prev end)
+         ("u1", 25, 30),
+         ("u1", 50, 51),  # island 3
+         ("u2", 1, 2),    # other group unaffected
+         ("u2", None, 9)],  # null start dropped
+        "u string, s int, e int")
+    got = {(r["u"], r["island"]): (r["island_start"], r["island_end"],
+                                   r["n_merged"])
+           for r in merge_intervals(df, ["u"], "s", "e").collect()}
+    assert got == {
+        ("u1", 1): (0, 12, 2),
+        ("u1", 2): (20, 30, 2),
+        ("u1", 3): (50, 51, 1),
+        ("u2", 1): (1, 2, 1),
+    }
+
+
+def test_merge_intervals_contained_interval_extends_nothing(spark):
+    from feldman_spark.ops.windows import merge_intervals
+
+    # an interval fully inside the running island must not split it even
+    # when a LATER interval starts after the contained one's end — the
+    # running max(e), not lag(e), is what the next start compares against
+    df = spark.createDataFrame(
+        [("u", 0, 100), ("u", 10, 20), ("u", 30, 40), ("u", 150, 160)],
+        "u string, s int, e int")
+    rows = (merge_intervals(df, ["u"], "s", "e")
+            .orderBy("island").collect())
+    assert [(r["island_start"], r["island_end"], r["n_merged"])
+            for r in rows] == [(0, 100, 3), (150, 160, 1)]
+
+
+def test_grouped_mode_tiebreak_and_nulls(spark):
+    from feldman_spark.ops.windows import grouped_mode
+
+    df = spark.createDataFrame(
+        [("u1", "b"), ("u1", "b"), ("u1", "a"), ("u1", "a"),  # tie -> 'a'
+         ("u2", "z"), ("u2", "z"), ("u2", "y"),
+         ("u3", None)],  # null-only group disappears
+        "u string, v string")
+    got = {r["u"]: (r["mode"], r["mode_count"])
+           for r in grouped_mode(df, ["u"], "v").collect()}
+    assert got == {"u1": ("a", 2), "u2": ("z", 2)}

@@ -2631,3 +2631,109 @@ def test_corpus_near_overlap_matches_reworded_copies(spark):
     row2 = corpus_near_overlap(
         a.filter(F.col("doc_id") == 2), b, k=3).collect()[0]
     assert row2["n_a_matched"] == 0 and row2["frac_a_matched"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# round-10b: containment_pairs / readability / top_ngrams
+# ---------------------------------------------------------------------------
+
+def test_containment_pairs_asymmetric(spark):
+    from feldman_spark.pipeline.dedup import containment_pairs
+    from pyspark.sql import functions as F
+
+    corpus = spark.createDataFrame(
+        [(0, "q w e r t y u i o p a s d f g h j k l"),
+         (1, "one two three four five six seven eight nine ten"),
+         (2, "zz xx cc vv bb nn mm")],
+        "doc_id bigint, text string")
+    # probe 10 = a verbatim 7-word quote from doc 0 -> containment 1.0;
+    # probe 11 = 5 words of doc 1 + 5 novel -> grams(A)=6, shared=1
+    probe = spark.createDataFrame(
+        [(10, "q w e r t y u"),
+         (11, "one two three four five aa bb cc dd ee")],
+        "doc_id bigint, text string")
+    got = {(r["probe_doc"], r["corpus_doc"]): r["containment"]
+           for r in containment_pairs(probe, corpus, k=5,
+                                      threshold=0.1).collect()}
+    assert got[(10, 0)] == 1.0
+    assert got[(11, 1)] == round(1 / 6, 4)
+    # asymmetry: the quote covers ~1/3 of doc 0's grams, so the reverse
+    # direction would be far below 1.0 — and symmetric Jaccard is 3/15
+    assert (10, 2) not in got
+
+
+def test_containment_pairs_max_df_is_lower_bound(spark):
+    from feldman_spark.pipeline.dedup import containment_pairs
+
+    # 'a b c d e' appears in EVERY corpus doc (boilerplate); with
+    # max_df=2 that stop-gram stops contributing evidence, so the
+    # probe's containment drops from 1.0 to 0 pairs — never inflates
+    corpus = spark.createDataFrame(
+        [(i, "a b c d e tail%d x y z w" % i) for i in range(4)],
+        "doc_id bigint, text string")
+    probe = spark.createDataFrame([(9, "a b c d e")],
+                                  "doc_id bigint, text string")
+    full = containment_pairs(probe, corpus, k=5, threshold=0.5).count()
+    capped = containment_pairs(probe, corpus, k=5, threshold=0.5,
+                               max_df=2).count()
+    assert full == 4 and capped == 0
+
+
+def test_containment_short_probe_emits_nothing(spark):
+    from feldman_spark.pipeline.dedup import containment_pairs
+
+    corpus = spark.createDataFrame([(0, "a b c d e f g")],
+                                   "doc_id bigint, text string")
+    probe = spark.createDataFrame([(1, "a b c")],  # < k words
+                                  "doc_id bigint, text string")
+    assert containment_pairs(probe, corpus, k=5, threshold=0.0).count() == 0
+
+
+def test_readability_known_values(spark):
+    from feldman_spark.pipeline.text import readability
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(0, "The cat sat. The dog ran!"),
+         (1, ""),
+         (2, "xyzzy crwth")],  # no vowels -> 0 syllables
+        "doc_id bigint, text string")
+    r = readability(F.col("text"))
+    rows = {row["doc_id"]: row for row in df.select(
+        "doc_id", *[v.alias(k) for k, v in r.items()]).collect()}
+    assert (rows[0]["n_words"], rows[0]["n_sentences"],
+            rows[0]["n_syllables"]) == (6, 2, 6)
+    # 206.835 - 1.015*(6/2) - 84.6*(6/6) = 119.19
+    assert rows[0]["flesch"] == round(206.835 - 1.015 * 3 - 84.6, 4)
+    assert rows[1]["n_words"] == 0 and rows[1]["flesch"] is None
+    assert rows[2]["n_syllables"] == 2  # x-y-zz-y: two 'y' runs; crwth has none
+    assert rows[2]["n_sentences"] == 1  # no terminator counts as one
+
+
+def test_top_ngrams_ordering_and_doc_freq(spark):
+    from feldman_spark.pipeline.text import top_ngrams
+
+    df = spark.createDataFrame(
+        [(0, "a b a b"), (1, "a b c"), (2, "b c")],
+        "doc_id bigint, text string")
+    rows = top_ngrams(df, "text", n=2, k=10).collect()
+    got = [(r["ngram"], r["n_docs"], r["total_count"]) for r in rows]
+    assert got[0] == ("a b", 2, 3)
+    assert ("b c", 2, 2) in got and ("b a", 1, 1) in got
+    assert got == sorted(got, key=lambda t: (-t[2], t[0]))
+    # per_doc_distinct ranks by document frequency
+    dd = {r["ngram"]: r["total_count"]
+          for r in top_ngrams(df, "text", n=2, k=10,
+                              per_doc_distinct=True).collect()}
+    assert dd["a b"] == 2
+
+
+def test_top_ngrams_validates_args(spark):
+    import pytest
+    from feldman_spark.pipeline.text import top_ngrams
+
+    df = spark.createDataFrame([(0, "a b")], "doc_id bigint, text string")
+    with pytest.raises(ValueError):
+        top_ngrams(df, "text", n=0)
+    with pytest.raises(ValueError):
+        top_ngrams(df, "text", k=0)
