@@ -4654,6 +4654,46 @@ def text_top_ngrams(spark, sf_dir):
     return top_ngrams(d, "text", n=2, k=25)
 
 
+def knn_join_q(spark, sf_dir):
+    """Batch k-NN join — exact top-5 cosine neighbors from the corpus
+    slice (vec_id >= 20) for EVERY probe vector (vec_id < 20): the
+    all-pairs retrieval shape (hard-negative mining, embedding
+    decontamination against a probe set). One Arrow matmul pass over
+    the corpus selects bounded per-partition candidates per query;
+    final scores recompute JVM-side with the same sequential fold as
+    knn_brute_force so the twin is bit-exact
+    (feldman_spark/pipeline/similarity.py::knn_join)."""
+    from feldman_spark.pipeline.similarity import knn_join
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = (emb.filter(F.col("vec_id") < 20)
+          .withColumnRenamed("vec_id", "query_id"))
+    corpus = emb.filter(F.col("vec_id") >= 20)
+    return knn_join(qs, corpus, k=5)
+
+
+def j15_radius_join(spark, sf_dir):
+    """J15: exact planar radius join via grid binning — all
+    (supplier, customer) pairs within distance 5 on a deterministic
+    synthetic 100x100 layout (integer-lattice coords so the twin is
+    bit-exact). Right side bins once; left probes its 3x3 neighbor
+    cells; the candidate join is a plain hash equi-join on the cell id
+    with the distance residual on candidates only — never a cross join
+    (feldman_spark/ops/joins.py::grid_radius_join)."""
+    from feldman_spark.ops.joins import grid_radius_join
+
+    s = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        ((F.col("s_suppkey") * 9973) % 100000 / 1000.0).alias("sx"),
+        ((F.col("s_suppkey") * 6151) % 100000 / 1000.0).alias("sy"))
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") * 9973) % 100000 / 1000.0).alias("cx"),
+        ((F.col("c_custkey") * 6151) % 100000 / 1000.0).alias("cy"))
+    return grid_radius_join(s, c, radius=5.0,
+                            left_xy=("sx", "sy"), right_xy=("cx", "cy"))
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -4723,19 +4763,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_fuzzy_dedup": pipeline_fuzzy_dedup,
         "pivot_returnflag": pivot_returnflag,
         "profile_calibration": profile_calibration,
-        "profile_documents": profile_documents,
-        "q11_important_stock": q11_important_stock,
     # --- r10 window: new r10 registrations (never-covered keys outrank
-    # re-verification; q13/q15-q18 + q19_disjunctive defer to the r11
-    # head — the five r10b keys below took their slots) ---
+    # re-verification; profile_documents/q11/q13/q15-q18 +
+    # q19_disjunctive defer to the r11 head — the seven r10b keys below
+    # took their slots) ---
         "media_incremental_dedup": media_incremental_dedup,
         "dedup_containment": dedup_containment,
         "w10_interval_merge": w10_interval_merge,
         "a13_grouped_mode": a13_grouped_mode,
         "text_readability": text_readability,
         "text_top_ngrams": text_top_ngrams,
+        "knn_join": knn_join_q,
+        "j15_radius_join": j15_radius_join,
     # ^ the 50-key driver window ends here --- tail below is mirror-checked every round ---
     # deferred r7-green keys (r11 window head):
+        "profile_documents": profile_documents,
+        "q11_important_stock": q11_important_stock,
         "q13_customer_distribution": q13_customer_distribution,
         "q15_top_supplier": q15_top_supplier,
         "q16_supplier_cnt": q16_supplier_cnt,
@@ -7343,5 +7386,53 @@ def oracle_sql() -> dict[str, str]:
             FROM stream GROUP BY 1
             ORDER BY total_count DESC, ngram ASC
             LIMIT 25
+        """,
+        "knn_join": """
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe,
+                     sqrt(list_dot_product(embedding::DOUBLE[],
+                                           embedding::DOUBLE[])) AS qn
+              FROM embeddings WHERE vec_id < 20
+            ),
+            c AS (
+              SELECT vec_id, embedding::DOUBLE[] AS ce,
+                     sqrt(list_dot_product(embedding::DOUBLE[],
+                                           embedding::DOUBLE[])) AS cn
+              FROM embeddings WHERE vec_id >= 20
+            ),
+            scored AS (
+              SELECT q.query_id, c.vec_id,
+                     round(list_dot_product(c.ce, q.qe)
+                           / (c.cn * q.qn), 6) AS cosine
+              FROM q, c
+            ),
+            ranked AS (
+              SELECT query_id, vec_id, cosine,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, vec_id ASC)
+                       AS rank
+              FROM scored
+            )
+            SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank
+            FROM ranked WHERE rank <= 5
+        """,
+        "j15_radius_join": """
+            WITH s AS (
+              SELECT s_suppkey,
+                     ((s_suppkey * 9973) % 100000) / 1000.0 AS sx,
+                     ((s_suppkey * 6151) % 100000) / 1000.0 AS sy
+              FROM supplier
+            ),
+            c AS (
+              SELECT c_custkey,
+                     ((c_custkey * 9973) % 100000) / 1000.0 AS cx,
+                     ((c_custkey * 6151) % 100000) / 1000.0 AS cy
+              FROM customer
+            )
+            SELECT s_suppkey, sx, sy, c_custkey, cx, cy,
+                   round(sqrt((sx - cx) * (sx - cx)
+                              + (sy - cy) * (sy - cy)), 4) AS dist
+            FROM s, c
+            WHERE (sx - cx) * (sx - cx) + (sy - cy) * (sy - cy) <= 25.0
         """,
     }

@@ -104,6 +104,10 @@ HEADLINE = [
     "a13_grouped_mode",
     "text_readability",
     "text_top_ngrams",
+    # round-10b additions (second batch): batch k-NN join (Arrow matmul
+    # candidate pass + JVM-fold re-score), grid-binned exact radius join
+    "knn_join",
+    "j15_radius_join",
 ]
 
 # slack for the regression gate: sub-second queries jitter by whole

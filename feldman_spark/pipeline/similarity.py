@@ -44,6 +44,7 @@ __all__ = [
     "quantize_embeddings",
     "dequantize_embeddings",
     "group_centroids",
+    "knn_join",
 ]
 
 
@@ -753,4 +754,118 @@ def group_centroids(
                 lambda s: F.round(s["_m"], digits),
             ).alias("centroid"),
         )
+    )
+
+
+def knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    digits: int = 6,
+    local_margin: int = 8,
+) -> DataFrame:
+    """Batch k-NN join: EXACT top-``k`` cosine neighbors from ``corpus``
+    for EVERY row of ``queries`` — the all-pairs retrieval shape behind
+    hard-negative mining, embedding-based decontamination against a
+    probe set, and retrieval-training pair generation (one
+    :func:`cosine_topk` per query would replan/rescan the corpus per
+    query). Returns ``(query_id, vec_id, cosine, rank)``, ties broken
+    by corpus id.
+
+    Scale shape (billions of corpus vectors × thousands of queries):
+    the QUERY matrix ships to executors inside the Arrow UDF closure
+    (queries are the small side by regime; a partition never sees
+    another partition's corpus rows), and ONE ``mapInPandas`` pass
+    computes per-batch scores as a (batch × q) matmul, keeping a
+    bounded per-partition accumulator of the best ``k + local_margin``
+    candidate ids per query — any true global top-k row is necessarily
+    in its partition's local top-k, so the emitted candidates are
+    ``(k + margin) × partitions`` rows per query, never the corpus.
+    Final scores for the surviving candidates are RECOMPUTED JVM-side
+    with the same sequential fold as :func:`cosine_topk` (bit-identical
+    to the SQL twin — the numpy matmul orders additions differently in
+    the last ulp, so it is used only to SELECT candidates, where
+    ``local_margin`` absorbs any boundary flip), then ranked with one
+    window over candidate rows (WindowGroupLimit prunes map-side).
+    """
+    if k < 1:
+        raise ValueError(f"knn_join: k must be >= 1, got {k}")
+    qpdf = queries.select(F.col(query_id_col).alias("_qid"),
+                          _as_double(F.col(vec_col)).alias("_qv")).toPandas()
+    if qpdf.empty:
+        raise ValueError("knn_join: queries frame is empty")
+    import numpy as np
+
+    qids = qpdf["_qid"].to_numpy()
+    qmat = np.stack(qpdf["_qv"].to_numpy()).astype(np.float64)   # (q, d)
+    qn = np.linalg.norm(qmat, axis=1)
+    qn[qn == 0.0] = 1.0
+    qunit = (qmat.T / qn)                                        # (d, q)
+    kk = k + max(0, local_margin)
+
+    src = corpus.select(F.col(id_col).alias("_cid"),
+                        _as_double(F.col(vec_col)).alias("_cv"))
+
+    def local_topk(batches):
+        import numpy as np
+        import pandas as pd
+
+        best_s = None   # (q, kk) scores, descending
+        best_i = None   # (q, kk) corpus ids
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            emat = np.stack(pdf["_cv"].to_numpy()).astype(np.float64)
+            en = np.linalg.norm(emat, axis=1)
+            en[en == 0.0] = 1.0
+            scores = (emat / en[:, None]) @ qunit                # (b, q)
+            ids = pdf["_cid"].to_numpy()
+            take = min(kk, scores.shape[0])
+            part = np.argpartition(-scores, take - 1, axis=0)[:take]  # (take, q)
+            bs = np.take_along_axis(scores, part, axis=0).T      # (q, take)
+            bi = ids[part].T                                     # (q, take)
+            if best_s is None:
+                best_s, best_i = bs, bi
+            else:
+                best_s = np.concatenate((best_s, bs), axis=1)
+                best_i = np.concatenate((best_i, bi), axis=1)
+            if best_s.shape[1] > kk:
+                sel = np.argpartition(-best_s, kk - 1, axis=1)[:, :kk]
+                best_s = np.take_along_axis(best_s, sel, axis=1)
+                best_i = np.take_along_axis(best_i, sel, axis=1)
+        if best_s is not None:
+            n = best_s.shape[1]
+            yield pd.DataFrame({
+                "_qid": np.repeat(qids, n),
+                "_cid": best_i.reshape(-1),
+            })
+
+    qid_field = queries.select(F.col(query_id_col).alias("_qid")).schema[0]
+    cid_field = src.schema[0]
+    from pyspark.sql.types import StructType
+    # no distinct needed: a corpus id lives in exactly one partition and
+    # the accumulator keeps each id at most once per query, so candidate
+    # rows are unique by construction (corpus ids must be unique — the
+    # same contract as every other knn_* operator here)
+    cand = src.mapInPandas(
+        local_topk, schema=StructType([qid_field, cid_field]))
+
+    qdf = queries.select(F.col(query_id_col).alias("_qid"),
+                         _as_double(F.col(vec_col)).alias("_qv"))
+    cos = F.round(
+        _dot(F.col("_cv"), F.col("_qv"))
+        / (_safe_norm(F.col("_cv")) * _safe_norm(F.col("_qv"))), digits)
+    return (
+        cand.join(src, "_cid")
+        .join(F.broadcast(qdf), "_qid")
+        .select(F.col("_qid").alias(query_id_col),
+                F.col("_cid").alias(id_col),
+                cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(
+            Window.partitionBy(query_id_col).orderBy(
+                F.col("cosine").desc(), F.col(id_col).asc())))
+        .filter(F.col("rank") <= k)
     )

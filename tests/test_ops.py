@@ -1023,3 +1023,43 @@ def test_grouped_mode_tiebreak_and_nulls(spark):
     got = {r["u"]: (r["mode"], r["mode_count"])
            for r in grouped_mode(df, ["u"], "v").collect()}
     assert got == {"u1": ("a", 2), "u2": ("z", 2)}
+
+
+def test_grid_radius_join_exact_vs_cross(spark):
+    from feldman_spark.ops.joins import grid_radius_join
+    from pyspark.sql import functions as F
+
+    import random
+    rnd = random.Random(7)
+    left = spark.createDataFrame(
+        [(i, rnd.uniform(-10, 10), rnd.uniform(-10, 10)) for i in range(60)],
+        "lid bigint, lx double, ly double")
+    right = spark.createDataFrame(
+        [(j, rnd.uniform(-10, 10), rnd.uniform(-10, 10)) for j in range(80)],
+        "rid bigint, rx double, ry double")
+    got = {(r["lid"], r["rid"]) for r in grid_radius_join(
+        left, right, radius=2.5, left_xy=("lx", "ly"),
+        right_xy=("rx", "ry")).collect()}
+    # brute-force twin: cross join + exact filter
+    want = {(r["lid"], r["rid"]) for r in left.crossJoin(right).filter(
+        (F.col("lx") - F.col("rx")) ** 2 + (F.col("ly") - F.col("ry")) ** 2
+        <= 2.5 ** 2).collect()}
+    assert got == want and len(want) > 0
+
+
+def test_grid_radius_join_validates(spark):
+    import pytest
+    from feldman_spark.ops.joins import grid_radius_join
+
+    df = spark.createDataFrame([(1, 0.0, 0.0)], "i bigint, x double, y double")
+    other = spark.createDataFrame([(2, 0.0, 0.0)],
+                                  "j bigint, u double, v double")
+    with pytest.raises(ValueError):
+        grid_radius_join(df, other, radius=0.0, left_xy=("x", "y"),
+                         right_xy=("u", "v"))
+    with pytest.raises(ValueError):
+        grid_radius_join(df, other, radius=1.0, cell=0.5,
+                         left_xy=("x", "y"), right_xy=("u", "v"))
+    with pytest.raises(ValueError):  # overlapping coord names
+        grid_radius_join(df, df, radius=1.0, left_xy=("x", "y"),
+                         right_xy=("x", "y"))

@@ -2737,3 +2737,36 @@ def test_top_ngrams_validates_args(spark):
         top_ngrams(df, "text", n=0)
     with pytest.raises(ValueError):
         top_ngrams(df, "text", k=0)
+
+
+def test_knn_join_matches_brute_force(spark):
+    from feldman_spark.pipeline.similarity import knn_join, cosine_topk
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = (emb.filter("vec_id < 4")
+          .withColumnRenamed("vec_id", "query_id"))
+    corpus = emb.filter("vec_id >= 4").repartition(5)  # multi-partition path
+    got = knn_join(qs, corpus, k=3).collect()
+    assert len(got) == 4 * 3
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["rank"], r["vec_id"], r["cosine"]))
+    for qid, rows in by_q.items():
+        qv = qs.filter(F.col("query_id") == qid).first()["embedding"]
+        bf = [(r["rank"], r["vec_id"], r["cosine"])
+              for r in cosine_topk(corpus, qv, k=3).collect()]
+        assert sorted(rows) == sorted(bf), f"query {qid} disagrees"
+
+
+def test_knn_join_validates(spark):
+    import pytest
+    from feldman_spark.pipeline.similarity import knn_join
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = emb.withColumnRenamed("vec_id", "query_id")
+    with pytest.raises(ValueError):
+        knn_join(qs, emb, k=0)
+    with pytest.raises(ValueError):
+        knn_join(qs.filter("query_id < 0"), emb, k=3)

@@ -98,6 +98,44 @@ COMMENTARY = {
         "partial-aggregated before its exchange (text never crosses), "
         "the A<->B candidate join keyed on (band, bh), and the Jaccard "
         "verification joins keyed on gram or candidate ids only."),
+    "dedup_containment": (
+        "Asymmetric shingle containment: wanted both gram streams as "
+        "codegen Generate stages distincted behind partial aggregates, "
+        "the inverted-index join a HASH join on the gram (broadcast "
+        "here, shuffled-hash at scale — never nested-loop), and the "
+        "per-pair co-count partial-aggregated before its exchange."),
+    "w10_interval_merge": (
+        "Gaps-and-islands interval merge: wanted exactly ONE Exchange "
+        "(the group key) feeding one Sort shared by both Window ops "
+        "(running max(end) + island counter), then a partial-aggregating "
+        "hash aggregate on (group, island) — no second shuffle, no "
+        "re-sort between the windows."),
+    "a13_grouped_mode": (
+        "Exact grouped mode: wanted ONE fact-table scan into a "
+        "map-side-combined (group, value) hash aggregate, then the "
+        "argmax as row_number over pair counts WITH WindowGroupLimit "
+        "pushdown (per-partition top-1 before the pair shuffle) — the "
+        "join-back formulation re-scans the fact table and must not "
+        "appear."),
+    "text_top_ngrams": (
+        "Exact corpus top-ngrams: wanted the gram stream as one codegen "
+        "Generate, the doc-frequency distinct two-phase behind partial "
+        "aggregates, and the final ranking a TakeOrderedAndProject "
+        "(per-partition heaps), never a global Sort."),
+    "knn_join": (
+        "Batch k-NN join: wanted ONE ArrowEvalPython/mapInPandas over "
+        "the corpus (the candidate pass — queries live in the UDF "
+        "closure, no join to reach them), candidate re-score joins "
+        "keyed on id with the query side broadcast, and the final "
+        "rank a window over candidate rows — the corpus text/vectors "
+        "must appear in the scan and the slim candidate re-score join "
+        "only, never in a cross join."),
+    "j15_radius_join": (
+        "Grid-binned radius join: wanted the 3x3 neighbor explode as "
+        "a codegen Generate on the left, a plain HASH equi-join on "
+        "(cell_x, cell_y) — no CartesianProduct/BroadcastNestedLoop "
+        "anywhere — and the distance residual as a post-join Filter "
+        "on candidates."),
 }
 
 
@@ -167,6 +205,12 @@ def main() -> None:
                                        precomputed=True)
 
     plans["dedup_near_overlap"] = qs["dedup_near_overlap"](spark, sf)
+    plans["dedup_containment"] = qs["dedup_containment"](spark, sf)
+    plans["w10_interval_merge"] = qs["w10_interval_merge"](spark, sf)
+    plans["a13_grouped_mode"] = qs["a13_grouped_mode"](spark, sf)
+    plans["text_top_ngrams"] = qs["text_top_ngrams"](spark, sf)
+    plans["knn_join"] = qs["knn_join"](spark, sf)
+    plans["j15_radius_join"] = qs["j15_radius_join"](spark, sf)
 
     from feldman_spark.ops.filters import conjunctive_filter, range_filter
     li = spark.read.parquet(f"{sf}/lineitem.parquet")
