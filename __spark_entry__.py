@@ -4694,6 +4694,21 @@ def j15_radius_join(spark, sf_dir):
                             left_xy=("sx", "sy"), right_xy=("cx", "cy"))
 
 
+def profile_bootstrap_ci(spark, sf_dir):
+    """Poisson-bootstrap 95% CI for the mean event value (Chamandy et
+    al. 2012 / Owen's Poisson bootstrap — the error bar on a
+    corpus-scale metric): 32 replicates, weights drawn deterministically
+    from md5(event_id:b:seed) via precomputed inverse-CDF hex
+    thresholds, so the twin replays the exact draw. The b-fold explode
+    collapses in-stage to (Σwx, Σw) partials — the only exchange is
+    b × partitions slim rows (feldman_spark/pipeline/profile.py::
+    bootstrap_ci)."""
+    from feldman_spark.pipeline.profile import bootstrap_ci
+
+    e = _t(spark, sf_dir, "events")
+    return bootstrap_ci(e, "value", "event_id", b=32)
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -4762,11 +4777,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_curate_corpus": pipeline_curate_corpus,
         "pipeline_fuzzy_dedup": pipeline_fuzzy_dedup,
         "pivot_returnflag": pivot_returnflag,
-        "profile_calibration": profile_calibration,
     # --- r10 window: new r10 registrations (never-covered keys outrank
-    # re-verification; profile_documents/q11/q13/q15-q18 +
-    # q19_disjunctive defer to the r11 head — the seven r10b keys below
-    # took their slots) ---
+    # re-verification; profile_calibration/profile_documents/q11/q13/
+    # q15-q18 + q19_disjunctive defer to the r11 head — the eight r10b
+    # keys below took their slots) ---
         "media_incremental_dedup": media_incremental_dedup,
         "dedup_containment": dedup_containment,
         "w10_interval_merge": w10_interval_merge,
@@ -4775,8 +4789,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_top_ngrams": text_top_ngrams,
         "knn_join": knn_join_q,
         "j15_radius_join": j15_radius_join,
+        "profile_bootstrap_ci": profile_bootstrap_ci,
     # ^ the 50-key driver window ends here --- tail below is mirror-checked every round ---
     # deferred r7-green keys (r11 window head):
+        "profile_calibration": profile_calibration,
         "profile_documents": profile_documents,
         "q11_important_stock": q11_important_stock,
         "q13_customer_distribution": q13_customer_distribution,
@@ -7434,5 +7450,41 @@ def oracle_sql() -> dict[str, str]:
                               + (sy - cy) * (sy - cy)), 4) AS dist
             FROM s, c
             WHERE (sx - cx) * (sx - cx) + (sy - cy) * (sy - cy) <= 25.0
+        """,
+        "profile_bootstrap_ci": """
+            WITH rep AS (
+              SELECT e.value, b.b,
+                     substr(md5(CAST(event_id AS VARCHAR) || ':'
+                                || CAST(b.b AS VARCHAR) || ':boot'),
+                            1, 8) AS u
+              FROM events e, (SELECT unnest(range(32)) AS b) b
+              WHERE e.value IS NOT NULL
+            ),
+            w AS (
+              SELECT b, value,
+                     CASE WHEN u < '5e2d58d8' THEN 0
+                          WHEN u < 'bc5ab1b1' THEN 1
+                          WHEN u < 'eb715e1d' THEN 2
+                          WHEN u < 'fb239797' THEN 3
+                          WHEN u < 'ff1025f5' THEN 4
+                          WHEN u < 'ffd90f3b' THEN 5
+                          WHEN u < 'fffa8b71' THEN 6
+                          WHEN u < 'ffff540c' THEN 7
+                          ELSE 8 END AS w
+              FROM rep
+            ),
+            means AS (
+              SELECT round(sum(w * value)
+                           / CASE WHEN sum(w) > 0 THEN sum(w) END, 6) AS m
+              FROM w GROUP BY b
+            )
+            SELECT
+              (SELECT count(*) FROM events WHERE value IS NOT NULL)
+                AS n_rows,
+              (SELECT round(avg(value), 4) FROM events
+               WHERE value IS NOT NULL) AS mean,
+              round(quantile_cont(m, 0.025), 4) AS boot_lo,
+              round(quantile_cont(m, 0.975), 4) AS boot_hi
+            FROM means
         """,
     }

@@ -105,9 +105,12 @@ HEADLINE = [
     "text_readability",
     "text_top_ngrams",
     # round-10b additions (second batch): batch k-NN join (Arrow matmul
-    # candidate pass + JVM-fold re-score), grid-binned exact radius join
+    # candidate pass + JVM-fold re-score), grid-binned exact radius
+    # join, Poisson-bootstrap CI (the b-fold explode that collapses
+    # in-stage)
     "knn_join",
     "j15_radius_join",
+    "profile_bootstrap_ci",
 ]
 
 # slack for the regression gate: sub-second queries jitter by whole

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["profile_table", "profile_histogram", "profile_skew", "calibration_bins",
-           "join_cardinality", "psi_drift"]
+           "join_cardinality", "psi_drift", "bootstrap_ci", "POISSON_CDF_HEX"]
 
 
 def profile_table(
@@ -313,5 +313,97 @@ def calibration_bins(
                 F.col("n") / F.col("_tot")
                 * F.abs(F.col("_acc") - F.col("_conf")), digits)
             .alias("ece_contrib"),
+        )
+    )
+
+
+# Poisson(1) inverse-CDF thresholds at 32-bit hex resolution: replicate
+# weight k is assigned when the first 8 md5 hex chars (uniform over
+# [0, 2^32)) sort below POISSON_CDF_HEX[k] — computed once as
+# hex(floor(cdf_k * 2^32)) and shared LITERALLY with the SQL twin, so
+# weights are engine-portable by string comparison (the sample_fraction
+# md5-threshold precedent). P(weight > 8) < 1.2e-6 truncates to 8.
+POISSON_CDF_HEX = [
+    "5e2d58d8", "bc5ab1b1", "eb715e1d", "fb239797",
+    "ff1025f5", "ffd90f3b", "fffa8b71", "ffff540c",
+]
+
+
+def bootstrap_ci(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    b: int = 32,
+    seed: str = "boot",
+    quantiles: Sequence[float] = (0.025, 0.975),
+    digits: int = 4,
+) -> DataFrame:
+    """Distributed bootstrap confidence interval for the MEAN of
+    ``value_col`` (beyond reference — the error bar on any corpus-scale
+    metric: mean quality score, mean basket value; a point estimate
+    over billions of rows without a CI hides pipeline drift). One
+    summary row ``(n_rows, mean, boot_lo, boot_hi)`` at the given
+    ``quantiles`` of ``b`` bootstrap-replicate means.
+
+    The classic bootstrap resamples n rows WITH replacement — a
+    nonstarter distributed. The standard large-n equivalence replaces
+    each replicate's multinomial row counts with independent
+    Poisson(1) weights (Chamandy et al., "Estimating uncertainty for
+    massive data streams", Google 2012; Owen's Poisson bootstrap):
+    replicate b's weight for a row is a DETERMINISTIC Poisson draw
+    from ``md5(id:b:seed)`` via the precomputed inverse-CDF hex
+    thresholds above — reproducible across engines, runs, and
+    partitionings, so the SQL twin replays it literally. ``id_col``
+    must uniquely identify a row for the row-level bootstrap; passing
+    a GROUP key instead deliberately gives the cluster bootstrap
+    (whole groups resample together — correct when rows within a
+    group are dependent).
+
+    Plan shape: ``explode(sequence(0, b-1))`` multiplies ROWS b-fold
+    but map-locally — the per-replicate (Σwx, Σw) partials collapse in
+    the same stage's hash aggregate, so the ONLY exchange carries
+    ``b × partitions`` slim partial rows, never the fact table.
+    Replicate means round to 6 digits before the exact ``percentile``
+    so the interpolation input is bit-identical cross-engine.
+    """
+    if b < 2:
+        raise ValueError(f"bootstrap_ci: b must be >= 2, got {b}")
+    if len(quantiles) != 2 or not (0.0 < quantiles[0] < quantiles[1] < 1.0):
+        raise ValueError(
+            f"bootstrap_ci: quantiles must be (lo, hi) in (0,1), got "
+            f"{list(quantiles)}")
+    v = F.col(value_col)
+    src = df.filter(v.isNotNull()).select(
+        F.col(id_col).alias("_id"), v.cast("double").alias("_x"))
+    rep = src.select(
+        "_id", "_x",
+        F.explode(F.sequence(F.lit(0), F.lit(b - 1))).alias("_b"))
+    u = F.substring(
+        F.md5(F.concat_ws(":", F.col("_id").cast("string"),
+                          F.col("_b").cast("string"), F.lit(seed))), 1, 8)
+    w = F.lit(len(POISSON_CDF_HEX))
+    for k in range(len(POISSON_CDF_HEX) - 1, -1, -1):
+        w = F.when(u < F.lit(POISSON_CDF_HEX[k]), F.lit(k)).otherwise(w)
+    per_rep = (
+        rep.select("_b", (w.cast("double") * F.col("_x")).alias("_wx"),
+                   w.cast("double").alias("_w"))
+        .groupBy("_b")
+        .agg(F.sum("_wx").alias("_swx"), F.sum("_w").alias("_sw"))
+        .select(F.round(
+            F.col("_swx") / F.when(F.col("_sw") > 0, F.col("_sw")),
+            6).alias("_m"))
+    )
+    lo, hi = float(quantiles[0]), float(quantiles[1])
+    stats = src.agg(F.count("*").alias("n_rows"),
+                    F.avg("_x").alias("_mean"))
+    ci = per_rep.agg(
+        F.expr(f"percentile(_m, array({lo!r}, {hi!r}))").alias("_q"))
+    return (
+        stats.crossJoin(F.broadcast(ci))
+        .select(
+            "n_rows",
+            F.round("_mean", digits).alias("mean"),
+            F.round(F.element_at("_q", 1), digits).alias("boot_lo"),
+            F.round(F.element_at("_q", 2), digits).alias("boot_hi"),
         )
     )

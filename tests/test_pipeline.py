@@ -2770,3 +2770,31 @@ def test_knn_join_validates(spark):
         knn_join(qs, emb, k=0)
     with pytest.raises(ValueError):
         knn_join(qs.filter("query_id < 0"), emb, k=3)
+
+
+def test_bootstrap_ci_brackets_mean_and_is_deterministic(spark):
+    from feldman_spark.pipeline.profile import bootstrap_ci
+
+    df = spark.range(0, 4000).selectExpr(
+        "id", "CAST(5.0 + (id % 100) / 10.0 AS DOUBLE) AS x")
+    r1 = bootstrap_ci(df, "x", "id", b=16).first()
+    r2 = bootstrap_ci(df, "x", "id", b=16).first()
+    assert r1 == r2  # deterministic across runs/partitionings
+    assert r1["n_rows"] == 4000
+    assert r1["boot_lo"] <= r1["mean"] <= r1["boot_hi"]
+    # width sanity: se = std/sqrt(n) ~ 2.887/63.2 ~ 0.0457 -> 95% CI
+    # half-width ~ 0.09; the 16-replicate quantile estimate is coarse,
+    # so just require the right order of magnitude
+    half = (r1["boot_hi"] - r1["boot_lo"]) / 2
+    assert 0.02 < half < 0.25
+
+
+def test_bootstrap_ci_validates(spark):
+    import pytest
+    from feldman_spark.pipeline.profile import bootstrap_ci
+
+    df = spark.range(0, 10).selectExpr("id", "CAST(id AS DOUBLE) AS x")
+    with pytest.raises(ValueError):
+        bootstrap_ci(df, "x", "id", b=1)
+    with pytest.raises(ValueError):
+        bootstrap_ci(df, "x", "id", quantiles=(0.9, 0.1))
