@@ -7455,8 +7455,8 @@ def oracle_sql() -> dict[str, str]:
             WITH rep AS (
               SELECT e.value, b.b,
                      substr(md5(CAST(event_id AS VARCHAR) || ':'
-                                || CAST(b.b AS VARCHAR) || ':boot'),
-                            1, 8) AS u
+                                || CAST(b.b // 4 AS VARCHAR) || ':boot'),
+                            CAST((b.b % 4) * 8 + 1 AS INT), 8) AS u
               FROM events e, (SELECT unnest(range(32)) AS b) b
               WHERE e.value IS NOT NULL
             ),
