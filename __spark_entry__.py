@@ -4674,23 +4674,33 @@ def knn_join_q(spark, sf_dir):
 
 def j15_radius_join(spark, sf_dir):
     """J15: exact planar radius join via grid binning — all
-    (supplier, customer) pairs within distance 5 on a deterministic
+    (supplier, customer) pairs within radius on a deterministic
     synthetic 100x100 layout (integer-lattice coords so the twin is
     bit-exact). Right side bins once; left probes its 3x3 neighbor
     cells; the candidate join is a plain hash equi-join on the cell id
     with the distance residual on candidates only — never a cross join
-    (feldman_spark/ops/joins.py::grid_radius_join)."""
+    (feldman_spark/ops/joins.py::grid_radius_join).
+
+    The radius scales as 5·sqrt(1500/|customer|) — constant point
+    density per disc, so expected pairs per supplier stay constant in
+    SF and the rung measures the OPERATOR, not an output-quadratic
+    workload (the j11_range_join_bounded precedent; at the sf0.01
+    oracle scale the factor is exactly 1.0 → radius 5, 1126 pairs)."""
+    import math
+
     from feldman_spark.ops.joins import grid_radius_join
 
+    c_tbl = _t(spark, sf_dir, "customer")
+    radius = 5.0 * math.sqrt(1500.0 / c_tbl.count())
     s = _t(spark, sf_dir, "supplier").select(
         "s_suppkey",
         ((F.col("s_suppkey") * 9973) % 100000 / 1000.0).alias("sx"),
         ((F.col("s_suppkey") * 6151) % 100000 / 1000.0).alias("sy"))
-    c = _t(spark, sf_dir, "customer").select(
+    c = c_tbl.select(
         "c_custkey",
         ((F.col("c_custkey") * 9973) % 100000 / 1000.0).alias("cx"),
         ((F.col("c_custkey") * 6151) % 100000 / 1000.0).alias("cy"))
-    return grid_radius_join(s, c, radius=5.0,
+    return grid_radius_join(s, c, radius=radius,
                             left_xy=("sx", "sy"), right_xy=("cx", "cy"))
 
 
@@ -7433,7 +7443,10 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rank <= 5
         """,
         "j15_radius_join": """
-            WITH s AS (
+            WITH r AS (
+              SELECT 5.0 * sqrt(1500.0 / count(*)) AS rad FROM customer
+            ),
+            s AS (
               SELECT s_suppkey,
                      ((s_suppkey * 9973) % 100000) / 1000.0 AS sx,
                      ((s_suppkey * 6151) % 100000) / 1000.0 AS sy
@@ -7448,8 +7461,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT s_suppkey, sx, sy, c_custkey, cx, cy,
                    round(sqrt((sx - cx) * (sx - cx)
                               + (sy - cy) * (sy - cy)), 4) AS dist
-            FROM s, c
-            WHERE (sx - cx) * (sx - cx) + (sy - cy) * (sy - cy) <= 25.0
+            FROM s, c, r
+            WHERE (sx - cx) * (sx - cx) + (sy - cy) * (sy - cy)
+                  <= r.rad * r.rad
         """,
         "profile_bootstrap_ci": """
             WITH rep AS (
