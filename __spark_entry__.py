@@ -4719,6 +4719,72 @@ def profile_bootstrap_ci(spark, sf_dir):
     return bootstrap_ci(e, "value", "event_id", b=32)
 
 
+def w11_resample_interpolate(spark, sf_dir):
+    """W11: per-user DAILY-grid resampling of the event value signal
+    with LINEAR interpolation between bracketing observations — the
+    common-grid alignment step before comparing irregularly-sampled
+    series (the reference's splice domain resamples depth logs the
+    same way). Epoch-microsecond integer grid (integer ceil/floor
+    division) so the grid is bit-exact cross-engine; samples and grid
+    meet in ONE window sort with two frames, no as-of join
+    (feldman_spark/ops/windows.py::resample_interpolate)."""
+    from feldman_spark.ops.windows import resample_interpolate
+
+    e = _t(spark, sf_dir, "events")
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+    pts = e.where(F.col("ts").isNotNull() & F.col("value").isNotNull()) \
+        .select("user_id", us.alias("x"), F.col("value").alias("y"))
+    return resample_interpolate(
+        pts, ["user_id"], "x", "y", step=86_400_000_000)
+
+
+def events_changepoint(spark, sf_dir):
+    """CUSUM mean-shift changepoint per user (Page 1954): the single
+    most likely location of a level shift in each user's event-value
+    series — where the cumulative deviation from the user's mean peaks
+    in magnitude. One exchange on user_id feeds the unordered
+    mean/stddev frame, the ordered running sum, and the argmax; the
+    running sum folds in (ts, event_id) order on BOTH engines so the
+    peak choice is bit-identical
+    (feldman_spark/ops/windows.py::cusum_changepoint)."""
+    from feldman_spark.ops.windows import cusum_changepoint
+
+    e = _t(spark, sf_dir, "events")
+    return cusum_changepoint(
+        e, ["user_id"], "value", ["ts", "event_id"], min_points=20)
+
+
+def a14_weighted_median(spark, sf_dir):
+    """A14: exact weighted median — per return flag, the smallest
+    extended price whose cumulative QUANTITY reaches half the flag's
+    total quantity (rows are not equal: a 50-unit line carries 50×
+    the mass of a 1-unit line). One exchange, one sort, the group
+    total and running weight share the sort as two frames
+    (feldman_spark/ops/windows.py::weighted_percentile)."""
+    from feldman_spark.ops.windows import weighted_percentile
+
+    li = _t(spark, sf_dir, "lineitem")
+    return weighted_percentile(
+        li, ["l_returnflag"], "l_extendedprice", "l_quantity", p=0.5,
+        out="w_median_price")
+
+
+def f10_mad_outliers(spark, sf_dir):
+    """F10: MAD-based robust outliers — events whose modified z-score
+    0.6745·(value − median)/MAD exceeds 3.5 within their event type
+    (Iglewicz & Hoaglin). Median/MAD have a 50% breakdown point, so
+    the heavy tail being flagged cannot drag the cutoff the way it
+    drags mean/stddev. Two exact-percentile group aggregates broadcast
+    back; the filter is row-local
+    (feldman_spark/ops/filters.py::mad_outliers)."""
+    from feldman_spark.ops.filters import mad_outliers
+
+    e = _t(spark, sf_dir, "events")
+    return (mad_outliers(e, ["event_type"], "value", threshold=3.5)
+            .select("event_id", "event_type", "value", "robust_z"))
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -4783,14 +4849,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf_exact": knn_ivf_exact,
         "knn_lsh_exact": knn_lsh_exact,
         "o1_topk": o1_topk,
-        "pack_examples": pack_examples,
-        "pipeline_curate_corpus": pipeline_curate_corpus,
-        "pipeline_fuzzy_dedup": pipeline_fuzzy_dedup,
-        "pivot_returnflag": pivot_returnflag,
     # --- r10 window: new r10 registrations (never-covered keys outrank
     # re-verification; profile_calibration/profile_documents/q11/q13/
-    # q15-q18 + q19_disjunctive defer to the r11 head — the eight r10b
-    # keys below took their slots) ---
+    # q15-q18 + q19_disjunctive deferred to the r11 head when the eight
+    # r10b keys took their slots, then pack_examples/
+    # pipeline_curate_corpus/pipeline_fuzzy_dedup/pivot_returnflag
+    # joined them when the four r10c keys below landed) ---
         "media_incremental_dedup": media_incremental_dedup,
         "dedup_containment": dedup_containment,
         "w10_interval_merge": w10_interval_merge,
@@ -4800,8 +4864,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join": knn_join_q,
         "j15_radius_join": j15_radius_join,
         "profile_bootstrap_ci": profile_bootstrap_ci,
+        "w11_resample_interpolate": w11_resample_interpolate,
+        "events_changepoint": events_changepoint,
+        "a14_weighted_median": a14_weighted_median,
+        "f10_mad_outliers": f10_mad_outliers,
     # ^ the 50-key driver window ends here --- tail below is mirror-checked every round ---
     # deferred r7-green keys (r11 window head):
+        "pack_examples": pack_examples,
+        "pipeline_curate_corpus": pipeline_curate_corpus,
+        "pipeline_fuzzy_dedup": pipeline_fuzzy_dedup,
+        "pivot_returnflag": pivot_returnflag,
         "profile_calibration": profile_calibration,
         "profile_documents": profile_documents,
         "q11_important_stock": q11_important_stock,
@@ -7500,5 +7572,122 @@ def oracle_sql() -> dict[str, str]:
               round(quantile_cont(m, 0.025), 4) AS boot_lo,
               round(quantile_cont(m, 0.975), 4) AS boot_hi
             FROM means
+        """,
+        "w11_resample_interpolate": """
+            WITH s AS (
+              SELECT user_id, epoch_us(ts) AS x, avg(value) AS y
+              FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+              GROUP BY 1, 2
+            ),
+            b AS (
+              SELECT user_id,
+                     (min(x) + 86399999999) // 86400000000 AS k0,
+                     max(x) // 86400000000 AS k1
+              FROM s GROUP BY 1
+            ),
+            grid AS (
+              SELECT user_id, k * 86400000000 AS x
+              FROM (SELECT user_id, unnest(generate_series(k0, k1)) AS k
+                    FROM b WHERE k1 >= k0)
+            ),
+            u AS (
+              SELECT user_id, x, y, 1 AS is_s FROM s
+              UNION ALL
+              SELECT user_id, x, NULL, 0 FROM grid
+            ),
+            br AS (
+              SELECT user_id, x, is_s,
+                last_value(CASE WHEN is_s = 1 THEN x END IGNORE NULLS)
+                  OVER wb AS px,
+                last_value(CASE WHEN is_s = 1 THEN y END IGNORE NULLS)
+                  OVER wb AS py,
+                first_value(CASE WHEN is_s = 1 THEN x END IGNORE NULLS)
+                  OVER wf AS nx,
+                first_value(CASE WHEN is_s = 1 THEN y END IGNORE NULLS)
+                  OVER wf AS ny
+              FROM u
+              WINDOW
+                wb AS (PARTITION BY user_id ORDER BY x, is_s DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                wf AS (PARTITION BY user_id ORDER BY x, is_s DESC
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+            )
+            SELECT user_id, x AS grid_x,
+                   round(CASE WHEN x = px THEN py
+                         ELSE py + (ny - py)
+                              * (CAST(x - px AS DOUBLE)
+                                 / CAST(nx - px AS DOUBLE)) END, 4)
+                     AS y_interp
+            FROM br
+            WHERE is_s = 0 AND px IS NOT NULL
+              AND (nx IS NOT NULL OR x = px)
+        """,
+        "events_changepoint": """
+            WITH base AS (
+              SELECT user_id, ts, event_id, value,
+                     avg(value) OVER (PARTITION BY user_id) AS m,
+                     stddev_samp(value) OVER (PARTITION BY user_id) AS sd,
+                     count(*) OVER (PARTITION BY user_id) AS n
+              FROM events WHERE value IS NOT NULL
+            ),
+            cs AS (
+              SELECT user_id, ts, event_id, n, sd,
+                     sum(value - m) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS s
+              FROM base
+            ),
+            rk AS (
+              SELECT user_id, ts, event_id, n, sd, s,
+                     row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY abs(s) DESC, ts, event_id) AS r
+              FROM cs WHERE n >= 20 AND sd > 0
+            )
+            SELECT user_id, CAST(n AS BIGINT) AS n_points,
+                   ts AS cp_ts, event_id AS cp_event_id,
+                   round(abs(s) / (sd * sqrt(CAST(n AS DOUBLE))), 4)
+                     AS cusum_peak,
+                   CASE WHEN s < 0 THEN 1 ELSE -1 END AS direction
+            FROM rk WHERE r = 1
+        """,
+        "a14_weighted_median": """
+            WITH rows_w AS (
+              SELECT l_returnflag AS g, l_extendedprice AS v,
+                     CAST(l_quantity AS DOUBLE) AS w
+              FROM lineitem
+              WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+                AND l_quantity > 0
+            ),
+            c AS (
+              SELECT g, v,
+                     sum(w) OVER (PARTITION BY g) AS tot,
+                     sum(w) OVER (
+                       PARTITION BY g ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum
+              FROM rows_w
+            )
+            SELECT g AS l_returnflag, min(v) AS w_median_price
+            FROM c WHERE cum >= 0.5 * tot GROUP BY 1
+        """,
+        "f10_mad_outliers": """
+            WITH med AS (
+              SELECT event_type, quantile_cont(value, 0.5) AS m
+              FROM events WHERE value IS NOT NULL GROUP BY 1
+            ),
+            mad AS (
+              SELECT e.event_type,
+                     quantile_cont(abs(e.value - med.m), 0.5) AS d
+              FROM events e JOIN med USING (event_type)
+              WHERE e.value IS NOT NULL GROUP BY 1
+            )
+            SELECT e.event_id, e.event_type, e.value,
+                   round(0.6745 * (e.value - med.m) / mad.d, 4) AS robust_z
+            FROM events e
+            JOIN med USING (event_type) JOIN mad USING (event_type)
+            WHERE e.value IS NOT NULL AND mad.d > 0
+              AND abs(0.6745 * (e.value - med.m) / mad.d) > 3.5
         """,
     }

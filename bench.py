@@ -111,6 +111,14 @@ HEADLINE = [
     "knn_join",
     "j15_radius_join",
     "profile_bootstrap_ci",
+    # round-10c additions: grid resample + linear interpolation (one
+    # window sort, two frames), CUSUM changepoint (shared-exchange
+    # windows + argmax), exact weighted median, MAD robust outliers
+    # (two exact-percentile broadcast passes)
+    "w11_resample_interpolate",
+    "events_changepoint",
+    "a14_weighted_median",
+    "f10_mad_outliers",
 ]
 
 # slack for the regression gate: sub-second queries jitter by whole

@@ -30,6 +30,9 @@ __all__ = [
     "retention_cohorts",
     "merge_intervals",
     "grouped_mode",
+    "resample_interpolate",
+    "cusum_changepoint",
+    "weighted_percentile",
 ]
 
 
@@ -749,3 +752,210 @@ def grouped_mode(
                 F.col("_v").alias(out_col),
                 F.col("_n").alias("mode_count"))
     )
+
+
+def resample_interpolate(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    x_col: str,
+    y_col: str,
+    step: int,
+    out_x: str = "grid_x",
+    out_y: str = "y_interp",
+    digits: int = 4,
+) -> DataFrame:
+    """W11 (beyond reference): per-group uniform-grid resampling with
+    LINEAR INTERPOLATION — the signal-alignment primitive behind
+    comparing irregularly-sampled series (sensor feeds, depth-measured
+    core logs, per-user activity values) on a common grid. For every
+    group, emits one row per grid point ``k*step`` inside the group's
+    observed ``[min(x), max(x)]`` span, with ``y`` linearly
+    interpolated between the bracketing samples (exact sample values
+    where a sample lands on the grid). Distinct from
+    :func:`time_gapfill`, which densifies COUNT buckets with zeros;
+    this reconstructs a continuous VALUE between observations.
+
+    ``x_col`` must be integral (epoch micros/seconds, depth in
+    micrometres): the grid bounds use integer ceil/floor division so
+    the grid is bit-exact cross-engine, and the interpolation weight
+    ``(x-x0)/(x1-x0)`` divides exact integers. Duplicate samples at one
+    ``x`` collapse to their mean first (the resample contract).
+
+    Plan shape: samples collapse to distinct (group, x) via one
+    partial-aggregating pass; grid bounds are a group-sized aggregate
+    whose rows explode into the grid (output-sized, never corpus-
+    sized); samples and grid union into ONE window sort per group where
+    two frames of the same sort (last-sample-before via unbounded-
+    preceding, first-sample-after via unbounded-following) bracket
+    every grid point — no as-of join, no range join, one exchange
+    feeding one sort. A group's cost is its sample count plus its grid
+    length, so skew follows the data's own span, and the whole plan
+    survives 100 TB because nothing global ever materializes.
+    """
+    if int(step) <= 0:
+        raise ValueError(f"resample_interpolate: step must be positive, "
+                         f"got {step}")
+    step = int(step)
+    keys = [F.col(f"`{c}`") for c in partition_by]
+    xc, yc = F.col(f"`{x_col}`"), F.col(f"`{y_col}`")
+    samples = (
+        df.filter(xc.isNotNull() & yc.isNotNull())
+        .groupBy(*keys, xc.cast("long").alias("_x"))
+        .agg(F.avg(yc).alias("_y"))
+    )
+    bounds = samples.groupBy(*[F.col(c) for c in partition_by]).agg(
+        F.min("_x").alias("_lo"), F.max("_x").alias("_hi"))
+    # integer ceil/floor division: bit-exact grid cross-engine
+    k0 = F.expr(f"(_lo + {step - 1}) div {step}")
+    k1 = F.expr(f"_hi div {step}")
+    grid = (
+        bounds.filter(k1 >= k0)
+        .select(*[F.col(c) for c in partition_by],
+                F.explode(F.sequence(k0, k1)).alias("_k"))
+        .select(*[F.col(c) for c in partition_by],
+                (F.col("_k") * F.lit(step).cast("long")).alias("_x"))
+    )
+    u = samples.select(*[F.col(c) for c in partition_by], "_x", "_y",
+                       F.lit(1).alias("_is_s")).unionByName(
+        grid.select(*[F.col(c) for c in partition_by], "_x",
+                    F.lit(None).cast("double").alias("_y"),
+                    F.lit(0).alias("_is_s")))
+    # one sort: sample rows order BEFORE a grid row at the same x, so a
+    # grid point hitting a sample exactly sees it as its "previous"
+    w = (Window.partitionBy(*[F.col(c) for c in partition_by])
+         .orderBy(F.col("_x").asc(), F.col("_is_s").desc()))
+    wb = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wf = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    sx = F.when(F.col("_is_s") == 1, F.col("_x"))
+    sy = F.when(F.col("_is_s") == 1, F.col("_y"))
+    br = u.select(
+        *[F.col(c) for c in partition_by], "_x", "_is_s",
+        F.last(sx, ignorenulls=True).over(wb).alias("_px"),
+        F.last(sy, ignorenulls=True).over(wb).alias("_py"),
+        F.first(sx, ignorenulls=True).over(wf).alias("_nx"),
+        F.first(sy, ignorenulls=True).over(wf).alias("_ny"),
+    ).filter((F.col("_is_s") == 0)
+             & F.col("_px").isNotNull()
+             # a grid point landing ON the last sample has no "next"
+             # bracket and needs none — its value IS the sample's
+             & (F.col("_nx").isNotNull() | (F.col("_x") == F.col("_px"))))
+    t = ((F.col("_x") - F.col("_px")).cast("double")
+         / (F.col("_nx") - F.col("_px")).cast("double"))
+    yv = F.when(F.col("_x") == F.col("_px"), F.col("_py")).otherwise(
+        F.col("_py") + (F.col("_ny") - F.col("_py")) * t)
+    return br.select(*[F.col(c) for c in partition_by],
+                     F.col("_x").alias(out_x),
+                     F.bround(yv, digits).alias(out_y))
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    value_col: str,
+    order_by: Sequence[str],
+    min_points: int = 8,
+    digits: int = 4,
+) -> DataFrame:
+    """Beyond reference: CUSUM mean-shift changepoint detection — for
+    each group, the point where the cumulative sum of deviations from
+    the group mean peaks in magnitude, i.e. the single most likely
+    location of a level shift (Page 1954). The monitoring question
+    :func:`rolling_anomaly` does NOT answer: not "which bucket is
+    locally weird" but "where did this series' regime change".
+
+    Output: one row per group — ``n_points``, the ``order_by`` columns
+    of the peak row (``cp_*``), ``cusum_peak`` = max|S_i| normalized by
+    ``stddev_samp * sqrt(n)`` (the scale-free statistic whose large
+    values indicate a real shift; ~< 1 is noise), and ``direction``
+    (+1 = the series steps UP after the changepoint, -1 = down: S
+    dips to a minimum before an upward step). Groups with fewer than
+    ``min_points`` rows or zero deviation are dropped — a changepoint
+    of a flat or tiny series is noise. Ties on |S| break to the
+    earliest ``order_by`` position, so the result is deterministic.
+
+    Plan shape: ONE exchange on the group key feeds everything — the
+    unordered frame (mean/stddev/count) and the ordered cumulative sum
+    share it, and the argmax is a row_number over the same partition.
+    The running sum is evaluated sequentially over one sort on both
+    engines, so the fold order — and hence the peak choice — is
+    bit-identical cross-engine (the ewma_last precedent). Normalizing
+    AFTER the argmax by the group-constant sd·sqrt(n) cannot reorder
+    peaks within a group.
+    """
+    if min_points < 2:
+        raise ValueError(
+            f"cusum_changepoint: min_points must be >= 2, got {min_points}")
+    keys = [F.col(f"`{c}`") for c in partition_by]
+    ords = [F.col(f"`{c}`") for c in order_by]
+    v = F.col(f"`{value_col}`")
+    wp = Window.partitionBy(*keys)
+    base = (df.filter(v.isNotNull())
+            .select(*keys, *ords, v.alias("_v"))
+            .withColumn("_mean", F.avg("_v").over(wp))
+            .withColumn("_sd", F.stddev_samp("_v").over(wp))
+            .withColumn("_n", F.count("*").over(wp)))
+    wo = (Window.partitionBy(*keys)
+          .orderBy(*[c.asc() for c in ords])
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    s = base.withColumn("_s", F.sum(F.col("_v") - F.col("_mean")).over(wo))
+    wr = (Window.partitionBy(*keys)
+          .orderBy(F.abs(F.col("_s")).desc(), *[c.asc() for c in ords]))
+    peak = (s.filter((F.col("_n") >= min_points) & (F.col("_sd") > 0))
+            .withColumn("_rk", F.row_number().over(wr))
+            .filter(F.col("_rk") == 1))
+    return peak.select(
+        *[F.col(c) for c in partition_by],
+        F.col("_n").alias("n_points"),
+        *[F.col(f"`{c}`").alias(f"cp_{c}") for c in order_by],
+        F.bround(F.abs(F.col("_s"))
+                 / (F.col("_sd") * F.sqrt(F.col("_n").cast("double"))),
+                 digits).alias("cusum_peak"),
+        F.when(F.col("_s") < 0, F.lit(1)).otherwise(F.lit(-1))
+        .alias("direction"),
+    )
+
+
+def weighted_percentile(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    value_col: str,
+    weight_col: str,
+    p: float = 0.5,
+    out: str = "wpct",
+) -> DataFrame:
+    """A14 (beyond reference): exact weighted percentile per group —
+    the smallest value whose cumulative weight reaches ``p`` of the
+    group's total weight (inverse-CDF / lower weighted quantile). The
+    corpus-statistics form where rows are NOT equal: median document
+    length weighted by token count, median price weighted by quantity —
+    an unweighted median over-represents tiny rows.
+
+    Output: one row per group with the group keys and ``out``. Rows
+    with NULL or non-positive weight are excluded (they carry no mass).
+
+    Deterministic by construction: equal values are interchangeable —
+    whichever duplicate's running weight crosses the threshold, the
+    selected VALUE is the same — so intra-tie ordering cannot change
+    the answer.
+
+    Plan shape: one exchange on the group key, one sort by value; the
+    group total rides the same partition as an unordered frame, the
+    running weight as an ordered frame of the same sort, and the final
+    pick is a partial-aggregating min over qualifying rows. No joins,
+    no second scan — a hot group costs one sort of its own rows.
+    """
+    if not (0.0 < p < 1.0):
+        raise ValueError(f"weighted_percentile: need 0 < p < 1, got {p}")
+    keys = [F.col(f"`{c}`") for c in partition_by]
+    v, wgt = F.col(f"`{value_col}`"), F.col(f"`{weight_col}`")
+    wp = Window.partitionBy(*keys)
+    wo = (Window.partitionBy(*keys).orderBy(F.col("_v").asc())
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    rows = (df.filter(v.isNotNull() & wgt.isNotNull() & (wgt > 0))
+            .select(*keys, v.alias("_v"), wgt.cast("double").alias("_w"))
+            .withColumn("_tot", F.sum("_w").over(wp))
+            .withColumn("_cum", F.sum("_w").over(wo)))
+    return (rows
+            .filter(F.col("_cum") >= F.lit(float(p)) * F.col("_tot"))
+            .groupBy(*[F.col(c) for c in partition_by])
+            .agg(F.min("_v").alias(out)))

@@ -1063,3 +1063,125 @@ def test_grid_radius_join_validates(spark):
     with pytest.raises(ValueError):  # overlapping coord names
         grid_radius_join(df, df, radius=1.0, left_xy=("x", "y"),
                          right_xy=("x", "y"))
+
+
+# ---------------------------------------------------------------------------
+# round-10c: resample_interpolate / cusum_changepoint / weighted_percentile /
+# mad_outliers
+# ---------------------------------------------------------------------------
+
+def test_resample_interpolate_linear_and_exact_hits(spark):
+    from feldman_spark.ops.windows import resample_interpolate
+
+    # samples at x=0 (y=0), x=10 (y=100), x=25 (y=40): grid step 5 ->
+    # points 0,5,10,15,20,25; 0/10/25 are exact sample hits, the rest
+    # linear between their brackets
+    df = spark.createDataFrame(
+        [("g", 0, 0.0), ("g", 10, 100.0), ("g", 25, 40.0)],
+        "g string, x long, y double")
+    got = {r["grid_x"]: r["y_interp"]
+           for r in resample_interpolate(df, ["g"], "x", "y", 5).collect()}
+    assert got == {0: 0.0, 5: 50.0, 10: 100.0, 15: 80.0, 20: 60.0, 25: 40.0}
+
+
+def test_resample_interpolate_duplicates_avg_and_single_sample(spark):
+    from feldman_spark.ops.windows import resample_interpolate
+
+    df = spark.createDataFrame(
+        # duplicates at x=10 average to 30; lone off-grid group -> no rows
+        [("a", 10, 20.0), ("a", 10, 40.0), ("a", 20, 50.0),
+         ("b", 7, 1.0),
+         ("c", 30, 9.0)],  # single sample ON the grid -> its own value
+        "g string, x long, y double")
+    out = resample_interpolate(df, ["g"], "x", "y", 10)
+    got = {(r["g"], r["grid_x"]): r["y_interp"] for r in out.collect()}
+    assert got == {("a", 10): 30.0, ("a", 20): 50.0, ("c", 30): 9.0}
+
+
+def test_resample_interpolate_validates_step(spark):
+    from feldman_spark.ops.windows import resample_interpolate
+
+    df = spark.createDataFrame([("g", 1, 1.0)], "g string, x long, y double")
+    with pytest.raises(ValueError, match="step"):
+        resample_interpolate(df, ["g"], "x", "y", 0)
+
+
+def test_cusum_changepoint_finds_step_and_direction(spark):
+    from feldman_spark.ops.windows import cusum_changepoint
+
+    # clean level shift up after t=5: cusum minimizes exactly at the
+    # last low point (t=5), direction +1
+    rows = [("k", t, 1.0) for t in range(1, 6)] + \
+           [("k", t, 9.0) for t in range(6, 11)]
+    # down-shift twin
+    rows += [("d", t, 9.0) for t in range(1, 6)] + \
+            [("d", t, 1.0) for t in range(6, 11)]
+    # flat group (sd == 0) and tiny group are dropped
+    rows += [("flat", t, 3.0) for t in range(1, 10)]
+    rows += [("tiny", 1, 1.0), ("tiny", 2, 100.0)]
+    df = spark.createDataFrame(rows, "k string, t int, v double")
+    got = {r["k"]: (r["cp_t"], r["direction"], r["n_points"])
+           for r in cusum_changepoint(df, ["k"], "v", ["t"],
+                                      min_points=8).collect()}
+    assert got == {"k": (5, 1, 10), "d": (5, -1, 10)}
+
+
+def test_cusum_changepoint_tie_breaks_earliest(spark):
+    from feldman_spark.ops.windows import cusum_changepoint
+
+    # symmetric square wave: |S| peaks equally at t=2 and t=6 (S=-2 and
+    # +2 if mean=5 over 1,1,9,9,9,9,1,1? construct simple symmetric):
+    # values 0,0,10,10,10,10,0,0 -> mean 5, S: -5,-10,-5,0,5,10,5,0 —
+    # unique peak at t=2. Use a truly tied shape: 0,10,0,10 -> mean 5,
+    # S: -5,0,-5,0 — |S| ties at t=1 and t=3; earliest (t=1) must win.
+    df = spark.createDataFrame(
+        [("k", 1, 0.0), ("k", 2, 10.0), ("k", 3, 0.0), ("k", 4, 10.0)],
+        "k string, t int, v double")
+    r = cusum_changepoint(df, ["k"], "v", ["t"], min_points=2).collect()
+    assert len(r) == 1 and r[0]["cp_t"] == 1
+
+
+def test_weighted_percentile_median_and_weights_matter(spark):
+    from feldman_spark.ops.windows import weighted_percentile
+
+    df = spark.createDataFrame(
+        # unweighted median of (1,2,100) is 2; weight 100 heavily
+        [("g", 1.0, 1.0), ("g", 2.0, 1.0), ("g", 100.0, 10.0),
+         # zero/negative/null weights carry no mass
+         ("g", 0.5, 0.0), ("g", 0.1, -3.0), ("g", 0.2, None),
+         ("h", 5.0, 2.0), ("h", 7.0, 1.0)],
+        "g string, v double, w double")
+    got = {r["g"]: r["wpct"]
+           for r in weighted_percentile(df, ["g"], "v", "w", 0.5).collect()}
+    # g: total 12, cum at v=100 first reaches 6 -> 100; h: cum at 5 is
+    # 2 >= 1.5 -> 5
+    assert got == {"g": 100.0, "h": 5.0}
+    with pytest.raises(ValueError, match="0 < p < 1"):
+        weighted_percentile(df, ["g"], "v", "w", 1.0)
+
+
+def test_mad_outliers_flags_tail_not_dragged_by_it(spark):
+    from feldman_spark.ops.filters import mad_outliers
+
+    # 20 values near 10 plus one wild point: plain z would be diluted,
+    # robust z flags it decisively; constant group contributes nothing
+    rows = [("a", float(v)) for v in
+            [9, 10, 11, 10, 9, 11, 10, 10, 9, 11,
+             10, 9, 11, 10, 10, 9, 11, 10, 9, 11]] + \
+           [("a", 1000.0)] + [("c", 5.0)] * 10
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = mad_outliers(df, ["g"], "v", threshold=3.5).collect()
+    assert [(r["g"], r["v"]) for r in out] == [("a", 1000.0)]
+    assert out[0]["robust_z"] > 3.5
+
+
+def test_mad_outliers_signed_and_grouped(spark):
+    from feldman_spark.ops.filters import mad_outliers
+
+    rows = ([("g", float(v)) for v in range(1, 12)]  # median 6, MAD 3
+            + [("g", -94.0), ("g", 106.0)])
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {r["v"]: r["robust_z"]
+           for r in mad_outliers(df, ["g"], "v", threshold=3.5).collect()}
+    # 0.6745*(106-6)/3 = 22.4833; symmetric negative for -94
+    assert got == {106.0: 22.4833, -94.0: -22.4833}
