@@ -4785,6 +4785,53 @@ def f10_mad_outliers(spark, sf_dir):
             .select("event_id", "event_type", "value", "robust_z"))
 
 
+def w12_locf_fill(spark, sf_dir):
+    """W12: last-observation-carried-forward repair — treat 'error'
+    events' values as missing (a sensor that logs garbage on fault)
+    and carry each user's most recent good value forward, backfilling
+    leading gaps from the first observation. Forward and backward fill
+    are two frames of ONE sort on one user exchange
+    (feldman_spark/ops/windows.py::locf_fill)."""
+    from feldman_spark.ops.windows import locf_fill
+
+    e = _t(spark, sf_dir, "events")
+    masked = e.select(
+        "event_id", "user_id", "ts",
+        F.when(F.col("event_type") != "error", F.col("value")).alias("v"))
+    return (locf_fill(masked, ["user_id"], ["ts", "event_id"], ["v"],
+                      backfill=True)
+            .select("event_id", "user_id", "v", "v_filled"))
+
+
+def text_char_entropy(spark, sf_dir):
+    """Character-distribution Shannon entropy per document (bits) —
+    the gibberish/junk-blob signal: padding repeats → ~0, natural
+    prose ~4-4.5, base64 spew ~6. One vectorized codepoint pass per
+    Arrow batch, row-local, no shuffle
+    (feldman_spark/pipeline/text.py::char_entropy)."""
+    from feldman_spark.pipeline.text import char_entropy
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", char_entropy(F.col("text")).alias("entropy"))
+
+
+def profile_trend(spark, sf_dir):
+    """Per-user OLS trend of event value over time (slope/intercept/R²
+    in one decomposable-aggregate pass — the 'which series are
+    drifting' profiler). Hours since a FIXED literal origin as x, so
+    the intercept is numerically tame and the twin bit-stable
+    (feldman_spark/pipeline/profile.py::grouped_trend)."""
+    from feldman_spark.pipeline.profile import grouped_trend
+
+    e = _t(spark, sf_dir, "events")
+    x = (F.expr(
+        "timestampdiff(SECOND, TIMESTAMP_NTZ '2024-01-01 00:00:00', ts)")
+        .cast("double") / F.lit(3600.0))
+    pts = e.where(F.col("ts").isNotNull()).select(
+        "user_id", x.alias("x_hours"), F.col("value").alias("y"))
+    return grouped_trend(pts, ["user_id"], "x_hours", "y", min_points=20)
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -4846,15 +4893,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_dedup": events_stream_dedup,
         "j9_asof_join": j9_asof_join,
         "knn_group_centroids": knn_group_centroids,
-        "knn_ivf_exact": knn_ivf_exact,
-        "knn_lsh_exact": knn_lsh_exact,
-        "o1_topk": o1_topk,
     # --- r10 window: new r10 registrations (never-covered keys outrank
     # re-verification; profile_calibration/profile_documents/q11/q13/
     # q15-q18 + q19_disjunctive deferred to the r11 head when the eight
     # r10b keys took their slots, then pack_examples/
     # pipeline_curate_corpus/pipeline_fuzzy_dedup/pivot_returnflag
-    # joined them when the four r10c keys below landed) ---
+    # joined them when the first four r10c keys landed, and
+    # knn_ivf_exact/knn_lsh_exact/o1_topk followed for the last three
+    # r10c keys) ---
         "media_incremental_dedup": media_incremental_dedup,
         "dedup_containment": dedup_containment,
         "w10_interval_merge": w10_interval_merge,
@@ -4868,8 +4914,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_changepoint": events_changepoint,
         "a14_weighted_median": a14_weighted_median,
         "f10_mad_outliers": f10_mad_outliers,
+        "w12_locf_fill": w12_locf_fill,
+        "text_char_entropy": text_char_entropy,
+        "profile_trend": profile_trend,
     # ^ the 50-key driver window ends here --- tail below is mirror-checked every round ---
     # deferred r7-green keys (r11 window head):
+        "knn_ivf_exact": knn_ivf_exact,
+        "knn_lsh_exact": knn_lsh_exact,
+        "o1_topk": o1_topk,
         "pack_examples": pack_examples,
         "pipeline_curate_corpus": pipeline_curate_corpus,
         "pipeline_fuzzy_dedup": pipeline_fuzzy_dedup,
@@ -7689,5 +7741,55 @@ def oracle_sql() -> dict[str, str]:
             JOIN med USING (event_type) JOIN mad USING (event_type)
             WHERE e.value IS NOT NULL AND mad.d > 0
               AND abs(0.6745 * (e.value - med.m) / mad.d) > 3.5
+        """,
+        "w12_locf_fill": """
+            WITH masked AS (
+              SELECT event_id, user_id, ts,
+                     CASE WHEN event_type <> 'error' THEN value END AS v
+              FROM events
+            )
+            SELECT event_id, user_id, v,
+                   coalesce(
+                     last_value(v IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                     first_value(v IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   ) AS v_filled
+            FROM masked
+        """,
+        "text_char_entropy": """
+            WITH ch AS (
+              SELECT doc_id, unnest(string_split_regex(text, '')) AS c
+              FROM documents WHERE text IS NOT NULL AND len(text) > 0
+            ),
+            e AS (
+              SELECT doc_id, round(entropy(c), 4) AS entropy
+              FROM ch WHERE c <> '' GROUP BY 1
+            )
+            SELECT d.doc_id, e.entropy
+            FROM documents d LEFT JOIN e USING (doc_id)
+        """,
+        "profile_trend": """
+            WITH pts AS (
+              SELECT user_id,
+                     CAST(date_diff('second',
+                                    TIMESTAMP '2024-01-01 00:00:00', ts)
+                          AS DOUBLE) / 3600.0 AS x,
+                     value AS y
+              FROM events WHERE ts IS NOT NULL
+            ),
+            a AS (
+              SELECT user_id, count(*) AS n_points,
+                     regr_slope(y, x) AS s, regr_intercept(y, x) AS i,
+                     regr_r2(y, x) AS r, var_samp(y) AS vy
+              FROM pts WHERE x IS NOT NULL AND y IS NOT NULL
+              GROUP BY 1
+            )
+            SELECT user_id, CAST(n_points AS BIGINT) AS n_points,
+                   round(s, 4) AS slope, round(i, 4) AS intercept,
+                   CASE WHEN vy > 0 THEN round(r, 4) END AS r2
+            FROM a WHERE n_points >= 20
         """,
     }

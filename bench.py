@@ -119,6 +119,12 @@ HEADLINE = [
     "events_changepoint",
     "a14_weighted_median",
     "f10_mad_outliers",
+    # round-10c second batch: LOCF fill (two frames, one sort), char
+    # entropy (vectorized codepoint pass), grouped OLS trend
+    # (decomposable regr_* moments, one scan)
+    "w12_locf_fill",
+    "text_char_entropy",
+    "profile_trend",
 ]
 
 # slack for the regression gate: sub-second queries jitter by whole

@@ -33,6 +33,7 @@ __all__ = [
     "resample_interpolate",
     "cusum_changepoint",
     "weighted_percentile",
+    "locf_fill",
 ]
 
 
@@ -959,3 +960,45 @@ def weighted_percentile(
             .filter(F.col("_cum") >= F.lit(float(p)) * F.col("_tot"))
             .groupBy(*[F.col(c) for c in partition_by])
             .agg(F.min("_v").alias(out)))
+
+
+def locf_fill(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[str],
+    value_cols: Sequence[str],
+    backfill: bool = False,
+    suffix: str = "_filled",
+) -> DataFrame:
+    """W12 (beyond reference): last-observation-carried-forward fill —
+    per group, each NULL in ``value_cols`` takes the most recent non-null
+    value in ``order_by`` order (the standard repair for sparse sensor
+    feeds, slowly-changing attributes logged only on change, and
+    gappy per-entity metrics). With ``backfill=True`` the leading
+    NULLs (before any observation) additionally take the FIRST
+    observation — otherwise they stay NULL, which is the honest
+    default (no past to carry).
+
+    Adds ``<col><suffix>`` per value column; never drops or reorders
+    rows. Distinct from :func:`resample_interpolate` (which emits a new
+    grid and interpolates BETWEEN observations): LOCF keeps the
+    original rows and steps, it does not slope.
+
+    Plan shape: ONE exchange on the group key, one sort; forward and
+    (optional) backward fill are two frames of the SAME sort, so
+    backfill costs no extra exchange. 100 TB: a group's cost is its own
+    sort — the null repair never looks across groups.
+    """
+    keys = [F.col(f"`{c}`") for c in partition_by]
+    ords = [F.col(f"`{c}`").asc() for c in order_by]
+    w = Window.partitionBy(*keys).orderBy(*ords)
+    wb = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wf = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    out = df
+    for c in value_cols:
+        filled = F.last(F.col(f"`{c}`"), ignorenulls=True).over(wb)
+        if backfill:
+            filled = F.coalesce(
+                filled, F.first(F.col(f"`{c}`"), ignorenulls=True).over(wf))
+        out = out.withColumn(f"{c}{suffix}", filled)
+    return out

@@ -18,7 +18,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["profile_table", "profile_histogram", "profile_skew", "calibration_bins",
-           "join_cardinality", "psi_drift", "bootstrap_ci", "POISSON_CDF_HEX"]
+           "join_cardinality", "psi_drift", "bootstrap_ci", "grouped_trend",
+           "POISSON_CDF_HEX"]
 
 
 def profile_table(
@@ -440,3 +441,53 @@ def bootstrap_ci(
             F.round(F.element_at("_q", 2), digits).alias("boot_hi"),
         )
     )
+
+
+def grouped_trend(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    x_col: str,
+    y_col: str,
+    min_points: int = 3,
+    digits: int = 4,
+) -> DataFrame:
+    """Per-group OLS trend fit — slope, intercept, and R² of ``y`` on
+    ``x`` for every group in one aggregation pass: the drift profiler
+    ("which entities/metrics are trending, and how hard?") that turns
+    a million raw series into a ranked, thresholdable table. The
+    grouped sibling of the expanding per-row slope
+    (:func:`feldman_spark.ops.windows.expanding_slope`): one summary
+    row per group, not one fit per prefix.
+
+    Output: group keys, ``n_points``, ``slope``, ``intercept``, ``r2``
+    (all rounded to ``digits``). Groups with fewer than ``min_points``
+    pairs are dropped; R² is NULL for a constant-``y`` group (zero
+    variance — no fit quality to speak of), slope/intercept still
+    report.
+
+    Scale (100 TB): ``regr_slope/regr_intercept/regr_r2`` are
+    decomposable JVM aggregates — partial (Σx, Σy, Σxy, Σx², Σy², n)
+    moments combine map-side, so the exchange carries one moment tuple
+    per group and the fact table is scanned exactly once. No windows,
+    no sort, no Python.
+    """
+    if min_points < 2:
+        raise ValueError(
+            f"grouped_trend: min_points must be >= 2, got {min_points}")
+    x, y = F.col(f"`{x_col}`"), F.col(f"`{y_col}`")
+    agg = (df.filter(x.isNotNull() & y.isNotNull())
+           .groupBy(*[F.col(f"`{c}`") for c in group_cols])
+           .agg(F.count("*").alias("n_points"),
+                F.regr_slope(y, x).alias("_s"),
+                F.regr_intercept(y, x).alias("_i"),
+                F.regr_r2(y, x).alias("_r"),
+                F.var_samp(y).alias("_vy")))
+    # constant-y r2 is engine-defined (Spark says 1.0); make the
+    # zero-variance contract explicit so every engine agrees: NULL
+    r2 = F.when(F.col("_vy") > 0, F.bround("_r", digits))
+    return (agg.filter(F.col("n_points") >= min_points)
+            .select(*[F.col(c) for c in group_cols],
+                    "n_points",
+                    F.bround("_s", digits).alias("slope"),
+                    F.bround("_i", digits).alias("intercept"),
+                    r2.alias("r2")))

@@ -46,6 +46,7 @@ __all__ = [
     "ppl_buckets",
     "readability",
     "top_ngrams",
+    "char_entropy",
     "STOPWORDS",
 ]
 
@@ -1203,3 +1204,52 @@ def top_ngrams(
     return (counts
             .orderBy(F.col("total_count").desc(), F.col("ngram").asc())
             .limit(k))
+
+
+def char_entropy(text: Column, digits: int = 4) -> Column:
+    """Shannon entropy (bits) of each row's CHARACTER distribution —
+    the cheap gibberish/junk detector that catches what word-level
+    quality features miss: binary blobs decoded as text, keyboard
+    mashing, single-character padding (→ near 0 bits), base64/hex
+    spew (→ ~4-6 bits, suspiciously uniform), where natural prose in
+    alphabetic scripts sits ~4-4.5 bits. NULL for null or empty text
+    (no distribution to measure).
+
+    One vectorized pass per Arrow batch (the ``script_counts``
+    machinery): a single utf-32 codepoint array for the whole batch,
+    per-row unique counting via one ``np.unique`` over
+    row-offset-packed keys — no per-row Python, no character explode
+    into the engine. The final rounding is a JVM expression.
+
+    Scale (100 TB): row-local (embarrassingly parallel, no shuffle);
+    cost is one O(batch chars) sort inside numpy per Arrow batch.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    @pandas_udf(DoubleType())
+    def _ent(s: pd.Series) -> pd.Series:
+        nrow = len(s)
+        if nrow == 0:
+            return pd.Series([], dtype="Float64")
+        nulls = s.isna().to_numpy()
+        texts = s.fillna("")
+        joined = "".join(texts)
+        cps = np.frombuffer(
+            joined.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+        lens = np.fromiter((len(t) for t in texts), dtype=np.int64,
+                           count=nrow)
+        rows = np.repeat(np.arange(nrow, dtype=np.int64), lens)
+        # pack (row, codepoint) into one sortable key: cp < 0x110000
+        keys = rows * 0x110000 + cps
+        uk, cnt = np.unique(keys, return_counts=True)
+        urows = uk // 0x110000
+        p = cnt / lens[urows]
+        ent = np.zeros(nrow, dtype=np.float64)
+        np.add.at(ent, urows, -p * np.log2(p))
+        out = pd.array(ent, dtype="Float64")
+        out[nulls | (lens == 0)] = pd.NA
+        return pd.Series(out, dtype="Float64")
+
+    return F.bround(_ent(text), digits)

@@ -1185,3 +1185,41 @@ def test_mad_outliers_signed_and_grouped(spark):
            for r in mad_outliers(df, ["g"], "v", threshold=3.5).collect()}
     # 0.6745*(106-6)/3 = 22.4833; symmetric negative for -94
     assert got == {106.0: 22.4833, -94.0: -22.4833}
+
+
+def test_locf_fill_forward_and_backfill(spark):
+    from feldman_spark.ops.windows import locf_fill
+
+    df = spark.createDataFrame(
+        [("u", 1, None), ("u", 2, 5.0), ("u", 3, None), ("u", 4, None),
+         ("u", 5, 7.0), ("u", 6, None),
+         ("v", 1, None)],  # group with no observations stays all-null
+        "g string, t int, v double")
+    fwd = {(r["g"], r["t"]): r["v_filled"]
+           for r in locf_fill(df, ["g"], ["t"], ["v"]).collect()}
+    assert fwd == {("u", 1): None, ("u", 2): 5.0, ("u", 3): 5.0,
+                   ("u", 4): 5.0, ("u", 5): 7.0, ("u", 6): 7.0,
+                   ("v", 1): None}
+    back = {(r["g"], r["t"]): r["v_filled"]
+            for r in locf_fill(df, ["g"], ["t"], ["v"],
+                               backfill=True).collect()}
+    assert back[("u", 1)] == 5.0 and back[("v", 1)] is None
+    # row count and original column untouched
+    assert locf_fill(df, ["g"], ["t"], ["v"]).count() == 7
+
+
+def test_grouped_trend_exact_line_constant_and_minpoints(spark):
+    from feldman_spark.pipeline.profile import grouped_trend
+
+    rows = [("line", float(x), 2.0 * x + 1.0) for x in range(5)]
+    rows += [("const", float(x), 4.0) for x in range(5)]
+    rows += [("tiny", 0.0, 0.0), ("tiny", 1.0, 1.0)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    got = {r["g"]: (r["n_points"], r["slope"], r["intercept"], r["r2"])
+           for r in grouped_trend(df, ["g"], "x", "y",
+                                  min_points=3).collect()}
+    assert got["line"] == (5, 2.0, 1.0, 1.0)
+    assert got["const"][1] == 0.0 and got["const"][3] is None
+    assert "tiny" not in got
+    with pytest.raises(ValueError, match="min_points"):
+        grouped_trend(df, ["g"], "x", "y", min_points=1)

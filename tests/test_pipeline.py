@@ -2798,3 +2798,21 @@ def test_bootstrap_ci_validates(spark):
         bootstrap_ci(df, "x", "id", b=1)
     with pytest.raises(ValueError):
         bootstrap_ci(df, "x", "id", quantiles=(0.9, 0.1))
+
+
+def test_char_entropy_known_values_and_nulls(spark):
+    import math
+    from feldman_spark.pipeline.text import char_entropy
+
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "ab"), (3, "aab"), (4, ""), (5, None),
+         (6, "☃☃¡¡")],  # non-ASCII counted as codepoints
+        "id long, t string")
+    got = {r["id"]: r["e"]
+           for r in df.select("id",
+                              char_entropy(F.col("t")).alias("e")).collect()}
+    assert got[1] == 0.0
+    assert got[2] == 1.0
+    assert got[3] == round(-(2/3)*math.log2(2/3) - (1/3)*math.log2(1/3), 4)
+    assert got[4] is None and got[5] is None
+    assert got[6] == 1.0
