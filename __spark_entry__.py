@@ -4832,6 +4832,58 @@ def profile_trend(spark, sf_dir):
     return grouped_trend(pts, ["user_id"], "x_hours", "y", min_points=20)
 
 
+def profile_mutual_info(spark, sf_dir):
+    """Mutual information between document language and source (bits,
+    plus marginal entropies and sqrt-normalized NMI) — the dependence
+    profiler for feature-relevance and leakage triage. The corpus
+    collapses to the joint (lang, source) count table in one pass;
+    everything downstream is pair-sized
+    (feldman_spark/pipeline/profile.py::mutual_info)."""
+    from feldman_spark.pipeline.profile import mutual_info
+
+    d = _t(spark, sf_dir, "documents")
+    return mutual_info(d, "lang", "source")
+
+
+def events_top_paths(spark, sf_dir):
+    """Top-20 ordered event-type paths across 30-min-gap sessions —
+    whole-walk behavior mining, what the first-order transition matrix
+    forgets (everything before the previous step). Session ids via the
+    lag+cumsum formulation (the events_sessionize shape, tie-broken by
+    event_id); each session's path is a per-session array_sort over
+    collected structs, counts partial-aggregate, top-k is TakeOrdered
+    (feldman_spark/ops/windows.py::session_paths)."""
+    from pyspark.sql import Window
+    from feldman_spark.ops.windows import session_paths
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc())
+    prev = F.lag("ts").over(w)
+    new_s = F.when(
+        prev.isNull()
+        | ((F.unix_timestamp("ts") - F.unix_timestamp(prev)) > 1800),
+        1).otherwise(0)
+    sess = e.withColumn("_sid", F.sum(new_s).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    return session_paths(
+        sess, ["user_id", "_sid"], "event_type", ["ts", "event_id"],
+        top_k=20, max_steps=8)
+
+
+def text_hashing_features(spark, sf_dir):
+    """Hashing-trick featurization (Weinberger et al. 2009): lowercased
+    whitespace tokens hash into 64 fixed buckets via the md5-variate
+    convention — no vocabulary pass, no fitted state; output is the
+    sparse (doc, bucket, count) triplet form. One codegen token-stream
+    scan, one partial-aggregating exchange bounded by docs × buckets
+    (feldman_spark/pipeline/text.py::hashing_features)."""
+    from feldman_spark.pipeline.text import hashing_features
+
+    d = _t(spark, sf_dir, "documents")
+    return hashing_features(d, "doc_id", F.col("text"), n_buckets=64)
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -4890,17 +4942,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_props": events_json_props,
         "events_running_totals": events_running_totals,
         "events_sessionize_native": events_sessionize_native,
-        "events_stream_dedup": events_stream_dedup,
-        "j9_asof_join": j9_asof_join,
-        "knn_group_centroids": knn_group_centroids,
     # --- r10 window: new r10 registrations (never-covered keys outrank
     # re-verification; profile_calibration/profile_documents/q11/q13/
     # q15-q18 + q19_disjunctive deferred to the r11 head when the eight
     # r10b keys took their slots, then pack_examples/
     # pipeline_curate_corpus/pipeline_fuzzy_dedup/pivot_returnflag
-    # joined them when the first four r10c keys landed, and
-    # knn_ivf_exact/knn_lsh_exact/o1_topk followed for the last three
-    # r10c keys) ---
+    # joined them when the first four r10c keys landed;
+    # knn_ivf_exact/knn_lsh_exact/o1_topk followed for the next three,
+    # and events_stream_dedup/j9_asof_join/knn_group_centroids for the
+    # last three) ---
         "media_incremental_dedup": media_incremental_dedup,
         "dedup_containment": dedup_containment,
         "w10_interval_merge": w10_interval_merge,
@@ -4917,8 +4967,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w12_locf_fill": w12_locf_fill,
         "text_char_entropy": text_char_entropy,
         "profile_trend": profile_trend,
+        "profile_mutual_info": profile_mutual_info,
+        "events_top_paths": events_top_paths,
+        "text_hashing_features": text_hashing_features,
     # ^ the 50-key driver window ends here --- tail below is mirror-checked every round ---
     # deferred r7-green keys (r11 window head):
+        "events_stream_dedup": events_stream_dedup,
+        "j9_asof_join": j9_asof_join,
+        "knn_group_centroids": knn_group_centroids,
         "knn_ivf_exact": knn_ivf_exact,
         "knn_lsh_exact": knn_lsh_exact,
         "o1_topk": o1_topk,
@@ -7791,5 +7847,86 @@ def oracle_sql() -> dict[str, str]:
                    round(s, 4) AS slope, round(i, 4) AS intercept,
                    CASE WHEN vy > 0 THEN round(r, 4) END AS r2
             FROM a WHERE n_points >= 20
+        """,
+        "profile_mutual_info": """
+            WITH pairs AS (
+              SELECT lang AS a, source AS b, count(*) AS nab
+              FROM documents
+              WHERE lang IS NOT NULL AND source IS NOT NULL
+              GROUP BY 1, 2
+            ),
+            tot AS (SELECT sum(nab) AS n FROM pairs),
+            ma AS (SELECT a, sum(nab) AS na FROM pairs GROUP BY 1),
+            mb AS (SELECT b, sum(nab) AS nb FROM pairs GROUP BY 1),
+            mi AS (
+              SELECT sum((CAST(nab AS DOUBLE) / n)
+                         * log2((CAST(nab AS DOUBLE) * n)
+                                / (CAST(na AS DOUBLE)
+                                   * CAST(nb AS DOUBLE)))) AS v
+              FROM pairs JOIN ma USING (a) JOIN mb USING (b), tot
+            ),
+            ha AS (
+              SELECT -sum((CAST(na AS DOUBLE) / n)
+                          * log2(CAST(na AS DOUBLE) / n)) AS v
+              FROM ma, tot
+            ),
+            hb AS (
+              SELECT -sum((CAST(nb AS DOUBLE) / n)
+                          * log2(CAST(nb AS DOUBLE) / n)) AS v
+              FROM mb, tot
+            )
+            SELECT CAST(tot.n AS BIGINT) AS n,
+                   round(ha.v, 4) AS h_a, round(hb.v, 4) AS h_b,
+                   round(mi.v, 4) AS mi_bits,
+                   CASE WHEN ha.v > 0 AND hb.v > 0
+                        THEN round(mi.v / sqrt(ha.v * hb.v), 4) END AS nmi
+            FROM tot, ha, hb, mi
+        """,
+        "events_top_paths": """
+            WITH flagged AS (
+              SELECT user_id, ts, event_id, event_type,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR date_diff('second', lag(ts) OVER w, ts)
+                               > 1800
+                          THEN 1 ELSE 0 END AS new_session
+              FROM events WHERE event_type IS NOT NULL
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            ids AS (
+              SELECT user_id, ts, event_id, event_type,
+                     sum(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS sid
+              FROM flagged
+            ),
+            stepped AS (
+              SELECT user_id, sid, event_type,
+                     row_number() OVER (
+                       PARTITION BY user_id, sid
+                       ORDER BY ts, event_id) AS rn
+              FROM ids
+            ),
+            p AS (
+              SELECT user_id, sid,
+                     string_agg(event_type, '>' ORDER BY rn) AS path
+              FROM stepped WHERE rn <= 8 GROUP BY 1, 2
+            )
+            SELECT path, count(*) AS n_sessions
+            FROM p GROUP BY 1
+            ORDER BY n_sessions DESC, path ASC
+            LIMIT 20
+        """,
+        "text_hashing_features": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(lower(text), '\\s+')) AS t
+              FROM documents
+            )
+            SELECT doc_id,
+                   (('0x' || substr(md5(t), 1, 8))::BIGINT % 64) AS bucket,
+                   count(*) AS n
+            FROM toks WHERE t <> ''
+            GROUP BY 1, 2
         """,
     }

@@ -125,6 +125,12 @@ HEADLINE = [
     "w12_locf_fill",
     "text_char_entropy",
     "profile_trend",
+    # round-10c third batch: pair-table mutual information, session
+    # path mining (per-session array_sort + TakeOrdered), hashing-trick
+    # featurization (codegen token stream, docs x buckets exchange)
+    "profile_mutual_info",
+    "events_top_paths",
+    "text_hashing_features",
 ]
 
 # slack for the regression gate: sub-second queries jitter by whole

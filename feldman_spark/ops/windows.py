@@ -34,6 +34,7 @@ __all__ = [
     "cusum_changepoint",
     "weighted_percentile",
     "locf_fill",
+    "session_paths",
 ]
 
 
@@ -1002,3 +1003,56 @@ def locf_fill(
                 filled, F.first(F.col(f"`{c}`"), ignorenulls=True).over(wf))
         out = out.withColumn(f"{c}{suffix}", filled)
     return out
+
+
+def session_paths(
+    df: DataFrame,
+    session_cols: Sequence[str],
+    step_col: str,
+    order_by: Sequence[str],
+    top_k: int = 20,
+    sep: str = ">",
+    max_steps: Optional[int] = None,
+) -> DataFrame:
+    """Top-``k`` ordered step sequences ("paths") across sessions —
+    the product-analytics staple ("what do users actually DO, in
+    order?") that :func:`event_transitions`' first-order matrix cannot
+    answer: a Markov matrix forgets everything before the previous
+    step, a path is the whole walk. Output: ``path`` (steps joined by
+    ``sep``), ``n_sessions``, ordered by count desc with a
+    deterministic path-asc tie-break, limited to ``top_k``.
+
+    ``max_steps`` truncates each session's path to its first N steps —
+    both a hot-session bound (one pathological crawler session can't
+    build a megabyte path string) and the usual analysis choice
+    (entry paths).
+
+    Plan shape: one exchange on the session key builds each session's
+    ordered step array (``array_sort`` over collected
+    ``(order, step)`` structs — a per-session sort, NOT a window sort
+    of the whole fact table); path counts partial-aggregate map-side,
+    and the top-k is TakeOrdered (never a global sort). A session's
+    cost is its own event count; the count table's cardinality is the
+    number of DISTINCT paths, which ``max_steps`` caps geometrically.
+    """
+    if top_k < 1:
+        raise ValueError(f"session_paths: top_k must be >= 1, got {top_k}")
+    keys = [F.col(f"`{c}`") for c in session_cols]
+    step = F.col(f"`{step_col}`")
+    ordc = [F.col(f"`{c}`") for c in order_by]
+    packed = F.struct(*ordc, step.alias("_step"))
+    arr = F.array_sort(F.collect_list(packed))
+    if max_steps is not None:
+        if max_steps < 1:
+            raise ValueError(
+                f"session_paths: max_steps must be >= 1, got {max_steps}")
+        arr = F.slice(arr, 1, int(max_steps))
+    path = F.array_join(
+        F.transform(arr, lambda x: x["_step"]), sep)
+    paths = (df.filter(step.isNotNull())
+             .groupBy(*keys)
+             .agg(path.alias("path")))
+    return (paths.groupBy("path")
+            .agg(F.count("*").alias("n_sessions"))
+            .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+            .limit(int(top_k)))

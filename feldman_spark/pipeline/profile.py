@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 __all__ = ["profile_table", "profile_histogram", "profile_skew", "calibration_bins",
            "join_cardinality", "psi_drift", "bootstrap_ci", "grouped_trend",
+           "mutual_info",
            "POISSON_CDF_HEX"]
 
 
@@ -491,3 +492,67 @@ def grouped_trend(
                     F.bround("_s", digits).alias("slope"),
                     F.bround("_i", digits).alias("intercept"),
                     r2.alias("r2")))
+
+
+def mutual_info(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    digits: int = 4,
+) -> DataFrame:
+    """Mutual information (bits) between two categorical columns, plus
+    the entropies and the sqrt-normalized NMI in [0, 1] — the
+    dependence profiler behind feature-relevance triage ("does source
+    predict language?"), leakage checks (a feature that nails the
+    label too well), and stratification design. Rows where either
+    side is NULL are excluded (MI is over the joint distribution of
+    observed pairs).
+
+    Output: ONE row — ``n`` (pairs observed), ``h_a``, ``h_b``
+    (marginal entropies, bits), ``mi_bits``, and ``nmi`` =
+    MI/sqrt(H(A)·H(B)) (NULL when either entropy is 0 — a constant
+    column carries no information to normalize by).
+
+    Scale (100 TB): the corpus collapses to the JOINT (a, b) count
+    table in one partial-aggregating pass — the only fact-table
+    exchange carries distinct pairs, not rows. Marginals re-aggregate
+    the PAIR table (cardinality |A|·|B| at worst), the MI sum joins
+    pairs to two broadcast marginal tables, and everything after the
+    first aggregate is pair-sized.
+    """
+    a, b = F.col(f"`{col_a}`"), F.col(f"`{col_b}`")
+    pairs = (df.filter(a.isNotNull() & b.isNotNull())
+             .groupBy(a.alias("_a"), b.alias("_b"))
+             .agg(F.count("*").alias("_nab")))
+    tot = pairs.agg(F.sum("_nab").alias("_n"))
+    ma = pairs.groupBy("_a").agg(F.sum("_nab").alias("_na"))
+    mb = pairs.groupBy("_b").agg(F.sum("_nab").alias("_nb"))
+    j = (pairs.join(F.broadcast(ma), "_a").join(F.broadcast(mb), "_b")
+         .crossJoin(F.broadcast(tot)))
+    nab = F.col("_nab").cast("double")
+    na, nb = F.col("_na").cast("double"), F.col("_nb").cast("double")
+    n = F.col("_n").cast("double")
+    stats = j.agg(
+        F.max("_n").alias("n"),
+        F.sum((nab / n) * F.log2((nab * n) / (na * nb))).alias("_mi"),
+    )
+    # marginal entropies from the marginal tables (pair-sized inputs)
+    ha = (ma.crossJoin(F.broadcast(tot))
+          .agg((-F.sum((F.col("_na").cast("double") / F.col("_n"))
+                       * F.log2(F.col("_na").cast("double")
+                                / F.col("_n")))).alias("h_a")))
+    hb = (mb.crossJoin(F.broadcast(tot))
+          .agg((-F.sum((F.col("_nb").cast("double") / F.col("_n"))
+                       * F.log2(F.col("_nb").cast("double")
+                                / F.col("_n")))).alias("h_b")))
+    out = stats.crossJoin(F.broadcast(ha)).crossJoin(F.broadcast(hb))
+    nmi = F.when(
+        (F.col("h_a") > 0) & (F.col("h_b") > 0),
+        F.bround(F.col("_mi") / F.sqrt(F.col("h_a") * F.col("h_b")),
+                 digits))
+    return out.select(
+        F.col("n").cast("long").alias("n"),
+        F.bround("h_a", digits).alias("h_a"),
+        F.bround("h_b", digits).alias("h_b"),
+        F.bround("_mi", digits).alias("mi_bits"),
+        nmi.alias("nmi"))

@@ -47,6 +47,7 @@ __all__ = [
     "readability",
     "top_ngrams",
     "char_entropy",
+    "hashing_features",
     "STOPWORDS",
 ]
 
@@ -1253,3 +1254,41 @@ def char_entropy(text: Column, digits: int = 4) -> Column:
         return pd.Series(out, dtype="Float64")
 
     return F.bround(_ent(text), digits)
+
+
+def hashing_features(
+    df: DataFrame,
+    id_col: str,
+    text: Column,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Hashing-trick featurization (Weinberger et al. 2009): tokens
+    hash into a FIXED bucket space, so the featurizer needs no
+    vocabulary pass, no fitted state, and no driver-side dictionary —
+    the streaming-friendly vectorizer feeding the learned quality
+    classifier and any linear probe at corpus scale. Output: one row
+    per (doc, bucket) with the token count that landed there —
+    the sparse CSR triplet form.
+
+    The hash is the first 8 hex digits of ``md5(token)`` mod
+    ``n_buckets`` — deterministic, engine-portable (the md5-variate
+    convention used throughout this package), and independent of
+    partitioning. Tokens are lowercased whitespace splits; empty
+    tokens drop.
+
+    Scale (100 TB): one codegen token-stream scan (explode stays in
+    the same stage as the scan), one partial-aggregating exchange
+    carrying (doc, bucket) pairs — bounded by docs × n_buckets, not
+    by token count. No UDFs, no fitted state, no second pass.
+    """
+    if n_buckets < 2:
+        raise ValueError(
+            f"hashing_features: n_buckets must be >= 2, got {n_buckets}")
+    toks = F.explode(
+        F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != ""))
+    d = df.select(F.col(f"`{id_col}`"), toks.alias("_tok"))
+    bucket = (F.conv(F.substring(F.md5(F.col("_tok")), 1, 8), 16, 10)
+              .cast("long") % F.lit(int(n_buckets))).alias("bucket")
+    return (d.groupBy(F.col(f"`{id_col}`"), bucket)
+            .agg(F.count("*").alias("n"))
+            .select(F.col(f"`{id_col}`"), "bucket", "n"))

@@ -1223,3 +1223,28 @@ def test_grouped_trend_exact_line_constant_and_minpoints(spark):
     assert "tiny" not in got
     with pytest.raises(ValueError, match="min_points"):
         grouped_trend(df, ["g"], "x", "y", min_points=1)
+
+
+def test_session_paths_order_topk_and_maxsteps(spark):
+    from feldman_spark.ops.windows import session_paths
+
+    rows = [
+        # session s1: A>B>C (twice via s1/s2), s3: A>B, s4: B (count 1)
+        ("s1", 1, "A"), ("s1", 2, "B"), ("s1", 3, "C"),
+        ("s2", 1, "A"), ("s2", 2, "B"), ("s2", 3, "C"),
+        ("s3", 5, "A"), ("s3", 9, "B"),
+        ("s4", 1, "B"),
+        ("s5", 2, "A"), ("s5", 1, "B"),  # order matters: B>A
+    ]
+    df = spark.createDataFrame(rows, "sid string, t int, step string")
+    got = [(r["path"], r["n_sessions"])
+           for r in session_paths(df, ["sid"], "step", ["t"],
+                                  top_k=3).collect()]
+    # count desc, then path asc tie-break
+    assert got == [("A>B>C", 2), ("A>B", 1), ("B", 1)]
+    trunc = {r["path"]: r["n_sessions"]
+             for r in session_paths(df, ["sid"], "step", ["t"],
+                                    top_k=10, max_steps=2).collect()}
+    assert trunc == {"A>B": 3, "B": 1, "B>A": 1}
+    with pytest.raises(ValueError, match="top_k"):
+        session_paths(df, ["sid"], "step", ["t"], top_k=0)

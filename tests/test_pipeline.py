@@ -2816,3 +2816,39 @@ def test_char_entropy_known_values_and_nulls(spark):
     assert got[3] == round(-(2/3)*math.log2(2/3) - (1/3)*math.log2(1/3), 4)
     assert got[4] is None and got[5] is None
     assert got[6] == 1.0
+
+
+def test_mutual_info_dependent_independent_constant(spark):
+    from feldman_spark.pipeline.profile import mutual_info
+
+    # perfectly dependent: B = A -> MI = H(A) = 1 bit, NMI = 1
+    dep = spark.createDataFrame(
+        [("x", "x")] * 8 + [("y", "y")] * 8, "a string, b string")
+    r = mutual_info(dep, "a", "b").collect()[0]
+    assert (r["n"], r["h_a"], r["mi_bits"], r["nmi"]) == (16, 1.0, 1.0, 1.0)
+    # independent uniform 2x2 -> MI = 0
+    ind = spark.createDataFrame(
+        [(a, b) for a in "xy" for b in "uv" for _ in range(4)],
+        "a string, b string")
+    r = mutual_info(ind, "a", "b").collect()[0]
+    assert r["mi_bits"] == 0.0 and r["nmi"] == 0.0
+    # constant column -> zero entropy -> nmi NULL, mi 0
+    const = spark.createDataFrame(
+        [("k", b) for b in "uvuv"], "a string, b string")
+    r = mutual_info(const, "a", "b").collect()[0]
+    assert r["h_a"] == 0.0 and r["mi_bits"] == 0.0 and r["nmi"] is None
+
+
+def test_hashing_features_deterministic_counts(spark):
+    import hashlib
+    from feldman_spark.pipeline.text import hashing_features
+
+    df = spark.createDataFrame(
+        [(1, "Apple apple  banana"), (2, None), (3, "   ")],
+        "doc_id long, text string")
+    out = hashing_features(df, "doc_id", F.col("text"), n_buckets=64)
+    got = {(r["doc_id"], r["bucket"]): r["n"] for r in out.collect()}
+    bk = lambda t: int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % 64
+    assert got == {(1, bk("apple")): 2, (1, bk("banana")): 1}
+    with pytest.raises(ValueError, match="n_buckets"):
+        hashing_features(df, "doc_id", F.col("text"), n_buckets=1)
