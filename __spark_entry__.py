@@ -4884,6 +4884,47 @@ def text_hashing_features(spark, sf_dir):
     return hashing_features(d, "doc_id", F.col("text"), n_buckets=64)
 
 
+def text_winnow(spark, sf_dir):
+    """Winnowing fingerprint profile (Schleimer et al. 2003 / MOSS):
+    per document, how many winnowed fingerprints it carries and how
+    many of those are SHARED with another document — the local
+    copy/boilerplate signal (guaranteed hit for any shared run of
+    k+w-1 = 15 chars) that whole-doc minhash can't localize. Gram
+    hashes explode inside the scan; selection is one packed-integer
+    frame MIN per doc; sharing stats are fingerprint-sized joins
+    (feldman_spark/pipeline/text.py::winnow_fingerprints)."""
+    from feldman_spark.pipeline.text import winnow_fingerprints
+
+    d = _t(spark, sf_dir, "documents")
+    fp = winnow_fingerprints(d, "doc_id", F.col("text"), k=12, w=4)
+    n_fp = fp.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
+    byhash = fp.select("doc_id", "fp_hash").distinct()
+    sharing = byhash.groupBy("fp_hash").agg(F.count("*").alias("_nd"))
+    n_shared = (byhash.join(sharing, "fp_hash")
+                .filter(F.col("_nd") >= 2)
+                .groupBy("doc_id").agg(F.count("*").alias("_ns")))
+    return (n_fp.join(n_shared, "doc_id", "left")
+            .select("doc_id", "n_fp",
+                    F.coalesce(F.col("_ns"), F.lit(0)).alias("n_shared")))
+
+
+def web_cooccurrence_pmi(spark, sf_dir):
+    """PMI/NPMI-ranked item co-occurrence over the same capped (user,
+    item) sets as web_cooccurrence — "do these co-occur more than
+    their popularities predict?" rather than raw pair counts. Margins
+    and N come from the SAME capped table so the three counts are
+    mutually consistent; the PMI arithmetic adds only item-sized
+    broadcasts to the pair plan
+    (feldman_spark/pipeline/graph.py::cooccurrence_pmi)."""
+    from feldman_spark.pipeline.graph import cooccurrence_pmi
+
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select(
+        "user_id",
+        (F.floor(F.col("value")).cast("bigint") % 50).alias("item"))
+    return cooccurrence_pmi(d, "user_id", "item", cap=20, min_count=3)
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -4940,8 +4981,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_embedding_join": doc_embedding_join,
         "events_attribution": events_attribution,
         "events_json_props": events_json_props,
-        "events_running_totals": events_running_totals,
-        "events_sessionize_native": events_sessionize_native,
     # --- r10 window: new r10 registrations (never-covered keys outrank
     # re-verification; profile_calibration/profile_documents/q11/q13/
     # q15-q18 + q19_disjunctive deferred to the r11 head when the eight
@@ -4970,8 +5009,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_mutual_info": profile_mutual_info,
         "events_top_paths": events_top_paths,
         "text_hashing_features": text_hashing_features,
+        "text_winnow": text_winnow,
+        "web_cooccurrence_pmi": web_cooccurrence_pmi,
     # ^ the 50-key driver window ends here --- tail below is mirror-checked every round ---
     # deferred r7-green keys (r11 window head):
+        "events_running_totals": events_running_totals,
+        "events_sessionize_native": events_sessionize_native,
         "events_stream_dedup": events_stream_dedup,
         "j9_asof_join": j9_asof_join,
         "knn_group_centroids": knn_group_centroids,
@@ -7928,5 +7971,82 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n
             FROM toks WHERE t <> ''
             GROUP BY 1, 2
+        """,
+        "text_winnow": """
+            WITH d AS (
+              SELECT doc_id, text, len(text) - 12 + 1 AS ng
+              FROM documents WHERE text IS NOT NULL AND len(text) >= 12
+            ),
+            g AS (
+              SELECT doc_id, ng, k AS pos, substr(text, k, 12) AS gram
+              FROM (SELECT doc_id, text, ng,
+                           unnest(generate_series(1, ng)) AS k
+                    FROM d)
+            ),
+            keyed AS (
+              SELECT doc_id, ng, pos,
+                     (('0x' || substr(md5(gram), 1, 8))::BIGINT
+                      * 2147483648 + pos) AS key
+              FROM g
+            ),
+            m AS (
+              SELECT doc_id, ng, pos,
+                     min(key) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mkey
+              FROM keyed
+            ),
+            fp AS (
+              SELECT DISTINCT doc_id,
+                     mkey % 2147483648 AS fp_pos,
+                     mkey // 2147483648 AS fp_hash
+              FROM m WHERE pos <= greatest(ng - 4 + 1, 1)
+            ),
+            nf AS (SELECT doc_id, count(*) AS n_fp FROM fp GROUP BY 1),
+            bh AS (SELECT DISTINCT doc_id, fp_hash FROM fp),
+            sh AS (SELECT fp_hash, count(*) AS nd FROM bh GROUP BY 1),
+            ns AS (
+              SELECT doc_id, count(*) AS n_shared
+              FROM bh JOIN sh USING (fp_hash) WHERE nd >= 2 GROUP BY 1
+            )
+            SELECT nf.doc_id, nf.n_fp, coalesce(ns.n_shared, 0) AS n_shared
+            FROM nf LEFT JOIN ns USING (doc_id)
+        """,
+        "web_cooccurrence_pmi": """
+            WITH base AS (
+              SELECT DISTINCT user_id AS g,
+                     CAST(floor(value) AS BIGINT) % 50 AS i
+              FROM events
+              WHERE user_id IS NOT NULL AND value IS NOT NULL
+            ), capped AS (
+              SELECT g, i FROM (
+                SELECT g, i, row_number() OVER (
+                  PARTITION BY g
+                  ORDER BY substr(md5(CAST(i AS VARCHAR) || '#coocc'),
+                                  1, 8) ASC, i ASC) AS rk
+                FROM base
+              ) WHERE rk <= 20
+            ),
+            pairs AS (
+              SELECT a.i AS item_a, b.i AS item_b, count(*) AS n_groups
+              FROM capped a JOIN capped b ON a.g = b.g AND a.i < b.i
+              GROUP BY 1, 2 HAVING count(*) >= 3
+            ),
+            marg AS (SELECT i, count(*) AS ni FROM capped GROUP BY 1),
+            tot AS (SELECT count(DISTINCT g) AS n FROM capped)
+            SELECT item_a, item_b, n_groups,
+                   round(log2((CAST(n_groups AS DOUBLE) * n)
+                              / (CAST(ma.ni AS DOUBLE)
+                                 * CAST(mb.ni AS DOUBLE))), 4) AS pmi,
+                   CASE WHEN n_groups = n THEN 1.0
+                        ELSE round(
+                          log2((CAST(n_groups AS DOUBLE) * n)
+                               / (CAST(ma.ni AS DOUBLE)
+                                  * CAST(mb.ni AS DOUBLE)))
+                          / -log2(CAST(n_groups AS DOUBLE) / n), 4)
+                   END AS npmi
+            FROM pairs
+            JOIN marg ma ON ma.i = pairs.item_a
+            JOIN marg mb ON mb.i = pairs.item_b, tot
         """,
     }

@@ -131,6 +131,10 @@ HEADLINE = [
     "profile_mutual_info",
     "events_top_paths",
     "text_hashing_features",
+    # round-10c fourth batch: winnowing fingerprints (packed-key frame
+    # MIN over the in-scan gram stream), PMI/NPMI co-occurrence
+    "text_winnow",
+    "web_cooccurrence_pmi",
 ]
 
 # slack for the regression gate: sub-second queries jitter by whole

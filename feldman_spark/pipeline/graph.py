@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, functions as F
 
 __all__ = ["connected_components", "dedup_survivors",
            "dedup_survivors_best", "pagerank", "triangle_stats",
-           "cooccurrence_pairs"]
+           "cooccurrence_pairs", "cooccurrence_pmi"]
 
 
 def connected_components(
@@ -382,3 +382,78 @@ def cooccurrence_pairs(
         .agg(F.count("*").alias("n_groups"))
         .filter(F.col("n_groups") >= min_count)
     )
+
+
+def cooccurrence_pmi(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    cap: int = 50,
+    min_count: int = 2,
+    seed: str = "coocc",
+    digits: int = 4,
+) -> DataFrame:
+    """Pointwise mutual information over item co-occurrence — raw
+    pair counts (:func:`cooccurrence_pairs`) rank popular×popular
+    pairs first even when the association is pure chance; PMI
+    ``log2(P(a,b) / (P(a)·P(b)))`` asks "do these co-occur MORE than
+    their popularities predict?", the collocation/related-items
+    ranking that actually surfaces signal. Also emits normalized NPMI
+    ``pmi / −log2(P(a,b))`` ∈ [−1, 1] (Bouma 2009), which doesn't
+    inflate for rare pairs the way raw PMI does.
+
+    Probabilities are over GROUPS: ``P(a) = groups containing a / N``,
+    computed on the SAME capped item sets as the pair counts, so the
+    three counts are mutually consistent by construction. Returns
+    ``(item_a, item_b, n_groups, pmi, npmi)`` with ``item_a <
+    item_b`` and ``n_groups >= min_count``.
+
+    Scale (100 TB): identical exchange plan to
+    :func:`cooccurrence_pairs` (dedup+cap on the group key, pair
+    self-join reusing it, map-side pair counts) plus one item-sized
+    margin aggregate broadcast twice onto the pair table and a one-row
+    N — the PMI arithmetic adds zero fact-table passes.
+    """
+    from feldman_spark.pipeline.sampling import cap_per_group
+
+    if cap < 2:
+        raise ValueError(f"cap must be >= 2, got {cap}")
+    base = (
+        df.select(F.col(f"`{group_col}`").alias("_g"),
+                  F.col(f"`{item_col}`").alias("_i"))
+        .filter(F.col("_g").isNotNull() & F.col("_i").isNotNull())
+        .distinct()
+    )
+    capped = cap_per_group(base, "_g", cap, key_col="_i", seed=seed)
+    l = capped.select("_g", F.col("_i").alias("item_a"))
+    r = capped.select("_g", F.col("_i").alias("item_b"))
+    pairs = (
+        l.join(r, "_g")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").alias("n_groups"))
+        .filter(F.col("n_groups") >= min_count)
+    )
+    margins = capped.groupBy(F.col("_i")).agg(F.count("*").alias("_ni"))
+    tot = capped.agg(F.countDistinct("_g").alias("_n"))
+    j = (pairs
+         .join(F.broadcast(margins.select(F.col("_i").alias("item_a"),
+                                          F.col("_ni").alias("_na"))),
+               "item_a")
+         .join(F.broadcast(margins.select(F.col("_i").alias("item_b"),
+                                          F.col("_ni").alias("_nb"))),
+               "item_b")
+         .crossJoin(F.broadcast(tot)))
+    nab = F.col("n_groups").cast("double")
+    n = F.col("_n").cast("double")
+    pmi = F.log2((nab * n)
+                 / (F.col("_na").cast("double") * F.col("_nb").cast("double")))
+    npmi = pmi / -F.log2(nab / n)
+    # P(a,b) = 1 (a pair in EVERY group) makes −log2 P(a,b) = 0;
+    # NPMI is +1 by convention there
+    npmi = F.when(F.col("n_groups") == F.col("_n"), F.lit(1.0)) \
+        .otherwise(npmi)
+    return j.select(
+        "item_a", "item_b", "n_groups",
+        F.bround(pmi, digits).alias("pmi"),
+        F.bround(npmi, digits).alias("npmi"))

@@ -48,6 +48,7 @@ __all__ = [
     "top_ngrams",
     "char_entropy",
     "hashing_features",
+    "winnow_fingerprints",
     "STOPWORDS",
 ]
 
@@ -1292,3 +1293,74 @@ def hashing_features(
     return (d.groupBy(F.col(f"`{id_col}`"), bucket)
             .agg(F.count("*").alias("n"))
             .select(F.col(f"`{id_col}`"), "bucket", "n"))
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text: Column,
+    k: int = 12,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    2003 — the MOSS algorithm): hash every ``k``-character gram, slide
+    a ``w``-hash window, keep each window's minimum (leftmost on ties)
+    — a position-aware fingerprint set with the winnowing GUARANTEE
+    that any shared substring of length ≥ ``k + w - 1`` produces at
+    least one shared fingerprint, at ~2/(w+1) the density of the full
+    gram stream. The local-similarity primitive behind plagiarism/
+    clone/boilerplate detection that whole-document minhash can't do:
+    minhash says HOW similar, winnowing says WHERE.
+
+    Returns distinct ``(id, fp_pos, fp_hash)`` rows (1-based character
+    position). Documents shorter than ``k`` produce no fingerprints;
+    documents with fewer than ``w`` grams produce the single overall
+    minimum (one clipped window — the standard short-input case).
+
+    Selection is ONE integer expression: each window start takes
+    ``min(hash · 2³¹ + pos)`` over its forward frame — the packed key
+    makes "min hash, leftmost tie" a plain frame MIN, exact in int64
+    (hash < 2³², pos < 2³¹), portable to any engine with the same
+    arithmetic, no argmin struct tricks. The hash is the md5-variate
+    convention (first 8 hex digits), position counting is by
+    CHARACTER, so cross-engine parity holds for BMP-safe text.
+
+    Scale (100 TB): the gram stream explodes inside the scan stage
+    (sequence + substring, pure codegen); the only exchanges are the
+    doc-keyed window sort (each doc costs its own gram count) and the
+    partial-aggregating distinct over the ~2/(w+1)-thinned fingerprint
+    rows. Payload text never shuffles — grams hash in-stage.
+    """
+    if k < 2:
+        raise ValueError(f"winnow_fingerprints: k must be >= 2, got {k}")
+    if w < 2:
+        raise ValueError(f"winnow_fingerprints: w must be >= 2, got {w}")
+    from pyspark.sql import Window
+
+    idc = F.col(f"`{id_col}`")
+    n_grams = F.length(text) - F.lit(k) + 1
+    d = (df.select(idc, text.alias("_t"), n_grams.alias("_ng"))
+         .filter(F.col("_ng") >= 1)
+         .select(idc, "_t", "_ng",
+                 F.explode(F.sequence(F.lit(1), F.col("_ng")))
+                 .alias("_pos")))
+    h = (F.conv(F.substring(F.md5(
+        F.substring(F.col("_t"), F.col("_pos"), k)), 1, 8), 16, 10)
+        .cast("long"))
+    keyed = d.select(
+        idc, "_ng", "_pos",
+        (h * F.lit(2 ** 31).cast("long") + F.col("_pos")).alias("_key"))
+    win = (Window.partitionBy(idc).orderBy(F.col("_pos").asc())
+           .rowsBetween(Window.currentRow, w - 1))
+    starts = (keyed
+              .withColumn("_mkey", F.min("_key").over(win))
+              .filter(F.col("_pos")
+                      <= F.greatest(F.col("_ng") - F.lit(w) + 1, F.lit(1))))
+    return (starts
+            .select(idc,
+                    (F.col("_mkey") % F.lit(2 ** 31).cast("long"))
+                    .alias("fp_pos"),
+                    # integer div, NOT '/': double division cannot
+                    # represent int64-scale keys exactly
+                    F.expr(f"_mkey div {2 ** 31}").alias("fp_hash"))
+            .distinct())

@@ -2852,3 +2852,69 @@ def test_hashing_features_deterministic_counts(spark):
     assert got == {(1, bk("apple")): 2, (1, bk("banana")): 1}
     with pytest.raises(ValueError, match="n_buckets"):
         hashing_features(df, "doc_id", F.col("text"), n_buckets=1)
+
+
+def test_winnow_fingerprints_guarantee_and_short_docs(spark):
+    from feldman_spark.pipeline.text import winnow_fingerprints
+
+    shared = "the quick brown fox jumps over"
+    df = spark.createDataFrame(
+        [(1, "AAAA " + shared + " lazy dog"),
+         (2, "BBBBBBBB " + shared + " sleeping cat"),
+         (3, "zz"),          # shorter than k -> no fingerprints
+         (4, "exactly12chr")],  # one gram -> one clipped window
+        "id long, t string")
+    fp = winnow_fingerprints(df, "id", F.col("t"), k=12, w=4)
+    rows = fp.collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["id"], set()).add(r["fp_hash"])
+    # winnowing guarantee: a shared substring of length >= k+w-1
+    # yields at least one shared fingerprint hash
+    assert by_id[1] & by_id[2]
+    assert 3 not in by_id
+    assert len(by_id[4]) == 1
+    # density: fingerprints are a strict thinning of the gram stream
+    n_grams_1 = len("AAAA " + shared + " lazy dog") - 12 + 1
+    assert 0 < len(by_id[1]) < n_grams_1
+    with pytest.raises(ValueError, match="w must be"):
+        winnow_fingerprints(df, "id", F.col("t"), k=12, w=1)
+
+
+def test_winnow_fingerprints_positions_are_exact(spark):
+    import hashlib
+    from feldman_spark.pipeline.text import winnow_fingerprints
+
+    t = "abcdefghijklmnop"  # 16 chars, k=4 -> 13 grams, w=3 -> 11 windows
+    df = spark.createDataFrame([(1, t)], "id long, t string")
+    got = {(r["fp_pos"], r["fp_hash"])
+           for r in winnow_fingerprints(df, "id", F.col("t"),
+                                        k=4, w=3).collect()}
+    h = lambda g: int(hashlib.md5(g.encode()).hexdigest()[:8], 16)
+    grams = [t[i:i+4] for i in range(13)]
+    keys = [h(g) * (2**31) + (i + 1) for i, g in enumerate(grams)]
+    expect = set()
+    for s0 in range(11):
+        mk = min(keys[s0:s0+3])
+        expect.add((mk % (2**31), mk // (2**31)))
+    assert got == expect
+
+
+def test_cooccurrence_pmi_independent_vs_associated(spark):
+    from feldman_spark.pipeline.graph import cooccurrence_pmi
+
+    # 8 groups: x,y always together (perfect association);
+    # u appears in all groups (so any pair with u has pmi 0)
+    rows = []
+    for g in range(8):
+        rows += [(g, "u")]
+        if g < 4:
+            rows += [(g, "x"), (g, "y")]
+    df = spark.createDataFrame(rows, "g long, i string")
+    got = {(r["item_a"], r["item_b"]): (r["n_groups"], r["pmi"], r["npmi"])
+           for r in cooccurrence_pmi(df, "g", "i", cap=10,
+                                     min_count=2).collect()}
+    # x,y: P=1/2 each, P(xy)=1/2 -> pmi = log2(2) = 1, npmi = 1
+    assert got[("x", "y")] == (4, 1.0, 1.0)
+    # u,x: P(u)=1 -> pmi = 0; npmi = 0
+    assert got[("u", "x")] == (4, 0.0, 0.0)
