@@ -136,6 +136,21 @@ COMMENTARY = {
         "(cell_x, cell_y) — no CartesianProduct/BroadcastNestedLoop "
         "anywhere — and the distance residual as a post-join Filter "
         "on candidates."),
+    "w11_resample_interpolate": (
+        "Grid resample + linear interpolation: wanted the sample "
+        "collapse and grid explode as codegen stages, then ONE "
+        "Exchange on the group key feeding ONE Sort with a single "
+        "Window node evaluating BOTH bracket frames (last-before and "
+        "first-after share the sort) — no as-of join, no range join, "
+        "no second exchange after the union."),
+    "text_winnow": (
+        "Winnowing fingerprints: wanted the k-gram stream as a "
+        "codegen Generate inside the scan stage (sequence + substring "
+        "+ md5 — the document text never shuffles), one Exchange on "
+        "doc_id into one Sort, the window-min as a single frame MIN "
+        "over the packed int64 key, and the fingerprint distinct as a "
+        "partial HashAggregate BEFORE its exchange (the ~2/(w+1)-"
+        "thinned rows are what moves, not grams)."),
 }
 
 
@@ -211,6 +226,9 @@ def main() -> None:
     plans["text_top_ngrams"] = qs["text_top_ngrams"](spark, sf)
     plans["knn_join"] = qs["knn_join"](spark, sf)
     plans["j15_radius_join"] = qs["j15_radius_join"](spark, sf)
+    plans["w11_resample_interpolate"] = qs["w11_resample_interpolate"](
+        spark, sf)
+    plans["text_winnow"] = qs["text_winnow"](spark, sf)
 
     from feldman_spark.ops.filters import conjunctive_filter, range_filter
     li = spark.read.parquet(f"{sf}/lineitem.parquet")
