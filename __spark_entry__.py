@@ -4925,6 +4925,39 @@ def web_cooccurrence_pmi(spark, sf_dir):
     return cooccurrence_pmi(d, "user_id", "item", cap=20, min_count=3)
 
 
+def sample_group_split(spark, sf_dir):
+    """Leakage-safe train/val/test split: the variate is hashed on the
+    USER, not the row, so every event of a user lands in one split —
+    the split discipline that keeps a user's behavior out of both
+    train and eval (row-level splits leak entities across the
+    boundary). Row-local hash_split with the group key; summarized
+    per split with the user count proving the grouping
+    (feldman_spark/pipeline/sampling.py::hash_split)."""
+    from feldman_spark.pipeline.sampling import hash_split
+
+    e = _t(spark, sf_dir, "events")
+    return (hash_split(e, "user_id").groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.countDistinct("user_id").alias("n_users")))
+
+
+def a15_dense_ids(spark, sf_dir):
+    """A15: contiguous vocabulary ids over the corpus's distinct
+    lowercase tokens — embedding-matrix row indices (dense,
+    collision-free, value-ordered). Two-phase zipWithIndex: range
+    exchange parallelizes the global sort, per-partition row_number +
+    broadcast cumulative offsets; ids depend on the value SET only,
+    never the partitioning
+    (feldman_spark/pipeline/training.py::dense_ids)."""
+    from feldman_spark.pipeline.training import dense_ids
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(
+        F.filter(F.split(F.lower(F.col("text")), r"\s+"),
+                 lambda t: t != "")).alias("token"))
+    return dense_ids(toks, "token", num_partitions=8)
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -4979,8 +5012,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": dedup_exact,
         "dedup_simhash": dedup_simhash,
         "doc_embedding_join": doc_embedding_join,
-        "events_attribution": events_attribution,
-        "events_json_props": events_json_props,
     # --- r10 window: new r10 registrations (never-covered keys outrank
     # re-verification; profile_calibration/profile_documents/q11/q13/
     # q15-q18 + q19_disjunctive deferred to the r11 head when the eight
@@ -5011,8 +5042,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_hashing_features": text_hashing_features,
         "text_winnow": text_winnow,
         "web_cooccurrence_pmi": web_cooccurrence_pmi,
+        "sample_group_split": sample_group_split,
+        "a15_dense_ids": a15_dense_ids,
     # ^ the 50-key driver window ends here --- tail below is mirror-checked every round ---
     # deferred r7-green keys (r11 window head):
+        "events_attribution": events_attribution,
+        "events_json_props": events_json_props,
         "events_running_totals": events_running_totals,
         "events_sessionize_native": events_sessionize_native,
         "events_stream_dedup": events_stream_dedup,
@@ -8048,5 +8083,29 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs
             JOIN marg ma ON ma.i = pairs.item_a
             JOIN marg mb ON mb.i = pairs.item_b, tot
+        """,
+        "sample_group_split": """
+            SELECT CASE
+                     WHEN substr(md5(user_id::VARCHAR || '#split'), 1, 8)
+                          < 'e6666666' THEN 'train'
+                     WHEN substr(md5(user_id::VARCHAR || '#split'), 1, 8)
+                          < 'f3333333' THEN 'val'
+                     ELSE 'test'
+                   END AS split,
+                   count(*) AS n_events,
+                   count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY split
+        """,
+        "a15_dense_ids": """
+            WITH toks AS (
+              SELECT DISTINCT
+                     unnest(string_split_regex(lower(text), '\\s+'))
+                       AS token
+              FROM documents WHERE text IS NOT NULL
+            )
+            SELECT token,
+                   CAST(row_number() OVER (ORDER BY token) AS BIGINT)
+                     AS id
+            FROM toks WHERE token <> ''
         """,
     }

@@ -135,6 +135,10 @@ HEADLINE = [
     # MIN over the in-scan gram stream), PMI/NPMI co-occurrence
     "text_winnow",
     "web_cooccurrence_pmi",
+    # round-10c fifth batch: leakage-safe grouped split, two-phase
+    # dense-id vocabulary assignment (parallel zipWithIndex)
+    "sample_group_split",
+    "a15_dense_ids",
 ]
 
 # slack for the regression gate: sub-second queries jitter by whole

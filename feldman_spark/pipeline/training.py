@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["pack_sequences", "chunk_documents", "tfidf_top_terms",
-           "export_jsonl_sharded"]
+           "export_jsonl_sharded", "dense_ids"]
 
 
 def pack_sequences(
@@ -240,3 +240,58 @@ def export_jsonl_sharded(
         .agg(F.count(F.lit(1)).alias("n_rows"),
              F.countDistinct("_file").alias("n_files"))
     )
+
+
+def dense_ids(
+    df: DataFrame,
+    value_col: str,
+    out: str = "id",
+    num_partitions: Optional[int] = None,
+) -> DataFrame:
+    """Contiguous 1-based id assignment over the distinct values of
+    ``value_col``, in value order — the vocabulary-building step that
+    turns tokens/entities/categories into embedding-matrix row indices
+    (a HASH id is fine for featurization, but an embedding table needs
+    ids that are dense, collision-free, and stable given the same
+    value set).
+
+    Returns the mapping table ``(value, id)`` with ids ``1..n``;
+    join it back to the corpus to encode. Output depends only on the
+    value SET (ids = rank in sorted order), never on partitioning.
+
+    Scale (100 TB): the naive form — ``row_number`` over a global
+    ORDER BY — funnels every distinct value through ONE task. This is
+    the two-phase form instead (the DataFrame rendering of RDD
+    ``zipWithIndex``): range-repartition the distinct values, count
+    per partition, broadcast the tiny cumulative-offset table, and
+    number within each partition — the global sort happens as a
+    parallel range-exchange, the window sees one PARTITION at a time,
+    and the only driver state is one count per partition. Range
+    boundaries come from sampling and vary run to run; the assigned
+    ids do NOT (rank in a total order is partitioning-invariant).
+    """
+    v = F.col(f"`{value_col}`")
+    vals = df.select(v.alias("_v")).filter(F.col("_v").isNotNull()) \
+        .distinct()
+    if num_partitions:
+        vals = vals.repartitionByRange(int(num_partitions), F.col("_v"))
+    else:
+        vals = vals.repartitionByRange(F.col("_v"))
+    tagged = vals.withColumn("_pid", F.spark_partition_id())
+    # partition-count-sized driver state: one (pid, count) row each
+    counts = sorted(
+        (r["_pid"], r["n"]) for r in
+        tagged.groupBy("_pid").agg(F.count("*").alias("n")).collect())
+    offsets, acc = {}, 0
+    for pid, n in counts:
+        offsets[pid] = acc
+        acc += n
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()],
+        "_pid int, _off long")
+    w = Window.partitionBy("_pid").orderBy(F.col("_v").asc())
+    return (tagged
+            .join(F.broadcast(off_df), "_pid")
+            .withColumn(out, F.col("_off") + F.row_number().over(w))
+            .select(F.col("_v").alias(value_col), F.col(out)))

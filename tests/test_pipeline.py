@@ -2918,3 +2918,22 @@ def test_cooccurrence_pmi_independent_vs_associated(spark):
     assert got[("x", "y")] == (4, 1.0, 1.0)
     # u,x: P(u)=1 -> pmi = 0; npmi = 0
     assert got[("u", "x")] == (4, 0.0, 0.0)
+
+
+def test_dense_ids_rank_order_and_partition_invariance(spark):
+    from feldman_spark.pipeline.training import dense_ids
+
+    df = spark.createDataFrame(
+        [("m",), ("a",), ("z",), ("a",), ("k",), (None,)], "v string")
+    got = {r["v"]: r["id"]
+           for r in dense_ids(df, "v", num_partitions=3).collect()}
+    assert got == {"a": 1, "k": 2, "m": 3, "z": 4}
+    # ids are partitioning-invariant: different partition count, same map
+    assert got == {r["v"]: r["id"]
+                   for r in dense_ids(df.repartition(7), "v",
+                                      num_partitions=2).collect()}
+    # scales past one partition: 1000 values, ids == rank in sorted order
+    big = spark.range(0, 1000).selectExpr("format_string('v%04d', id) AS v")
+    ids = dense_ids(big, "v", num_partitions=8).collect()
+    assert sorted((r["v"], r["id"]) for r in ids) == \
+        [(f"v{i:04d}", i + 1) for i in range(1000)]
