@@ -4958,6 +4958,45 @@ def a15_dense_ids(spark, sf_dir):
     return dense_ids(toks, "token", num_partitions=8)
 
 
+def j16_geo_radius_join(spark, sf_dir):
+    """J16: EXACT great-circle radius join (haversine ≤ 200 km) between
+    customers and suppliers at deterministic integer-lattice
+    coordinates (±55° lat, 60°-wide lon band). The geo correction over
+    j15's planar grid: lon bins sized for the band's WORST latitude so
+    the 3×3 probe stays pigeonhole-exact; candidates verify with the
+    true haversine; out-of-band latitudes raise, never silently lose
+    recall (feldman_spark/ops/joins.py::geo_radius_join)."""
+    from feldman_spark.ops.joins import geo_radius_join
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (((F.col("c_custkey") * 7919) % 1100) / 10.0 - 55.0).alias("lat"),
+        (((F.col("c_custkey") * 104729) % 600) / 10.0 - 30.0).alias("lon"))
+    s = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        (((F.col("s_suppkey") * 7919 + 13) % 1100) / 10.0 - 55.0)
+        .alias("lat2"),
+        (((F.col("s_suppkey") * 104729 + 17) % 600) / 10.0 - 30.0)
+        .alias("lon2"))
+    return (geo_radius_join(c, s, 200.0, max_abs_lat=60.0)
+            .select("c_custkey", "s_suppkey", "dist_km"))
+
+
+def text_normalize_keys(spark, sf_dir):
+    """Canonical dedup-key normalization over the pinned adversarial
+    fixture (composed vs decomposed accents, NBSP, ß casefold, Turkish
+    İ, ligature expansion, ideographic spaces): NFC → casefold →
+    accent-strip → whitespace-collapse in one vectorized Arrow pass.
+    SF-independent pure function + pinned input = VALUES oracle (the
+    media_image_stats pattern), so any behavior drift turns the row
+    red (feldman_spark/pipeline/text.py::normalize_keys)."""
+    from feldman_spark.pipeline.text import NORMALIZE_FIXTURE, normalize_keys
+
+    df = spark.createDataFrame(
+        [(i, raw) for i, raw, _ in NORMALIZE_FIXTURE], "id long, raw string")
+    return df.select("id", normalize_keys(F.col("raw")).alias("norm_key"))
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -5010,8 +5049,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_contamination_13g": dedup_contamination_13g,
         "dedup_embedding_cosine": dedup_embedding_cosine,
         "dedup_exact": dedup_exact,
-        "dedup_simhash": dedup_simhash,
-        "doc_embedding_join": doc_embedding_join,
     # --- r10 window: new r10 registrations (never-covered keys outrank
     # re-verification; profile_calibration/profile_documents/q11/q13/
     # q15-q18 + q19_disjunctive deferred to the r11 head when the eight
@@ -5044,8 +5081,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_cooccurrence_pmi": web_cooccurrence_pmi,
         "sample_group_split": sample_group_split,
         "a15_dense_ids": a15_dense_ids,
+        "j16_geo_radius_join": j16_geo_radius_join,
+        "text_normalize_keys": text_normalize_keys,
     # ^ the 50-key driver window ends here --- tail below is mirror-checked every round ---
     # deferred r7-green keys (r11 window head):
+        "dedup_simhash": dedup_simhash,
+        "doc_embedding_join": doc_embedding_join,
         "events_attribution": events_attribution,
         "events_json_props": events_json_props,
         "events_running_totals": events_running_totals,
@@ -5374,6 +5415,21 @@ def _zkey_sql(bits: int = 8) -> str:
         terms.append(f"(((zx >> {b}) & 1) << {2 * b})")
         terms.append(f"(((zy >> {b}) & 1) << {2 * b + 1})")
     return " | ".join(terms)
+
+
+def _normalize_keys_oracle_sql() -> str:
+    """VALUES oracle generated literal-for-literal from
+    NORMALIZE_FIXTURE's expected column — the pinned-fixture pattern
+    (robots/mojibake precedent): the Spark side COMPUTES the
+    normalization, the oracle carries the expected outputs, so any
+    unicodedata/step-order drift turns the driver row red."""
+    from feldman_spark.pipeline.text import NORMALIZE_FIXTURE
+
+    rows = ", ".join(
+        "({}, '{}')".format(i, exp.replace("'", "''"))
+        for i, _, exp in NORMALIZE_FIXTURE)
+    return (f"SELECT id, norm_key FROM (VALUES {rows})"
+            " t(id, norm_key)")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -8108,4 +8164,35 @@ def oracle_sql() -> dict[str, str]:
                      AS id
             FROM toks WHERE token <> ''
         """,
+        "j16_geo_radius_join": """
+            WITH c AS (
+              SELECT c_custkey,
+                     ((c_custkey * 7919) % 1100) / 10.0 - 55.0 AS lat,
+                     ((c_custkey * 104729) % 600) / 10.0 - 30.0 AS lon
+              FROM customer
+            ),
+            s AS (
+              SELECT s_suppkey,
+                     ((s_suppkey * 7919 + 13) % 1100) / 10.0 - 55.0
+                       AS lat2,
+                     ((s_suppkey * 104729 + 17) % 600) / 10.0 - 30.0
+                       AS lon2
+              FROM supplier
+            ),
+            j AS (
+              SELECT c_custkey, s_suppkey,
+                     2 * 6371.0088 * asin(sqrt(
+                       sin((lat2 - lat) * (pi() / 180.0 / 2))
+                         * sin((lat2 - lat) * (pi() / 180.0 / 2))
+                       + cos(lat * (pi() / 180.0))
+                         * cos(lat2 * (pi() / 180.0))
+                         * sin((lon2 - lon) * (pi() / 180.0 / 2))
+                         * sin((lon2 - lon) * (pi() / 180.0 / 2))
+                     )) AS d
+              FROM c, s
+            )
+            SELECT c_custkey, s_suppkey, round(d, 4) AS dist_km
+            FROM j WHERE d <= 200.0
+        """,
+        "text_normalize_keys": _normalize_keys_oracle_sql(),
     }

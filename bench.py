@@ -139,6 +139,10 @@ HEADLINE = [
     # dense-id vocabulary assignment (parallel zipWithIndex)
     "sample_group_split",
     "a15_dense_ids",
+    # round-10c sixth batch: haversine grid join (band-worst-case lon
+    # bins), pinned-fixture unicode key normalization
+    "j16_geo_radius_join",
+    "text_normalize_keys",
 ]
 
 # slack for the regression gate: sub-second queries jitter by whole

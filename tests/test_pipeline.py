@@ -2937,3 +2937,66 @@ def test_dense_ids_rank_order_and_partition_invariance(spark):
     ids = dense_ids(big, "v", num_partitions=8).collect()
     assert sorted((r["v"], r["id"]) for r in ids) == \
         [(f"v{i:04d}", i + 1) for i in range(1000)]
+
+
+def test_normalize_keys_pinned_fixture_and_nulls(spark):
+    from feldman_spark.pipeline.text import NORMALIZE_FIXTURE, normalize_keys
+
+    df = spark.createDataFrame(
+        [(i, raw) for i, raw, _ in NORMALIZE_FIXTURE] + [(99, None)],
+        "id long, raw string")
+    got = {r["id"]: r["k"]
+           for r in df.select("id",
+                              normalize_keys(F.col("raw")).alias("k"))
+           .collect()}
+    for i, _, expected in NORMALIZE_FIXTURE:
+        assert got[i] == expected, (i, got[i], expected)
+    assert got[99] is None
+    # the dedup-key property: composed/decomposed/case/space variants
+    # of the same name collapse to ONE key
+    assert len({got[1], got[2], got[3]}) == 1
+
+
+def test_geo_radius_join_exact_vs_bruteforce(spark):
+    import math
+    from feldman_spark.ops.joins import geo_radius_join
+
+    # deterministic pseudo-random points within +-55 lat
+    pts = [((i * 7919) % 1100 / 10.0 - 55.0,
+            (i * 104729) % 600 / 10.0 - 30.0) for i in range(120)]
+    left = spark.createDataFrame(
+        [(i, la, lo) for i, (la, lo) in enumerate(pts[:60])],
+        "lid long, lat double, lon double")
+    right = spark.createDataFrame(
+        [(i, la, lo) for i, (la, lo) in enumerate(pts[60:])],
+        "rid long, lat2 double, lon2 double")
+    R = 500.0
+    got = {(r["lid"], r["rid"])
+           for r in geo_radius_join(left, right, R,
+                                    max_abs_lat=60.0).collect()}
+
+    def hav(a, b):
+        (la1, lo1), (la2, lo2) = a, b
+        rad = math.pi / 180.0
+        x = (math.sin((la2 - la1) * rad / 2) ** 2
+             + math.cos(la1 * rad) * math.cos(la2 * rad)
+             * math.sin((lo2 - lo1) * rad / 2) ** 2)
+        return 2 * 6371.0088 * math.asin(math.sqrt(x))
+
+    expect = {(i, j) for i in range(60) for j in range(60)
+              if hav(pts[i], pts[60 + j]) <= R}
+    assert got == expect and expect  # non-trivial fixture
+    with pytest.raises(ValueError, match="max_abs_lat"):
+        geo_radius_join(left, right, R, max_abs_lat=90.0)
+
+
+def test_geo_radius_join_guard_rejects_polar_rows(spark):
+    from feldman_spark.ops.joins import geo_radius_join
+
+    left = spark.createDataFrame([(1, 75.0, 0.0)],
+                                 "lid long, lat double, lon double")
+    right = spark.createDataFrame([(2, 74.9, 0.1)],
+                                  "rid long, lat2 double, lon2 double")
+    out = geo_radius_join(left, right, 100.0, max_abs_lat=60.0)
+    with pytest.raises(Exception, match="exceeds max_abs_lat"):
+        out.collect()
