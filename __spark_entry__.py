@@ -4997,6 +4997,56 @@ def text_normalize_keys(spark, sf_dir):
     return df.select("id", normalize_keys(F.col("raw")).alias("norm_key"))
 
 
+def f11_quantile_rank(spark, sf_dir):
+    """F11: quantile-transform calibration — each document's length
+    becomes its percentile position WITHIN its source (percent_rank,
+    ties share), the rank-normalization that makes scores comparable
+    across sources before thresholding or mixing. One exchange, one
+    sort; percent_rank is built-in on both engines so the twin is
+    definition-for-definition
+    (feldman_spark/ops/filters.py::with_quantile_rank)."""
+    from feldman_spark.ops.filters import with_quantile_rank
+
+    d = _t(spark, sf_dir, "documents")
+    return (with_quantile_rank(d.select("doc_id", "source", "n_chars"),
+                               ["source"], "n_chars")
+            .select("doc_id", "source", "n_chars", "q"))
+
+
+def profile_k_anonymity(spark, sf_dir):
+    """k-anonymity audit over the (event_type, floor(value)) quasi-
+    identifier combination — the pre-release re-identifiability
+    summary (Sweeney 2002): worst group size, singleton count, rows
+    below k=5. The fact table collapses to fingerprint counts in one
+    pass; everything after is fingerprint-sized
+    (feldman_spark/pipeline/profile.py::k_anonymity)."""
+    from feldman_spark.pipeline.profile import k_anonymity
+
+    e = _t(spark, sf_dir, "events")
+    q = e.select("event_type",
+                 F.floor(F.col("value")).cast("long").alias("value_bin"))
+    return k_anonymity(q, ["event_type", "value_bin"], k=5)
+
+
+def dedup_winnow_pairs(spark, sf_dir):
+    """Top-100 document pairs explained by shared winnowing
+    fingerprints (localization: how many shared, where the overlap
+    starts in each doc) — the WHERE answer after text_winnow's
+    per-doc profile. Universal-boilerplate hashes df-capped at 50
+    before the pair join so no hash contributes more than C(50,2)
+    pairs; deterministic (n_shared desc, id asc) order
+    (feldman_spark/pipeline/text.py::winnow_shared_pairs)."""
+    from feldman_spark.pipeline.text import (winnow_fingerprints,
+                                             winnow_shared_pairs)
+
+    d = _t(spark, sf_dir, "documents")
+    fp = winnow_fingerprints(d, "doc_id", F.col("text"), k=12, w=4)
+    pairs = winnow_shared_pairs(fp, "doc_id", df_cap=50, min_shared=2)
+    return (pairs.orderBy(F.col("n_shared").desc(),
+                          F.col("id_a").asc(), F.col("id_b").asc())
+            .limit(100))
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -5046,9 +5096,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --- r10 window: 30 oldest r7 keys ---
         "a7_percentiles": a7_percentiles,
         "a8_rollup": a8_rollup,
-        "dedup_contamination_13g": dedup_contamination_13g,
-        "dedup_embedding_cosine": dedup_embedding_cosine,
-        "dedup_exact": dedup_exact,
     # --- r10 window: new r10 registrations (never-covered keys outrank
     # re-verification; profile_calibration/profile_documents/q11/q13/
     # q15-q18 + q19_disjunctive deferred to the r11 head when the eight
@@ -5083,8 +5130,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a15_dense_ids": a15_dense_ids,
         "j16_geo_radius_join": j16_geo_radius_join,
         "text_normalize_keys": text_normalize_keys,
+        "f11_quantile_rank": f11_quantile_rank,
+        "profile_k_anonymity": profile_k_anonymity,
+        "dedup_winnow_pairs": dedup_winnow_pairs,
     # ^ the 50-key driver window ends here --- tail below is mirror-checked every round ---
     # deferred r7-green keys (r11 window head):
+        "dedup_contamination_13g": dedup_contamination_13g,
+        "dedup_embedding_cosine": dedup_embedding_cosine,
+        "dedup_exact": dedup_exact,
         "dedup_simhash": dedup_simhash,
         "doc_embedding_join": doc_embedding_join,
         "events_attribution": events_attribution,
@@ -8195,4 +8248,77 @@ def oracle_sql() -> dict[str, str]:
             FROM j WHERE d <= 200.0
         """,
         "text_normalize_keys": _normalize_keys_oracle_sql(),
+        "f11_quantile_rank": """
+            SELECT doc_id, source, n_chars,
+                   CASE WHEN n_chars IS NOT NULL THEN
+                     round(percent_rank() OVER (
+                       PARTITION BY source ORDER BY n_chars), 4)
+                   END AS q
+            FROM documents
+        """,
+        "profile_k_anonymity": """
+            WITH sizes AS (
+              SELECT event_type, CAST(floor(value) AS BIGINT) AS value_bin,
+                     count(*) AS n
+              FROM events GROUP BY 1, 2
+            )
+            SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+                   count(*) AS n_groups,
+                   min(n) AS min_k,
+                   CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_singletons,
+                   CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+                     AS n_below_k,
+                   round(sum(CASE WHEN n < 5 THEN n ELSE 0 END)
+                         / CAST(sum(n) AS DOUBLE), 4) AS frac_below_k
+            FROM sizes
+        """,
+        "dedup_winnow_pairs": """
+            WITH d AS (
+              SELECT doc_id, text, len(text) - 12 + 1 AS ng
+              FROM documents WHERE text IS NOT NULL AND len(text) >= 12
+            ),
+            g AS (
+              SELECT doc_id, ng, k AS pos, substr(text, k, 12) AS gram
+              FROM (SELECT doc_id, text, ng,
+                           unnest(generate_series(1, ng)) AS k
+                    FROM d)
+            ),
+            keyed AS (
+              SELECT doc_id, ng, pos,
+                     (('0x' || substr(md5(gram), 1, 8))::BIGINT
+                      * 2147483648 + pos) AS key
+              FROM g
+            ),
+            m AS (
+              SELECT doc_id, ng, pos,
+                     min(key) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mkey
+              FROM keyed
+            ),
+            fp AS (
+              SELECT DISTINCT doc_id,
+                     mkey % 2147483648 AS fp_pos,
+                     mkey // 2147483648 AS fp_hash
+              FROM m WHERE pos <= greatest(ng - 4 + 1, 1)
+            ),
+            hdf AS (
+              SELECT fp_hash FROM (
+                SELECT fp_hash, count(DISTINCT doc_id) AS dfc
+                FROM fp GROUP BY 1
+              ) WHERE dfc >= 2 AND dfc <= 50
+            ),
+            slim AS (SELECT fp.* FROM fp JOIN hdf USING (fp_hash)),
+            pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     count(DISTINCT a.fp_hash) AS n_shared,
+                     min(a.fp_pos) AS a_first, min(b.fp_pos) AS b_first
+              FROM slim a JOIN slim b
+                ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+              GROUP BY 1, 2 HAVING count(DISTINCT a.fp_hash) >= 2
+            )
+            SELECT * FROM pairs
+            ORDER BY n_shared DESC, id_a ASC, id_b ASC LIMIT 100
+        """,
     }

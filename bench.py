@@ -143,6 +143,11 @@ HEADLINE = [
     # bins), pinned-fixture unicode key normalization
     "j16_geo_radius_join",
     "text_normalize_keys",
+    # round-10c seventh batch: percent_rank calibration, k-anonymity
+    # audit, winnow-pair localization (df-capped inverted-index join)
+    "f11_quantile_rank",
+    "profile_k_anonymity",
+    "dedup_winnow_pairs",
 ]
 
 # slack for the regression gate: sub-second queries jitter by whole

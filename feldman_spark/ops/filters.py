@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from typing import Dict, Optional, Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -24,6 +24,7 @@ __all__ = [
     "with_group_zscore",
     "zscore_outliers",
     "mad_outliers",
+    "with_quantile_rank",
 ]
 
 
@@ -220,3 +221,37 @@ def mad_outliers(
                     & (F.abs(z) > F.lit(float(threshold))))
             .withColumn(out, F.bround(z, digits))
             .drop("_med", "_mad"))
+
+
+def with_quantile_rank(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    out: str = "q",
+    digits: int = 4,
+) -> DataFrame:
+    """F11 (beyond reference): quantile-transform annotation — each
+    row's value becomes its percentile position within its group
+    (``percent_rank``: 0 at the group min, 1 at the max, ties share a
+    rank). The cross-source score calibrator: a "0.8 quality score"
+    from source A and one from source B aren't comparable, their
+    within-source quantiles are — rank-normalize, THEN threshold or
+    mix. NULL values keep a NULL rank and don't consume rank mass;
+    single-row groups rank 0 by the percent_rank convention.
+
+    Scale (100 TB): one exchange on the group key, one sort —
+    ``percent_rank`` is a built-in window on both engines, so the twin
+    is definition-for-definition. A group's cost is its own sort; for
+    standing jobs at extreme group sizes swap for the two-aggregate
+    approximate form (broadcast approx-quantile cuts + row-local
+    bucket lookup, the ppl_buckets shape).
+    """
+    gks = [F.col(f"`{c}`") for c in group_cols]
+    v = F.col(f"`{value_col}`")
+    w = Window.partitionBy(*gks).orderBy(v.asc())
+    rank = F.when(v.isNotNull(),
+                  F.bround(F.percent_rank().over(w), digits))
+    nn = df.filter(v.isNotNull()).withColumn(out, rank)
+    nulls = df.filter(v.isNull()).withColumn(
+        out, F.lit(None).cast("double"))
+    return nn.unionByName(nulls)

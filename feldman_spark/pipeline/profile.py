@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 __all__ = ["profile_table", "profile_histogram", "profile_skew", "calibration_bins",
            "join_cardinality", "psi_drift", "bootstrap_ci", "grouped_trend",
-           "mutual_info",
+           "mutual_info", "k_anonymity",
            "POISSON_CDF_HEX"]
 
 
@@ -556,3 +556,46 @@ def mutual_info(
         F.bround("h_b", digits).alias("h_b"),
         F.bround("_mi", digits).alias("mi_bits"),
         nmi.alias("nmi"))
+
+
+def k_anonymity(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    k: int = 5,
+    digits: int = 4,
+) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier combination — before a
+    dataset ships, how re-identifiable is it? Every row whose
+    (quasi-identifier…) group has fewer than ``k`` members is
+    linkable-in-principle (Sweeney 2002); this reports the one-row
+    risk summary governance actually asks for: ``n_rows``,
+    ``n_groups``, ``min_k`` (worst group), ``n_singletons`` (unique
+    fingerprints — the immediately re-identifiable rows),
+    ``n_below_k`` (rows in groups smaller than ``k``) and its
+    fraction.
+
+    NULL quasi-identifier values are treated as a VALUE (two rows both
+    missing ZIP still match each other — the linkage model), which is
+    groupBy's native NULL semantics on both engines.
+
+    Scale (100 TB): the fact table collapses to (quasi-id…, count) in
+    one partial-aggregating pass; everything after is
+    fingerprint-sized re-aggregation — one number per statistic. No
+    row ever leaves the first aggregate.
+    """
+    if k < 2:
+        raise ValueError(f"k_anonymity: k must be >= 2, got {k}")
+    gks = [F.col(f"`{c}`") for c in quasi_cols]
+    sizes = df.groupBy(*gks).agg(F.count("*").alias("_n"))
+    n = F.col("_n")
+    return sizes.agg(
+        F.sum(n).cast("long").alias("n_rows"),
+        F.count("*").alias("n_groups"),
+        F.min(n).alias("min_k"),
+        F.sum(F.when(n == 1, 1).otherwise(0)).cast("long")
+        .alias("n_singletons"),
+        F.sum(F.when(n < k, n).otherwise(0)).cast("long")
+        .alias("n_below_k"),
+        F.bround(F.sum(F.when(n < k, n).otherwise(0)).cast("double")
+                 / F.sum(n).cast("double"), digits).alias("frac_below_k"),
+    )

@@ -49,6 +49,7 @@ __all__ = [
     "char_entropy",
     "hashing_features",
     "winnow_fingerprints",
+    "winnow_shared_pairs",
     "STOPWORDS",
 ]
 
@@ -1425,3 +1426,52 @@ NORMALIZE_FIXTURE = [
     (9, "ZAŽOŁC", "zazołc"),  # stroke Ł is not a combining mark: kept
     (10, "", ""),
 ]
+
+
+def winnow_shared_pairs(
+    fp: DataFrame,
+    id_col: str = "doc_id",
+    df_cap: int = 50,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Document pairs EXPLAINED by shared winnowing fingerprints — the
+    localization step after :func:`winnow_fingerprints`: which pairs
+    share copied/boilerplate runs, how many fingerprints deep, and
+    where the overlap starts in each document. Returns
+    ``(id_a, id_b, n_shared, a_first, b_first)`` for pairs sharing at
+    least ``min_shared`` fingerprint hashes (``id_a < id_b``;
+    ``*_first`` = earliest shared fingerprint position per side).
+
+    ``df_cap`` drops fingerprint hashes appearing in more than that
+    many documents BEFORE the pair join — a hash shared by q docs
+    yields C(q,2) pairs, so universal boilerplate (headers, license
+    blurbs) would otherwise quadratically dominate; capping bounds any
+    hash's contribution and can only LOWER n_shared, never invent a
+    pair. The inverted-index discipline every SSJoin in this package
+    follows.
+
+    Scale (100 TB): fingerprint rows are already ~2/(w+1) of gram
+    volume; the hash df-filter is one partial-aggregating pass; the
+    pair join is hash-keyed (never all-pairs), and the final pair
+    aggregate carries (id_a, id_b) rows bounded by df_cap²-per-hash.
+    """
+    if df_cap < 2:
+        raise ValueError(
+            f"winnow_shared_pairs: df_cap must be >= 2, got {df_cap}")
+    idc = F.col(f"`{id_col}`")
+    base = fp.select(idc.alias("_id"), "fp_pos", "fp_hash")
+    hdf = (base.groupBy("fp_hash")
+           .agg(F.countDistinct("_id").alias("_df"))
+           .filter((F.col("_df") >= 2) & (F.col("_df") <= df_cap)))
+    slim = base.join(hdf.select("fp_hash"), "fp_hash")
+    a = slim.select(F.col("fp_hash"), F.col("_id").alias("id_a"),
+                    F.col("fp_pos").alias("_pa"))
+    b = slim.select(F.col("fp_hash"), F.col("_id").alias("id_b"),
+                    F.col("fp_pos").alias("_pb"))
+    return (a.join(b, "fp_hash")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.countDistinct("fp_hash").alias("n_shared"),
+                 F.min("_pa").alias("a_first"),
+                 F.min("_pb").alias("b_first"))
+            .filter(F.col("n_shared") >= min_shared))

@@ -3000,3 +3000,58 @@ def test_geo_radius_join_guard_rejects_polar_rows(spark):
     out = geo_radius_join(left, right, 100.0, max_abs_lat=60.0)
     with pytest.raises(Exception, match="exceeds max_abs_lat"):
         out.collect()
+
+
+def test_with_quantile_rank_ties_and_nulls(spark):
+    from feldman_spark.ops.filters import with_quantile_rank
+
+    df = spark.createDataFrame(
+        [("g", 10.0), ("g", 20.0), ("g", 20.0), ("g", 40.0), ("g", None),
+         ("h", 7.0)],
+        "s string, v double")
+    got = [(r["s"], r["v"], r["q"])
+           for r in with_quantile_rank(df, ["s"], "v").collect()]
+    by = {(s, v): q for s, v, q in got}
+    # percent_rank over 4 non-null rows: 10->0, 20-tie->1/3, 40->1
+    assert by[("g", 10.0)] == 0.0
+    assert by[("g", 20.0)] == round(1/3, 4)
+    assert by[("g", 40.0)] == 1.0
+    assert by[("g", None)] is None
+    assert by[("h", 7.0)] == 0.0  # single-row group
+    assert len(got) == 6          # no rows lost
+
+
+def test_k_anonymity_summary(spark):
+    from feldman_spark.pipeline.profile import k_anonymity
+
+    rows = ([("30s", "NYC")] * 6 + [("30s", "SF")] * 3
+            + [("40s", "NYC")] * 1 + [(None, None)] * 2)
+    df = spark.createDataFrame(rows, "age string, city string")
+    r = k_anonymity(df, ["age", "city"], k=5).collect()[0]
+    assert (r["n_rows"], r["n_groups"], r["min_k"]) == (12, 4, 1)
+    assert r["n_singletons"] == 1
+    # below k=5: SF(3) + NYC40s(1) + nulls(2) = 6 rows
+    assert r["n_below_k"] == 6 and r["frac_below_k"] == 0.5
+    with pytest.raises(ValueError, match="k must be"):
+        k_anonymity(df, ["age"], k=1)
+
+
+def test_winnow_shared_pairs_localizes_and_caps(spark):
+    from feldman_spark.pipeline.text import (winnow_fingerprints,
+                                             winnow_shared_pairs)
+
+    shared = "copied boilerplate sentence that is long enough"
+    docs = [(1, "intro A. " + shared + " tail one"),
+            (2, "different B " + shared + " other tail"),
+            (3, "totally unrelated text with no overlap at all here")]
+    df = spark.createDataFrame(docs, "doc_id long, t string")
+    fp = winnow_fingerprints(df, "doc_id", F.col("t"), k=12, w=4)
+    pairs = winnow_shared_pairs(fp, "doc_id", df_cap=10,
+                                min_shared=1).collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
+    p = pairs[0]
+    assert p["n_shared"] >= 1
+    # localization: first shared fingerprint sits at/after the shared
+    # run start in each doc (positions are 1-based within each doc)
+    assert p["a_first"] >= 1 and p["b_first"] >= 1
+    assert p["b_first"] != p["a_first"]  # different offsets in each doc
