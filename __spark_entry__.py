@@ -5047,6 +5047,32 @@ def dedup_winnow_pairs(spark, sf_dir):
             .limit(100))
 
 
+def profile_benford(spark, sf_dir):
+    """Benford's-law first-digit audit of event values — the forensic
+    screen for fabricated/capped/assigned quantities: per digit 1-9,
+    observed vs expected fraction and the chi-square contribution.
+    String-based digit extraction ('%.4f' then first [1-9]) dodges the
+    log10 power-of-ten knife edge; one partial-aggregating pass to 9
+    counts (feldman_spark/pipeline/profile.py::benford_digits)."""
+    from feldman_spark.pipeline.profile import benford_digits
+
+    e = _t(spark, sf_dir, "events")
+    return benford_digits(e, "value")
+
+
+def profile_gini(spark, sf_dir):
+    """Gini concentration of document length per source — is a
+    source's character mass spread across documents or concentrated in
+    a few? Sorted-rank identity 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n, tie-proof
+    because equal values are interchangeable under it; one exchange,
+    one sort, group-sized combine
+    (feldman_spark/pipeline/profile.py::grouped_gini)."""
+    from feldman_spark.pipeline.profile import grouped_gini
+
+    d = _t(spark, sf_dir, "documents")
+    return grouped_gini(d, ["source"], "n_chars")
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -5093,18 +5119,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u3_table_diff": u3_table_diff,
         "w4_first_seen": w4_first_seen,
         "w5_explode_sequence": w5_explode_sequence,
-    # --- r10 window: 30 oldest r7 keys ---
-        "a7_percentiles": a7_percentiles,
-        "a8_rollup": a8_rollup,
     # --- r10 window: new r10 registrations (never-covered keys outrank
-    # re-verification; profile_calibration/profile_documents/q11/q13/
-    # q15-q18 + q19_disjunctive deferred to the r11 head when the eight
-    # r10b keys took their slots, then pack_examples/
-    # pipeline_curate_corpus/pipeline_fuzzy_dedup/pivot_returnflag
-    # joined them when the first four r10c keys landed;
-    # knn_ivf_exact/knn_lsh_exact/o1_topk followed for the next three,
-    # and events_stream_dedup/j9_asof_join/knn_group_centroids for the
-    # last three) ---
+    # re-verification; the ENTIRE 30-key r7 block progressively
+    # deferred to the r11 head as the eight r10b and twenty-one r10c
+    # keys below took its slots — every deferred key stays
+    # mirror-checked each round by tools/check_oracle.py) ---
         "media_incremental_dedup": media_incremental_dedup,
         "dedup_containment": dedup_containment,
         "w10_interval_merge": w10_interval_merge,
@@ -5133,8 +5152,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f11_quantile_rank": f11_quantile_rank,
         "profile_k_anonymity": profile_k_anonymity,
         "dedup_winnow_pairs": dedup_winnow_pairs,
+        "profile_benford": profile_benford,
+        "profile_gini": profile_gini,
     # ^ the 50-key driver window ends here --- tail below is mirror-checked every round ---
     # deferred r7-green keys (r11 window head):
+        "a7_percentiles": a7_percentiles,
+        "a8_rollup": a8_rollup,
         "dedup_contamination_13g": dedup_contamination_13g,
         "dedup_embedding_cosine": dedup_embedding_cosine,
         "dedup_exact": dedup_exact,
@@ -8248,6 +8271,53 @@ def oracle_sql() -> dict[str, str]:
             FROM j WHERE d <= 200.0
         """,
         "text_normalize_keys": _normalize_keys_oracle_sql(),
+        "profile_benford": """
+            WITH c AS (
+              SELECT CAST(regexp_extract(printf('%.4f', abs(value)),
+                                         '[1-9]') AS INT) AS digit,
+                     count(*) AS n
+              FROM events
+              WHERE value IS NOT NULL AND abs(value) >= 0.0001
+                AND regexp_extract(printf('%.4f', abs(value)), '[1-9]')
+                    <> ''
+              GROUP BY 1
+            ),
+            t AS (SELECT sum(n) AS tt FROM c)
+            SELECT digit, n,
+                   round(CAST(n AS DOUBLE) / CAST(tt AS DOUBLE), 4)
+                     AS obs_frac,
+                   round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 4)
+                     AS benford_frac,
+                   round((CAST(n AS DOUBLE)
+                          - log10(1.0 + 1.0 / CAST(digit AS DOUBLE))
+                            * CAST(tt AS DOUBLE))
+                         * (CAST(n AS DOUBLE)
+                            - log10(1.0 + 1.0 / CAST(digit AS DOUBLE))
+                              * CAST(tt AS DOUBLE))
+                         / (log10(1.0 + 1.0 / CAST(digit AS DOUBLE))
+                            * CAST(tt AS DOUBLE)), 4) AS chi2_contrib
+            FROM c, t
+        """,
+        "profile_gini": """
+            WITH ranked AS (
+              SELECT source, CAST(n_chars AS DOUBLE) AS x,
+                     row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY CAST(n_chars AS DOUBLE)) AS i
+              FROM documents
+              WHERE n_chars IS NOT NULL AND n_chars >= 0
+            ),
+            a AS (
+              SELECT source, count(*) AS n, sum(x) AS sx,
+                     sum(CAST(i AS DOUBLE) * x) AS six
+              FROM ranked GROUP BY 1
+            )
+            SELECT source, CAST(n AS BIGINT) AS n_points,
+                   round(2.0 * six / (CAST(n AS DOUBLE) * sx)
+                         - (CAST(n AS DOUBLE) + 1.0)
+                           / CAST(n AS DOUBLE), 4) AS gini
+            FROM a WHERE n >= 2 AND sx > 0
+        """,
         "f11_quantile_rank": """
             SELECT doc_id, source, n_chars,
                    CASE WHEN n_chars IS NOT NULL THEN

@@ -148,6 +148,9 @@ HEADLINE = [
     "f11_quantile_rank",
     "profile_k_anonymity",
     "dedup_winnow_pairs",
+    # round-10c eighth batch: Benford first-digit audit, grouped Gini
+    "profile_benford",
+    "profile_gini",
 ]
 
 # slack for the regression gate: sub-second queries jitter by whole

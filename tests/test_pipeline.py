@@ -3055,3 +3055,40 @@ def test_winnow_shared_pairs_localizes_and_caps(spark):
     # run start in each doc (positions are 1-based within each doc)
     assert p["a_first"] >= 1 and p["b_first"] >= 1
     assert p["b_first"] != p["a_first"]  # different offsets in each doc
+
+
+def test_benford_digits_known_distribution(spark):
+    from feldman_spark.pipeline.profile import benford_digits
+
+    # powers-of-2 sequence is a classic Benford follower; also checks
+    # the power-of-10 knife edge (values 1.0, 100.0 land on digit 1)
+    vals = [float(2 ** i) for i in range(40)] + [1.0, 100.0, 0.00001, None]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    rows = {r["digit"]: r for r in benford_digits(df, "v").collect()}
+    assert set(rows) <= set(range(1, 10))
+    # 2^i first digits for i in 0..39 include twelve 1s + the two
+    # explicit power-of-ten values (|x| < 1e-4 and NULL excluded)
+    n_total = sum(r["n"] for r in rows.values())
+    assert n_total == 42
+    assert rows[1]["n"] == 14
+    assert rows[1]["benford_frac"] == 0.301
+    # chi2 contributions are finite and non-negative
+    assert all(r["chi2_contrib"] >= 0 for r in rows.values())
+
+
+def test_grouped_gini_even_vs_concentrated(spark):
+    from feldman_spark.pipeline.profile import grouped_gini
+
+    rows = ([("even", 10.0)] * 10
+            + [("conc", 0.0)] * 9 + [("conc", 90.0)]
+            + [("tiny", 5.0)]
+            + [("zero", 0.0), ("zero", 0.0)])
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {r["g"]: (r["n_points"], r["gini"])
+           for r in grouped_gini(df, ["g"], "v").collect()}
+    assert got["even"] == (10, 0.0)
+    # one row holds all mass among 10: G = 2*10*90/(10*90) - 11/10 = 0.9
+    assert got["conc"] == (10, 0.9)
+    assert "tiny" not in got and "zero" not in got
+    with pytest.raises(ValueError, match="min_points"):
+        grouped_gini(df, ["g"], "v", min_points=1)
