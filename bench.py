@@ -151,6 +151,10 @@ HEADLINE = [
     # round-10c eighth batch: Benford first-digit audit, grouped Gini
     "profile_benford",
     "profile_gini",
+    # round-10c ninth batch: TWAP, equi-depth histogram, null patterns
+    "w13_time_weighted_avg",
+    "profile_equidepth",
+    "profile_null_patterns",
 ]
 
 # slack for the regression gate: sub-second queries jitter by whole

@@ -35,6 +35,7 @@ __all__ = [
     "weighted_percentile",
     "locf_fill",
     "session_paths",
+    "time_weighted_avg",
 ]
 
 
@@ -1056,3 +1057,59 @@ def session_paths(
             .agg(F.count("*").alias("n_sessions"))
             .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
             .limit(int(top_k)))
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    order_tiebreak: Sequence[str] = (),
+    digits: int = 4,
+) -> DataFrame:
+    """W13 (beyond reference): time-weighted average per group — each
+    observation holds until the NEXT one, so the mean weights values
+    by how long they persisted, not how often they were sampled (the
+    TWAP / sensor-duty-cycle semantics: a price quoted once but held
+    for an hour outweighs ten quotes in one second; an arithmetic mean
+    of irregular samples is sampling-rate bias, not signal).
+
+    Output: one row per group — ``n_points``, ``span_seconds``
+    (first→last observation), ``twavg``. The LAST observation bounds
+    the integration window and carries no weight (nothing is known
+    beyond it); groups with fewer than 2 points or zero span are
+    dropped (no time to average over).
+
+    Plan shape: ONE exchange on the group key — ``lead`` over one sort
+    produces each interval's duration (exact integer microseconds),
+    and the weighted sum partial-aggregates. No joins, no second scan.
+    """
+    keys = [F.col(f"`{c}`") for c in partition_by]
+    v = F.col(f"`{value_col}`")
+    us = F.expr(
+        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+        f" `{ts_col}`)")
+    # order by the PROJECTED epoch column (monotonic in ts) — the raw
+    # ts column is gone after the select below
+    ords = [F.col("_t").asc()] + [
+        F.col(f"`{c}`").asc() for c in order_tiebreak]
+    w = Window.partitionBy(*keys).orderBy(*ords)
+    rows = (df.filter(F.col(f"`{ts_col}`").isNotNull() & v.isNotNull())
+            .select(*keys, us.alias("_t"), v.alias("_v"),
+                    *[F.col(f"`{c}`") for c in order_tiebreak])
+            .withColumn("_dt", F.lead("_t").over(w) - F.col("_t")))
+    agg = rows.groupBy(*[F.col(c) for c in partition_by]).agg(
+        F.count("*").alias("n_points"),
+        F.sum(F.when(F.col("_dt").isNotNull(),
+                     F.col("_v") * F.col("_dt").cast("double")))
+        .alias("_num"),
+        F.sum(F.when(F.col("_dt").isNotNull(), F.col("_dt"))
+              .otherwise(F.lit(0)).cast("long")).alias("_den"))
+    return (agg.filter((F.col("n_points") >= 2) & (F.col("_den") > 0))
+            .select(*[F.col(c) for c in partition_by], "n_points",
+                    F.bround(F.col("_den").cast("double")
+                             / F.lit(1_000_000.0), 4)
+                    .alias("span_seconds"),
+                    F.bround(F.col("_num")
+                             / F.col("_den").cast("double"), digits)
+                    .alias("twavg")))

@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 __all__ = ["profile_table", "profile_histogram", "profile_skew", "calibration_bins",
            "join_cardinality", "psi_drift", "bootstrap_ci", "grouped_trend",
-           "mutual_info", "k_anonymity", "benford_digits", "grouped_gini",
+           "mutual_info", "k_anonymity", "benford_digits", "grouped_gini", "equidepth_histogram", "null_patterns",
            "POISSON_CDF_HEX"]
 
 
@@ -693,3 +693,90 @@ def grouped_gini(
                        & (F.col("_sx") > 0))
             .select(*[F.col(c) for c in group_cols], "n_points",
                     F.bround(gini, digits).alias("gini")))
+
+
+def equidepth_histogram(
+    df: DataFrame,
+    value_col: str,
+    buckets: int = 10,
+    digits: int = 4,
+) -> DataFrame:
+    """Equi-DEPTH histogram — bucket boundaries at exact quantiles so
+    every bucket holds ~the same row count; the selectivity-estimation
+    and skew-reading companion to the equi-WIDTH ``profile_histogram``
+    (equi-width shows WHERE mass sits, equi-depth shows how stretched
+    the tails are — bucket 10 spanning 100× bucket 1's width IS the
+    skew). Output: one row per non-empty bucket — ``bucket`` (1-based),
+    ``lo``/``hi`` boundary (exact interpolated percentiles, rounded),
+    ``n``.
+
+    Heavy ties can starve buckets (a value spanning several quantile
+    cuts leaves inner buckets empty — they are simply absent); the
+    assignment rule is ``1 + count(inner boundaries < x)``, identical
+    on both engines.
+
+    Scale (100 TB): ONE exact-percentile aggregate produces the
+    (buckets−1)-element boundary array, broadcast to every row; the
+    assignment is a row-local fold over that tiny literal-sized array,
+    and the counts partial-aggregate into ≤ ``buckets`` rows. For
+    standing jobs swap ``percentile`` for ``approx_percentile`` —
+    identical shape.
+    """
+    if buckets < 2:
+        raise ValueError(
+            f"equidepth_histogram: buckets must be >= 2, got {buckets}")
+    v = F.col(f"`{value_col}`")
+    fracs = ", ".join(str(i / buckets) for i in range(1, buckets))
+    bounds = df.filter(v.isNotNull()).agg(
+        F.expr(f"percentile(`{value_col}`, array({fracs}))")
+        .alias("_bs"))
+    assigned = (df.filter(v.isNotNull())
+                .crossJoin(F.broadcast(bounds))
+                .select(
+                    (F.lit(1) + F.aggregate(
+                        "_bs", F.lit(0),
+                        lambda acc, b: acc
+                        + F.when(v > b, 1).otherwise(0)))
+                    .alias("bucket"),
+                    v.alias("_v")))
+    per = assigned.groupBy("bucket").agg(
+        F.count("*").alias("n"),
+        F.min("_v").alias("_lo"), F.max("_v").alias("_hi"))
+    return per.select(
+        "bucket",
+        F.bround(F.col("_lo").cast("double"), digits).alias("lo"),
+        F.bround(F.col("_hi").cast("double"), digits).alias("hi"),
+        "n")
+
+
+def null_patterns(
+    df: DataFrame,
+    columns: Sequence[str],
+    top_k: int = 20,
+) -> DataFrame:
+    """Missing-data PATTERN profiler — per-column null fractions say
+    how much is missing; the pattern table says how missingness
+    CO-OCCURS (all-or-nothing enrichment failures, "lat null iff lon
+    null" pairings, the row segments an imputation or drop policy has
+    to handle separately). Each row maps to a pattern string over
+    ``columns`` ('-' = present, 'N' = null, in the given column
+    order); output is the top-``top_k`` patterns by count
+    (deterministic count-desc, pattern-asc order) with per-pattern
+    row counts.
+
+    Scale (100 TB): the pattern string is a row-local concat of
+    is-null flags; counts partial-aggregate into ≤ 2^|columns|
+    distinct patterns (bounded by the data, not the corpus); top-k is
+    TakeOrdered.
+    """
+    if not columns:
+        raise ValueError("null_patterns: need at least one column")
+    if top_k < 1:
+        raise ValueError(
+            f"null_patterns: top_k must be >= 1, got {top_k}")
+    flags = [F.when(F.col(f"`{c}`").isNull(), F.lit("N"))
+             .otherwise(F.lit("-")) for c in columns]
+    return (df.select(F.concat(*flags).alias("pattern"))
+            .groupBy("pattern").agg(F.count("*").alias("n"))
+            .orderBy(F.col("n").desc(), F.col("pattern").asc())
+            .limit(int(top_k)))

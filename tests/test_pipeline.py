@@ -3092,3 +3092,50 @@ def test_grouped_gini_even_vs_concentrated(spark):
     assert "tiny" not in got and "zero" not in got
     with pytest.raises(ValueError, match="min_points"):
         grouped_gini(df, ["g"], "v", min_points=1)
+
+
+def test_time_weighted_avg_holds_until_next(spark):
+    from feldman_spark.ops.windows import time_weighted_avg
+
+    df = spark.createDataFrame(
+        # value 10 held 3h, value 40 held 1h -> twavg (10*3+40*1)/4 = 17.5;
+        # last point (t=4h, v=99) bounds the window, no weight
+        [("k", "2024-01-01 00:00:00", 10.0),
+         ("k", "2024-01-01 03:00:00", 40.0),
+         ("k", "2024-01-01 04:00:00", 99.0),
+         ("single", "2024-01-01 00:00:00", 5.0),
+         ("zerospan", "2024-01-01 00:00:00", 1.0),
+         ("zerospan", "2024-01-01 00:00:00", 2.0)],
+        "k string, ts string, v double").withColumn(
+        "ts", F.col("ts").cast("timestamp_ntz"))
+    got = {r["k"]: (r["n_points"], r["span_seconds"], r["twavg"])
+           for r in time_weighted_avg(df, ["k"], "ts", "v").collect()}
+    assert got == {"k": (3, 14400.0, 17.5)}
+
+
+def test_equidepth_histogram_balanced_and_validation(spark):
+    from feldman_spark.pipeline.profile import equidepth_histogram
+
+    df = spark.createDataFrame([(float(i),) for i in range(1, 101)]
+                               + [(None,)], "v double")
+    rows = {r["bucket"]: r for r in
+            equidepth_histogram(df, "v", buckets=4).collect()}
+    assert sorted(rows) == [1, 2, 3, 4]
+    assert all(rows[b]["n"] == 25 for b in rows)
+    assert rows[1]["lo"] == 1.0 and rows[4]["hi"] == 100.0
+    # boundaries are quantiles: bucket 1 ends at the 25th percentile
+    assert rows[1]["hi"] == 25.0 and rows[2]["lo"] == 26.0
+    with pytest.raises(ValueError, match="buckets"):
+        equidepth_histogram(df, "v", buckets=1)
+
+
+def test_null_patterns_cooccurrence(spark):
+    from feldman_spark.pipeline.profile import null_patterns
+
+    rows = [(1, "a"), (None, None), (None, None), (None, "b"), (2, None)]
+    df = spark.createDataFrame(rows, "x int, y string")
+    got = [(r["pattern"], r["n"])
+           for r in null_patterns(df, ["x", "y"]).collect()]
+    assert got == [("NN", 2), ("--", 1), ("-N", 1), ("N-", 1)]
+    with pytest.raises(ValueError, match="at least one"):
+        null_patterns(df, [])
