@@ -5119,6 +5119,37 @@ def profile_null_patterns(spark, sf_dir):
     return null_patterns(masked, ["v_m", "p_m", "u_m"], top_k=10)
 
 
+def profile_spearman(spark, sf_dir):
+    """Spearman rank correlation of event value against time, per
+    user — the MONOTONIC drift detector (robust to outliers and any
+    monotone transform, unlike profile_trend's OLS R²). Exact
+    average-rank tie handling, then Pearson over rank pairs via the
+    try_divide covariance form (constant side → NULL by contract)
+    (feldman_spark/pipeline/profile.py::spearman_corr)."""
+    from feldman_spark.pipeline.profile import spearman_corr
+
+    e = _t(spark, sf_dir, "events")
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+        " ts)")
+    pts = e.where(F.col("ts").isNotNull()).select(
+        "user_id", us.alias("t_us"), F.col("value").alias("y"))
+    return spearman_corr(pts, ["user_id"], "t_us", "y", min_points=20)
+
+
+def events_seasonality(spark, sf_dir):
+    """Daily-seasonality strength per event type: correlation between
+    each hour's event count and the count exactly 24 hours earlier.
+    Hours pair by TIMESTAMP EQUALITY (gap-correct — silent hours can't
+    misalign the series the way a 24-ROW lag would); events collapse
+    map-side to hour counts, everything after is calendar-sized
+    (feldman_spark/ops/windows.py::seasonal_autocorr)."""
+    from feldman_spark.ops.windows import seasonal_autocorr
+
+    e = _t(spark, sf_dir, "events")
+    return seasonal_autocorr(e, ["event_type"], "ts", lag_hours=24)
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -5203,7 +5234,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ^ the 50-key driver window ends here --- tail below is mirror-checked every round ---
     # deferred keys (r11 window head) — the three r6 profile_* keys
     # were beyond-reference and gave way to the final r10c batch; the
-    # §2 reference-core r6 keys (f2/f3/f7/a2/w4/w5…) kept their slots:
+    # §2 reference-core r6 keys (f2/f3/f7/a2/w4/w5…) kept their slots.
+    # profile_spearman/events_seasonality registered after the r10
+    # window froze at 50 — never driver-covered, so they lead the r11
+    # queue (mirror-checked green meanwhile):
+        "profile_spearman": profile_spearman,
+        "events_seasonality": events_seasonality,
         "profile_histogram": profile_histogram_q,
         "profile_join_cardinality": profile_join_cardinality,
         "profile_psi_drift": profile_psi_drift,
@@ -8424,6 +8460,55 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n
             FROM masked GROUP BY 1
             ORDER BY n DESC, pattern ASC LIMIT 10
+        """,
+        "profile_spearman": """
+            WITH base AS (
+              SELECT user_id, epoch_us(ts) AS x, value AS y
+              FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+            ),
+            ranked AS (
+              SELECT user_id,
+                     rank() OVER (PARTITION BY user_id ORDER BY x)
+                       + (count(*) OVER (PARTITION BY user_id, x) - 1)
+                         / 2.0 AS rx,
+                     rank() OVER (PARTITION BY user_id ORDER BY y)
+                       + (count(*) OVER (PARTITION BY user_id, y) - 1)
+                         / 2.0 AS ry
+              FROM base
+            ),
+            a AS (
+              SELECT user_id, count(*) AS n_points,
+                     covar_samp(rx, ry) AS cv,
+                     stddev_samp(rx) AS sx, stddev_samp(ry) AS sy
+              FROM ranked GROUP BY 1
+            )
+            SELECT user_id, n_points,
+                   CASE WHEN sx > 0 AND sy > 0
+                        THEN round(cv / (sx * sy), 4) END AS rho
+            FROM a WHERE n_points >= 20
+        """,
+        "events_seasonality": """
+            WITH c AS (
+              SELECT event_type, date_trunc('hour', ts) AS h,
+                     count(*) AS n
+              FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+            ),
+            j AS (
+              SELECT a.event_type, a.n, b.n AS n_prev
+              FROM c a JOIN c b
+                ON a.event_type = b.event_type
+               AND a.h = b.h + INTERVAL 24 HOURS
+            ),
+            agg AS (
+              SELECT event_type, count(*) AS n_pairs,
+                     covar_samp(n, n_prev) AS cv,
+                     stddev_samp(n) AS sx, stddev_samp(n_prev) AS sy
+              FROM j GROUP BY 1
+            )
+            SELECT event_type, n_pairs,
+                   CASE WHEN sx > 0 AND sy > 0
+                        THEN round(cv / (sx * sy), 4) END AS acf
+            FROM agg WHERE n_pairs >= 8
         """,
         "f11_quantile_rank": """
             SELECT doc_id, source, n_chars,

@@ -155,6 +155,9 @@ HEADLINE = [
     "w13_time_weighted_avg",
     "profile_equidepth",
     "profile_null_patterns",
+    # round-10c tenth batch: Spearman drift, daily-seasonality strength
+    "profile_spearman",
+    "events_seasonality",
 ]
 
 # slack for the regression gate: sub-second queries jitter by whole

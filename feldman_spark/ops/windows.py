@@ -36,6 +36,7 @@ __all__ = [
     "locf_fill",
     "session_paths",
     "time_weighted_avg",
+    "seasonal_autocorr",
 ]
 
 
@@ -1113,3 +1114,58 @@ def time_weighted_avg(
                     F.bround(F.col("_num")
                              / F.col("_den").cast("double"), digits)
                     .alias("twavg")))
+
+
+def seasonal_autocorr(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    ts_col: str,
+    lag_hours: int = 24,
+    min_pairs: int = 8,
+    digits: int = 4,
+) -> DataFrame:
+    """Seasonal-strength detector: correlation between each hour's
+    event count and the count exactly ``lag_hours`` earlier, per
+    group — high lag-24 autocorrelation IS daily seasonality (lag-168
+    weekly), near zero means the volume has no such rhythm. The
+    quantitative answer behind "should this alert threshold be
+    time-of-day-aware?".
+
+    Gap-correct by construction: hours pair by TIMESTAMP EQUALITY
+    (bucket = bucket_prev + lag), not by row offset, so silent hours
+    don't misalign the series the way a ``lag(24 rows)`` window would.
+    Output: one row per group — ``n_pairs`` (matched hour pairs) and
+    ``acf`` (NULL for a constant series). Groups under ``min_pairs``
+    drop.
+
+    Scale (100 TB): events collapse map-side to (group, hour) counts —
+    the only fact-table pass; the lag pairing is a self equi-join of
+    that hour-sized table on (group, hour−lag) reusing its own
+    aggregate output; corr is decomposable. Cost after the first
+    aggregate is calendar-sized, not event-sized.
+    """
+    if lag_hours < 1:
+        raise ValueError(
+            f"seasonal_autocorr: lag_hours must be >= 1, got {lag_hours}")
+    keys = [F.col(f"`{c}`") for c in partition_by]
+    hour = F.date_trunc("hour", F.col(f"`{ts_col}`"))
+    counts = (df.filter(F.col(f"`{ts_col}`").isNotNull())
+              .groupBy(*keys, hour.alias("_h"))
+              .agg(F.count("*").alias("_n")))
+    prev = counts.select(
+        *[F.col(c).alias(f"_p_{c}") for c in partition_by],
+        (F.col("_h") + F.expr(f"INTERVAL {int(lag_hours)} HOURS"))
+        .alias("_h"),
+        F.col("_n").alias("_n_prev"))
+    cond = [counts[f"`{c}`"] == prev[f"_p_{c}"] for c in partition_by] \
+        + [counts["_h"] == prev["_h"]]
+    j = counts.join(prev, cond)
+    # try_divide covariance form: ANSI corr() throws on a constant
+    # series; NULL is the contract for "no variance to correlate"
+    agg = j.groupBy(*[counts[f"`{c}`"] for c in partition_by]).agg(
+        F.count("*").alias("n_pairs"),
+        F.expr("try_divide(covar_samp(_n, _n_prev), "
+               "stddev_samp(_n) * stddev_samp(_n_prev))").alias("_acf"))
+    return (agg.filter(F.col("n_pairs") >= min_pairs)
+            .select(*[F.col(c) for c in partition_by], "n_pairs",
+                    F.bround("_acf", digits).alias("acf")))

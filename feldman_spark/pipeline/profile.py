@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 __all__ = ["profile_table", "profile_histogram", "profile_skew", "calibration_bins",
            "join_cardinality", "psi_drift", "bootstrap_ci", "grouped_trend",
-           "mutual_info", "k_anonymity", "benford_digits", "grouped_gini", "equidepth_histogram", "null_patterns",
+           "mutual_info", "k_anonymity", "benford_digits", "grouped_gini", "equidepth_histogram", "null_patterns", "spearman_corr",
            "POISSON_CDF_HEX"]
 
 
@@ -780,3 +780,63 @@ def null_patterns(
             .groupBy("pattern").agg(F.count("*").alias("n"))
             .orderBy(F.col("n").desc(), F.col("pattern").asc())
             .limit(int(top_k)))
+
+
+def spearman_corr(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    x_col: str,
+    y_col: str,
+    min_points: int = 3,
+    digits: int = 4,
+) -> DataFrame:
+    """Spearman rank correlation per group — the MONOTONIC-association
+    profiler: Pearson (and OLS R²) sees only linear dependence and is
+    dragged by outliers; Spearman asks "does y go up when x goes up,
+    in rank terms", robust to any monotone transform and to heavy
+    tails. The drift question for score-vs-time, size-vs-quality,
+    position-vs-clickthrough.
+
+    Exact average-rank (fractional) tie handling: a tie group of size
+    c at rank r gets rank ``r + (c−1)/2`` — the textbook definition,
+    reproduced identically on both engines — then ρ = Pearson
+    correlation of the rank pairs. One row per group: ``n_points``,
+    ``rho`` (NULL when either variable is constant — no ranking to
+    correlate). Groups under ``min_points`` drop.
+
+    Scale (100 TB): two rank passes (each one sort over the group
+    exchange; the tie-count rides a second partitioning) and one
+    decomposable corr aggregate. For extreme groups swap exact ranks
+    for approx-quantile bucket ranks — same downstream shape.
+    """
+    if min_points < 2:
+        raise ValueError(
+            f"spearman_corr: min_points must be >= 2, got {min_points}")
+    gks = [F.col(f"`{c}`") for c in group_cols]
+    x, y = F.col(f"`{x_col}`"), F.col(f"`{y_col}`")
+    base = (df.filter(x.isNotNull() & y.isNotNull())
+            .select(*gks, x.alias("_x"), y.alias("_y")))
+    wx = Window.partitionBy(*[F.col(c) for c in group_cols]) \
+        .orderBy(F.col("_x").asc())
+    wy = Window.partitionBy(*[F.col(c) for c in group_cols]) \
+        .orderBy(F.col("_y").asc())
+    cx = Window.partitionBy(*[F.col(c) for c in group_cols],
+                            F.col("_x"))
+    cy = Window.partitionBy(*[F.col(c) for c in group_cols],
+                            F.col("_y"))
+    ranked = base.select(
+        *[F.col(c) for c in group_cols],
+        (F.rank().over(wx)
+         + (F.count("*").over(cx) - 1) / 2.0).alias("_rx"),
+        (F.rank().over(wy)
+         + (F.count("*").over(cy) - 1) / 2.0).alias("_ry"))
+    # corr() under ANSI mode throws DIVIDE_BY_ZERO for a constant
+    # side; the covariance form with try_divide yields NULL instead —
+    # the documented constant-variable contract
+    agg = ranked.groupBy(*[F.col(c) for c in group_cols]).agg(
+        F.count("*").alias("n_points"),
+        F.expr("try_divide(covar_samp(_rx, _ry), "
+               "stddev_samp(_rx) * stddev_samp(_ry))").alias("_rho"))
+    return (agg.filter(F.col("n_points") >= min_points)
+            .select(*[F.col(c) for c in group_cols], "n_points",
+                    F.bround("_rho", digits).alias("rho")))

@@ -3139,3 +3139,56 @@ def test_null_patterns_cooccurrence(spark):
     assert got == [("NN", 2), ("--", 1), ("-N", 1), ("N-", 1)]
     with pytest.raises(ValueError, match="at least one"):
         null_patterns(df, [])
+
+
+def test_spearman_corr_monotone_ties_constant(spark):
+    from feldman_spark.pipeline.profile import spearman_corr
+
+    rows = []
+    # perfectly monotone (nonlinear): y = x^3 -> rho = 1
+    rows += [("mono", float(x), float(x) ** 3) for x in range(1, 9)]
+    # perfectly anti-monotone -> rho = -1
+    rows += [("anti", float(x), float(-x)) for x in range(1, 9)]
+    # constant y -> rho NULL
+    rows += [("const", float(x), 7.0) for x in range(1, 9)]
+    # tiny group dropped
+    rows += [("tiny", 1.0, 1.0), ("tiny", 2.0, 2.0)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    got = {r["g"]: (r["n_points"], r["rho"])
+           for r in spearman_corr(df, ["g"], "x", "y",
+                                  min_points=3).collect()}
+    assert got["mono"] == (8, 1.0)
+    assert got["anti"] == (8, -1.0)
+    assert got["const"][1] is None
+    assert "tiny" not in got
+    # fractional tie ranks: x = [1,1,2], y = [1,2,3]: rx = [1.5,1.5,3],
+    # spearman = corr([1.5,1.5,3],[1,2,3]) = 0.866
+    tie = spark.createDataFrame(
+        [("t", 1.0, 1.0), ("t", 1.0, 2.0), ("t", 2.0, 3.0)],
+        "g string, x double, y double")
+    r = spearman_corr(tie, ["g"], "x", "y", min_points=3).collect()[0]
+    assert r["rho"] == 0.866
+
+
+def test_seasonal_autocorr_detects_daily_rhythm(spark):
+    import datetime
+    from feldman_spark.ops.windows import seasonal_autocorr
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    for h in range(24 * 14):  # two weeks of hourly events
+        t = base + datetime.timedelta(hours=h)
+        # rhythmic: volume depends only on hour-of-day (period 24)
+        for _ in range((h % 24) % 5 + 1):
+            rows.append(("rhythmic", t))
+        # trendless alternating-period-7 series: lag-24 decorrelated
+        for _ in range((h % 7) + 1):
+            rows.append(("period7", t))
+    df = spark.createDataFrame(rows, "k string, ts timestamp_ntz")
+    got = {r["k"]: r["acf"]
+           for r in seasonal_autocorr(df, ["k"], "ts",
+                                      lag_hours=24).collect()}
+    assert got["rhythmic"] == 1.0      # exact 24h period
+    assert abs(got["period7"]) < 0.5   # 24 % 7 != 0 -> decorrelated
+    with pytest.raises(ValueError, match="lag_hours"):
+        seasonal_autocorr(df, ["k"], "ts", lag_hours=0)
