@@ -1326,38 +1326,41 @@ def winnow_fingerprints(
     convention (first 8 hex digits), position counting is by
     CHARACTER, so cross-engine parity holds for BMP-safe text.
 
-    Scale (100 TB): the gram stream explodes inside the scan stage
-    (sequence + substring, pure codegen); the only exchanges are the
-    doc-keyed window sort (each doc costs its own gram count) and the
-    partial-aggregating distinct over the ~2/(w+1)-thinned fingerprint
-    rows. Payload text never shuffles — grams hash in-stage.
+    Scale (100 TB): the whole selection runs INSIDE the scan stage —
+    the packed gram keys build as one ``transform`` array per document
+    and each window minimum is an ``array_min(slice(...))`` over it
+    (w comparisons per start, pure codegen), so no gram row ever
+    leaves its scan task: the ONLY exchange is the partial-aggregating
+    distinct over the ~2/(w+1)-thinned fingerprint rows.
+    ``array_distinct`` pre-thins consecutive windows that share a
+    minimum before the explode, so the distinct's map side sees
+    fingerprint-density rows, not gram-density rows. (The previous
+    form shuffled and sorted the FULL gram stream — one row per
+    character — through a doc-keyed Window; at sf1 that exchange
+    carried ~72M rows that this form never materializes.)
     """
     if k < 2:
         raise ValueError(f"winnow_fingerprints: k must be >= 2, got {k}")
     if w < 2:
         raise ValueError(f"winnow_fingerprints: w must be >= 2, got {w}")
-    from pyspark.sql import Window
 
     idc = F.col(f"`{id_col}`")
     n_grams = F.length(text) - F.lit(k) + 1
     d = (df.select(idc, text.alias("_t"), n_grams.alias("_ng"))
-         .filter(F.col("_ng") >= 1)
-         .select(idc, "_t", "_ng",
-                 F.explode(F.sequence(F.lit(1), F.col("_ng")))
-                 .alias("_pos")))
-    h = (F.conv(F.substring(F.md5(
-        F.substring(F.col("_t"), F.col("_pos"), k)), 1, 8), 16, 10)
-        .cast("long"))
-    keyed = d.select(
-        idc, "_ng", "_pos",
-        (h * F.lit(2 ** 31).cast("long") + F.col("_pos")).alias("_key"))
-    win = (Window.partitionBy(idc).orderBy(F.col("_pos").asc())
-           .rowsBetween(Window.currentRow, w - 1))
-    starts = (keyed
-              .withColumn("_mkey", F.min("_key").over(win))
-              .filter(F.col("_pos")
-                      <= F.greatest(F.col("_ng") - F.lit(w) + 1, F.lit(1))))
-    return (starts
+         .filter(F.col("_ng") >= 1))
+    # packed key per gram position: hash * 2^31 + pos (exact in int64)
+    keys = F.expr(
+        f"transform(sequence(1, _ng), p -> "
+        f"cast(conv(substring(md5(substring(_t, p, {k})), 1, 8), 16, 10) "
+        f"as bigint) * {2 ** 31}L + p)")
+    # one window min per start position 1..max(ng-w+1, 1); slice clips
+    # at the array end exactly like the old frame clipped at the
+    # partition end (short docs: the single overall minimum)
+    mins = F.expr(
+        f"array_distinct(transform(sequence(1, greatest(size(_keys) - "
+        f"{w - 1}, 1)), s -> array_min(slice(_keys, s, {w}))))")
+    return (d.select(idc, keys.alias("_keys"))
+            .select(idc, F.explode(mins).alias("_mkey"))
             .select(idc,
                     (F.col("_mkey") % F.lit(2 ** 31).cast("long"))
                     .alias("fp_pos"),
