@@ -293,7 +293,7 @@ def lsh_bands(sig_cols: Sequence[str], rows_per_band: int = 3) -> List[Column]:
 
 def _band_stack(
     ex: DataFrame,
-    id_col: str,
+    id_col,
     num_hashes: int,
     rows_per_band: int,
     hash_fn: str,
@@ -303,7 +303,9 @@ def _band_stack(
     per-partition per-doc minima; values identical to
     :func:`minhash_signature_array`'s — same family, same min), then
     band b = hash of signature rows b·r..b·r+r−1, exactly the
-    :func:`lsh_bands` values."""
+    :func:`lsh_bands` values. ``id_col`` may be one column name or a
+    list (composite key, e.g. a side-tagged union)."""
+    ids = [id_col] if isinstance(id_col, str) else list(id_col)
     if hash_fn == "xxhash64":
         # shingles are pre-hashed longs here; family j = xxhash64(h, j)
         mins = [F.min(F.xxhash64(F.col("_g"), F.lit(j))).alias(f"h{j}")
@@ -313,7 +315,7 @@ def _band_stack(
                 for j in range(num_hashes)]
     else:
         raise ValueError(f"unknown hash_fn {hash_fn!r} (md5 | xxhash64)")
-    sig = ex.groupBy(id_col).agg(*mins)
+    sig = ex.groupBy(*ids).agg(*mins)
 
     n_bands = num_hashes // rows_per_band
 
@@ -325,7 +327,7 @@ def _band_stack(
         return F.md5(F.concat_ws("|", *cols))
 
     return sig.select(
-        F.col(id_col),
+        *[F.col(c) for c in ids],
         F.posexplode(F.array(*[band_hash(b) for b in range(n_bands)]))
         .alias("band", "bh"),
     )
@@ -1753,25 +1755,44 @@ def corpus_near_overlap(
     :func:`minhash_lsh_pairs`) survives exact-Jaccard verification at
     ``threshold`` over its distinct k-word shingles.
 
-    Scale (100 TB each side): each side reduces to ``(id, band, bh)``
-    rows inside its OWN scan (per-doc minhash minima partial-aggregate
-    map-side; text never crosses); the cross-corpus join is band-keyed
-    on ~num_hashes/rows_per_band slim rows per doc; Jaccard
-    verification restricts both shingle streams to candidate docs
-    first (AQE broadcasts the candidate id sets), so the gram co-count
-    join is candidate-sized, not corpus-sized. Output is one row."""
-    ba = _band_stack(_shingle_stream(df_a, text_col, id_col, k),
-                     id_col, num_hashes, rows_per_band, "md5")
-    bb = _band_stack(_shingle_stream(df_b, text_col, id_col, k),
-                     id_col, num_hashes, rows_per_band, "md5")
+    Scale (100 TB each side): the two corpora union into ONE
+    side-tagged stream, so the per-doc minhash minima of BOTH sides
+    partial-aggregate in a single band pass (one exchange keyed
+    (side, id) instead of one per side — r10 optimization: the
+    two-sided form paid two band passes, two candidate-restricted gram
+    passes and four count branches, ~75 scheduler stages at sf0.1; the
+    tagged union halves the corpus passes and fuses the count
+    aggregates). The cross-corpus join is band-keyed on
+    ~num_hashes/rows_per_band slim rows per doc and both of its inputs
+    are filters of the SAME band table, so the exchange is computed
+    once and reused; Jaccard verification restricts the single tagged
+    shingle stream to candidate (side, id) pairs first (AQE broadcasts
+    the id set), so the gram co-count join is candidate-sized, not
+    corpus-sized. Output is one row."""
+    u = (df_a.select(F.lit("a").alias("_s"), F.col(id_col).alias("_id"),
+                     F.col(text_col).alias("_txt"))
+         .unionByName(
+             df_b.select(F.lit("b").alias("_s"),
+                         F.col(id_col).alias("_id"),
+                         F.col(text_col).alias("_txt"))))
+    # persist the slim band rows: without the barrier Catalyst pushes
+    # the side filters below the aggregate and splits the single band
+    # pass back into one pass per side (~40 B/doc·band — the same
+    # footprint the incremental band STORE persists by design)
+    bands = _band_stack(_shingle_stream(u, "_txt", "_id", k, carry=["_s"]),
+                        ["_s", "_id"], num_hashes, rows_per_band,
+                        "md5").persist()
+    _DEDUP_CACHES.append(bands)
     cand = (
-        ba.select(F.col(id_col).alias("_ida"), "band", "bh")
-        .join(bb.select(F.col(id_col).alias("_idb"), "band", "bh"),
+        bands.filter(F.col("_s") == "a")
+        .select(F.col("_id").alias("_ida"), "band", "bh")
+        .join(bands.filter(F.col("_s") == "b")
+              .select(F.col("_id").alias("_idb"), "band", "bh"),
               ["band", "bh"])
         .select("_ida", "_idb").distinct().persist()
     )
-    # candidate-pair cache consumed 4x (two id-set joins, the co-count
-    # join, nothing else); it outlives this call because the returned
+    # candidate-pair cache consumed by the id restriction and the
+    # co-count join; it outlives this call because the returned
     # one-row plan is lazy — registered for unpersist_dedup_caches()
     # exactly like lm_score's gram tables (long-lived sessions release
     # it there; the bench/sweep harnesses clearCache() between queries)
@@ -1781,41 +1802,48 @@ def corpus_near_overlap(
     # shuffle carries candidate-doc grams only. In the production
     # re-crawl regime (candidates ≪ corpus — most of a new snapshot is
     # genuinely new) that is the difference between a candidate-sized
-    # and a corpus-sized gram shuffle; on the registered fixture, where
-    # nearly every B doc near-matches an A doc, the two orders shuffle
-    # the same volume (measured ±9% at sf20 — a wash by construction)
-    ga = (_shingle_stream(df_a, text_col, id_col, k)
-          .withColumnRenamed(id_col, "_ida")
-          .join(cand.select("_ida").distinct(), "_ida").distinct())
-    gb = (_shingle_stream(df_b, text_col, id_col, k)
-          .withColumnRenamed(id_col, "_idb")
-          .join(cand.select("_idb").distinct(), "_idb").distinct())
-    sa = ga.groupBy("_ida").agg(F.count("*").alias("_sa"))
-    sb = gb.groupBy("_idb").agg(F.count("*").alias("_sb"))
+    # and a corpus-sized gram shuffle.
+    ids = (cand.select(F.lit("a").alias("_s"), F.col("_ida").alias("_id"))
+           .unionByName(cand.select(F.lit("b").alias("_s"),
+                                    F.col("_idb").alias("_id")))
+           .distinct())
+    # candidate-restricted distinct grams, persisted for the same
+    # reason (three consumers; side filters would re-split the pass)
+    gu = (_shingle_stream(u, "_txt", "_id", k, carry=["_s"])
+          .join(ids, ["_s", "_id"]).distinct().persist())
+    _DEDUP_CACHES.append(gu)
+    sizes = gu.groupBy("_s", "_id").agg(F.count("*").alias("_sz"))
+    ga = gu.filter(F.col("_s") == "a").select(
+        F.col("_id").alias("_ida"), "_g")
+    gb = gu.filter(F.col("_s") == "b").select(
+        F.col("_id").alias("_idb"), "_g")
     # cand joins FIRST (mirroring _relational_jaccard's shape): the
     # gram co-count is then bounded by candidate pairs x grams-per-doc.
-    # The former ga.join(gb, "_g") ordering let one shingle shared by
-    # many candidate docs on BOTH sides blow up to an
-    # |A-docs-with-gram| x |B-docs-with-gram| cross-product that the
-    # cand join only trimmed afterwards.
     inter = (
         cand.join(ga, "_ida").join(gb, ["_idb", "_g"])
         .groupBy("_ida", "_idb").agg(F.count("*").alias("_i"))
     )
+    sa = sizes.filter(F.col("_s") == "a").select(
+        F.col("_id").alias("_ida"), F.col("_sz").alias("_sa"))
+    sb = sizes.filter(F.col("_s") == "b").select(
+        F.col("_id").alias("_idb"), F.col("_sz").alias("_sb"))
     verified = (
         inter.join(sa, "_ida").join(sb, "_idb")
         .filter(F.col("_i")
                 / (F.col("_sa") + F.col("_sb") - F.col("_i")) >= threshold)
     )
-    n_a = df_a.agg(F.count("*").alias("n_a"))
-    n_b = df_b.agg(F.count("*").alias("n_b"))
-    m_a = (verified.select("_ida").distinct()
-           .agg(F.count("*").alias("n_a_matched")))
-    m_b = (verified.select("_idb").distinct()
-           .agg(F.count("*").alias("n_b_matched")))
+    # both totals in ONE aggregate over the tagged union, both matched
+    # counts in ONE multi-distinct aggregate (fused count branches)
+    n = u.agg(
+        F.coalesce(F.sum(F.when(F.col("_s") == "a", 1)), F.lit(0))
+        .cast("bigint").alias("n_a"),
+        F.coalesce(F.sum(F.when(F.col("_s") == "b", 1)), F.lit(0))
+        .cast("bigint").alias("n_b"))
+    m = verified.agg(
+        F.countDistinct("_ida").alias("n_a_matched"),
+        F.countDistinct("_idb").alias("n_b_matched"))
     return (
-        n_a.crossJoin(F.broadcast(n_b)).crossJoin(F.broadcast(m_a))
-        .crossJoin(F.broadcast(m_b))
+        n.crossJoin(F.broadcast(m))
         .select(
             "n_a", "n_b", "n_a_matched", "n_b_matched",
             F.round(F.when(F.col("n_a") > 0,
