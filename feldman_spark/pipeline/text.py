@@ -1109,7 +1109,13 @@ def ppl_buckets(
     if not (0.0 < lo < hi < 1.0):
         raise ValueError(
             f"ppl_buckets: cuts must satisfy 0 < lo < hi < 1 (got {cuts})")
-    scored = lm_score(df, id_col, text_col, alpha, digits)
+    # persist the doc-keyed scores: the threshold aggregate AND the
+    # final labeling both consume them, and without the barrier each
+    # re-runs the scoring joins over the gram tables (r10: measured
+    # ~20% of the operator at sf0.1). Registered with the lm caches —
+    # same lifecycle contract as the gram tables it derives from.
+    scored = lm_score(df, id_col, text_col, alpha, digits).persist()
+    _LM_CACHES.append(scored)
     fn = "percentile" if exact else "approx_percentile"
     th = scored.agg(
         F.expr(f"{fn}(lm_logprob, array({lo!r}, {hi!r}))").alias("_th"))
