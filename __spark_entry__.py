@@ -4940,7 +4940,11 @@ def text_winnow(spark, sf_dir):
     from feldman_spark.pipeline.text import winnow_fingerprints
 
     d = _tw(spark, sf_dir, "documents")
-    fp = winnow_fingerprints(d, "doc_id", F.col("text"), k=12, w=4)
+    # cache=True: the fingerprint table fans into three consumers
+    # (profile count, sharing join left side, per-hash sharing counts);
+    # without the barrier each re-ran the md5-per-character gram stream
+    fp = winnow_fingerprints(d, "doc_id", F.col("text"), k=12, w=4,
+                             cache=True)
     n_fp = fp.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
     byhash = fp.select("doc_id", "fp_hash").distinct()
     sharing = byhash.groupBy("fp_hash").agg(F.count("*").alias("_nd"))

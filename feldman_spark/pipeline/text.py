@@ -1308,6 +1308,7 @@ def winnow_fingerprints(
     text: Column,
     k: int = 12,
     w: int = 4,
+    cache: bool = False,
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
     2003 — the MOSS algorithm): hash every ``k``-character gram, slide
@@ -1344,6 +1345,13 @@ def winnow_fingerprints(
     form shuffled and sorted the FULL gram stream — one row per
     character — through a doc-keyed Window; at sf1 that exchange
     carried ~72M rows that this form never materializes.)
+
+    ``cache=True`` persists the fingerprint table and registers it
+    with the module cache registry (released by
+    :func:`unpersist_lm_caches`) — for callers that fan the
+    fingerprints into several consumers (profile + sharing joins):
+    without the barrier each consumer re-runs the md5-per-character
+    gram stream, the densest compute in the package.
     """
     if k < 2:
         raise ValueError(f"winnow_fingerprints: k must be >= 2, got {k}")
@@ -1365,15 +1373,19 @@ def winnow_fingerprints(
     mins = F.expr(
         f"array_distinct(transform(sequence(1, greatest(size(_keys) - "
         f"{w - 1}, 1)), s -> array_min(slice(_keys, s, {w}))))")
-    return (d.select(idc, keys.alias("_keys"))
-            .select(idc, F.explode(mins).alias("_mkey"))
-            .select(idc,
-                    (F.col("_mkey") % F.lit(2 ** 31).cast("long"))
-                    .alias("fp_pos"),
-                    # integer div, NOT '/': double division cannot
-                    # represent int64-scale keys exactly
-                    F.expr(f"_mkey div {2 ** 31}").alias("fp_hash"))
-            .distinct())
+    out = (d.select(idc, keys.alias("_keys"))
+           .select(idc, F.explode(mins).alias("_mkey"))
+           .select(idc,
+                   (F.col("_mkey") % F.lit(2 ** 31).cast("long"))
+                   .alias("fp_pos"),
+                   # integer div, NOT '/': double division cannot
+                   # represent int64-scale keys exactly
+                   F.expr(f"_mkey div {2 ** 31}").alias("fp_hash"))
+           .distinct())
+    if cache:
+        out = out.persist()
+        _LM_CACHES.append(out)
+    return out
 
 
 def normalize_keys(text: Column) -> Column:
@@ -1463,24 +1475,41 @@ def winnow_shared_pairs(
     volume; the hash df-filter is one partial-aggregating pass; the
     pair join is hash-keyed (never all-pairs), and the final pair
     aggregate carries (id_a, id_b) rows bounded by df_cap²-per-hash.
+
+    The fingerprints collapse FIRST to one ``(fp_hash, id, min pos)``
+    row per document-hash, and that slim table is persisted
+    (registered with :func:`unpersist_lm_caches`) before fanning into
+    the df-filter and both self-join sides — only the per-hash minima
+    matter to every downstream aggregate (n_shared counts hashes,
+    ``*_first`` are mins over per-hash minima), and without the
+    barrier each of the three consumers re-ran the whole
+    md5-per-character fingerprint computation (r10: the plan showed
+    FOUR full document scans; 6.0 s -> ~1 s at sf0.1).
     """
     if df_cap < 2:
         raise ValueError(
             f"winnow_shared_pairs: df_cap must be >= 2, got {df_cap}")
     idc = F.col(f"`{id_col}`")
-    base = fp.select(idc.alias("_id"), "fp_pos", "fp_hash")
-    hdf = (base.groupBy("fp_hash")
-           .agg(F.countDistinct("_id").alias("_df"))
+    g = (fp.select(idc.alias("_id"), "fp_pos", "fp_hash")
+         .groupBy("fp_hash", "_id")
+         .agg(F.min("fp_pos").alias("_p"))
+         .persist())
+    _LM_CACHES.append(g)
+    # rows of g are unique per (fp_hash, _id), so count(*) == the
+    # distinct-document frequency of the hash
+    hdf = (g.groupBy("fp_hash").agg(F.count("*").alias("_df"))
            .filter((F.col("_df") >= 2) & (F.col("_df") <= df_cap)))
-    slim = base.join(hdf.select("fp_hash"), "fp_hash")
+    slim = g.join(hdf.select("fp_hash"), "fp_hash")
     a = slim.select(F.col("fp_hash"), F.col("_id").alias("id_a"),
-                    F.col("fp_pos").alias("_pa"))
+                    F.col("_p").alias("_pa"))
     b = slim.select(F.col("fp_hash"), F.col("_id").alias("id_b"),
-                    F.col("fp_pos").alias("_pb"))
+                    F.col("_p").alias("_pb"))
+    # one joined row per (shared hash, pair): count(*) == distinct
+    # shared hashes, and min over per-hash minima == global min
     return (a.join(b, "fp_hash")
             .filter(F.col("id_a") < F.col("id_b"))
             .groupBy("id_a", "id_b")
-            .agg(F.countDistinct("fp_hash").alias("n_shared"),
+            .agg(F.count("*").alias("n_shared"),
                  F.min("_pa").alias("a_first"),
                  F.min("_pb").alias("b_first"))
             .filter(F.col("n_shared") >= min_shared))
