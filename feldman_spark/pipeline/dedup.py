@@ -1211,9 +1211,16 @@ def embedding_cosine_pairs_lsh(
             yield pd.concat(frames, ignore_index=True)
 
     sig_schema = "".join(f", _s{k} long" for k in range(n_sig_longs))
+    # persist the slim signature rows (id + T bucket ids + a few packed
+    # sign longs — never the vectors): BOTH self-join sides consume
+    # them, and without the barrier each side re-runs the bucketize
+    # matmul over the whole corpus (r10: the plan showed two full
+    # ArrowEval passes; registered with unpersist_dedup_caches)
     stacked = base.mapInPandas(
         bucketize,
-        schema=f"`{id_col}` {id_type}, tbl int, sig long{sig_schema}")
+        schema=f"`{id_col}` {id_type}, tbl int, sig long{sig_schema}"
+    ).persist()
+    _DEDUP_CACHES.append(stacked)
 
     left = stacked.select(
         F.col(id_col).alias("id1"), "tbl", "sig",
