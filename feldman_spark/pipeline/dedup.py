@@ -648,14 +648,20 @@ def ngram_jaccard_pairs(
         # Σ|g| off it (sizes the verification strategy below) — the
         # former count()-then-agg form paid a second driver action whose
         # scheduler latency is pure overhead on every invocation
-        row = ranked.agg(F.count(F.lit(1)).alias("_n"),
-                         F.sum("sz").alias("_t")).first()
-        ndocs, total_grams = row["_n"], row["_t"] or 0
-        proj = (
+        # doc/gram totals and the candidate projection are two different
+        # aggregate shapes over the same cache; a crossJoin of the two
+        # 1-row frames collects BOTH in one driver action (measured: the
+        # second blocking .first() cost ~0.4 s of pure scheduler latency
+        # per invocation at the sf0.1 gate)
+        stats_docs = ranked.agg(F.count(F.lit(1)).alias("_n"),
+                                F.sum("sz").alias("_t"))
+        stats_proj = (
             pref.groupBy(*grp, "g").agg(F.count(F.lit(1)).alias("_c"))
             .agg(F.sum(F.col("_c") * (F.col("_c") - 1) / 2).alias("_p"))
-            .first()["_p"]
-        ) or 0
+        )
+        row = stats_docs.crossJoin(stats_proj).first()
+        ndocs, total_grams = row["_n"], row["_t"] or 0
+        proj = row["_p"] or 0
         use_banding = proj > candidate_budget_per_doc * max(ndocs, 1)
         import logging
 
@@ -674,6 +680,24 @@ def ngram_jaccard_pairs(
         verify_parts = int(min(4096, max(cores, proj // 2_000_000)))
     else:
         verify_parts = cores
+
+    def _dedup_spread(raw: DataFrame) -> DataFrame:
+        """Candidate dedup + verification spread, one exchange when the
+        projection is small: hash-repartition the RAW candidate products
+        by the pair id (explicit count — AQE never coalesces a
+        user-specified repartition, so verify keeps its parallelism) and
+        dedup in-partition (HashPartitioning(doc1,doc2) satisfies the
+        aggregate's clustering over (doc1,doc2,ssum); ssum is
+        functionally dependent on the pair). The former
+        distinct-then-repartition shape paid a SECOND full exchange just
+        to undo AQE's tiny-bytes coalescing. Above the bound the map-side
+        partial dedup earns its exchange back (raw products outnumber
+        distinct pairs ~14× here and more in dense corpora), so the
+        two-exchange shape stays."""
+        if proj is not None and proj <= 16_000_000:
+            return (raw.repartition(verify_parts, "doc1", "doc2")
+                    .dropDuplicates(["doc1", "doc2", "ssum"]))
+        return raw.distinct().repartition(verify_parts)
 
     if use_banding:
         # over-budget corpora: same gram sets, same exact verification,
@@ -709,9 +733,8 @@ def ngram_jaccard_pairs(
             # pair — verification needs only the sum (|A∪B| = ssum − ∩)
             .select("doc1", "doc2",
                     (F.col("sz1") + F.col("sz2")).alias("ssum"))
-            .distinct()
-            .repartition(verify_parts)
         )
+        cand = _dedup_spread(cand)
     else:
         # asymmetric probe/index split (see docstring): the probe side
         # keeps only positions inside the SHORTER 2t/(1+t) prefix, the
@@ -749,13 +772,8 @@ def ngram_jaccard_pairs(
             .select(F.least("doc1", "doc2").alias("doc1"),
                     F.greatest("doc1", "doc2").alias("doc2"),
                     (F.col("sz1") + F.col("sz2")).alias("ssum"))
-            .distinct()
-            # AQE coalesces this shuffle to ~1 partition (candidate id
-            # pairs are tiny in BYTES) but each row costs an
-            # array-intersect over full gram sets downstream — spread the
-            # verification explicitly
-            .repartition(verify_parts)
         )
+        cand = _dedup_spread(cand)
 
     # verification stays in the per-pair ARRAY form: prefix filtering
     # yields orders of magnitude more candidates than LSH banding (weak
