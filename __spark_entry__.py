@@ -4025,8 +4025,14 @@ def text_bpe_encode(spark, sf_dir):
         _bpe_vocab, bpe_apply_merges, bpe_train_merges)
 
     d = _t(spark, sf_dir, "documents").select("text")
-    merges = bpe_train_merges(d, "text", n_merges=6)
-    vocab = _bpe_vocab(d, "text")
+    # ONE corpus collapse shared by training and the top-20 output: the
+    # persisted vocabulary feeds all 6 merge iterations AND the final
+    # TakeOrdered (registered with the lm-cache registry; the former
+    # shape rebuilt the word aggregate from the raw corpus twice)
+    from feldman_spark.pipeline.text import _LM_CACHES
+    vocab = _bpe_vocab(d, "text").persist()
+    _LM_CACHES.append(vocab)
+    merges = bpe_train_merges(d, "text", n_merges=6, vocab=vocab)
     top = (
         vocab.orderBy(F.col("_n").desc(), F.col("w").asc()).limit(20)
         .withColumn("bpe", bpe_apply_merges(F.col("w"), merges))

@@ -8,7 +8,7 @@ cost one pass over the corpus.
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence
+from typing import Dict, List, Optional, Sequence
 
 import pandas as pd
 
@@ -825,6 +825,7 @@ def bpe_train_merges(
     df: DataFrame,
     text_col: str = "text",
     n_merges: int = 6,
+    vocab: Optional[DataFrame] = None,
 ) -> List[str]:
     """Learn the first ``n_merges`` BPE merges over the corpus (Sennrich
     et al. 2016): repeatedly pick the most frequent adjacent symbol pair
@@ -840,9 +841,21 @@ def bpe_train_merges(
     over data."""
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
-    vocab = _bpe_vocab(df, text_col).persist()
+    # callers that ALSO consume the vocabulary (the encode query's
+    # top-k segmentation) pass their own persisted (w, _n) frame so the
+    # corpus collapses exactly once; ownership follows construction —
+    # a vocab built here is unpersisted here, a passed one is not
+    own_vocab = vocab is None
+    if own_vocab:
+        vocab = _bpe_vocab(df, text_col).persist()
     state = vocab.select("w", "_n", _spaced_chars(F.col("w")).alias("_s"))
     merges: List[str] = []
+    # each iteration's state is persisted and the previous one released:
+    # without the barrier, iteration i re-executes all i-1 earlier merge
+    # folds over the vocabulary (quadratic total fold work, and the
+    # nested-HOF expression tree deepens every round); with it each fold
+    # runs exactly once against the previous materialized state
+    _state_caches: List[DataFrame] = []
     try:
         for _ in range(n_merges):
             pairs = (
@@ -867,9 +880,18 @@ def bpe_train_merges(
             p = best[0]["pair"]
             merges.append(p)
             state = state.withColumn(
-                "_s", _apply_one_merge(F.col("_s"), p))
+                "_s", _apply_one_merge(F.col("_s"), p)).persist()
+            _state_caches.append(state)
+            if len(_state_caches) > 1:
+                # the new state is still lazy; only the grandparent is
+                # certainly materialized past (the next collect reads
+                # the parent) — release states two generations back
+                _state_caches.pop(0).unpersist()
     finally:
-        vocab.unpersist()
+        for s in _state_caches:
+            s.unpersist()
+        if own_vocab:
+            vocab.unpersist()
     return merges
 
 
