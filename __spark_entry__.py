@@ -2899,7 +2899,20 @@ def feldman_e2_export(spark, sf_dir):
     — aggregated per (On-Splice, Site)."""
     from feldman_spark.export import splice_export
 
-    n = _t(spark, sf_dir, "lineitem").count()
+    # fixture sizing only: the row count comes from the parquet FOOTERS
+    # (the same metadata the scan planner reads; num_rows is exact, not
+    # an estimate) — the former .count() ran a full Spark job per
+    # invocation before the query proper even started. Handles both the
+    # driver's single-file tables and Spark-written directories.
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/lineitem.parquet"
+    files = ([path] if os.path.isfile(path) else
+             [os.path.join(path, f) for f in os.listdir(path)
+              if f.endswith(".parquet")])
+    n = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
     md = (
         spark.range(n)
         .withColumn("Site", (F.col("id") % 3 + 1).cast("string"))

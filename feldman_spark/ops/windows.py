@@ -926,6 +926,7 @@ def weighted_percentile(
     weight_col: str,
     p: float = 0.5,
     out: str = "wpct",
+    mode: str = "auto",
 ) -> DataFrame:
     """A14 (beyond reference): exact weighted percentile per group —
     the smallest value whose cumulative weight reaches ``p`` of the
@@ -942,26 +943,107 @@ def weighted_percentile(
     selected VALUE is the same — so intra-tie ordering cannot change
     the answer.
 
-    Plan shape: one exchange on the group key, one sort by value; the
-    group total rides the same partition as an unordered frame, the
-    running weight as an ordered frame of the same sort, and the final
-    pick is a partial-aggregating min over qualifying rows. No joins,
-    no second scan — a hot group costs one sort of its own rows.
+    Plan shape (exact two-phase binned quantile): a group-keyed window
+    sort of the WHOLE table would funnel every group's rows through one
+    task — with analytics-grade group counts (3 return flags) that is
+    the guide-§2.5 skew case, 2M-row single-task sorts at sf1 and worse
+    at scale. Instead: (1) one parallel hash-aggregate computes each
+    group's min/max/total mass; (2) one parallel hash-aggregate builds
+    a ``num_bins``-bin weight histogram per group, and a window over
+    the TINY (groups × bins) table finds the threshold bin plus the
+    exact mass below it; (3) only the rows of the threshold bin —
+    ~1/num_bins of the group — pay the value-ordered running-sum pick,
+    offset by that carried-in mass. Three parallel column-pruned scans
+    replace one serialized giant sort; the per-group stats broadcast
+    (sized for low-cardinality analytic groups — the skew regime this
+    form exists for).
+
+    Exactness: identical to the single-sort form whenever weight sums
+    are exact in double (integer-valued weights up to 2⁵³ — the A14
+    quantity case); with arbitrary fractional weights the bin-partial
+    summation order can differ by final-ulp rounding at a threshold
+    boundary, the same caveat any parallel sum carries.
+
+    ``mode="auto"`` (default) picks the plan from Catalyst's own size
+    estimate of the input (optimizer plan statistics — metadata, no
+    job): below ~64 MB the whole table sorts in seconds and the
+    single-sort single-scan form wins (measured 1.27 vs 1.79 s at
+    sf0.1); above it the skewed sort dominates and the binned form
+    wins (7.22 vs 2.61 s at sf1, widening with scale). ``"sort"`` /
+    ``"binned"`` force a path.
     """
     if not (0.0 < p < 1.0):
         raise ValueError(f"weighted_percentile: need 0 < p < 1, got {p}")
-    keys = [F.col(f"`{c}`") for c in partition_by]
+    num_bins = 4096
+    keys = [f"`{c}`" for c in partition_by]
+    kc = [F.col(c) for c in keys]
+    out_keys = [F.col(c) for c in partition_by]
     v, wgt = F.col(f"`{value_col}`"), F.col(f"`{weight_col}`")
-    wp = Window.partitionBy(*keys)
-    wo = (Window.partitionBy(*keys).orderBy(F.col("_v").asc())
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     rows = (df.filter(v.isNotNull() & wgt.isNotNull() & (wgt > 0))
-            .select(*keys, v.alias("_v"), wgt.cast("double").alias("_w"))
-            .withColumn("_tot", F.sum("_w").over(wp))
-            .withColumn("_cum", F.sum("_w").over(wo)))
-    return (rows
-            .filter(F.col("_cum") >= F.lit(float(p)) * F.col("_tot"))
-            .groupBy(*[F.col(c) for c in partition_by])
+            .select(*kc, v.alias("_v"), wgt.cast("double").alias("_w")))
+
+    if mode == "auto":
+        try:
+            est = int(df._jdf.queryExecution().optimizedPlan()
+                      .stats().sizeInBytes())
+        except Exception:  # non-JVM-backed or exotic plans: assume small
+            est = 0
+        mode = "binned" if est > (64 << 20) else "sort"
+    if mode == "sort":
+        wp = Window.partitionBy(*kc)
+        wo = (Window.partitionBy(*kc).orderBy(F.col("_v").asc())
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        srows = (rows.withColumn("_tot", F.sum("_w").over(wp))
+                 .withColumn("_cum", F.sum("_w").over(wo)))
+        return (srows
+                .filter(F.col("_cum") >= F.lit(float(p)) * F.col("_tot"))
+                .groupBy(*out_keys)
+                .agg(F.min("_v").alias(out)))
+    if mode != "binned":
+        raise ValueError(
+            f"weighted_percentile: unknown mode {mode!r} "
+            "(expected 'auto', 'sort' or 'binned')")
+
+    # (1) per-group bounds + total mass (map-side partial aggregate)
+    stats = rows.groupBy(*out_keys).agg(
+        F.min("_v").alias("_lo"), F.max("_v").alias("_hi"),
+        F.sum("_w").alias("_tot"))
+
+    width = (F.col("_hi") - F.col("_lo")) / F.lit(float(num_bins))
+    bin_ = F.when(
+        F.col("_hi") > F.col("_lo"),
+        F.least(F.floor((F.col("_v") - F.col("_lo")) / width),
+                F.lit(num_bins - 1)).cast("int"),
+    ).otherwise(F.lit(0))
+    binned = (rows.join(F.broadcast(stats), list(partition_by))
+              .withColumn("_b", bin_))
+
+    # (2) per-(group, bin) histogram; the threshold bin and the exact
+    # mass below it come from a window over groups × num_bins rows
+    hist = binned.groupBy(*out_keys, F.col("_b")).agg(
+        F.sum("_w").alias("_bw"), F.first("_tot").alias("_tot"))
+    wo_bins = (Window.partitionBy(*kc).orderBy(F.col("_b").asc())
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    thr = F.lit(float(p)) * F.col("_tot")
+    pick = (hist.withColumn("_cum", F.sum("_bw").over(wo_bins))
+            .filter(F.col("_cum") >= thr)
+            .groupBy(*out_keys)
+            .agg(F.min(F.struct(
+                F.col("_b").alias("_jb"),
+                (F.col("_cum") - F.col("_bw")).alias("_below"))).alias("_s"))
+            .select(*out_keys, F.col("_s._jb").alias("_jb"),
+                    F.col("_s._below").alias("_below")))
+
+    # (3) exact inverse-CDF pick inside the threshold bin only; the
+    # carried-in mass offsets the running sum so qualification matches
+    # the whole-group cumulative exactly
+    tb = (binned.join(F.broadcast(pick), list(partition_by))
+          .filter(F.col("_b") == F.col("_jb")))
+    wo_v = (Window.partitionBy(*kc).orderBy(F.col("_v").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (tb.withColumn("_cum", F.sum("_w").over(wo_v) + F.col("_below"))
+            .filter(F.col("_cum") >= thr)
+            .groupBy(*out_keys)
             .agg(F.min("_v").alias(out)))
 
 

@@ -1160,6 +1160,26 @@ def test_weighted_percentile_median_and_weights_matter(spark):
         weighted_percentile(df, ["g"], "v", "w", 1.0)
 
 
+def test_weighted_percentile_modes_agree(spark):
+    # r10 optimization: the size-adaptive binned plan (threshold-bin
+    # exact pick) must select the same value as the single-sort plan
+    # for every group shape — constant-value, single-row, duplicated
+    # values straddling bins, and weights that skip the threshold
+    from feldman_spark.ops.windows import weighted_percentile
+
+    rows = [("g", float(v % 97) * 1.5 - 20.0, float(v % 7 + 1))
+            for v in range(500)]
+    rows += [("one", 42.0, 3.0), ("const", 3.14, 1.0)] * 5
+    rows += [("dup", 1.0, 10.0), ("dup", 1.0, 10.0), ("dup", 2.0, 1.0)]
+    df = spark.createDataFrame(rows, "g string, v double, w double")
+    for p in (0.1, 0.5, 0.9):
+        a = {r["g"]: r["x"] for r in weighted_percentile(
+            df, ["g"], "v", "w", p, "x", mode="sort").collect()}
+        b = {r["g"]: r["x"] for r in weighted_percentile(
+            df, ["g"], "v", "w", p, "x", mode="binned").collect()}
+        assert a == b, (p, a, b)
+
+
 def test_mad_outliers_flags_tail_not_dragged_by_it(spark):
     from feldman_spark.ops.filters import mad_outliers
 
