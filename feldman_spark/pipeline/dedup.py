@@ -1156,18 +1156,22 @@ def embedding_cosine_pairs_lsh(
 
     import numpy as np
 
-    if dim is None:
-        first = df.select(vec_col).first()
-        if first is None:
-            return df.sparkSession.createDataFrame(
-                [], "id1 long, id2 long, cosine double")
-        dim = len(first[0])
-
-    n = None
-    if planes_per_table is None:
-        n = df.count()
-        planes_per_table = min(16, max(4, math.ceil(
-            math.log2(max(1.0, n / target_bucket_rows)))))
+    # one driver action covers both probes (dimension + corpus size for
+    # plane auto-sizing) — the former first() + count() pair paid two
+    # blocking job round-trips per invocation
+    if dim is None or planes_per_table is None:
+        row = df.agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.first(F.col(vec_col), ignorenulls=True).alias("_v")).first()
+        n = row["_n"]
+        if dim is None:
+            if row["_v"] is None:
+                return df.sparkSession.createDataFrame(
+                    [], "id1 long, id2 long, cosine double")
+            dim = len(row["_v"])
+        if planes_per_table is None:
+            planes_per_table = min(16, max(4, math.ceil(
+                math.log2(max(1.0, n / target_bucket_rows)))))
 
     planes = np.vstack([
         _hyperplane_matrix(dim, planes_per_table, f"{seed}:{t}")
