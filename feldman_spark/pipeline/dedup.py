@@ -574,48 +574,39 @@ def ngram_jaccard_pairs(
     # shuffle/compare 8-byte keys instead of n-char strings. The
     # prefix-filter recall proof only needs SOME global total order, so
     # ordering by (df, hash) instead of (df, gram) is equally valid.
-    # Unlike the word-shingle operators, char-n-grams keep per-doc
-    # ARRAYS (persisted): the long arrays feed the ranking pass AND the
-    # per-pair verification. The arrays are BUILT from the codegen
-    # n-gram stream via one collect_set groupBy — a doc's grams sit in
-    # its own input partition, so the partial aggregate assembles each
-    # set map-side in the JVM and the shuffle moves one row per doc;
-    # the former row-local HOF build (transform∘array_distinct) was
-    # CodegenFallback and ~3x slower. collect_set order is
-    # nondeterministic, which is immaterial: every consumer (explode,
-    # size, array_intersect) is order-insensitive.
-    grams = (
+    # ONE pass and ONE cache carry every gram: the codegen n-gram
+    # stream aggregates per (group, gram) into its distinct-document
+    # set — collect_set(doc) dedups (doc, gram) repeats and its size IS
+    # the document frequency — and the re-exploded (id, df, gram) rows
+    # re-assemble per doc below. The former shape materialized the
+    # grams TWICE (a collect_set-per-doc array cache for verification
+    # plus the df-ranked cache) and paid a third full gram-stream
+    # exchange through a Window df-count; fusing them dropped one
+    # exchange and halved the cached gram bytes (sf1 A/B: 9.3 -> 8.5 s
+    # steady, sf0.1 4.2 -> 2.8 s, identical pair sets).
+    t = float(threshold)
+    probe_frac = 2.0 * t / (1.0 + t)
+    byg = (
         _char_ngram_stream(df, text_col, id_col, n, hashed=True,
                            carry=list(grp))
-        .groupBy(F.col(id_col), *[F.col(c) for c in grp])
-        .agg(F.collect_set("_g").alias("grams"))
-        .persist()
+        .groupBy(*[F.col(c) for c in grp], F.col("_g"))
+        .agg(F.collect_set(F.col(id_col)).alias("_docs"))
     )
-    exd = grams.select(
-        F.col(id_col), *[F.col(c) for c in grp], F.explode("grams").alias("_g"))
-
-    # document frequency per (group, gram) annotated IN PLACE with a
-    # window count: one shuffle keyed on the gram, versus the
-    # aggregate-then-join-back form's two more gram-stream exchanges —
-    # and with millions of distinct grams the aggregate's map-side
-    # partial tables are nearly all-unique anyway (partial output
-    # multiplies with task count; measured 2x slower at sf1's 15M-gram
-    # stream under 32-way scans)
-    wdf = Window.partitionBy(*grp, "_g")
+    exd = byg.select(
+        *grp, "_g", F.size("_docs").alias("_df"),
+        F.explode("_docs").alias(id_col))
 
     # re-assemble each doc's grams sorted by (df, gram) — rare first —
     # and slice the prefix whose length guarantees recall 1.0 at t.
-    # PERSISTED: the ranking feeds both sides of the candidate join and
-    # the guard aggregate — without the cache the window chain executes
-    # up to three times
+    # PERSISTED: the ranking feeds both sides of the candidate join,
+    # the guard aggregate, AND (via transform(_ord)) the verification
+    # arrays — without the cache each consumer re-runs the gram stream
     # both ceil() bounds carry a -1e-9: float noise pushing t·sz a hair
     # ABOVE its true integer value would ceil one higher and shorten the
     # prefix — a silent recall hole; the epsilon can only LENGTHEN a
     # prefix (more candidates, never fewer)
-    t = float(threshold)
-    probe_frac = 2.0 * t / (1.0 + t)
     ranked = (
-        exd.withColumn("_df", F.count(F.lit(1)).over(wdf))
+        exd
         .groupBy(F.col(id_col), *grp)
         .agg(F.array_sort(F.collect_list(F.struct("_df", "_g"))).alias("_ord"))
         .withColumn("sz", F.size("_ord"))
@@ -706,7 +697,13 @@ def ngram_jaccard_pairs(
         # density, at the cost of banding recall (see docstring)
         mins = [F.min(F.xxhash64(F.col("_g"), F.lit(j))).alias(f"_h{j}")
                 for j in range(fallback_num_hashes)]
-        sig = exd.groupBy(F.col(id_col), *grp).agg(
+        # the signature stream re-explodes the CACHED ranked arrays —
+        # consuming exd here would re-run the gram stream and its
+        # per-gram aggregate a second time
+        exd_r = ranked.select(
+            F.col(id_col), *grp,
+            F.explode(F.transform("_ord", lambda s: s["_g"])).alias("_g"))
+        sig = exd_r.groupBy(F.col(id_col), *grp).agg(
             *mins, F.count(F.lit(1)).alias("sz"))
         n_bands = fallback_num_hashes // fallback_rows_per_band
         bands = [
@@ -786,8 +783,13 @@ def ngram_jaccard_pairs(
     # pass over two full gram sets per candidate).
     inter = F.size(F.array_intersect("g1", "g2")).cast("double")
     jaccard = F.round(inter / (F.col("ssum") - inter), 4)
-    s1 = grams.select(F.col(id_col).alias("doc1"), F.col("grams").alias("g1"))
-    s2 = grams.select(F.col(id_col).alias("doc2"), F.col("grams").alias("g2"))
+    # the verification arrays project straight off the cached ranking —
+    # array_intersect is order-insensitive, so the df-sorted arrays
+    # serve without a second materialized copy of every gram
+    garr = ranked.select(
+        F.col(id_col), F.transform("_ord", lambda s: s["_g"]).alias("grams"))
+    s1 = garr.select(F.col(id_col).alias("doc1"), F.col("grams").alias("g1"))
+    s2 = garr.select(F.col(id_col).alias("doc2"), F.col("grams").alias("g2"))
     # join strategy (see docstring): broadcast the gram table when it
     # fits — the candidate rows then never shuffle their arrays — else
     # shuffle-hash (the candidate side must never be SORTED twice just
