@@ -4691,10 +4691,13 @@ def text_readability(spark, sf_dir):
     """Flesch-style readability per document — words, sentence-run and
     vowel-group (syllable proxy) counts + the classic 206.835 score;
     pure codegen column expressions, one corpus pass, no shuffle
-    (feldman_spark/pipeline/text.py::readability)."""
+    (feldman_spark/pipeline/text.py::readability). _tw: the five
+    regexp-heavy counters are scan-fused compute — the r10 A/B
+    measured 0.66 -> 0.38 s median (6 alternating reps) under the
+    single-row-group driver tables."""
     from feldman_spark.pipeline.text import readability
 
-    d = _t(spark, sf_dir, "documents")
+    d = _tw(spark, sf_dir, "documents")
     r = readability(F.col("text"))
     return d.select(
         "doc_id",
