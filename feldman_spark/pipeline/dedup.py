@@ -1160,7 +1160,10 @@ def embedding_cosine_pairs_lsh(
 
     # one driver action covers both probes (dimension + corpus size for
     # plane auto-sizing) — the former first() + count() pair paid two
-    # blocking job round-trips per invocation
+    # blocking job round-trips per invocation. n stays None when both
+    # parameters are caller-provided (the broadcast-vs-shuffle gate
+    # below then takes the conservative shuffle-hash arm).
+    n = None
     if dim is None or planes_per_table is None:
         row = df.agg(
             F.count(F.lit(1)).alias("_n"),

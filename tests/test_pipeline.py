@@ -229,6 +229,24 @@ def test_embedding_lsh_matches_all_pairs(spark):
     assert len(ap) >= 20  # the injected duplicates are all found
 
 
+def test_embedding_lsh_explicit_params(spark):
+    """Both auto-sizing probes caller-provided: the single-action probe
+    fold must not leave the corpus count unbound (the r10 pipeline
+    smoke caught exactly this — dim+planes passed, UnboundLocalError on
+    the broadcast gate)."""
+    from feldman_spark.pipeline.dedup import embedding_cosine_pairs_lsh
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    dup = emb.filter(F.col("vec_id") < 10).withColumn(
+        "vec_id", F.col("vec_id") + 10_000)
+    u = emb.unionByName(dup)
+    dim = len(emb.first()["embedding"])
+    ls = {(r["id1"], r["id2"])
+          for r in embedding_cosine_pairs_lsh(
+              u, threshold=0.999, dim=dim, planes_per_table=8).collect()}
+    assert all((i, i + 10_000) in ls for i in range(10))
+
+
 def test_cosine_topk_and_lsh_recall(spark):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     q = emb.filter(F.col("vec_id") == 0).first()["embedding"]
