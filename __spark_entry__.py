@@ -2812,43 +2812,46 @@ def q21_waiting_supplier(spark, sf_dir):
     su = _t(spark, sf_dir, "supplier")
     na = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_4")
     late_all = (
-        li.join(o.select("o_orderkey", "o_orderdate"),
-                F.col("l_orderkey") == F.col("o_orderkey"))
-        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
-        .select("l_orderkey", "l_suppkey")
+        li.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(o.select("o_orderkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("l_orderkey", "l_suppkey",
+                (F.col("l_shipdate") > F.col("o_orderdate")
+                 + F.expr("INTERVAL 30 DAYS")).alias("_late"))
     )
-    # EXISTS/NOT-EXISTS as per-order aggregates instead of a semi + anti
-    # join pair: 'another supplier exists in the order' is exactly
-    # min(supp) != max(supp) over the order's lineitems, and 'no OTHER
-    # supplier shipped late' is min == max over its LATE lineitems (l1
-    # itself is late, so the late set being single-supplier pins it to
-    # l1's). The former form re-executed the li-join-orders subtree for
-    # the anti branch and shuffled the full lineitem for a non-equi
-    # semi join; this one makes a single map-side-combining pass over
-    # (orderkey, suppkey) — lineitem is clustered by orderkey, so the
-    # partial min/max collapse locally — and every join key below is
-    # l_orderkey, so the exchanges line up with no re-shuffle
-    # (5.9x -> ~3x wall for 4x rows at the sf5->sf20 audit).
-    multi = (
-        li.groupBy("l_orderkey")
-        .agg((F.min("l_suppkey") != F.max("l_suppkey")).alias("_multi"))
-        .filter(F.col("_multi")).select("l_orderkey")
-    )
-    solo_late = (
+    # EXISTS/NOT-EXISTS as ONE per-order aggregate over the joined rows
+    # (r10 opt round; formerly two aggregates + two semi joins over a
+    # twice-computed late_all). For an F order every lineitem survives
+    # the join, so 'another supplier exists' is min(supp) != max(supp)
+    # over the joined rows — identical to the old full-lineitem multi
+    # check restricted to F orders, the only ones that could qualify —
+    # and 'no OTHER supplier late' is min == max over the late-flagged
+    # rows. Because a qualifying order's late rows all carry that one
+    # supplier, the old count of late_all rows per s_name is exactly
+    # sum of the per-order late counts: the final three-way semi join
+    # over 44M late rows collapses into this aggregate's output (~15M
+    # one-row-per-order rows). lineitem is clustered by orderkey, so
+    # the partial min/max/sum collapse locally and the join exchange is
+    # the only corpus-wide shuffle left (isolated sf20 A/B: 29.6 s ->
+    # 9.6 s, identical 46-row output by xxhash64 row-set checksum).
+    late_supp = F.when(F.col("_late"), F.col("l_suppkey"))
+    stats = (
         late_all.groupBy("l_orderkey")
-        .agg(F.min("l_suppkey").alias("_lo"), F.max("l_suppkey").alias("_hi"))
-        .filter(F.col("_lo") == F.col("_hi")).select("l_orderkey")
+        .agg(F.min("l_suppkey").alias("_mn"),
+             F.max("l_suppkey").alias("_mx"),
+             F.min(late_supp).alias("_lo"),
+             F.max(late_supp).alias("_hi"),
+             F.sum(F.when(F.col("_late"), 1).otherwise(0)).alias("_cnt"))
     )
     return (
-        late_all
-        .join(multi, "l_orderkey", "left_semi")
-        .join(solo_late, "l_orderkey", "left_semi")
+        stats.filter((F.col("_mn") != F.col("_mx"))
+                     & (F.col("_lo") == F.col("_hi")))
         .join(F.broadcast(
             su.join(F.broadcast(na), F.col("s_nationkey") == F.col("n_nationkey"))
             .select("s_suppkey", "s_name")),
-            F.col("l_suppkey") == F.col("s_suppkey"))
+            F.col("_lo") == F.col("s_suppkey"))
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("_cnt").cast("bigint").alias("numwait"))
     )
 
 
