@@ -34,6 +34,12 @@ def main() -> None:
 
     qs = entry.queries()
     for name in names:
+        # same hygiene as bench.py: drop every cached frame the previous
+        # query registered, so a multi-query invocation can't accumulate
+        # session-lifetime persists (measured: an sf20 7-query sequence
+        # OOMed the 8g driver without this; bench.py has cleared per
+        # query since round 7)
+        spark.catalog.clearCache()
         fn = qs[name]
         samples = []
         for _ in range(reps):
