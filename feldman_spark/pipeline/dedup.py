@@ -1298,6 +1298,14 @@ def embedding_cosine_pairs_lsh(
         ny[ny == 0] = 1.0
         return pd.Series(np.einsum("ij,ij->i", x, y) / (nx * ny))
 
+    # the threshold filter references the UDF column, and the optimizer
+    # duplicates a deterministic UDF it pushes a filter through — the
+    # plan showed TWO ArrowEvalPython nodes (one under the filter, one
+    # in the output projection), every surviving pair paying the einsum
+    # twice. Non-deterministic stops the copy; one evaluation serves
+    # filter and projection (values unchanged — the function is pure).
+    _pair_cos = _pair_cos.asNondeterministic()
+
     # attaching vectors to pairs must not sort or shuffle the candidate
     # table by the VECTOR payload: the vector table is n·d·8 bytes —
     # broadcast it when that fits (n is known from the plane-sizing
