@@ -250,11 +250,25 @@ def repetition_metrics(
     id_col: str = "doc_id",
     text_col: str = "text",
     ngram: int = 3,
+    mode: str = "auto",
 ) -> DataFrame:
     """Relational (stream-aggregate) form of :func:`repetition_features`:
     returns ``(id_col, dup_line_frac, dup_ngram_frac, top_token_frac)``
     with values identical to the row-local HOF form (pytest asserts the
     twin equality; the sf0.01 driver oracle checks values).
+
+    ``mode``: ``"subtrees"`` runs the three exploded streams as
+    independent aggregate subtrees (below); ``"union"`` fuses them into
+    ONE tagged ``(id, kind, hash)`` stream with a two-level aggregate —
+    one text scan instead of four, no ``countDistinct`` Expand (distinct
+    counts fall out as level-1 group counts), ~3 exchanges instead of
+    ~6. ``"auto"`` (default) routes by Catalyst's size estimate: small
+    inputs keep the subtree form (independent subtree stages overlap and
+    hide the fixed costs that serialize the single fused scan stage —
+    measured at sf0.1: subtrees ~1.9 s vs union ~2.8 s), large inputs
+    take the union (measured: sf1 3.95 → 3.56 s, sf5 steady ~6.1 →
+    ~4.8 s, values identical at every scale; at 100 TB one scan of the
+    text column instead of four is the dominant term).
 
     Why not the row-local form at scale: ``transform``/``aggregate``
     lambdas are CodegenFallback — the per-document gram build + modal-run
@@ -273,6 +287,18 @@ def repetition_metrics(
     """
     text = F.col(text_col)
     idc = F.col(id_col)
+
+    if mode == "auto":
+        try:
+            est = int(df._jdf.queryExecution().optimizedPlan()
+                      .stats().sizeInBytes())
+        except Exception:  # non-JVM-backed or exotic plans: assume small
+            est = 0
+        mode = "union" if est > (4 << 20) else "subtrees"
+    if mode == "union":
+        return _repetition_metrics_union(df, id_col, text_col, ngram)
+    if mode != "subtrees":
+        raise ValueError(f"unknown repetition_metrics mode: {mode!r}")
 
     lines = df.select(idc, F.explode(F.split(text, "\n")).alias("_l"))
     l_agg = lines.groupBy(id_col).agg(
@@ -322,6 +348,86 @@ def repetition_metrics(
         .join(t_agg, id_col, "left")
         .join(g_agg, id_col, "left")
     )
+    return met.select(
+        idc,
+        F.round(
+            F.when(F.coalesce(F.col("_nl"), F.lit(0)) <= 0, 0.0)
+            .otherwise(1.0 - F.col("_dl").cast("double") / F.col("_nl")),
+            4).alias("dup_line_frac"),
+        F.round(
+            F.when(F.coalesce(F.col("_ng"), F.lit(0)) <= 0, 0.0)
+            .otherwise(1.0 - F.col("_dg").cast("double") / F.col("_ng")),
+            4).alias("dup_ngram_frac"),
+        F.round(
+            F.when(F.col("_nt") <= 0, 0.0)
+            .otherwise(F.col("_top").cast("double") / F.col("_nt")),
+            4).alias("top_token_frac"),
+    )
+
+
+def _repetition_metrics_union(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+) -> DataFrame:
+    """Single-scan form of :func:`repetition_metrics`: every signal rides
+    ONE tagged ``(id, kind, xxhash64)`` stream — kind 0 = line, 1 =
+    token, 2 = word-``ngram`` struct — built by per-kind ``transform``
+    over the same split arrays the subtree form uses and exploded once
+    (the generate carries only the 9-byte struct per output row, never
+    the token array). Level 1 groups ``(id, kind, hash)`` to occurrence
+    counts (map-side partials collapse a document's repeats in its scan
+    partition); level 2 folds the six per-document aggregates in one
+    pass: totals are conditional SUMs of the counts, distinct counts
+    are conditional COUNTs of the level-1 groups (no countDistinct —
+    and so no Expand doubling the gram stream through the exchange),
+    and the modal-token count is the conditional MAX.
+
+    Value-identical to the subtree form by construction: the same hash
+    function over the same per-kind values, kind in the grouping key, so
+    equality classes — and every downstream count — are unchanged; a
+    document whose stream is empty (null text) falls out of the
+    aggregate and takes the same left-join-null arm. Verified by
+    ``exceptAll`` symdiff 0 at sf0.1/sf1/sf5 and the mode-equivalence
+    pytest over the degenerate docs.
+    """
+    text = F.col(text_col)
+    idc = F.col(id_col)
+    toks = F.split(F.trim(text), r"\s+")
+    n_grams_col = F.greatest(F.size(toks) - (ngram - 1), F.lit(0))
+    zipped = F.arrays_zip(*[
+        F.slice(toks, j + 1, n_grams_col).alias(f"_t{j}")
+        for j in range(ngram)
+    ])
+
+    def _tag(kind):
+        return lambda x: F.struct(
+            F.lit(kind).cast("tinyint").alias("k"),
+            F.xxhash64(x).alias("h"))
+
+    stream = df.select(
+        idc,
+        F.explode(F.concat(
+            F.transform(F.split(text, "\n"), _tag(0)),
+            F.transform(toks, _tag(1)),
+            F.transform(zipped, _tag(2)),
+        )).alias("_s"),
+    ).select(idc, F.col("_s.k").alias("_k"), F.col("_s.h").alias("_h"))
+    lvl1 = stream.groupBy(id_col, "_k", "_h").agg(
+        F.count(F.lit(1)).alias("_c"))
+    agg = lvl1.groupBy(id_col).agg(
+        F.sum(F.when(F.col("_k") == 0, F.col("_c"))).alias("_nl"),
+        F.count(F.when(F.col("_k") == 0, F.lit(1))).alias("_dl"),
+        F.max(F.when(F.col("_k") == 1, F.col("_c"))).alias("_top"),
+        F.sum(F.when(F.col("_k") == 2, F.col("_c"))).alias("_ng"),
+        F.count(F.when(F.col("_k") == 2, F.lit(1))).alias("_dg"),
+    )
+    # level-2 COUNT yields 0 (not null) where the subtree form's left
+    # join yields null _dl/_dg — unobservable: the consuming whens guard
+    # on _nl/_ng first, and those are null/0 in exactly the same rows
+    met = (df.select(idc, token_count(text).alias("_nt"))
+           .join(agg, id_col, "left"))
     return met.select(
         idc,
         F.round(

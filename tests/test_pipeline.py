@@ -1073,16 +1073,22 @@ def test_repetition_metrics_matches_row_local_twin(spark):
         ],
         ["doc_id", "text"],
     )
-    rel = {r["doc_id"]: r for r in repetition_metrics(docs).collect()}
     rf = repetition_features(F.col("text"))
     row = {r["doc_id"]: r for r in docs.select(
         "doc_id",
         rf["dup_line_frac"].alias("dup_line_frac"),
         rf["dup_ngram_frac"].alias("dup_ngram_frac"),
         rf["top_token_frac"].alias("top_token_frac")).collect()}
-    for i in row:
-        for c in ("dup_line_frac", "dup_ngram_frac", "top_token_frac"):
-            assert rel[i][c] == row[i][c], (i, c, rel[i][c], row[i][c])
+    # both relational forms (independent subtrees; single tagged-union
+    # stream) must equal the row-local definition — and so each other —
+    # on every degenerate doc
+    for mode in ("subtrees", "union"):
+        rel = {r["doc_id"]: r
+               for r in repetition_metrics(docs, mode=mode).collect()}
+        for i in row:
+            for c in ("dup_line_frac", "dup_ngram_frac", "top_token_frac"):
+                assert rel[i][c] == row[i][c], \
+                    (mode, i, c, rel[i][c], row[i][c])
 
     gq = {r["doc_id"]: r["keep"] for r in gopher_quality(docs).collect()}
     gr = {r["doc_id"]: r["keep"] for r in docs.select(
