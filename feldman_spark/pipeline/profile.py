@@ -820,16 +820,23 @@ def spearman_corr(
         .orderBy(F.col("_x").asc())
     wy = Window.partitionBy(*[F.col(c) for c in group_cols]) \
         .orderBy(F.col("_y").asc())
-    cx = Window.partitionBy(*[F.col(c) for c in group_cols],
-                            F.col("_x"))
-    cy = Window.partitionBy(*[F.col(c) for c in group_cols],
-                            F.col("_y"))
+    # tie count = the current row's PEER count under the rank's own
+    # window spec (RANGE CURRENT ROW..CURRENT ROW — peers are exactly
+    # the equal-_x rows, any orderable type). The former
+    # partitionBy(group, _x) count windows each required their own
+    # clustering: the planner kept one group exchange (a subset
+    # partitioning satisfies ClusteredDistribution) but paid a separate
+    # full sort and Window pass per count — plan 4 Sorts / 4 Windows;
+    # sharing the rank's spec halves both (2 / 2), and values are
+    # bit-identical by the peer-frame definition
+    peers_x = wx.rangeBetween(Window.currentRow, Window.currentRow)
+    peers_y = wy.rangeBetween(Window.currentRow, Window.currentRow)
     ranked = base.select(
         *[F.col(c) for c in group_cols],
         (F.rank().over(wx)
-         + (F.count("*").over(cx) - 1) / 2.0).alias("_rx"),
+         + (F.count("*").over(peers_x) - 1) / 2.0).alias("_rx"),
         (F.rank().over(wy)
-         + (F.count("*").over(cy) - 1) / 2.0).alias("_ry"))
+         + (F.count("*").over(peers_y) - 1) / 2.0).alias("_ry"))
     # corr() under ANSI mode throws DIVIDE_BY_ZERO for a constant
     # side; the covariance form with try_divide yields NULL instead —
     # the documented constant-variable contract
