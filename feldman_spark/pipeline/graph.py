@@ -31,7 +31,28 @@ from pyspark.sql import DataFrame, functions as F
 
 __all__ = ["connected_components", "dedup_survivors",
            "dedup_survivors_best", "pagerank", "triangle_stats",
-           "cooccurrence_pairs", "cooccurrence_pmi"]
+           "cooccurrence_pairs", "cooccurrence_pmi",
+           "unpersist_graph_caches"]
+
+# persisted tables registered by operators whose RETURNED plan is lazy
+# (the cache must outlive the call so the caller's action can reuse it)
+# — released by unpersist_graph_caches, the scoped-lifecycle handle for
+# long-lived sessions; bench/sweep harnesses clearCache() between
+# queries, which also works. Mirrors dedup._DEDUP_CACHES.
+_GRAPH_CACHES: list = []
+
+
+def unpersist_graph_caches(blocking: bool = False) -> int:
+    """Release every table this module persisted in-process
+    (:func:`cooccurrence_pmi` registers its capped item-set table
+    here). Returns the number of tables released. Safe any time: plans
+    built on the tables stay valid and recompute lineage on next use."""
+    n = 0
+    while _GRAPH_CACHES:
+        df = _GRAPH_CACHES.pop()
+        df.unpersist(blocking=blocking)
+        n += 1
+    return n
 
 
 def connected_components(
@@ -424,7 +445,16 @@ def cooccurrence_pmi(
         .filter(F.col("_g").isNotNull() & F.col("_i").isNotNull())
         .distinct()
     )
-    capped = cap_per_group(base, "_g", cap, key_col="_i", seed=seed)
+    # FOUR consumers read the capped item sets (both pair-join sides,
+    # the item margins, the group total) — uncached, each re-ran the
+    # distinct exchange + cap window over the corpus (plan: 4 Window /
+    # 4 Sort subtrees). The capped table is ≤ cap rows per group of two
+    # ids each; persist it once and every consumer reads the cache
+    # (registered in _GRAPH_CACHES — the returned plan is lazy, so an
+    # in-function unpersist would kill the cache before the caller's
+    # action; cf. unpersist_dedup_caches)
+    capped = cap_per_group(base, "_g", cap, key_col="_i", seed=seed).persist()
+    _GRAPH_CACHES.append(capped)
     l = capped.select("_g", F.col("_i").alias("item_a"))
     r = capped.select("_g", F.col("_i").alias("item_b"))
     pairs = (
