@@ -452,9 +452,25 @@ def cooccurrence_pmi(
     # ids each; persist it once and every consumer reads the cache
     # (registered in _GRAPH_CACHES — the returned plan is lazy, so an
     # in-function unpersist would kill the cache before the caller's
-    # action; cf. unpersist_dedup_caches)
-    capped = cap_per_group(base, "_g", cap, key_col="_i", seed=seed).persist()
-    _GRAPH_CACHES.append(capped)
+    # action; cf. unpersist_dedup_caches). Size-gated like
+    # repetition_metrics' auto mode: on a small input the four subtrees
+    # run as concurrent branches of one job and the cache's
+    # materialization barrier only serializes them; at scale the three
+    # redundant distinct+window passes dominate — unlike mutual_info's
+    # map-side-cheap passes, each re-run here pays the full per-group
+    # cap SORT. Measured minima (alternating A/B, this host): sf1
+    # (4.9 MB input estimate) uncached 1.98 s vs cached 4.57 s; sf5
+    # (22 MB) uncached 5.99 s vs cached 0.94 s — the gate sits between
+    # those rungs.
+    capped = cap_per_group(base, "_g", cap, key_col="_i", seed=seed)
+    try:
+        est = int(df._jdf.queryExecution().optimizedPlan()
+                  .stats().sizeInBytes())
+    except Exception:  # non-JVM-backed or exotic plans: assume small
+        est = 0
+    if est > (8 << 20):
+        capped = capped.persist()
+        _GRAPH_CACHES.append(capped)
     l = capped.select("_g", F.col("_i").alias("item_a"))
     r = capped.select("_g", F.col("_i").alias("item_b"))
     pairs = (

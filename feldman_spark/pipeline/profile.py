@@ -547,12 +547,29 @@ def mutual_info(
     # Persist the pair-sized table once (|A|·|B| rows at worst) and
     # every downstream aggregate is pair-sized (registered in
     # _PROFILE_CACHES — the returned plan is lazy, so an in-function
-    # unpersist would kill the cache before the caller's action)
+    # unpersist would kill the cache before the caller's action).
+    # Size-gated like repetition_metrics' auto mode: on a small input
+    # the four passes run as concurrent branches of one job and the
+    # cache's materialization barrier only serializes them. Measured
+    # minima (alternating A/B, this host): sf0.1 ~1.2 s uncached vs
+    # ~2.4 s cached; sf1 1.45 vs 2.76; sf5 (33 MB input estimate) a
+    # wash (1.44 vs 1.45) — the map-side partial collapses each pass to
+    # a tiny pair stream, so the redundant scans stay page-cache-cheap
+    # locally. They grow linearly with input while the cache cost is
+    # pair-sized-constant, so the gate sits one rung above the last
+    # measured wash (engages ~sf20, where a fact pass stops fitting the
+    # page cache on real storage).
     pairs = (df.filter(a.isNotNull() & b.isNotNull())
              .groupBy(a.alias("_a"), b.alias("_b"))
-             .agg(F.count("*").alias("_nab"))
-             .persist())
-    _PROFILE_CACHES.append(pairs)
+             .agg(F.count("*").alias("_nab")))
+    try:
+        est = int(df._jdf.queryExecution().optimizedPlan()
+                  .stats().sizeInBytes())
+    except Exception:  # non-JVM-backed or exotic plans: assume small
+        est = 0
+    if est > (64 << 20):
+        pairs = pairs.persist()
+        _PROFILE_CACHES.append(pairs)
     tot = pairs.agg(F.sum("_nab").alias("_n"))
     ma = pairs.groupBy("_a").agg(F.sum("_nab").alias("_na"))
     mb = pairs.groupBy("_b").agg(F.sum("_nab").alias("_nb"))
