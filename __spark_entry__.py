@@ -243,18 +243,24 @@ def a4_argmin(spark, sf_dir):
 
 
 def a5_conditional_sum_hof(spark, sf_dir):
-    """A5: conditional sum over a collected array via higher-order
-    functions — the gap-sum shape Σ(bot−top) where cond
-    (coring/sectionSummary.py:145-150), expressed with aggregate(filter(…))."""
+    """A5: conditional sum per order — the gap-sum shape Σ(bot−top) where
+    cond (coring/sectionSummary.py:145-150). Decomposable
+    ``sum(when(cond, x).otherwise(0))`` form: partial (map-side)
+    aggregation collapses each order's rows in its scan partition, so the
+    exchange moves one slim row per order. The original
+    ``aggregate(filter(collect_list(struct(...))))`` HOF form shipped
+    EVERY lineitem row as a struct into the shuffle and buffered whole
+    orders as arrays — measured spilling at sf20 (~11-18 s isolated vs
+    the oracle-identical decomposable form; guide §2.3 "aggregate before
+    you shuffle", §5 spill). Values identical: same per-order conditional
+    sum the oracle's sum(CASE WHEN) computes, 0.0 (never null) for orders
+    with no qualifying rows, rounding absorbing summation-order ulp
+    exactly as it always did across the HOF/SQL pair."""
     li = _t(spark, sf_dir, "lineitem")
-    per_order = li.groupBy("l_orderkey").agg(
-        F.collect_list(F.struct("l_discount", "l_extendedprice")).alias("items"))
-    discounted = F.aggregate(
-        F.filter(F.col("items"), lambda x: x["l_discount"] > 0.05),
-        F.lit(0.0),
-        lambda acc, x: acc + x["l_extendedprice"],
-    )
-    return per_order.select("l_orderkey", _r2(discounted).alias("discounted_total"))
+    return li.groupBy("l_orderkey").agg(
+        _r2(F.sum(
+            F.when(F.col("l_discount") > 0.05, F.col("l_extendedprice"))
+            .otherwise(0.0))).alias("discounted_total"))
 
 
 # --------------------------------------------------------------------------
