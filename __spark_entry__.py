@@ -5245,80 +5245,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # FIRST 50 keys only; the prefix rotates per round so every query
     # eventually carries a driver-green row (the mirror gate,
     # tools/check_oracle.py, still runs ALL keys every round, so queries
-    # outside the window cannot silently rot). Round-10 window, executing
-    # the r9 verdict's rotation plan exactly: (a) the 20 r6-green keys at
-    # the 3-round staleness limit (deferred from the r9 window —
-    # reference-core ops f2/f3/f7/a2/w4/w5 first among them); (b) the 30
-    # oldest r7-green keys. The remaining 20 r7 keys defer to the r11
-    # queue head (TPC-H tail + sampling + text utilities — plain SQL
-    # shapes the mirror re-proves every round). New queries registered
-    # mid-r10 take window slots from the r7 block's tail (never-covered
-    # keys outrank re-verification).
-    # --- r10 window: 20 r6-stale keys ---
-        "web_url_normalize": web_url_normalize,
-        "web_domain_cap": web_domain_cap,
-        "a11_approx_quantiles": a11_approx_quantiles,
-        "a12_heavy_hitters": a12_heavy_hitters,
-        "a2_distinct": a2_distinct,
-        "a9_sketch_distinct": a9_sketch_distinct,
-        "f2_range_between": f2_range_between,
-        "f3_in_list": f3_in_list,
-        "f7_domain_validation": f7_domain_validation,
-        "f8_winsorize": f8_winsorize,
-        "o2_zorder_key": o2_zorder_key,
-        "pack_chunks": pack_chunks,
-        "profile_skew": profile_skew_q,
-        "u2_unpivot": u2_unpivot,
-        "u3_table_diff": u3_table_diff,
-        "w4_first_seen": w4_first_seen,
-        "w5_explode_sequence": w5_explode_sequence,
-    # --- r10 window: new r10 registrations (never-covered keys outrank
-    # re-verification; the ENTIRE 30-key r7 block progressively
-    # deferred to the r11 head as the eight r10b and twenty-one r10c
-    # keys below took its slots — every deferred key stays
-    # mirror-checked each round by tools/check_oracle.py) ---
-        "media_incremental_dedup": media_incremental_dedup,
-        "dedup_containment": dedup_containment,
-        "w10_interval_merge": w10_interval_merge,
-        "a13_grouped_mode": a13_grouped_mode,
-        "text_readability": text_readability,
-        "text_top_ngrams": text_top_ngrams,
-        "knn_join": knn_join_q,
-        "j15_radius_join": j15_radius_join,
-        "profile_bootstrap_ci": profile_bootstrap_ci,
-        "w11_resample_interpolate": w11_resample_interpolate,
-        "events_changepoint": events_changepoint,
-        "a14_weighted_median": a14_weighted_median,
-        "f10_mad_outliers": f10_mad_outliers,
-        "w12_locf_fill": w12_locf_fill,
-        "text_char_entropy": text_char_entropy,
-        "profile_trend": profile_trend,
-        "profile_mutual_info": profile_mutual_info,
-        "events_top_paths": events_top_paths,
-        "text_hashing_features": text_hashing_features,
-        "text_winnow": text_winnow,
-        "web_cooccurrence_pmi": web_cooccurrence_pmi,
-        "sample_group_split": sample_group_split,
-        "a15_dense_ids": a15_dense_ids,
-        "j16_geo_radius_join": j16_geo_radius_join,
-        "text_normalize_keys": text_normalize_keys,
-        "f11_quantile_rank": f11_quantile_rank,
-        "profile_k_anonymity": profile_k_anonymity,
-        "dedup_winnow_pairs": dedup_winnow_pairs,
-        "profile_benford": profile_benford,
-        "profile_gini": profile_gini,
-        "w13_time_weighted_avg": w13_time_weighted_avg,
-        "profile_equidepth": profile_equidepth,
-        "profile_null_patterns": profile_null_patterns,
-    # ^ the 50-key driver window ends here --- tail below is mirror-checked every round ---
-    # deferred keys (r11 window head) — the three r6 profile_* keys
-    # were beyond-reference and gave way to the final r10c batch; the
-    # §2 reference-core r6 keys (f2/f3/f7/a2/w4/w5…) kept their slots.
-    # profile_spearman/events_seasonality registered after the r10
-    # window froze at 50 — never driver-covered, so they lead the r11
-    # queue (mirror-checked green meanwhile):
+    # outside the window cannot silently rot). Round-11 window, executing
+    # the r10 verdict's rotation policy exactly ("displaced r7-block keys
+    # take the r11 window head per policy — never-covered first, then the
+    # staleness queue"): (a) profile_spearman/events_seasonality, which
+    # registered after the r10 window froze at 50 and have NEVER carried a
+    # driver row; (b) the r7-green keys the r10c registrations displaced,
+    # oldest driver coverage first. The five r7 keys past slot 50
+    # (text_ppl_buckets … w1_splice_scan) defer to the r12 queue head,
+    # ahead of the rotated-out r10-window keys (freshest coverage).
+    # --- r11 window: 2 never-covered keys ---
         "profile_spearman": profile_spearman,
         "events_seasonality": events_seasonality,
+    # --- r11 window: 48 displaced r7-green keys, oldest coverage first ---
         "profile_histogram": profile_histogram_q,
         "profile_join_cardinality": profile_join_cardinality,
         "profile_psi_drift": profile_psi_drift,
@@ -5367,11 +5306,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_split": sample_split,
         "text_bm25_rerank": text_bm25_rerank,
         "text_fingerprint": text_fingerprint,
+    # ^ the 50-key driver window ends here --- tail below is mirror-checked every round ---
+    # deferred keys (r12 window head): the five r7 keys the 50-slot
+    # window could not hold this round...
         "text_ppl_buckets": text_ppl_buckets,
         "text_scrub_pii": text_scrub_pii,
         "text_tfidf_terms": text_tfidf_terms,
         "u1_union_all": u1_union_all,
         "w1_splice_scan": w1_splice_scan,
+    # ...then the rotated-out r10-window keys (r10-green driver rows —
+    # the freshest coverage in the registry, so they queue behind the
+    # r7 stragglers; every key below stays mirror-checked each round):
+        "web_url_normalize": web_url_normalize,
+        "web_domain_cap": web_domain_cap,
+        "a11_approx_quantiles": a11_approx_quantiles,
+        "a12_heavy_hitters": a12_heavy_hitters,
+        "a2_distinct": a2_distinct,
+        "a9_sketch_distinct": a9_sketch_distinct,
+        "f2_range_between": f2_range_between,
+        "f3_in_list": f3_in_list,
+        "f7_domain_validation": f7_domain_validation,
+        "f8_winsorize": f8_winsorize,
+        "o2_zorder_key": o2_zorder_key,
+        "pack_chunks": pack_chunks,
+        "profile_skew": profile_skew_q,
+        "u2_unpivot": u2_unpivot,
+        "u3_table_diff": u3_table_diff,
+        "w4_first_seen": w4_first_seen,
+        "w5_explode_sequence": w5_explode_sequence,
+        "media_incremental_dedup": media_incremental_dedup,
+        "dedup_containment": dedup_containment,
+        "w10_interval_merge": w10_interval_merge,
+        "a13_grouped_mode": a13_grouped_mode,
+        "text_readability": text_readability,
+        "text_top_ngrams": text_top_ngrams,
+        "knn_join": knn_join_q,
+        "j15_radius_join": j15_radius_join,
+        "profile_bootstrap_ci": profile_bootstrap_ci,
+        "w11_resample_interpolate": w11_resample_interpolate,
+        "events_changepoint": events_changepoint,
+        "a14_weighted_median": a14_weighted_median,
+        "f10_mad_outliers": f10_mad_outliers,
+        "w12_locf_fill": w12_locf_fill,
+        "text_char_entropy": text_char_entropy,
+        "profile_trend": profile_trend,
+        "profile_mutual_info": profile_mutual_info,
+        "events_top_paths": events_top_paths,
+        "text_hashing_features": text_hashing_features,
+        "text_winnow": text_winnow,
+        "web_cooccurrence_pmi": web_cooccurrence_pmi,
+        "sample_group_split": sample_group_split,
+        "a15_dense_ids": a15_dense_ids,
+        "j16_geo_radius_join": j16_geo_radius_join,
+        "text_normalize_keys": text_normalize_keys,
+        "f11_quantile_rank": f11_quantile_rank,
+        "profile_k_anonymity": profile_k_anonymity,
+        "dedup_winnow_pairs": dedup_winnow_pairs,
+        "profile_benford": profile_benford,
+        "profile_gini": profile_gini,
+        "w13_time_weighted_avg": w13_time_weighted_avg,
+        "profile_equidepth": profile_equidepth,
+        "profile_null_patterns": profile_null_patterns,
     # r8-green keys:
         "a10_cube": a10_cube,
         "a1_group_minmax": a1_group_minmax,
