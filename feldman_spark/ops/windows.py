@@ -983,12 +983,9 @@ def weighted_percentile(
             .select(*kc, v.alias("_v"), wgt.cast("double").alias("_w")))
 
     if mode == "auto":
-        try:
-            est = int(df._jdf.queryExecution().optimizedPlan()
-                      .stats().sizeInBytes())
-        except Exception:  # non-JVM-backed or exotic plans: assume small
-            est = 0
-        mode = "binned" if est > (64 << 20) else "sort"
+        from feldman_spark.ops.sizing import plan_size_estimate
+
+        mode = "binned" if plan_size_estimate(df) > (64 << 20) else "sort"
     if mode == "sort":
         wp = Window.partitionBy(*kc)
         wo = (Window.partitionBy(*kc).orderBy(F.col("_v").asc())

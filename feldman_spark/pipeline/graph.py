@@ -434,6 +434,12 @@ def cooccurrence_pmi(
     self-join reusing it, map-side pair counts) plus one item-sized
     margin aggregate broadcast twice onto the pair table and a one-row
     N — the PMI arithmetic adds zero fact-table passes.
+
+    Large inputs persist the capped item-set table in-process so all
+    four consumers share one computation; in a long-lived session call
+    :func:`unpersist_graph_caches` when done (each call on a large
+    input pins another table until released — ``clearCache()`` between
+    queries, as the bench harness does, also works).
     """
     from feldman_spark.pipeline.sampling import cap_per_group
 
@@ -463,12 +469,9 @@ def cooccurrence_pmi(
     # (22 MB) uncached 5.99 s vs cached 0.94 s — the gate sits between
     # those rungs.
     capped = cap_per_group(base, "_g", cap, key_col="_i", seed=seed)
-    try:
-        est = int(df._jdf.queryExecution().optimizedPlan()
-                  .stats().sizeInBytes())
-    except Exception:  # non-JVM-backed or exotic plans: assume small
-        est = 0
-    if est > (8 << 20):
+    from feldman_spark.ops.sizing import plan_size_estimate
+
+    if plan_size_estimate(df) > (8 << 20):
         capped = capped.persist()
         _GRAPH_CACHES.append(capped)
     l = capped.select("_g", F.col("_i").alias("item_a"))

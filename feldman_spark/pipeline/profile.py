@@ -539,6 +539,12 @@ def mutual_info(
     the PAIR table (cardinality |A|·|B| at worst), the MI sum joins
     pairs to two broadcast marginal tables, and everything after the
     first aggregate is pair-sized.
+
+    Large inputs persist the joint count table in-process so all four
+    consumers share one pass; in a long-lived session call
+    :func:`unpersist_profile_caches` when done (each call on a large
+    input pins another table until released — ``clearCache()`` between
+    queries, as the bench harness does, also works).
     """
     a, b = F.col(f"`{col_a}`"), F.col(f"`{col_b}`")
     # the joint count table feeds FOUR consumers (total, both marginals,
@@ -562,12 +568,9 @@ def mutual_info(
     pairs = (df.filter(a.isNotNull() & b.isNotNull())
              .groupBy(a.alias("_a"), b.alias("_b"))
              .agg(F.count("*").alias("_nab")))
-    try:
-        est = int(df._jdf.queryExecution().optimizedPlan()
-                  .stats().sizeInBytes())
-    except Exception:  # non-JVM-backed or exotic plans: assume small
-        est = 0
-    if est > (64 << 20):
+    from feldman_spark.ops.sizing import plan_size_estimate
+
+    if plan_size_estimate(df) > (64 << 20):
         pairs = pairs.persist()
         _PROFILE_CACHES.append(pairs)
     tot = pairs.agg(F.sum("_nab").alias("_n"))

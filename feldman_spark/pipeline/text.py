@@ -288,17 +288,9 @@ def repetition_metrics(
     text = F.col(text_col)
     idc = F.col(id_col)
 
-    if mode == "auto":
-        try:
-            est = int(df._jdf.queryExecution().optimizedPlan()
-                      .stats().sizeInBytes())
-        except Exception:  # non-JVM-backed or exotic plans: assume small
-            est = 0
-        mode = "union" if est > (4 << 20) else "subtrees"
+    mode = _repetition_mode(df, mode)
     if mode == "union":
         return _repetition_metrics_union(df, id_col, text_col, ngram)
-    if mode != "subtrees":
-        raise ValueError(f"unknown repetition_metrics mode: {mode!r}")
 
     lines = df.select(idc, F.explode(F.split(text, "\n")).alias("_l"))
     l_agg = lines.groupBy(id_col).agg(
@@ -365,6 +357,84 @@ def repetition_metrics(
     )
 
 
+def _repetition_mode(df: DataFrame, mode: str) -> str:
+    """Resolve the repetition-metrics plan shape: ``"auto"`` routes by
+    Catalyst's size estimate (small → independent ``subtrees`` whose
+    stages overlap; large → the single-scan ``union`` stream), explicit
+    modes validate. Shared by :func:`repetition_metrics` and
+    :func:`gopher_quality` so both route identically."""
+    if mode == "auto":
+        from feldman_spark.ops.sizing import plan_size_estimate
+
+        mode = "union" if plan_size_estimate(df) > (4 << 20) else "subtrees"
+    if mode not in ("union", "subtrees"):
+        raise ValueError(f"unknown repetition_metrics mode: {mode!r}")
+    return mode
+
+
+def _repetition_union_agg(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ngram: int,
+) -> DataFrame:
+    """The union form's tagged-stream two-level aggregate:
+    ``(id_col, _nl, _dl, _top, _ng, _dg)`` per document that yields any
+    stream element (null-text documents fall out; consumers left-join).
+    See :func:`_repetition_metrics_union` for the full derivation."""
+    text = F.col(text_col)
+    idc = F.col(id_col)
+    toks = F.split(F.trim(text), r"\s+")
+    n_grams_col = F.greatest(F.size(toks) - (ngram - 1), F.lit(0))
+    zipped = F.arrays_zip(*[
+        F.slice(toks, j + 1, n_grams_col).alias(f"_t{j}")
+        for j in range(ngram)
+    ])
+
+    def _tag(kind):
+        return lambda x: F.struct(
+            F.lit(kind).cast("tinyint").alias("k"),
+            F.xxhash64(x).alias("h"))
+
+    stream = df.select(
+        idc,
+        F.explode(F.concat(
+            F.transform(F.split(text, "\n"), _tag(0)),
+            F.transform(toks, _tag(1)),
+            F.transform(zipped, _tag(2)),
+        )).alias("_s"),
+    ).select(idc, F.col("_s.k").alias("_k"), F.col("_s.h").alias("_h"))
+    lvl1 = stream.groupBy(id_col, "_k", "_h").agg(
+        F.count(F.lit(1)).alias("_c"))
+    return lvl1.groupBy(id_col).agg(
+        F.sum(F.when(F.col("_k") == 0, F.col("_c"))).alias("_nl"),
+        F.count(F.when(F.col("_k") == 0, F.lit(1))).alias("_dl"),
+        F.max(F.when(F.col("_k") == 1, F.col("_c"))).alias("_top"),
+        F.sum(F.when(F.col("_k") == 2, F.col("_c"))).alias("_ng"),
+        F.count(F.when(F.col("_k") == 2, F.lit(1))).alias("_dg"),
+    )
+
+
+def _rep_frac_cols(nt: Column) -> list:
+    """The three repetition fractions over the level-2 aggregate columns
+    (``_nl/_dl/_ng/_dg/_top``) with ``nt`` as the token-count
+    denominator — the exact expressions both relational forms emit."""
+    return [
+        F.round(
+            F.when(F.coalesce(F.col("_nl"), F.lit(0)) <= 0, 0.0)
+            .otherwise(1.0 - F.col("_dl").cast("double") / F.col("_nl")),
+            4).alias("dup_line_frac"),
+        F.round(
+            F.when(F.coalesce(F.col("_ng"), F.lit(0)) <= 0, 0.0)
+            .otherwise(1.0 - F.col("_dg").cast("double") / F.col("_ng")),
+            4).alias("dup_ngram_frac"),
+        F.round(
+            F.when(nt <= 0, 0.0)
+            .otherwise(F.col("_top").cast("double") / nt),
+            4).alias("top_token_frac"),
+    ]
+
+
 def _repetition_metrics_union(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -391,58 +461,20 @@ def _repetition_metrics_union(
     aggregate and takes the same left-join-null arm. Verified by
     ``exceptAll`` symdiff 0 at sf0.1/sf1/sf5 and the mode-equivalence
     pytest over the degenerate docs.
+
+    Note the standalone form still scans the text twice (the stream and
+    the ``token_count`` denominator); :func:`gopher_quality` fuses the
+    denominator into its quality-features scan instead — one fewer pass.
     """
     text = F.col(text_col)
     idc = F.col(id_col)
-    toks = F.split(F.trim(text), r"\s+")
-    n_grams_col = F.greatest(F.size(toks) - (ngram - 1), F.lit(0))
-    zipped = F.arrays_zip(*[
-        F.slice(toks, j + 1, n_grams_col).alias(f"_t{j}")
-        for j in range(ngram)
-    ])
-
-    def _tag(kind):
-        return lambda x: F.struct(
-            F.lit(kind).cast("tinyint").alias("k"),
-            F.xxhash64(x).alias("h"))
-
-    stream = df.select(
-        idc,
-        F.explode(F.concat(
-            F.transform(F.split(text, "\n"), _tag(0)),
-            F.transform(toks, _tag(1)),
-            F.transform(zipped, _tag(2)),
-        )).alias("_s"),
-    ).select(idc, F.col("_s.k").alias("_k"), F.col("_s.h").alias("_h"))
-    lvl1 = stream.groupBy(id_col, "_k", "_h").agg(
-        F.count(F.lit(1)).alias("_c"))
-    agg = lvl1.groupBy(id_col).agg(
-        F.sum(F.when(F.col("_k") == 0, F.col("_c"))).alias("_nl"),
-        F.count(F.when(F.col("_k") == 0, F.lit(1))).alias("_dl"),
-        F.max(F.when(F.col("_k") == 1, F.col("_c"))).alias("_top"),
-        F.sum(F.when(F.col("_k") == 2, F.col("_c"))).alias("_ng"),
-        F.count(F.when(F.col("_k") == 2, F.lit(1))).alias("_dg"),
-    )
+    agg = _repetition_union_agg(df, id_col, text_col, ngram)
     # level-2 COUNT yields 0 (not null) where the subtree form's left
     # join yields null _dl/_dg — unobservable: the consuming whens guard
     # on _nl/_ng first, and those are null/0 in exactly the same rows
     met = (df.select(idc, token_count(text).alias("_nt"))
            .join(agg, id_col, "left"))
-    return met.select(
-        idc,
-        F.round(
-            F.when(F.coalesce(F.col("_nl"), F.lit(0)) <= 0, 0.0)
-            .otherwise(1.0 - F.col("_dl").cast("double") / F.col("_nl")),
-            4).alias("dup_line_frac"),
-        F.round(
-            F.when(F.coalesce(F.col("_ng"), F.lit(0)) <= 0, 0.0)
-            .otherwise(1.0 - F.col("_dg").cast("double") / F.col("_ng")),
-            4).alias("dup_ngram_frac"),
-        F.round(
-            F.when(F.col("_nt") <= 0, 0.0)
-            .otherwise(F.col("_top").cast("double") / F.col("_nt")),
-            4).alias("top_token_frac"),
-    )
+    return met.select(idc, *_rep_frac_cols(F.col("_nt")))
 
 
 def gopher_quality(

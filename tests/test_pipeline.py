@@ -1096,6 +1096,49 @@ def test_repetition_metrics_matches_row_local_twin(spark):
     assert gq == gr
 
 
+def test_size_gate_auto_routing(spark):
+    """The size-adaptive gates must route TINY inputs to the small-input
+    shape even when Catalyst has no stats for the leaf: a
+    ``createDataFrame`` input is RDD-backed (``LogicalRDD``), whose size
+    estimate is the ``defaultSizeInBytes`` sentinel (Long.MaxValue), not
+    a measurement — before the sentinel check such inputs always took
+    the large-input path, measured 2-2.3x slower at small scale. (Spark
+    Connect sessions have no ``_jdf`` and always take the small-input
+    path via the exception arm.)"""
+    from feldman_spark.ops.sizing import (SIZE_UNKNOWN_SENTINEL,
+                                          plan_size_estimate)
+    from feldman_spark.pipeline.text import repetition_metrics
+
+    docs = spark.createDataFrame(
+        [(1, "a b c a b c"), (2, "x\ny\nx")], ["doc_id", "text"])
+
+    # the raw Catalyst estimate for an RDD-backed leaf IS the sentinel —
+    # this is the exact failure mode the helper exists to absorb; if a
+    # Spark upgrade starts computing real stats here, the assertion below
+    # (est == 0 or a genuinely tiny number) still holds and the gate
+    # still routes small
+    est = plan_size_estimate(docs)
+    assert est < SIZE_UNKNOWN_SENTINEL
+    assert est < (4 << 20), f"tiny input estimated at {est} bytes"
+
+    # auto must therefore resolve to the subtrees plan, not the union
+    # (compare optimized plans with expression IDs normalized away)
+    import re
+
+    def plan_of(mode):
+        p = str(repetition_metrics(docs, mode=mode)
+                ._jdf.queryExecution().optimizedPlan())
+        return re.sub(r"#\d+", "#", p)
+
+    plan_auto, plan_sub, plan_union = map(
+        plan_of, ("auto", "subtrees", "union"))
+    assert plan_auto == plan_sub
+    assert plan_auto != plan_union
+
+    with pytest.raises(ValueError, match="mode"):
+        repetition_metrics(docs, mode="bogus")
+
+
 def test_export_jsonl_sharded(spark, tmp_out):
     import glob
     import json as _json
