@@ -483,6 +483,7 @@ def gopher_quality(
     text_col: str = "text",
     ngram: int = 3,
     keep_col: str = "keep",
+    mode: str = "auto",
     **thresholds,
 ) -> DataFrame:
     """Corpus-scale Gopher gating: per-document verdict frame
@@ -496,6 +497,15 @@ def gopher_quality(
         gq = gopher_quality(docs)
         gated = docs.join(gq.filter('keep').select('doc_id'),
                           'doc_id', 'left_semi')
+
+    Routes by the same size gate as :func:`repetition_metrics`. On the
+    large-input (union) path the repetition stream's token-count
+    denominator is FUSED into the quality-features scan — the base
+    projection already computes the identical ``token_count`` expression
+    as ``n_tokens`` — so the text is scanned twice (quality + tagged
+    stream), not three times (standalone :func:`repetition_metrics`
+    would add its own denominator pass). Value-identical: same
+    expression, same rows, same left join against the stream aggregate.
     """
     q = quality_features(F.col(text_col))
     base = df.select(
@@ -504,8 +514,15 @@ def gopher_quality(
         q["avg_token_len"].alias("_q_atl"),
         q["alpha_ratio"].alias("_q_ar"),
     )
-    r = repetition_metrics(df, id_col=id_col, text_col=text_col, ngram=ngram)
-    joined = base.join(r, id_col, "left")
+    if _repetition_mode(df, mode) == "union":
+        agg = _repetition_union_agg(df, id_col, text_col, ngram)
+        joined = (base.join(agg, id_col, "left")
+                  .select(F.col(id_col), F.col("_q_nt"), F.col("_q_atl"),
+                          F.col("_q_ar"), *_rep_frac_cols(F.col("_q_nt"))))
+    else:
+        r = repetition_metrics(df, id_col=id_col, text_col=text_col,
+                               ngram=ngram, mode="subtrees")
+        joined = base.join(r, id_col, "left")
     qcols = {"n_tokens": F.col("_q_nt"), "avg_token_len": F.col("_q_atl"),
              "alpha_ratio": F.col("_q_ar")}
     rcols = {k: F.col(k) for k in

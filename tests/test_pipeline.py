@@ -1095,6 +1095,13 @@ def test_repetition_metrics_matches_row_local_twin(spark):
         "doc_id", gopher_rules(F.col("text")).alias("keep")).collect()}
     assert gq == gr
 
+    # the FUSED union path (the token-count denominator rides the
+    # quality-features projection — one fewer text scan) must equal the
+    # subtrees path frame-for-frame, degenerate docs included
+    a = gopher_quality(docs, mode="subtrees").collect()
+    b = gopher_quality(docs, mode="union").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
 
 def test_size_gate_auto_routing(spark):
     """The size-adaptive gates must route TINY inputs to the small-input

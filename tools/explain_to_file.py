@@ -1,6 +1,6 @@
 #!/usr/bin/env python3
 """Capture `.explain("formatted")` for named registered queries into
-plans/r10/<query>_<tag>.txt — the optimization round's before/after
+plans/<round>/<query>_<tag>.txt (round from $SPARK_GRAFT_PLANS_ROUND, default r11) — the optimization round's before/after
 plan evidence. Usage:
 
     python tools/explain_to_file.py before q1_pricing_summary,text_winnow
@@ -21,7 +21,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     out_dir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "plans", "r10")
+        os.path.abspath(__file__))), "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r11"))
     os.makedirs(out_dir, exist_ok=True)
 
     import __spark_entry__ as entry
