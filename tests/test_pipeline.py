@@ -3130,6 +3130,29 @@ def test_winnow_shared_pairs_localizes_and_caps(spark):
     assert p["a_first"] >= 1 and p["b_first"] >= 1
     assert p["b_first"] != p["a_first"]  # different offsets in each doc
 
+    # the packed-pair-key fast path (integral ids in [0, 2^31)) and the
+    # generic two-column path must agree field-for-field: negative ids
+    # fail the range gate and take the generic path — same pairs, same
+    # localization, after shifting back
+    off = (1 << 31) + 10
+    fp_neg = winnow_fingerprints(
+        df.withColumn("doc_id", F.col("doc_id") - off),
+        "doc_id", F.col("t"), k=12, w=4)
+    neg = winnow_shared_pairs(fp_neg, "doc_id", df_cap=10,
+                              min_shared=1).collect()
+    assert ([(r["id_a"] + off, r["id_b"] + off, r["n_shared"],
+              r["a_first"], r["b_first"]) for r in neg]
+            == [(r["id_a"], r["id_b"], r["n_shared"],
+                 r["a_first"], r["b_first"]) for r in pairs])
+    # string ids: non-integral -> generic path, schema preserved
+    fp_str = winnow_fingerprints(
+        df.withColumn("doc_id", F.format_string("d%02d", "doc_id")),
+        "doc_id", F.col("t"), k=12, w=4)
+    srows = winnow_shared_pairs(fp_str, "doc_id", df_cap=10,
+                                min_shared=1).collect()
+    assert [(r["id_a"], r["id_b"], r["n_shared"]) for r in srows] == \
+        [("d01", "d02", p["n_shared"])]
+
 
 def test_benford_digits_known_distribution(spark):
     from feldman_spark.pipeline.profile import benford_digits
