@@ -341,15 +341,21 @@ def nearest_value_join(
     import numpy as np
     from pyspark.sql.types import DoubleType, StructField, StructType
 
-    # pre-group right: one row per value carrying the smallest id
+    # pre-group right: one row per value carrying the smallest id. The
+    # global sort happens DRIVER-SIDE in numpy over the collected
+    # dimension: a Spark orderBy here bought nothing (the table is
+    # about to be collected anyway) and cost a whole range exchange +
+    # sort stage per call; the Arrow toPandas path also replaces the
+    # per-Row python objects of collect() with one columnar transfer.
+    # Values must be non-null (they always were: a null right_value
+    # made the searchsorted array unsorted in the old form too).
     rv, rid = right_value, right_id
-    rows = (
-        right.groupBy(rv).agg(F.min(rid).alias(rid))
-        .orderBy(rv)
-        .collect()
-    )
-    values = np.array([r[rv] for r in rows], dtype=np.float64)
-    ids = np.array([r[rid] for r in rows])
+    agg = right.groupBy(rv).agg(F.min(rid).alias(rid)).toPandas()
+    values = agg[rv].to_numpy(dtype=np.float64)
+    ids = agg[rid].to_numpy()
+    order = np.argsort(values, kind="stable")
+    values = values[order]
+    ids = ids[order]
     sc = left.sparkSession.sparkContext
     b_values = sc.broadcast(values)
     b_ids = sc.broadcast(ids)

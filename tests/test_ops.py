@@ -184,6 +184,30 @@ def test_salted_join_equivalence(spark):
     assert sl3.filter(F.col("k") == 777).count() == 1
 
 
+def test_nearest_value_join_tiebreaks_and_driver_sort(spark):
+    """Nearest-key join over an UNSORTED dimension with duplicate
+    values: the dimension sorts driver-side (numpy argsort over the
+    Arrow collect — no Spark sort exchange), several right rows sharing
+    a value collapse to the smallest id, and an exact midpoint tie
+    resolves to the smaller id."""
+    from feldman_spark.ops.joins import nearest_value_join
+
+    left = spark.createDataFrame(
+        [(1, 10.0), (2, 14.9), (3, 15.0), (4, 100.0)],
+        "lid int, x double")
+    # unsorted, value 20.0 duplicated with ids 7 and 5 -> 5 must win;
+    # x=15.0 is the exact midpoint of 10.0 and 20.0 -> id tie-break:
+    # min(ids at 10.0)=6 vs min(ids at 20.0)=5 -> 5
+    right = spark.createDataFrame(
+        [(7, 20.0), (6, 10.0), (5, 20.0), (9, 30.0)],
+        "rid int, y double")
+    out = {r["lid"]: (r["nid"], r["nv"]) for r in nearest_value_join(
+        left, right, left_value="x", right_value="y", right_id="rid",
+        out_id="nid", out_value="nv").collect()}
+    assert out == {1: (6, 10.0), 2: (6, 10.0), 3: (5, 20.0),
+                   4: (9, 30.0)}
+
+
 def test_asof_join_backward(spark):
     """Backward as-of: latest right row at-or-before each left ts per key;
     unmatched rows null; exact-simultaneous right row visible; tolerance
